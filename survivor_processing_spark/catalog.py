@@ -1,0 +1,47 @@
+"""Table catalog over the driver-generated parquet star schema.
+
+The reference's canonical store is a PostgreSQL warehouse with 16
+keyed tables (reference: helpers/load_helpers.py:28-33, SURVEY.md
+§1.2).  Here the catalog is parquet directories per scale factor;
+every query takes an ``sf_dir`` and reads through these loaders so
+predicate pushdown / column pruning reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# TPC-H-ish star schema + events stream + LLM-pipeline tables
+# (TESTDATA.md / FIXTURES.md §A).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one catalog table. Columnar parquet: Catalyst prunes
+    columns and pushes predicates into this scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so queries can also be written in pure SQL
+    (`spark.sql`), mirroring the reference's SQL surface
+    (helpers/db_funcs.py)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

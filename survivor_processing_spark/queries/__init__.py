@@ -1,0 +1,15 @@
+"""Assembled query registry (SURVEY.md §2 coverage).
+
+Importing this package populates ``REGISTRY`` with every named query
+and its DuckDB oracle.  ``__spark_entry__`` at the repo root exposes
+it to the driver.
+"""
+
+from __future__ import annotations
+
+from ._registry import REGISTRY, Query, register
+
+# Each module registers its queries on import.
+from . import flagship  # noqa: F401  (D1, E1-E4, F1)
+
+__all__ = ["REGISTRY", "Query", "register"]
