@@ -29,9 +29,24 @@ TABLES: tuple[str, ...] = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Columnar parquet: Catalyst prunes
-    columns and pushes predicates into this scan."""
+    columns and pushes predicates into this scan.
+
+    ``events.ts`` is nano-precision parquet, which Spark's reader
+    rejects ([PARQUET_TYPE_ILLEGAL]); read it as nanos-since-epoch
+    long and convert to a (microsecond) timestamp in-plan.  The
+    truncation is ns→µs floor, matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)``.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        import pyspark.sql.functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

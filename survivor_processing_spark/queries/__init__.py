@@ -11,5 +11,7 @@ from ._registry import REGISTRY, Query, register
 
 # Each module registers its queries on import.
 from . import flagship  # noqa: F401  (D1, E1-E4, F1)
+from . import relational  # noqa: F401  (C, D, E, F, G, H, K families)
+from . import strings  # noqa: F401  (I, J families)
 
 __all__ = ["REGISTRY", "Query", "register"]
