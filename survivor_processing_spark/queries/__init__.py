@@ -16,5 +16,6 @@ from . import strings  # noqa: F401  (I, J families)
 from . import temporal  # noqa: F401  (D5/D6/D9, E6, C7, M1 custom operators)
 from . import nested  # noqa: F401  (L family, E10)
 from . import llm  # noqa: F401  (dedup, similarity, text analysis, multimodal)
+from . import incremental  # noqa: F401  (B1 merge, N1-N3 incremental/streaming)
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,187 @@
+"""Incremental, streaming, and merge-sink queries (SURVEY.md §2.B1,
+§2.N1-N3) — each one runs the real machinery (a MERGE into a parquet
+table, a Structured Streaming job) and returns the resulting
+DataFrame so the oracle can check end state, not just plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..sinks.merge import merge_upsert
+from ..streaming.incremental import (
+    max_watermark,
+    read_incremental,
+    stream_events,
+    streaming_counts_query,
+)
+from ._registry import register
+
+# --- N1/E7: watermark incremental read -------------------------------------
+
+
+@register(
+    "watermark_incremental",
+    doc="reference reddit_extract.py:86-100 — MAX(ts) watermark, re-read "
+    "only rows after (watermark - 7 days); predicate reaches the scan",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >
+      (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+""",
+)
+def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wm = max_watermark(ev, "ts")
+    since = wm - dt.timedelta(days=7)
+    inc = read_incremental(spark, sf_dir, "events", "ts", since)
+    return inc.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+# --- B1/N3: MERGE upsert + idempotent replay --------------------------------
+
+
+@register(
+    "merge_upsert_idempotent",
+    doc="reference load_helpers.py:4-39 ON CONFLICT upsert + N3 idempotent "
+    "replay — MERGE an update batch TWICE into a real parquet table and "
+    "return the end state; oracle computes updates-win semantics in SQL",
+    oracle="""
+WITH initial AS (
+    -- (l_orderkey, l_linenumber) is NOT unique in the raw data;
+    -- aggregate first so merge inputs have deterministic unique keys
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_linenumber <= 2
+    GROUP BY l_orderkey, l_linenumber
+), updates AS (
+    SELECT l_orderkey, l_linenumber, qty * 2 AS qty
+    FROM initial WHERE l_linenumber = 2
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(1 AS INTEGER), CAST(99.0 AS DOUBLE)
+)
+SELECT * FROM updates
+UNION ALL
+SELECT i.* FROM initial i
+WHERE NOT EXISTS (
+    SELECT 1 FROM updates u
+    WHERE u.l_orderkey = i.l_orderkey AND u.l_linenumber = i.l_linenumber
+)
+""",
+)
+def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    initial = (
+        li.filter(F.col("l_linenumber") <= 2)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    updates = (
+        initial.filter(F.col("l_linenumber") == 2)
+        .select("l_orderkey", "l_linenumber", (F.col("qty") * 2).alias("qty"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 1, 99.0)], "l_orderkey long, l_linenumber int, qty double"
+            )
+        )
+    )
+    path = f"{tempfile.gettempdir()}/spark_graft_merge_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(path, ignore_errors=True)
+    keys = ["l_orderkey", "l_linenumber"]
+    merge_upsert(spark, path, initial, keys)
+    merge_upsert(spark, path, updates, keys)
+    merge_upsert(spark, path, updates, keys)  # replay: must be a no-op
+    return spark.read.parquet(path)
+
+
+# --- N1 streaming: watermark + tumbling-window aggregation ------------------
+
+
+@register(
+    "streaming_windowed_counts",
+    doc="Structured Streaming over the events table: event-time watermark "
+    "+ 1-hour tumbling windows, availableNow trigger, memory sink; "
+    "oracle is the equivalent batch windowed aggregation",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir, watermark="30 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# --- N2: change detection (new + running entities) --------------------------
+
+
+@register(
+    "change_detection_incremental",
+    doc="reference extract_helpers.py:7-57 — process only NEW entities "
+    "(anti-join) plus RUNNING ones (predicate), as one unioned batch",
+    oracle="""
+SELECT c.c_custkey, 'new' AS reason
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT DISTINCT o.o_custkey AS c_custkey, 'running' AS reason
+FROM orders o
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def change_detection_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    new = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("new").alias("reason")
+    )
+    running = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("reason", F.lit("running"))
+    )
+    return new.unionByName(running)

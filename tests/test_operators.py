@@ -1,0 +1,161 @@
+"""Unit tests for id minting, resolution cascade, schema sync,
+dedup, similarity, and the merge sink (FIXTURES.md §C mini-fixtures)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from survivor_processing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+)
+from survivor_processing_spark.operators.ids import (
+    mint_ids_hashed,
+    mint_ids_sequential,
+)
+from survivor_processing_spark.operators.multimodal import decode_media, text_as_media
+from survivor_processing_spark.operators.resolve import resolve_cascade
+from survivor_processing_spark.operators.schema_sync import sync_with_target
+from survivor_processing_spark.operators.similarity import brute_force_topk
+from survivor_processing_spark.sinks.merge import merge_upsert
+
+
+def test_id_minting_sequential(spark):
+    # FIXTURES.md §C.8: existing max=100, 3 nulls → 101..103 in key order
+    df = spark.createDataFrame(
+        [("a", 100), ("b", None), ("c", None), ("d", None), ("e", 7)],
+        "name string, id long",
+    )
+    out = {r["name"]: r["id"] for r in mint_ids_sequential(df, "id", ["name"]).collect()}
+    assert out == {"a": 100, "e": 7, "b": 101, "c": 102, "d": 103}
+
+
+def test_id_minting_all_null_starts_at_one(spark):
+    df = spark.createDataFrame([("x", None), ("y", None)], "name string, id long")
+    out = {r["name"]: r["id"] for r in mint_ids_sequential(df, "id", ["name"]).collect()}
+    assert out == {"x": 1, "y": 2}
+
+
+def test_id_minting_hashed_deterministic(spark):
+    df = spark.createDataFrame([("a", 1, None), ("b", 2, None)], "n string, s int, id long")
+    a = {r["n"]: r["id"] for r in mint_ids_hashed(df, "id", ["n", "s"]).collect()}
+    b = {r["n"]: r["id"] for r in mint_ids_hashed(df, "id", ["n", "s"]).collect()}
+    assert a == b and all(v is not None for v in a.values())
+
+
+def test_resolve_cascade_order_and_quarantine(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    prim = spark.createDataFrame([("x", "PX")], "k string, v string")
+    fb = spark.createDataFrame([("x", "FX"), ("y", "FY")], "k string, v string")
+    out = resolve_cascade(
+        df, [(prim, ["k"], "v"), (fb, ["k"], "v")], out_col="v", default="unk"
+    )
+    got = {r["k"]: (r["v"], r["v_resolved_by"]) for r in out.collect()}
+    assert got == {"x": ("PX", 0), "y": ("FY", 1), "z": ("unk", -1)}
+
+
+def test_schema_sync(spark):
+    df = spark.createDataFrame([(1, "a", 2.5)], "x long, extra string, y double")
+    target = StructType(
+        [
+            StructField("x", IntegerType()),
+            StructField("y", DoubleType()),
+            StructField("missing", StringType()),
+        ]
+    )
+    out = sync_with_target(df, target)
+    assert out.columns == ["x", "y", "missing"]
+    assert [f.dataType for f in out.schema.fields] == [
+        IntegerType(), DoubleType(), StringType()]
+    assert out.first()["missing"] is None
+
+
+def test_exact_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content words nothing shared here at all " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["id1"], r["id2"]) for r in
+             minhash_dedup_pairs(df, "text", "doc_id", threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_stable_and_close_for_near_dups(spark):
+    base = "one two three four five six seven eight nine ten " * 10
+    near = base.replace("five", "5")
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash64"] for r in simhash(df, "text", "doc_id").collect()}
+    hamming = bin(out[1] ^ out[2]).count("1")
+    assert hamming <= 16  # near-dups land close in hamming space
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    from survivor_processing_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    top = brute_force_topk(emb, [float(x) for x in q], k=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["sim_rank"] == 1  # self is rank 1
+
+
+def test_multimodal_stub_gates_and_fake_decodes(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    media = text_as_media(df, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        decode_media(media, fake=False)
+    out = {r["asset_id"]: (r["n_bytes"], len(r["features"]))
+           for r in decode_media(media, fake=True).collect()}
+    assert out == {1: (3, 8), 2: (4, 8)}
+
+
+def test_merge_upsert_idempotent_and_key_fillna(spark):
+    # FIXTURES.md §C.6: NULL key parts filled to 0 participate in the key;
+    # MERGE twice → identical table
+    path = os.path.join(tempfile.gettempdir(), "merge_test_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    rows = spark.createDataFrame(
+        [(1, 1, None, "a"), (1, 2, 5.0, "b")],
+        "season_id int, episode_id int, tc_number double, payload string",
+    ).withColumn("tc_number", F.coalesce(F.col("tc_number"), F.lit(0.0)))
+    keys = ["season_id", "episode_id", "tc_number"]
+    merge_upsert(spark, path, rows, keys)
+    first = sorted(spark.read.parquet(path).collect())
+    update = spark.createDataFrame(
+        [(1, 1, 0.0, "a2")],
+        "season_id int, episode_id int, tc_number double, payload string",
+    )
+    merge_upsert(spark, path, update, keys)
+    merge_upsert(spark, path, update, keys)
+    final = spark.read.parquet(path)
+    assert final.count() == 2
+    got = {(r["season_id"], r["episode_id"], r["tc_number"]): r["payload"]
+           for r in final.collect()}
+    assert got[(1, 1, 0.0)] == "a2"  # fillna'd key matched and updated
+    assert got[(1, 2, 5.0)] == "b"
+    assert len(first) == 2
+    shutil.rmtree(path, ignore_errors=True)
