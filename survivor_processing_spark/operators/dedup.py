@@ -24,6 +24,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the input is under-parallel.
+
+    A small parquet table is one row group → one task, so a CPU-heavy
+    projection (signatures) runs at 1/Nth of the machine.  Shuffling a
+    few MB to fix that is free.  At 100 TB the scan already has far
+    more partitions than cores and this is a no-op — the guard keeps
+    the big-data path shuffle-free."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(col):
     """Lowercase, trim, collapse runs of whitespace."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
@@ -58,25 +72,43 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word n-grams."""
+    return spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        shingles_expr(text_col, shingle_n).alias("shingles"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 64, shingle_n: int = 3
 ) -> DataFrame:
-    """k-permutation MinHash signature per document.
+    """k-permutation MinHash signature per document → (doc_id, sig).
 
-    sig[j] = min over shingles of xxhash64(shingle, j) — the seeded
-    hash family replaces explicit permutations.  Computed in one
-    projection (no explode, no shuffle)."""
-    sh = shingles_expr(text_col, shingle_n)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("shingles"),
-    ).select(
-        "doc_id",
-        "shingles",
-        F.expr(
-            f"transform(sequence(0, {k - 1}),"
-            f" j -> array_min(transform(shingles, s -> xxhash64(s, j))))"
-        ).alias("sig"),
+    Shape: explode shingles → hash each shingle string ONCE
+    (xxhash64) → groupBy(doc_id) with k codegen'd
+    ``min(xxhash64(h, j))`` aggregates → assemble the signature array.
+    The k lanes re-hash the fixed-width base value, not the string
+    (a seeded-hash family standing in for k permutations).
+
+    Why this shape: flat ``min`` aggregates stay inside whole-stage
+    codegen, whereas a higher-order ``transform(..., array_min(...))``
+    projection is interpreted per element (~100x slower measured).
+    Scale: map-side partial aggregation collapses each partition to
+    one k-vector per doc before the exchange, so the shuffle is
+    O(#docs x k x 8B) regardless of document length."""
+    inv = (
+        shingle_table(df, text_col, id_col, shingle_n)
+        .select("doc_id", F.explode("shingles").alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("_h"))
+    )
+    mins = inv.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("_h"), F.lit(j))).alias(f"_m{j}") for j in range(k)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"_m{j}" for j in range(k)]).alias("sig")
     )
 
 
@@ -111,14 +143,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, rows: int = 4) -> Da
 
 
 def jaccard_verify(
-    pairs: DataFrame, sig_df: DataFrame, threshold: float
+    pairs: DataFrame, shingle_df: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps
     pairs >= threshold.  Joins only the candidate ids — at scale the
     shingle arrays ride along two broadcast-or-shuffle hash joins on
     doc_id, never a cross product."""
-    s1 = sig_df.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
-    s2 = sig_df.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    s1 = shingle_df.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingle_df.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
     return (
         pairs.join(s1, "id1")
         .join(s2, "id2")
@@ -147,7 +179,8 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-duplicate pairs, exact-verified."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
-    return jaccard_verify(cands, sigs, threshold)
+    shingles = shingle_table(df, text_col, id_col, shingle_n)
+    return jaccard_verify(cands, shingles, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -159,6 +192,7 @@ def ngram_jaccard_pairs(
     counts.  The shuffle key is the shingle — a natural inverted
     index; hot shingles (stopword n-grams) are the skew risk, which
     is why the MinHash path above is the default at scale."""
+    df = spread(df)
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles_expr(text_col, shingle_n).alias("sh")
     )
@@ -195,19 +229,31 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: per-bit ±1 votes over token
-    hashes, sign → bit.  One projection, no shuffle."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens_expr(text_col).alias("toks"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> acc + "
-            " if(aggregate(toks, 0,"
-            "     (s, t) -> s + if(bit_get(xxhash64(t), b) = 1, 1, -1)) > 0,"
-            "    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
-        ).alias("simhash64"),
+    hashes, sign of the vote sum → bit.
+
+    Same codegen-friendly shape as MinHash: explode tokens, hash each
+    string once, 64 flat ``sum(±1)`` aggregates (map-side partial →
+    shuffle is O(#docs x 64 x 8B)), then assemble the 64-bit word."""
+    votes = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_t"))
+        .select("doc_id", F.explode("_t").alias("_tok"))
+        .select("doc_id", F.xxhash64("_tok").alias("_h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.expr(f"bit_get(_h, {b})") == 1, 1).otherwise(-1)
+                ).alias(f"_v{b}")
+                for b in range(64)
+            ]
+        )
     )
+    bit_terms = " + ".join(
+        f"if(_v{b} > 0, shiftleft(cast(1 as bigint), {b}), cast(0 as bigint))"
+        for b in range(64)
+    )
+    return votes.select("doc_id", F.expr(bit_terms).alias("simhash64"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:

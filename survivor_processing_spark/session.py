@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Small single-file tables must still fan out across all cores:
+        # without a floor, a 2 MB parquet scans as ONE partition and a
+        # CPU-heavy projection (minhash, simhash) runs 1/Nth speed. On a
+        # real cluster 100 TB splits naturally; the floor is a no-op there.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
