@@ -8,10 +8,17 @@ match outside the season window (reddit_transform.py:28-34
 engine provides two physical strategies:
 
 * ``strategy='broadcast'`` (default; right side is a dimension):
-  rewrite the right side into half-open intervals
-  ``[ts, next_ts)`` with a lead() window, then a broadcast range
-  join — each left row matches at most one interval.  NO shuffle of
-  the left (fact) side: at 100 TB this is a map-side operation.
+  rewrite the right side into half-open intervals ``[ts, next_ts)``
+  with a lead() window, then *band* the intervals — explode each into
+  the fixed-width time buckets it overlaps — so the join has an
+  equi-key (band id) and runs as a BroadcastHashJoin, not a
+  BroadcastNestedLoopJoin.  Each fact row probes only the intervals
+  sharing its bucket (~O(1)) instead of scanning the whole dimension.
+  The open last interval per group joins separately (one row per
+  group).  NO shuffle and no scan of the left (fact) side: at 100 TB
+  this is a map-side operation; the only action at plan-build time is
+  a min/max/count over the (small, broadcastable) dimension to size
+  the bands.
 * ``strategy='union'`` (both sides large, keyed): tag and union both
   sides, then ``last(right_col, ignorenulls=True)`` over a window
   ordered by (ts, tag) partitioned by the join keys — one shuffle on
@@ -50,18 +57,103 @@ def asof_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def _ordinal(col, dtype):
+    """Monotone bigint image of a time-like column, for banding."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, DateType):
+        return F.unix_date(col)
+    return F.floor(col).cast("bigint")
+
+
 def _asof_broadcast(left, right, left_on, right_on, by):
-    # interval-ize the right side: [ts, next_ts) per `by` group
+    rt = right.schema[right_on].dataType
+    lt = left.schema[left_on].dataType
+    r_ord = _ordinal(F.col(right_on), rt)
+    l_ord = _ordinal(F.col(left_on), lt)
+
+    # Band width from dim stats (avg gap) — one tiny job on the small
+    # side only; the fact side is never touched at plan-build time.
+    lo, hi, n = right.agg(
+        F.min(r_ord), F.max(r_ord), F.count(right_on)
+    ).first()
+    if n == 0:  # empty dim: left rows with NULL payload
+        null_right = [
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right.columns
+            if c not in by
+        ]
+        return left.select("*", *null_right)
+    width = max(1, (hi - lo) // n)
+
+    # Closed intervals [ts, next_ts), exploded into every band they
+    # overlap: per-band probe cost is O(intervals in that band) ~ O(1)
+    # with width ~ avg gap (expansion factor ~2 bands/interval).
     w = Window.partitionBy(*by).orderBy(right_on) if by else Window.orderBy(right_on)
-    intervals = right.withColumn("_next_ts", F.lead(right_on).over(w))
-    cond = (F.col(left_on) >= F.col(right_on)) & (
-        F.col("_next_ts").isNull() | (F.col(left_on) < F.col("_next_ts"))
+    iv = (
+        right.withColumn("_next_ts", F.lead(right_on).over(w))
+        .withColumn("_s", r_ord)
+        .withColumn("_e", _ordinal(F.col("_next_ts"), rt))
+    )
+    closed = (
+        iv.filter(F.col("_s") < F.col("_e"))
+        .withColumn(
+            "_band",
+            F.explode(
+                F.sequence(
+                    (F.col("_s") / width).cast("bigint"),
+                    ((F.col("_e") - 1) / width).cast("bigint"),
+                )
+            ),
+        )
+        .drop("_e")
+    )
+    # Open last interval per group: exactly one row, t >= last ts.
+    rn = F.row_number().over(
+        Window.partitionBy(*by).orderBy(F.desc(right_on))
+        if by
+        else Window.orderBy(F.desc(right_on))
+    )
+    last = iv.filter(F.col("_next_ts").isNull()).withColumn("_rn", rn).filter(
+        F.col("_rn") == 1
+    )
+
+    right_cols = [c for c in right.columns if c not in by]
+    # String-qualified aliases: both inputs may derive from the SAME
+    # scan (self-as-of), where expr-id qualification is ambiguous.
+    lhs = left.withColumn("_lband", (l_ord / width).cast("bigint")).alias("L")
+    closed = closed.alias("C")
+    last = last.alias("A")
+
+    c_cond = (
+        (F.col("L._lband") == F.col("C._band"))
+        & (F.col(f"L.{left_on}") >= F.col(f"C.{right_on}"))
+        & (F.col(f"L.{left_on}") < F.col("C._next_ts"))
     )
     for k in by:
-        cond = cond & (left[k] == intervals[k])
-    joined = left.join(F.broadcast(intervals), cond, "left")
-    drop = ["_next_ts"] + [intervals[k] for k in by]
-    return joined.drop(*drop)
+        c_cond = c_cond & (F.col(f"L.{k}") == F.col(f"C.{k}"))
+    j1 = (
+        lhs.join(F.broadcast(closed), c_cond, "left")
+        .select(
+            *[F.col(f"L.{c}") for c in left.columns],
+            *[F.col(f"C.{c}").alias(f"_c_{c}") for c in right_cols],
+        )
+        .alias("J")
+    )
+
+    l_cond = F.col(f"J.{left_on}") >= F.col(f"A.{right_on}")
+    for k in by:
+        l_cond = l_cond & (F.col(f"J.{k}") == F.col(f"A.{k}"))
+    j2 = j1.join(F.broadcast(last), l_cond, "left")
+    return j2.select(
+        *[F.col(f"J.{c}") for c in left.columns],
+        *[
+            F.coalesce(F.col(f"J._c_{c}"), F.col(f"A.{c}")).alias(c)
+            for c in right_cols
+        ],
+    )
 
 
 def _asof_union(left, right, left_on, right_on, by):
