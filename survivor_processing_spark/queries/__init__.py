@@ -17,5 +17,6 @@ from . import temporal  # noqa: F401  (D5/D6/D9, E6, C7, M1 custom operators)
 from . import nested  # noqa: F401  (L family, E10)
 from . import llm  # noqa: F401  (dedup, similarity, text analysis, multimodal)
 from . import incremental  # noqa: F401  (B1 merge, N1-N3 incremental/streaming)
+from . import sources_q  # noqa: F401  (A3/A5/A7/A9/A10 ingestion connectors)
 
 __all__ = ["REGISTRY", "Query", "register"]
