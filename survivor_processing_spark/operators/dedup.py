@@ -101,7 +101,7 @@ def minhash_signatures(
     O(#docs x k x 8B) regardless of document length."""
     inv = (
         shingle_table(df, text_col, id_col, shingle_n)
-        .select("doc_id", F.explode("shingles").alias("_s"))
+        .select("doc_id", F.explode_outer("shingles").alias("_s"))
         .select("doc_id", F.xxhash64("_s").alias("_h"))
     )
     mins = inv.groupBy("doc_id").agg(
@@ -121,7 +121,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, rows: int = 4) -> Da
     construction.  Output is candidates only; callers verify."""
     banded = sig_df.select(
         "doc_id",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
                 f" b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
@@ -197,7 +197,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), shingles_expr(text_col, shingle_n).alias("sh")
     )
     counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    inv = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -237,7 +237,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     votes = (
         spread(df)
         .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_t"))
-        .select("doc_id", F.explode("_t").alias("_tok"))
+        .select("doc_id", F.explode_outer("_t").alias("_tok"))
         .select("doc_id", F.xxhash64("_tok").alias("_h"))
         .groupBy("doc_id")
         .agg(
@@ -265,7 +265,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
     chunks = sh.select(
         "doc_id",
         "simhash64",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 "transform(sequence(0, 3),"
                 " c -> cast(shiftright(simhash64, c * 16) & 65535 as int))"
