@@ -84,11 +84,14 @@ def brute_force_topk(
         id_col,
         cosine_expr("_v", "_q").alias("cosine"),
     )
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition
+    # keeps its local top-k, the driver merges k*partitions rows — no
+    # global sort, no single-partition window over the corpus.  The
+    # rank window then runs over just k rows.
+    topk = scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select("sim_rank", id_col)
+    return topk.withColumn("sim_rank", F.row_number().over(w)).select(
+        "sim_rank", id_col
     )
 
 

@@ -1,0 +1,72 @@
+"""Physical-plan audits (SURVEY.md §4.2, §7 Phase 7).
+
+Correctness says the answer is right; these tests pin down that the
+PLAN is the one that survives 100x scale: dimension lookups broadcast
+(never shuffle the fact side), filters and column pruning reach the
+parquet scan, the banded as-of join is a hash join (not a nested
+loop over the dimension), aggregates partial-aggregate map-side, and
+top-k never globally sorts."""
+
+from __future__ import annotations
+
+import pytest
+
+from survivor_processing_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_lookup_is_broadcast_hash_join(spark):
+    plan = plan_of(spark, "broadcast_lookup_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_projection_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_project")
+    assert "PushedFilters: [" in plan
+    # pushed, non-empty
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip()
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "filter_project")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # lineitem has 16 columns; the query needs a handful
+    assert read.count(",") < 8
+
+
+def test_asof_broadcast_is_hash_join_not_nested_loop(spark):
+    plan = plan_of(spark, "asof_join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop allowed is the single-row open-interval
+    # join (build side = one row per group)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_no_cartesian_or_nested_loop(spark):
+    plan = plan_of(spark, "flagship_contestant_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_partial_aggregation(spark):
+    plan = plan_of(spark, "minhash_lsh_pairs")
+    assert "partial_min" in plan  # map-side combine before the exchange
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_agg_partial_map_side(spark):
+    plan = plan_of(spark, "grouped_sum_all_measures")
+    assert "partial_sum" in plan
