@@ -10,6 +10,7 @@ from .asof import asof_join, containment_join
 from .ids import mint_ids_sequential, mint_ids_hashed
 from .resolve import resolve_cascade
 from .schema_sync import sync_with_target
+from .skew import bucketed_join, salted_join, write_bucketed
 
 __all__ = [
     "asof_join",
@@ -18,4 +19,7 @@ __all__ = [
     "mint_ids_hashed",
     "resolve_cascade",
     "sync_with_target",
+    "salted_join",
+    "write_bucketed",
+    "bucketed_join",
 ]

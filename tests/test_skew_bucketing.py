@@ -1,0 +1,73 @@
+"""Scale-technique tests: salted joins match unsalted results; a
+bucketed join plan has no Exchange; add_to_df ordered derivations."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from survivor_processing_spark.functions.derive import add_to_df, iterative_replace_null
+from survivor_processing_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of fact rows share key 1
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, name string")
+    plain = {(r.k, r.v, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(fact, dim, ["k"]).collect()}
+    assert salted == plain
+    # the salted plan's join key includes the salt → hot key spreads
+    sj = salted_join(fact, dim, ["k"])
+    assert "_salt" in sj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
+        write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+        joined = bucketed_join(spark, "bkt_a", "bkt_b", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: shuffle paid at write
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_add_to_df_ordered_derivations(spark):
+    df = spark.createDataFrame([(2.0,), (3.0,)], "x double")
+    out = add_to_df(
+        df,
+        {
+            "double_x": lambda d: F.col("x") * 2,
+            ("sum_both", "ratio"): lambda d: [
+                F.col("x") + F.col("double_x"),  # sees earlier output
+                F.col("double_x") / F.col("x"),
+            ],
+        },
+    )
+    rows = out.orderBy("x").collect()
+    assert rows[0].double_x == 4.0
+    assert rows[0].sum_both == 6.0 and rows[0].ratio == 2.0
+
+
+def test_iterative_replace_null(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, None), (5.0, 9.0)], "win double, win_alt double"
+    )
+    out = iterative_replace_null(df, "win", ["win_alt", 1.0])
+    assert [r.win for r in out.collect()] == [1.0, 1.0, 5.0]
