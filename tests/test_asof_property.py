@@ -1,0 +1,53 @@
+"""Property tests: both as-of strategies agree with each other and
+with DuckDB's native ASOF LEFT JOIN on random inputs (SURVEY.md §7
+Phase 4), including duplicate timestamps, facts before the first
+dim row, exact-tie matches, and empty dimensions."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from survivor_processing_spark.operators.asof import asof_join
+
+TS = st.integers(min_value=0, max_value=10_000)
+
+
+def _oracle(facts: list[int], dims: list[int]) -> dict[int, int | None]:
+    """DuckDB ASOF LEFT JOIN (greatest dim ts <= fact ts)."""
+    con = duckdb.connect()
+    con.register("f", pd.DataFrame({"ft": facts, "idx": range(len(facts))}))
+    con.register("d", pd.DataFrame({"dt": list(set(dims))}))
+    rows = con.execute(
+        "SELECT idx, dt FROM f ASOF LEFT JOIN d ON f.ft >= d.dt"
+    ).fetchall()
+    return {idx: dt for idx, dt in rows}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(TS, min_size=1, max_size=40),
+    dims=st.lists(TS, min_size=0, max_size=25),
+)
+def test_asof_matches_duckdb(spark, strategy, facts, dims):
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(facts)], "idx long, ft long"
+    )
+    right = spark.createDataFrame(
+        [(t,) for t in sorted(set(dims))], "dt long"
+    )
+    if not dims and strategy == "union":
+        # union strategy with an empty right side is exercised in
+        # test_asof.py; hypothesis shrinks here explode runtime
+        return
+    out = asof_join(left, right, "ft", "dt", strategy=strategy)
+    got = {r.idx: r.dt for r in out.collect()}
+    assert got == _oracle(facts, dims)
