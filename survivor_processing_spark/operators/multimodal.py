@@ -112,6 +112,98 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_s: float = 1.0) -> DataFrame:
-    """Video frame sampling — requires ffmpeg; stub only."""
-    raise NotImplementedError("video codecs not available in this environment")
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("media_meta", MEDIA_META),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_s", DoubleType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize image/video media to (width, height): binary→binary
+    through mapInPandas, metadata struct updated in the same pass.
+    Real resampling needs PIL/ffmpeg; the fake codec is a
+    deterministic byte transform (truncate/cycle to w*h bytes) so
+    schema, batching and meta propagation are fully exercised."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "pass fake=True for the deterministic stub resize"
+        )
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob, meta in zip(
+                pdf["asset_id"], pdf["media"], pdf["media_meta"]
+            ):
+                b = bytes(blob) if blob is not None else b""
+                resized = (b * (target // max(len(b), 1) + 1))[:target]
+                mime = meta["mime"] if meta is not None else None
+                rows.append(
+                    (
+                        asset_id,
+                        resized,
+                        {
+                            "mime": mime,
+                            "width": width,
+                            "height": height,
+                            "duration_s": meta["duration_s"]
+                            if meta is not None
+                            else None,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> DataFrame:
+    """Video frame sampling: ONE media row → N frame rows (UDTF-style
+    1→N emit through mapInPandas, SURVEY §2 M3).  Frames at t = 0,
+    every_s, 2*every_s, … while t < media_meta.duration_s.  Real
+    decoding needs ffmpeg; the fake codec derives each frame's bytes
+    deterministically from (digest of the blob, frame_idx), so row
+    multiplicity, ordering, and batch shape — the Spark-side
+    semantics — are real and testable."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs not available in this environment; "
+            "pass fake=True for the deterministic stub sampler"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob, meta in zip(
+                pdf["asset_id"], pdf["media"], pdf["media_meta"]
+            ):
+                dur = meta["duration_s"] if meta is not None else None
+                if dur is None or dur <= 0:
+                    continue
+                b = bytes(blob) if blob is not None else b""
+                base = hashlib.md5(b).digest()
+                idx, t = 0, 0.0
+                while t < dur:
+                    frame = hashlib.md5(base + idx.to_bytes(4, "big")).digest()
+                    rows.append((asset_id, idx, t, frame))
+                    idx += 1
+                    t = idx * every_s
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "ts_s", "frame"]
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

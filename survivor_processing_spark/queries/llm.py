@@ -21,7 +21,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.multimodal import decode_media, text_as_media
+from ..operators.multimodal import decode_media, frame_sample, text_as_media
 from ..operators.similarity import all_pairs_above, brute_force_topk, lsh_pairs_above
 from ._registry import register
 
@@ -303,3 +303,36 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = text_as_media(d, "doc_id", "text")
     return decode_media(media, fake=True).select("asset_id", "n_bytes", "digest")
+
+
+@register(
+    "multimodal_frame_sample",
+    doc="video frame sampling: 1 media row -> N frame rows via "
+    "mapInPandas (UDTF-style M3 emit); synthetic duration = "
+    "n_chars/100 s, one frame per second — the oracle checks the "
+    "row-multiplicity arithmetic (frame bytes are codec-stub output)",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(CEIL(n_chars / 100.0) AS BIGINT) AS n_frames,
+       CAST((CEIL(n_chars / 100.0) - 1) AS DOUBLE) AS last_ts
+FROM documents
+WHERE n_chars > 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("long").alias("asset_id"),
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") / F.lit(100.0)).alias("duration_s"),
+        ).alias("media_meta"),
+    )
+    frames = frame_sample(media, every_s=1.0, fake=True)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.max("ts_s").alias("last_ts"),
+    )

@@ -159,3 +159,33 @@ def test_merge_upsert_idempotent_and_key_fillna(spark):
     assert got[(1, 2, 5.0)] == "b"
     assert len(first) == 2
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from survivor_processing_spark.operators.multimodal import (
+        frame_sample,
+        resize_media,
+        text_as_media,
+    )
+    import pyspark.sql.functions as F
+
+    d = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    media = text_as_media(d, "doc_id", "text")
+
+    resized = resize_media(media, width=4, height=3, fake=True).collect()[0]
+    assert len(bytes(resized.media)) == 12
+    assert resized.media_meta.width == 4 and resized.media_meta.height == 3
+
+    with_dur = media.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            F.lit(2.5).alias("duration_s"),
+        ),
+    )
+    frames = frame_sample(with_dur, every_s=1.0, fake=True).orderBy("frame_idx")
+    rows = frames.collect()
+    assert [(r.frame_idx, r.ts_s) for r in rows] == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    assert len({bytes(r.frame) for r in rows}) == 3  # distinct per-frame bytes
