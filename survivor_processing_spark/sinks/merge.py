@@ -34,21 +34,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 class MergeTable:
     """A parquet-backed keyed table with MERGE upsert semantics."""
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        partition_by: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
+        self.partition_by = partition_by
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
     def merge(self, source: DataFrame) -> None:
-        merge_upsert(self.spark, self.path, source, self.keys)
+        if self.partition_by:
+            merge_upsert_partitioned(
+                self.spark, self.path, source, self.keys, self.partition_by
+            )
+        else:
+            merge_upsert(self.spark, self.path, source, self.keys)
 
 
 def merge_upsert(
@@ -74,6 +89,57 @@ def merge_upsert(
         .drop("_rn", "_src_priority")
     )
     _atomic_overwrite(spark, merged, target_path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_by: str,
+) -> None:
+    """Partition-scoped MERGE: only partitions that the source
+    touches are read, merged, and rewritten — the 100 TB path (a
+    whole-table rewrite scales with the table; this scales with the
+    *delta*).  Requires ``partition_by`` to be functionally implied
+    by the merge keys (it is for every date/season-partitioned fact
+    here).  Uses dynamic partition overwrite, so untouched partition
+    directories are never listed, read, or replaced."""
+    table = MergeTable(spark, target_path, keys)
+    if not table.exists():
+        source.dropDuplicates(keys).write.mode("overwrite").partitionBy(
+            partition_by
+        ).parquet(target_path)
+        return
+
+    # partitions present in the source — small distinct, broadcastable
+    src_parts = [
+        r[0] for r in source.select(partition_by).distinct().collect()
+    ]
+    target = spark.read.parquet(target_path).filter(
+        F.col(partition_by).isin(src_parts)
+    )
+    src = source.withColumn("_src_priority", F.lit(0))
+    tgt = target.withColumn("_src_priority", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(F.asc("_src_priority"))
+    merged = (
+        src.unionByName(tgt, allowMissingColumns=True)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src_priority")
+    )
+    # the merged delta reads from target_path and overwrites it:
+    # materialize (lineage break) so the writer doesn't see itself as
+    # a reader; the checkpoint holds only the touched partitions
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_by).parquet(
+            target_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, target_path: str) -> None:

@@ -189,3 +189,33 @@ def test_resize_and_frame_sample_plumbing(spark):
     rows = frames.collect()
     assert [(r.frame_idx, r.ts_s) for r in rows] == [(0, 0.0), (1, 1.0), (2, 2.0)]
     assert len({bytes(r.frame) for r in rows}) == 3  # distinct per-frame bytes
+
+
+def test_partitioned_merge_touches_only_source_partitions(spark, tmp_path):
+    import os
+    from survivor_processing_spark.sinks.merge import MergeTable
+
+    path = str(tmp_path / "fact")
+    t = MergeTable(spark, path, keys=["season_id", "k"], partition_by="season_id")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c"), (3, 1, "d")],
+        "season_id long, k long, v string",
+    )
+    t.merge(base)
+    # record file mtimes of the untouched partition
+    p3 = os.path.join(path, "season_id=3")
+    before = {f: os.path.getmtime(os.path.join(p3, f)) for f in os.listdir(p3)}
+
+    delta = spark.createDataFrame(
+        [(1, 2, "B"), (1, 9, "new")], "season_id long, k long, v string"
+    )
+    t.merge(delta)
+    rows = {(r.season_id, r.k): r.v for r in t.read().collect()}
+    assert rows[(1, 2)] == "B" and rows[(1, 9)] == "new"  # update + insert
+    assert rows[(2, 1)] == "c" and rows[(3, 1)] == "d"    # untouched survive
+    assert len(rows) == 5
+    after = {f: os.path.getmtime(os.path.join(p3, f)) for f in os.listdir(p3)}
+    assert before == after  # partition 3 was never rewritten
+
+    t.merge(delta)  # replay idempotence
+    assert t.read().count() == 5
