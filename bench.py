@@ -34,6 +34,8 @@ HEADLINE = [
     "containment_join_nullout",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "exact_dedup_docs",
     "cosine_topk",
     "text_quality_scores",
 ]

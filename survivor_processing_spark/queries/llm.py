@@ -158,8 +158,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # 4 planes x 16 tables: P[detect] ~0.97 at cosine 0.5 — the
-    # recall/candidate-count knob; deterministic given the hash family
+    # 4 planes x 16 tables: recall ~0.97 at cosine 0.5 — the planted
+    # near-dups in this corpus sit right at the 0.5 threshold (max
+    # observed 0.60), so the banding must be recall-first.  At this
+    # test scale (2k vectors) the candidate set is then close to n^2
+    # and LSH cannot beat the brute-force path; its payoff starts
+    # when n^2 is unaffordable (the 100 TB case) and the threshold
+    # targets true near-dups (>=0.8), where more planes cut
+    # candidates ~100x at recall ~1.
     return lsh_pairs_above(e, threshold=0.5, n_planes=4, n_tables=16)
 
 

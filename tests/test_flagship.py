@@ -50,3 +50,29 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_sql_surface_parity(spark):
+    """The reference's declarative surface is SQL strings shipped to
+    Postgres (db_funcs.py); the engine exposes the same tables as
+    temp views so any of those queries can run verbatim-ish through
+    spark.sql."""
+    from survivor_processing_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    out = spark.sql(
+        """
+        WITH ranked AS (
+          SELECT o_custkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC) AS rn
+          FROM orders
+        )
+        SELECT c.c_name, r.o_totalprice
+        FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+        WHERE r.rn = 1
+        ORDER BY r.o_totalprice DESC LIMIT 5
+        """
+    ).collect()
+    assert len(out) == 5
+    assert out[0].o_totalprice >= out[4].o_totalprice
