@@ -39,6 +39,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    # timestamp parsing/formatting is session-timezone-dependent; the
+    # oracle (DuckDB) is timezone-naive.  Pin UTC here so every query
+    # is deterministic even under a session the engine didn't build.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         import pyspark.sql.functions as F
 
