@@ -41,10 +41,16 @@ HEADLINE = [
 ]
 
 
-def run_one(spark, name: str, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    REGISTRY[name].fn(spark, sf_dir).count()
-    return time.perf_counter() - t0
+def run_one(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+    """Best-of-N wall time: each rep re-builds the DataFrame (so
+    planning is billed) and executes to completion; min over reps
+    removes scheduler/GC noise without hiding real cost."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
