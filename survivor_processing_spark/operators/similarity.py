@@ -130,6 +130,120 @@ def hyperplane_signature_expr(vec_col: str, n_planes: int, dim: int):
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic seed pick + k-means
+    refinement, then assign every vector to its nearest centroid
+    (the "inverted list" id).
+
+    Returns ``(centroids, assigned)`` where ``centroids`` is a list of
+    ``(centroid_id, numpy_vector)`` (small — O(K·d), lives with the
+    plan like any literal) and ``assigned`` is the corpus DataFrame
+    plus a ``cluster_id`` column.
+
+    Determinism / scale notes:
+    - Seeds are the ``n_centroids`` vectors with the smallest
+      ``xxhash64(id)`` — a reproducible pseudo-random sample
+      (TakeOrdered, no global sort), so replays and resumes are
+      stable across cluster sizes.
+    - Each k-means iteration is one map-side assignment (centroid
+      matrix is a closure constant → broadcast by construction,
+      argmax is a numpy matmul per Arrow batch) + one groupBy mean
+      over exploded components: shuffle rows = n·d scalars, the same
+      shape MinHash signatures use, all partial-aggregated map-side.
+    - At 100 TB you refine on a hash-sample (filter
+      ``pmod(xxhash64(id), m) = 0``) and assign the full corpus once;
+      assignment itself never shuffles.
+    """
+    import numpy as np
+
+    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seeds = (
+        base.select("_v", F.xxhash64("_id").alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r["_v"], dtype="float64") for r in seeds])
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def assign_udf(cent_mat):
+        unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+        def fn(v):
+            import pandas as pd
+
+            m = np.stack(v.to_numpy()).astype("float64")
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ unit.T, axis=1).astype("int32"))
+
+        return pandas_udf(fn, "int")
+
+    for _ in range(refine_iters):
+        assigned = base.withColumn("cluster_id", assign_udf(cent)(F.col("_v")))
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("_v").alias("_i", "_x")
+            )
+            .groupBy("cluster_id", "_i")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        by_cluster: dict[int, list] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster_id"], []).append((r["_i"], r["_m"]))
+        for cid, comps in by_cluster.items():
+            vec = np.zeros(cent.shape[1])
+            for i, m in comps:
+                vec[i] = m
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new_cent[cid] = vec / n
+        cent = new_cent
+
+    assigned = emb.withColumn("cluster_id", assign_udf(cent)(F.col(vec_col)))
+    return [(i, cent[i]) for i in range(len(cent))], assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: probe the ``n_probe`` inverted
+    lists whose centroids are nearest the query, brute-force only
+    inside them.  Scanned fraction ~ n_probe/n_centroids of the
+    corpus; recall depends on how well the quantizer separates the
+    query's true neighbors (n_probe = n_centroids degrades to exact).
+
+    The cluster filter arrives as an ``isin`` literal predicate —
+    Catalyst pushes it into the scan of a materialized (partitioned)
+    index, so at rest the unprobed lists are never read."""
+    import numpy as np
+
+    cents, assigned = build_ivf_index(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    q = np.asarray(query_vec, dtype="float64")
+    q /= np.linalg.norm(q)
+    order = np.argsort([-float(np.dot(q, c)) for _, c in cents])
+    probe = [int(cents[i][0]) for i in order[:n_probe]]
+    cands = assigned.filter(F.col("cluster_id").isin(probe)).drop("cluster_id")
+    return brute_force_topk(
+        cands, [float(x) for x in query_vec], k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def lsh_pairs_above(
     emb: DataFrame,
     threshold: float,

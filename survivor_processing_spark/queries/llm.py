@@ -22,7 +22,12 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import decode_media, frame_sample, text_as_media
-from ..operators.similarity import all_pairs_above, brute_force_topk, lsh_pairs_above
+from ..operators.similarity import (
+    all_pairs_above,
+    brute_force_topk,
+    ivf_topk,
+    lsh_pairs_above,
+)
 from ._registry import register
 
 # --- dedup -------------------------------------------------------------------
@@ -192,6 +197,23 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     )
     return brute_force_topk(e, [float(x) for x in qvec], k=10)
+
+
+@register(
+    "ivf_topk",
+    doc="IVF-Flat ANN top-10: deterministic k-means coarse quantizer "
+    "(16 lists), probe the 4 nearest lists, brute-force inside them — "
+    "the scale path that reads ~1/4 of the corpus (approximate recall "
+    "by construction → rows-only check)",
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    return ivf_topk(
+        e, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4
+    )
 
 
 # --- text analysis -----------------------------------------------------------

@@ -30,7 +30,11 @@ from survivor_processing_spark.operators.ids import (
 from survivor_processing_spark.operators.multimodal import decode_media, text_as_media
 from survivor_processing_spark.operators.resolve import resolve_cascade
 from survivor_processing_spark.operators.schema_sync import sync_with_target
-from survivor_processing_spark.operators.similarity import brute_force_topk
+from survivor_processing_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+)
 from survivor_processing_spark.sinks.merge import merge_upsert
 
 
@@ -121,6 +125,37 @@ def test_brute_force_topk_self_first(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
     top = brute_force_topk(emb, [float(x) for x in q], k=3).collect()
     assert top[0]["vec_id"] == 3 and top[0]["sim_rank"] == 1  # self is rank 1
+
+
+def test_ivf_index_partitions_corpus(spark, sf_dir):
+    from survivor_processing_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents, assigned = build_ivf_index(emb, n_centroids=8)
+    assert len(cents) == 8
+    # every vector lands in exactly one list; ids are a partition
+    assert assigned.count() == n
+    per = {r["cluster_id"]: r["n"] for r in
+           assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == n and set(per) <= set(range(8))
+    # deterministic across rebuilds (hash-seeded, no RNG state)
+    cents2, _ = build_ivf_index(emb, n_centroids=8)
+    for (i1, c1), (i2, c2) in zip(cents, cents2):
+        assert i1 == i2 and float(abs(c1 - c2).max()) == 0.0
+
+
+def test_ivf_topk_self_first_and_probe_all_exact(spark, sf_dir):
+    from survivor_processing_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2).collect()
+    assert approx[0]["vec_id"] == 3 and approx[0]["sim_rank"] == 1
+    # probing every list degrades to exact brute force
+    full = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()
+    exact = brute_force_topk(emb, q, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
 
 
 def test_multimodal_stub_gates_and_fake_decodes(spark):
