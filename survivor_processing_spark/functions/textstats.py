@@ -93,11 +93,23 @@ def fingerprint_expr(col):
     )
 
 
-def rolling_hash_expr(col, window: int = 8):
-    """Content-defined rolling fingerprint: min xxhash64 over
-    character n-gram windows (winnowing-style document sketch)."""
+def rolling_hash_expr(col, window: int = 8, algo: str = "xxhash64"):
+    """Content-defined rolling fingerprint: min hash over character
+    n-gram windows (winnowing-style document sketch).
+
+    ``algo='xxhash64'`` (default) is the scale path — fixed-width
+    64-bit lanes, whole-stage codegen.  ``algo='md5'`` takes the
+    lexicographic min of hex digests instead: slower, but md5 is
+    implemented identically in every engine, so results can be
+    hash-checked cross-engine (the DuckDB oracle uses it)."""
+    if algo == "xxhash64":
+        h = f"xxhash64(substring({col}, i, {window}))"
+    elif algo == "md5":
+        h = f"md5(substring({col}, i, {window}))"
+    else:
+        raise ValueError(f"unknown rolling-hash algo: {algo}")
     return F.expr(
         f"array_min(transform("
         f" sequence(1, greatest(length({col}) - {window - 1}, 1)),"
-        f" i -> xxhash64(substring({col}, i, {window}))))"
+        f" i -> {h}))"
     )

@@ -13,6 +13,8 @@ from ..functions.textstats import (
     fingerprint_expr,
     lang_id_expr,
     quality_score_exprs,
+    rolling_hash_expr,
+    subword_count_expr,
     token_count_expr,
 )
 from ..operators.dedup import (
@@ -309,6 +311,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_expr(F.col("text")).alias("fingerprint"),
         token_count_expr(F.col("text")).cast("int").alias("n_tokens"),
+    )
+
+
+@register(
+    "rolling_fingerprint",
+    doc="winnowing-style rolling-hash sketch (min hash over char "
+    "8-gram windows; md5 mode for the cross-engine gate, xxhash64 at "
+    "scale) + BPE-ish subword token count (alnum runs + standalone "
+    "punctuation)",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(
+           range(1, greatest(length(text) - 7, 1) + 1),
+           i -> md5(substring(text, CAST(i AS INTEGER), 8)))) AS rolling_min,
+       CAST(len(list_filter(
+           string_split_regex(
+               regexp_replace(lower(text), '([^a-z0-9\\s])', ' \\1 ', 'g'),
+               '\\s+'),
+           x -> x != '')) AS INTEGER) AS n_subwords
+FROM documents
+""",
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_hash_expr("text", window=8, algo="md5").alias("rolling_min"),
+        subword_count_expr("text").cast("int").alias("n_subwords"),
     )
 
 
