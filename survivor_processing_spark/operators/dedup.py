@@ -240,6 +240,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Collapse near-dup *pairs* into duplicate *clusters*:
+    (node, component_id) where component_id = min node id reachable.
+
+    Min-label propagation ("hash-to-min" map-reduce CC): every node
+    starts labeled with itself; each round takes the min of its own
+    and all neighbors' labels; stop when no label changes.  Rounds =
+    graph diameter — near-dup clusters are shallow (a dup cluster is
+    near-clique), so this converges in 2-4 rounds in practice;
+    ``max_iters`` bounds pathological chains.  For adversarial
+    long-chain graphs at scale, swap in large-star/small-star
+    (O(log n) rounds) — same DataFrame surface.
+
+    Scale: each round is one shuffle of E edges on the node key plus
+    a label join; ``localCheckpoint`` truncates the lineage per round
+    so the plan does not grow (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation)."""
+    e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component_id"))
+
+
+def near_dedup_components(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full near-dup dedup: MinHash-LSH pairs → connected components
+    → every document labeled with its cluster representative (min id;
+    docs with no near-dup keep their own id).  Downstream dedup is
+    then ``filter(doc_id == component_id)``."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold=threshold,
+                                **minhash_kwargs)
+    comps = connected_components(pairs.select("id1", "id2"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comps, F.col("doc_id") == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: per-bit ±1 votes over token
     hashes, sign of the vote sum → bit.

@@ -20,6 +20,7 @@ from ..functions.textstats import (
 from ..operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    near_dedup_components,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -141,6 +142,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "near_dup_components",
+    doc="near-dup clusters: MinHash-LSH pairs -> min-label-propagation "
+    "connected components; every doc labeled with its cluster "
+    "representative (min id).  Oracle: transitive closure by recursive "
+    "CTE over the exact-Jaccard pair set (same >=0.5 threshold whose "
+    "LSH recall ~1 gates minhash_lsh_pairs)",
+    oracle="""
+WITH RECURSIVE w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(words[i:i+2], ' ') AS shingle
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+        )
+    )
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT id1, id2
+    FROM common
+    JOIN cnt c1 ON c1.doc_id = id1
+    JOIN cnt c2 ON c2.doc_id = id2
+    WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
+), edges AS (
+    SELECT id1 AS a, id2 AS b FROM pairs
+    UNION ALL
+    SELECT id2, id1 FROM pairs
+), walk AS (
+    SELECT a AS node, b AS reach FROM edges
+    UNION
+    SELECT wk.node, e.b FROM walk wk JOIN edges e ON wk.reach = e.a
+), comp AS (
+    SELECT node, least(node, MIN(reach)) AS component_id
+    FROM walk GROUP BY node
+)
+SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+)
+def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return near_dedup_components(d, "text", "doc_id", threshold=0.5)
 
 
 @register(

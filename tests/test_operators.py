@@ -19,6 +19,7 @@ from pyspark.sql.types import (
 )
 
 from survivor_processing_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_dedup_pairs,
     simhash,
@@ -125,6 +126,16 @@ def test_brute_force_topk_self_first(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
     top = brute_force_topk(emb, [float(x) for x in q], k=3).collect()
     assert top[0]["vec_id"] == 3 and top[0]["sim_rank"] == 1  # self is rank 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 round: forces propagation), island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 long, id2 long"
+    )
+    out = {r["node"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
 def test_ivf_index_partitions_corpus(spark, sf_dir):
