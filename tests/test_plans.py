@@ -70,3 +70,21 @@ def test_topk_is_take_ordered_not_global_sort(spark):
 def test_grouped_agg_partial_map_side(spark):
     plan = plan_of(spark, "grouped_sum_all_measures")
     assert "partial_sum" in plan
+
+
+def test_simhash_partial_aggregation_no_python_hot_path(spark):
+    plan = plan_of(spark, "simhash_near_pairs")
+    assert "partial_sum" in plan  # 64 vote sums combine map-side
+    # signature + bucketing + verify are all JVM expressions
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_jaccard_no_cross_product(spark):
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_fingerprint_stays_jvm_side(spark):
+    plan = plan_of(spark, "rolling_fingerprint")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
