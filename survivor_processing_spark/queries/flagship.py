@@ -103,23 +103,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
     )
 
-    placement = (
-        customer.select("c_custkey", "c_nationkey")
-        .join(ord_agg, customer.c_custkey == ord_agg.oa_custkey, "left")
-        .select(
-            "c_custkey",
-            "c_nationkey",
-            F.row_number()
-            .over(
-                Window.partitionBy("c_nationkey").orderBy(
-                    F.desc_nulls_last("total_spent_raw"), F.asc("c_custkey")
-                )
-            )
-            .alias("placement"),
-        )
-        .select("c_custkey", "placement")
-    )
-
     li_cust = lineitem.join(
         orders.select("o_orderkey", "o_custkey"),
         lineitem.l_orderkey == F.col("o_orderkey"),
@@ -145,13 +128,26 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # All per-custkey joins are 1:1 (aggregates are keyed by custkey,
+    # dims are unique), so the placement ROW_NUMBER can run on the
+    # joined frame itself instead of a separate customer⋈ord_agg
+    # subplan — Catalyst does not dedupe DataFrame-built common
+    # subplans, so the subquery form scanned+aggregated orders TWICE
+    # and paid one extra customer-wide join.
     joined = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .join(ord_agg, customer.c_custkey == ord_agg.oa_custkey, "left")
+        .withColumn(
+            "placement",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey").orderBy(
+                    F.desc_nulls_last("total_spent_raw"), F.asc("c_custkey")
+                )
+            ),
+        )
         .join(votes_q, customer.c_custkey == votes_q.v_custkey, "left")
         .join(wins_q, customer.c_custkey == wins_q.w_custkey, "left")
-        .join(placement, "c_custkey", "left")
     )
 
     return joined.groupBy("c_custkey").agg(
