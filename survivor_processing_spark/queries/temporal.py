@@ -283,3 +283,54 @@ def derivation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_taxed").cast("double").alias("rev_taxed"),
         "rev_class",
     )
+
+
+# --- beyond-reference: session windows (gaps-and-islands) -------------------
+
+
+@register(
+    "session_window_agg",
+    doc="per-user session windows with a 30-minute inactivity gap "
+    "(F.session_window) — the event-time sessionization a training-data "
+    "event log needs; oracle is the exact gaps-and-islands rewrite "
+    "(LAG + running island sum).  One shuffle on (user_id); the window "
+    "merge is per-key and needs no global order",
+    oracle="""
+WITH e AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM e
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sess_no
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
