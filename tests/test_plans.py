@@ -88,3 +88,33 @@ def test_ngram_jaccard_no_cross_product(spark):
 def test_rolling_fingerprint_stays_jvm_side(spark):
     plan = plan_of(spark, "rolling_fingerprint")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_candidates_are_join_free_posting_lists(spark):
+    """Candidate generation must be ONE groupBy on the bucket key —
+    a self-join here would execute the signature pipeline twice."""
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs, "text", "doc_id"))
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/NLJ
+    assert plan.count("Scan parquet") == 1
+
+
+def test_simhash_pairs_join_free_single_scan(spark):
+    plan = plan_of(spark, "simhash_near_pairs")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rollup_single_pass(spark):
+    """ROLLUP = Expand inside one hash aggregate over ONE scan, not a
+    union of per-level scans."""
+    plan = plan_of(spark, "rollup_multilevel_agg")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
