@@ -36,8 +36,11 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
     "exact_dedup_docs",
+    "embedding_near_dup_pairs",
     "cosine_topk",
     "text_quality_scores",
+    "session_window_agg",
+    "rollup_multilevel_agg",
 ]
 
 
