@@ -449,3 +449,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_frames"),
         F.max("ts_s").alias("last_ts"),
     )
+
+
+@register(
+    "doc_length_quantiles",
+    doc="beyond-reference: per-source document-length distribution "
+    "(exact continuous percentiles) — the corpus-profiling step before "
+    "setting training-data length filters.  Exact percentile is one "
+    "sort-based agg per group; at 100 TB swap in approx_percentile "
+    "(t-digest sketch, map-side combinable) — same query shape",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 2) AS p25,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 2) AS p50,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 2) AS p75
+FROM documents
+GROUP BY source
+""",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.75)), 2).alias("p75"),
+    )
