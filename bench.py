@@ -44,6 +44,16 @@ HEADLINE = [
 ]
 
 
+def _execute(df) -> None:
+    """Force FULL computation of every output column, driver-free.
+
+    ``count()`` would let Catalyst prune unreferenced projections —
+    a projection-only query would be billed as a bare scan.  The
+    ``noop`` sink consumes every row/column on the executors and
+    writes nothing."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_one(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     """Best-of-N wall time: each rep re-builds the DataFrame (so
     planning is billed) and executes to completion; min over reps
@@ -51,7 +61,7 @@ def run_one(spark, name: str, sf_dir: str, reps: int = 2) -> float:
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        _execute(REGISTRY[name].fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -64,7 +74,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for name in HEADLINE:  # warm-up: JVM, codegen, file listing
-        REGISTRY[name].fn(spark, "/root/testdata/sf0.001").count()
+        _execute(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
 
     queries: dict[str, float] = {}
     for name in HEADLINE:
