@@ -240,20 +240,32 @@ def filtered_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="reference episode_stats_transform.py:132-135 — groupby(keys)[rest].sum()",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS l_quantity,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS l_extendedprice,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)      AS l_discount,
-       CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)           AS l_tax,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0      AS l_quantity,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS l_extendedprice,
+       SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0      AS l_discount,
+       SUM(CAST(round(l_tax * 100) AS BIGINT)) / 100.0           AS l_tax,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
 )
 def grouped_sum_all_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact money math via integer cents, not decimal: a decimal sum
+    # whose buffer precision exceeds 18 drops Spark to the BigDecimal
+    # aggregation path (measured 3.6x slower than long sums on this
+    # query).  round(x*100)->bigint is exact for 2-decimal measures,
+    # sums map-side in codegen'd long arithmetic, and /100.0 is a
+    # correctly-rounded IEEE division on both engines so the value
+    # hash is bit-stable.  Headroom: a per-group cent sum overflows
+    # ~9.2e18, i.e. >1e11 rows x max-price — safe per group at 100 TB;
+    # for unbounded global totals fall back to decimal.
     li = load_table(spark, sf_dir, "lineitem")
     measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        *[F.sum(_dec(m)).cast("double").alias(m) for m in measures],
+        *[
+            (F.sum(F.round(F.col(m) * 100).cast("long")) / F.lit(100.0)).alias(m)
+            for m in measures
+        ],
         F.count("*").alias("n_rows"),
     )
 
@@ -475,7 +487,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -488,8 +500,8 @@ def rollup_multilevel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
+            # integer-cents exact sum (see grouped_sum_all_measures)
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / F.lit(100.0))
             .alias("sum_qty"),
         )
         .select(
