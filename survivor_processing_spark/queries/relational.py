@@ -240,10 +240,10 @@ def filtered_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="reference episode_stats_transform.py:132-135 — groupby(keys)[rest].sum()",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0      AS l_quantity,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS l_extendedprice,
-       SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0      AS l_discount,
-       SUM(CAST(round(l_tax * 100) AS BIGINT)) / 100.0           AS l_tax,
+       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0      AS l_quantity,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS l_extendedprice,
+       SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 100.0      AS l_discount,
+       SUM(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) / 100.0           AS l_tax,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -263,7 +263,7 @@ def grouped_sum_all_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         *[
-            (F.sum(F.round(F.col(m) * 100).cast("long")) / F.lit(100.0)).alias(m)
+            (F.sum(F.floor(F.col(m) * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0)).alias(m)
             for m in measures
         ],
         F.count("*").alias("n_rows"),
@@ -487,7 +487,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
        COUNT(*) AS n_items,
-       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -500,8 +500,8 @@ def rollup_multilevel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("n_items"),
-            # integer-cents exact sum (see grouped_sum_all_measures)
-            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / F.lit(100.0))
+            # integer-cents exact sum via floor(x*100+0.5) (see grouped_sum_all_measures)
+            (F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0))
             .alias("sum_qty"),
         )
         .select(
