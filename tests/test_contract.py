@@ -1,0 +1,52 @@
+"""Driver-contract robustness probes (verify skill 'worth probing'):
+clean failure on a bogus sf_dir, and cross-run hash stability of
+query outputs (instability = a missing window tiebreak column)."""
+
+import pytest
+from pyspark.sql.utils import AnalysisException
+
+import __spark_entry__ as entrymod
+from survivor_processing_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _values(df):
+    pdf = df.toPandas().reindex(sorted(df.columns), axis=1)
+    return sorted(map(tuple, pdf.astype(str).to_numpy().tolist()))
+
+
+def test_bogus_sf_dir_raises_analysis_exception(spark):
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf_nope", "lineitem").count()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "flagship_contestant_stats",   # window over joined frame
+        "window_rank_placement",       # explicit rank tiebreaks
+        "minhash_lsh_pairs",           # hash-family determinism
+        "top_k_customers",             # global top-k ordering
+    ],
+)
+def test_query_rerun_is_value_stable(spark, name):
+    fn = entrymod.queries()[name]
+    assert _values(fn(spark, SF)) == _values(fn(spark, SF))
+
+
+def test_entry_schema_and_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == [
+        "c_custkey", "c_name", "nation_name", "region_name", "placement",
+        "n_orders", "total_spent", "last_order_date", "n_items",
+        "ever_returned", "fin_revenue",
+    ]
+    assert df.count() > 0
+
+
+def test_every_oracle_key_has_query():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every registered query is callable with the standard signature
+    assert all(callable(f) for f in qs.values())
