@@ -185,3 +185,55 @@ def change_detection_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("reason", F.lit("running"))
     )
     return new.unionByName(running)
+
+
+# --- N1+N3: streaming foreachBatch MERGE (the production sink path) ---------
+
+
+@register(
+    "streaming_foreachbatch_merge",
+    doc="readStream over events -> foreachBatch MERGE into a keyed "
+    "parquet table (availableNow trigger, checkpointed) on top of a "
+    "pre-seeded half-table — exercises streaming update+insert upsert; "
+    "oracle is the full deduped projection (stream rows win, event_id "
+    "is unique).  On a cluster this is the exactly-once-effect Delta "
+    "MERGE sink; here the vanilla-parquet merge (sinks/merge.py)",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch
+FROM events
+""",
+)
+def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{tempfile.gettempdir()}/spark_graft_fbm_{uuid.uuid4().hex[:8]}"
+    ckpt = f"{path}_ckpt"
+    keys = ["event_id"]
+
+    def project(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+
+    # seed: half the table already loaded (these rows take the MERGE
+    # update path; the other half the insert path)
+    seed = project(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_id") % 2 == 0
+    )
+    merge_upsert(spark, path, seed, keys)
+
+    stream = stream_events(spark, sf_dir, watermark="30 minutes")
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, path, project(batch_df), keys)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(path)
