@@ -375,7 +375,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select("doc_id", F.expr(bit_terms).alias("simhash64"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    max_posting: int | None = None,
+) -> DataFrame:
     """SimHash near-dup candidates: bucket by each of four 16-bit
     chunks (any pair within hamming<=3-per-chunk-pigeonhole shares a
     chunk if distance <= 3×... — standard 4-chunk pigeonhole for
@@ -396,14 +402,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: i
     # signature rides inside the posting struct so hamming verification
     # needs no join back.  Chunk buckets CAN be hot (only 65536 values
     # per chunk index) — real corpora cluster SimHash chunks — so at
-    # 100 TB pre-filter postings by length or add chunk_idx salting;
+    # 100 TB set ``max_posting`` (the m(m-1)/2 pair blow-up and the
+    # collect_list memory both cap at m=max_posting; dropped buckets
+    # trade recall for boundedness, and a dropped pair still has three
+    # other chunks to collide on, so effective recall loss is small);
     # struct ordering is by doc_id (first field), keeping id1 < id2.
+    posting = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.collect_list(F.struct("doc_id", "simhash64")).alias("ids")
+    )
+    if max_posting is not None:
+        posting = posting.filter(F.size("ids") <= max_posting)
     cands = (
-        chunks.groupBy("chunk_idx", "chunk_val")
-        .agg(
-            F.collect_list(F.struct("doc_id", "simhash64")).alias("ids")
-        )
-        .filter(F.size("ids") >= 2)
+        posting.filter(F.size("ids") >= 2)
         .select(
             F.explode(
                 F.expr(

@@ -513,3 +513,45 @@ def rollup_multilevel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- beyond-reference: row-set INTERSECT / EXCEPT ---------------------------
+
+
+@register(
+    "intersect_except_sets",
+    doc="row-set algebra the reference lacks: customers appearing in "
+    "BOTH halves of a date split (INTERSECT) and only in the first "
+    "(EXCEPT) — each compiles to a hash semi/anti aggregate, one "
+    "shuffle on the full row",
+    oracle="""
+SELECT c_custkey, 'both' AS membership FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate <  DATE '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+)
+UNION ALL
+SELECT c_custkey, 'early_only' AS membership FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate <  DATE '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+)
+""",
+)
+def intersect_except_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    late = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return early.intersect(late).withColumn(
+        "membership", F.lit("both")
+    ).unionByName(
+        # subtract = EXCEPT DISTINCT (set semantics, like the SQL);
+        # exceptAll would leave residual multiplicities for keys
+        # present on both sides
+        early.subtract(late).withColumn("membership", F.lit("early_only"))
+    )

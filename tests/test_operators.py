@@ -265,3 +265,31 @@ def test_partitioned_merge_touches_only_source_partitions(spark, tmp_path):
 
     t.merge(delta)  # replay idempotence
     assert t.read().count() == 5
+
+
+def test_simhash_max_posting_caps_hot_buckets(spark):
+    """max_posting bounds the per-bucket pair blow-up: capped output
+    is a subset of the uncapped pairs, and a generous cap changes
+    nothing."""
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.id1, r.id2)
+        for r in simhash_near_pairs(docs, "text", "doc_id").collect()
+    }
+    capped = {
+        (r.id1, r.id2)
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_posting=3
+        ).collect()
+    }
+    generous = {
+        (r.id1, r.id2)
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_posting=10**6
+        ).collect()
+    }
+    assert capped <= full
+    assert generous == full
