@@ -44,16 +44,27 @@ def asof_join(
     right_on: str,
     by: list[str] | None = None,
     strategy: str = "broadcast",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row
-    with the greatest ``right_on`` <= ``left_on`` (within ``by`` keys
-    if given).  Right columns keep their names; ``right_on`` is kept
-    so callers can compute staleness."""
+    """As-of join: for each left row, attach the nearest right row —
+    ``direction='backward'`` (default): greatest ``right_on`` <=
+    ``left_on``; ``direction='forward'``: smallest ``right_on`` >=
+    ``left_on`` (both within ``by`` keys if given, exact matches
+    included, matching ``pd.merge_asof`` / DuckDB ASOF).  Right
+    columns keep their names; ``right_on`` is kept so callers can
+    compute staleness.  ``forward`` is implemented for the union
+    strategy (one keyed shuffle); the banded-broadcast rewrite is
+    backward-only."""
     by = by or []
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     if strategy == "broadcast":
+        if direction != "backward":
+            raise ValueError("broadcast strategy implements backward only; "
+                             "use strategy='union' for forward")
         return _asof_broadcast(left, right, left_on, right_on, by)
     if strategy == "union":
-        return _asof_union(left, right, left_on, right_on, by)
+        return _asof_union(left, right, left_on, right_on, by, direction)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -156,21 +167,26 @@ def _asof_broadcast(left, right, left_on, right_on, by):
     )
 
 
-def _asof_union(left, right, left_on, right_on, by):
+def _asof_union(left, right, left_on, right_on, by, direction="backward"):
     right_cols = [c for c in right.columns if c not in by]
     left_cols = left.columns
-    # tag=0 sorts right rows before left rows at equal ts → exact ties match
+    # backward: right rows (tag 0) sort BEFORE left rows at equal ts and
+    # last() looks back — exact ties match.  forward: right rows (tag 1)
+    # sort AFTER left rows and first() looks ahead — again, exact ties
+    # match.  Either way: ONE shuffle on the by-keys, no cartesian.
+    fwd = direction == "forward"
+    l_tag, r_tag = (0, 1) if fwd else (1, 0)
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
         F.col(left_on).alias("_ts"),
-        F.lit(1).alias("_tag"),
+        F.lit(l_tag).alias("_tag"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by],
         *[F.col(c) for c in by],
         F.col(right_on).alias("_ts"),
-        F.lit(0).alias("_tag"),
+        F.lit(r_tag).alias("_tag"),
         *[F.col(c) for c in right_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -178,13 +194,19 @@ def _asof_union(left, right, left_on, right_on, by):
         Window.partitionBy(*by).orderBy("_ts", "_tag")
         if by
         else Window.orderBy("_ts", "_tag")
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if fwd:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("_tag"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        *[fill(c).over(w).alias(c) for c in right_cols],
     )
-    return filled.filter(F.col("_tag") == 1).drop("_tag")
+    return filled.filter(F.col("_tag") == l_tag).drop("_tag")
 
 
 def containment_join(

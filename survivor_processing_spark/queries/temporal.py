@@ -334,3 +334,48 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "asof_join_forward_keyed",
+    doc="forward as-of per user: purchase -> NEXT error event of the "
+    "same user (smallest ts >= purchase ts, exact matches included) — "
+    "pd.merge_asof(direction='forward') semantics; union+window "
+    "strategy, one shuffle on the key",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       e.event_id AS next_error_event_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS next_error_epoch
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error') e
+ON p.user_id = e.user_id AND p.ts <= e.ts
+""",
+)
+def asof_join_forward_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("next_error_event_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        "ts",
+        "error_ts",
+        by=["user_id"],
+        strategy="union",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "next_error_event_id",
+        F.unix_timestamp("error_ts").alias("next_error_epoch"),
+    )

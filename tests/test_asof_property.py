@@ -51,3 +51,37 @@ def test_asof_matches_duckdb(spark, strategy, facts, dims):
     out = asof_join(left, right, "ft", "dt", strategy=strategy)
     got = {r.idx: r.dt for r in out.collect()}
     assert got == _oracle(facts, dims)
+
+
+def _oracle_forward(facts: list[int], dims: list[int]) -> dict[int, int | None]:
+    """DuckDB ASOF LEFT JOIN, forward (smallest dim ts >= fact ts)."""
+    con = duckdb.connect()
+    con.register("f", pd.DataFrame({"ft": facts, "idx": range(len(facts))}))
+    con.register("d", pd.DataFrame({"dt": list(set(dims))}))
+    rows = con.execute(
+        "SELECT idx, dt FROM f ASOF LEFT JOIN d ON f.ft <= d.dt"
+    ).fetchall()
+    return {idx: dt for idx, dt in rows}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(TS, min_size=1, max_size=40),
+    dims=st.lists(TS, min_size=1, max_size=25),
+)
+def test_asof_forward_matches_duckdb(spark, facts, dims):
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(facts)], "idx long, ft long"
+    )
+    right = spark.createDataFrame(
+        [(t,) for t in sorted(set(dims))], "dt long"
+    )
+    out = asof_join(
+        left, right, "ft", "dt", strategy="union", direction="forward"
+    )
+    got = {r.idx: r.dt for r in out.collect()}
+    assert got == _oracle_forward(facts, dims)
