@@ -54,7 +54,7 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_one(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+def run_one(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     """Best-of-N wall time: each rep re-builds the DataFrame (so
     planning is billed) and executes to completion; min over reps
     removes scheduler/GC noise without hiding real cost."""
