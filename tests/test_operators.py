@@ -293,3 +293,34 @@ def test_simhash_max_posting_caps_hot_buckets(spark):
     }
     assert capped <= full
     assert generous == full
+
+
+def test_minhash_scale_smoke_finds_all_planted_dups(spark):
+    """3x the sf0.1 corpus in-plan (id-offset copies): every doc then
+    has 2 exact copies, and at Jaccard=1.0 the 16x4 banding's miss
+    probability is 0 — all 3*n copy-pairs MUST be found.  Also a
+    scaling smoke: the pipeline runs at 15k docs with the same plan
+    shape (posting lists, no self-join)."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    tripled = docs
+    for k in (1, 2):
+        tripled = tripled.unionByName(
+            docs.select((F.col("doc_id") + n * k).alias("doc_id"), "text")
+        )
+    pairs = minhash_dedup_pairs(tripled, "text", "doc_id", threshold=0.99)
+    got = {(r.id1, r.id2) for r in pairs.select("id1", "id2").collect()}
+    planted = {
+        (i + n * a, i + n * b)
+        for i in range(n)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    }
+    assert planted <= got
