@@ -25,16 +25,18 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition IF the input is under-parallel.
+    """Fan-out hook for CPU-heavy signature projections.
 
-    A small parquet table is one row group → one task, so a CPU-heavy
-    projection (signatures) runs at 1/Nth of the machine.  Shuffling a
-    few MB to fix that is free.  At 100 TB the scan already has far
-    more partitions than cores and this is a no-op — the guard keeps
-    the big-data path shuffle-free."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    The session already floors file-scan parallelism
+    (``spark.sql.files.minPartitionNum``, session.py), so a small
+    parquet table fans out across all cores without help and this is
+    an identity pass-through — probing ``df.rdd.getNumPartitions()``
+    here would force plan analysis per query for nothing.  Pass
+    ``min_parts`` explicitly only for a *derived* (post-shuffle,
+    post-coalesce) input that is known under-parallel; at 100 TB the
+    scan has far more partitions than cores and no caller should."""
+    if min_parts is not None:
+        return df.repartition(min_parts)
     return df
 
 
@@ -208,7 +210,12 @@ def minhash_dedup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_posting: int | None = 1000,
 ) -> DataFrame:
     """Exact all-pairs Jaccard via a shingle inverted index:
     explode distinct shingles, build per-shingle posting lists
@@ -222,9 +229,22 @@ def ngram_jaccard_pairs(
     Versus a self-join on the shingle key this halves the shuffled
     volume (one branch, not two) and skips the join; measured 2.6x
     faster at sf0.1 with byte-identical output.  Hot shingles
-    (stopword n-grams) remain the skew risk — a posting of length m
-    emits m(m-1)/2 pairs in one task — which is why the MinHash path
-    above is the default at scale."""
+    (stopword n-grams) are the skew risk — a posting of length m
+    emits m(m-1)/2 pairs in ONE task — so postings longer than
+    ``max_posting`` are dropped (same cap SimHash uses), bounding the
+    quadratic pair emission at m=max_posting.  (The collect_list
+    buffer still materializes a hot posting before the size filter
+    drops it — linear in docs-per-shingle, not quadratic; to bound
+    that too, pre-filter hot shingles with a count aggregation, at
+    the price of a second pass over the shingle pipeline.)  With the
+    cap the result is exact *up to dropped shingles* — a shingle
+    shared by >max_posting docs is so common it
+    carries no near-dup signal, but strictly it lowers n_common (and
+    thus Jaccard) for pairs that share it, so the capped estimate is
+    a one-sided underestimate.  ``max_posting=None`` restores fully
+    exact semantics (the DuckDB-oracle configuration at test scale,
+    where no posting reaches the cap).  MinHash above remains the
+    default at 100 TB."""
     sh = (
         spread(df)
         .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_words"))
@@ -232,11 +252,15 @@ def ngram_jaccard_pairs(
     )
     counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
-    common = (
+    posting = (
         inv.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(pairs_from_posting("ids")).alias("p"))
+    )
+    if max_posting is not None:
+        posting = posting.filter(F.size("ids") <= max_posting)
+    common = (
+        posting.select(F.explode(pairs_from_posting("ids")).alias("p"))
         .select("p.id1", "p.id2")
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("n_common"))
@@ -380,33 +404,53 @@ def simhash_near_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 8,
-    max_posting: int | None = None,
+    max_posting: int | None = 1000,
+    n_chunks: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup candidates: bucket by each of four 16-bit
-    chunks (any pair within hamming<=3-per-chunk-pigeonhole shares a
-    chunk if distance <= 3×... — standard 4-chunk pigeonhole for
-    d<=3; wider d needs more chunks), verify with popcount of XOR."""
+    """SimHash near-dup candidates: split the 64-bit signature into
+    ``n_chunks`` equal-width chunks, bucket on each (chunk_idx,
+    chunk_val), verify candidates with popcount of XOR.
+
+    Pigeonhole recall guarantee: a pair at hamming distance d has at
+    most d touched chunks, so with ``n_chunks > d`` at least one
+    chunk agrees and the pair is generated — **recall is exact for
+    d <= n_chunks - 1**.  The default (8 chunks of 8 bits) therefore
+    guarantees every pair up to hamming 7; at the default
+    ``max_hamming=8``, pairs at *exactly* 8 with their differing bits
+    spread one-per-chunk can be missed (probabilistically rare for
+    near-dup text, where flipped bits cluster).  Chunk width trades
+    recall against bucket heat: 8-bit chunks have only 256 values per
+    chunk index, so buckets WILL be hot on large corpora — that is
+    what ``max_posting`` bounds (see below) — while 16-bit chunks
+    (``n_chunks=4``, 65536 values) stay cooler but only guarantee
+    d <= 3.  At 100 TB prefer ``n_chunks=4`` with a lower
+    ``max_hamming``, or MinHash-LSH (the scale default), whose bucket
+    keys are full-band hashes and cannot be hot for non-dup text."""
+    if 64 % n_chunks:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         "doc_id",
         "simhash64",
         F.posexplode_outer(
             F.expr(
-                "transform(sequence(0, 3),"
-                " c -> cast(shiftright(simhash64, c * 16) & 65535 as int))"
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" c -> cast(shiftright(simhash64, c * {width}) & {mask} as int))"
             )
         ).alias("chunk_idx", "chunk_val"),
     )
     # Posting-list bucketing, not a self-join (see lsh_candidate_pairs):
     # one shuffle on the chunk key, signature pipeline runs once.  The
     # signature rides inside the posting struct so hamming verification
-    # needs no join back.  Chunk buckets CAN be hot (only 65536 values
-    # per chunk index) — real corpora cluster SimHash chunks — so at
-    # 100 TB set ``max_posting`` (the m(m-1)/2 pair blow-up and the
-    # collect_list memory both cap at m=max_posting; dropped buckets
-    # trade recall for boundedness, and a dropped pair still has three
-    # other chunks to collide on, so effective recall loss is small);
-    # struct ordering is by doc_id (first field), keeping id1 < id2.
+    # needs no join back.  Chunk buckets CAN be hot (only 2^width
+    # values per chunk index) — real corpora cluster SimHash chunks —
+    # so ``max_posting`` (default 1000) drops buckets above the cap:
+    # the m(m-1)/2 pair blow-up caps at m=max_posting, and a pair lost
+    # with a dropped bucket still has n_chunks-1 other chunks to
+    # collide on, so effective recall loss is small; struct ordering
+    # is by doc_id (first field), keeping id1 < id2.
     posting = chunks.groupBy("chunk_idx", "chunk_val").agg(
         F.collect_list(F.struct("doc_id", "simhash64")).alias("ids")
     )

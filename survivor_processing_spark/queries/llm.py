@@ -87,6 +87,9 @@ WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.05
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # max_posting=1000 (operator default) bounds hot-shingle pair
+    # blow-up; at test scale no posting reaches the cap, so the exact
+    # uncapped DuckDB oracle above still matches byte-for-byte.
     return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.05)
 
 
@@ -136,12 +139,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    doc="SimHash-64 near-dup pairs, 16-bit-chunk bucketing + hamming "
-    "verify (signature values are engine-hash-specific → rows-only check)",
+    doc="SimHash-64 near-dup pairs, 8x8-bit-chunk bucketing (pigeonhole-"
+    "exact recall for hamming<=7; pairs at exactly 8 probabilistic) + "
+    "hamming verify, hot buckets capped at max_posting=1000 (signature "
+    "values are engine-hash-specific → rows-only check)",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+    return simhash_near_pairs(
+        d, "text", "doc_id", max_hamming=8, max_posting=1000, n_chunks=8
+    )
 
 
 @register(

@@ -324,3 +324,63 @@ def test_minhash_scale_smoke_finds_all_planted_dups(spark):
         for b in range(a + 1, 3)
     }
     assert planted <= got
+
+
+def test_ngram_max_posting_caps_hot_shingles(spark):
+    """A shingle shared by every doc (stopword run) would emit
+    m(m-1)/2 pairs in one task; max_posting drops that posting.  Docs
+    share ONLY the hot shingle, so capping it removes all pairs —
+    and the uncapped run still finds them (exact semantics intact)."""
+    from survivor_processing_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "alpha beta gamma"  # one 3-gram every doc shares
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.01, max_posting=None
+    ).collect()
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.01, max_posting=5
+    ).collect()
+    assert len(uncapped) == 12 * 11 // 2  # every pair shares the hot shingle
+    assert capped == []  # the only shared shingle was dropped by the cap
+    # generous cap == exact
+    generous = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.01, max_posting=1000
+    ).collect()
+    assert len(generous) == len(uncapped)
+
+
+def test_simhash_pigeonhole_recall_to_hamming7(spark):
+    """8x8-bit chunk bucketing guarantees (pigeonhole) that every pair
+    at hamming <= 7 is generated as a candidate.  Verify end-to-end:
+    brute-force all pairwise hamming distances over real signatures,
+    then assert simhash_near_pairs (uncapped) returns EVERY pair with
+    distance in [1, 7] — including the 4-7 range the old 4x16 chunking
+    could miss."""
+    from itertools import combinations
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    MASK64 = (1 << 64) - 1  # simhash64 is a signed long; mask for popcount
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sigs = {r.doc_id: r.simhash64 for r in simhash(docs, "text", "doc_id").collect()}
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if 0 < bin((sigs[a] ^ sigs[b]) & MASK64).count("1") <= 7
+    }
+    got = {
+        (r.id1, r.id2)
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=7, max_posting=None, n_chunks=8
+        ).collect()
+    }
+    assert expected, "fixture has no pairs within hamming 7 — weak test"
+    assert expected <= got
+    # and nothing beyond the verify threshold leaks through
+    assert all(bin((sigs[a] ^ sigs[b]) & MASK64).count("1") <= 7 for a, b in got)
