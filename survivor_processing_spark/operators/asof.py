@@ -45,6 +45,7 @@ def asof_join(
     by: list[str] | None = None,
     strategy: str = "broadcast",
     direction: str = "backward",
+    allow_unkeyed_union: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, attach the nearest right row —
     ``direction='backward'`` (default): greatest ``right_on`` <=
@@ -52,17 +53,31 @@ def asof_join(
     ``left_on`` (both within ``by`` keys if given, exact matches
     included, matching ``pd.merge_asof`` / DuckDB ASOF).  Right
     columns keep their names; ``right_on`` is kept so callers can
-    compute staleness.  ``forward`` is implemented for the union
-    strategy (one keyed shuffle); the banded-broadcast rewrite is
-    backward-only."""
+    compute staleness.  Both strategies implement both directions;
+    un-keyed calls always take the banded-broadcast path (an un-keyed
+    union would be one global-sort task)."""
     by = by or []
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    if strategy == "union" and not by and not allow_unkeyed_union:
+        # Un-keyed union degenerates to ONE global Window.orderBy —
+        # a single task over left+right, the exact foot-gun SCALE.md
+        # forbids.  The banded-broadcast strategy handles the un-keyed
+        # case map-side (both directions), so reroute instead of
+        # silently single-partitioning.  Pass allow_unkeyed_union=True
+        # only when both sides are known-tiny.
+        import warnings
+
+        warnings.warn(
+            "asof_join(strategy='union') without `by` keys would run as a "
+            "single global-sort partition; rerouting to the banded-broadcast "
+            "strategy (right side must be dimension-sized). Pass "
+            "allow_unkeyed_union=True to force the union path.",
+            stacklevel=2,
+        )
+        strategy = "broadcast"
     if strategy == "broadcast":
-        if direction != "backward":
-            raise ValueError("broadcast strategy implements backward only; "
-                             "use strategy='union' for forward")
-        return _asof_broadcast(left, right, left_on, right_on, by)
+        return _asof_broadcast(left, right, left_on, right_on, by, direction)
     if strategy == "union":
         return _asof_union(left, right, left_on, right_on, by, direction)
     raise ValueError(f"unknown strategy {strategy!r}")
@@ -79,7 +94,17 @@ def _ordinal(col, dtype):
     return F.floor(col).cast("bigint")
 
 
-def _asof_broadcast(left, right, left_on, right_on, by):
+def _asof_broadcast(left, right, left_on, right_on, by, direction="backward"):
+    """Banded-broadcast as-of, both directions.
+
+    backward: right row r owns the half-open interval [r.ts, next.ts)
+    plus an open *last* interval [max_ts, +inf) per group.  forward:
+    r owns (prev.ts, r.ts] plus an open *first* interval (-inf,
+    min_ts].  Either way the intervals tile the line per group, each
+    is exploded into the fixed-width ordinal bands it overlaps, and
+    the fact side probes by band equality — BroadcastHashJoin, zero
+    fact-side shuffle."""
+    fwd = direction == "forward"
     rt = right.schema[right_on].dataType
     lt = left.schema[left_on].dataType
     r_ord = _ordinal(F.col(right_on), rt)
@@ -99,35 +124,44 @@ def _asof_broadcast(left, right, left_on, right_on, by):
         return left.select("*", *null_right)
     width = max(1, (hi - lo) // n)
 
-    # Closed intervals [ts, next_ts), exploded into every band they
-    # overlap: per-band probe cost is O(intervals in that band) ~ O(1)
-    # with width ~ avg gap (expansion factor ~2 bands/interval).
+    # Closed intervals exploded into every band they overlap: per-band
+    # probe cost is O(intervals in that band) ~ O(1) with width ~ avg
+    # gap (expansion factor ~2 bands/interval).  backward: bound col is
+    # the NEXT ts, interval [ts, next); forward: bound is the PREV ts,
+    # interval (prev, ts].
     w = Window.partitionBy(*by).orderBy(right_on) if by else Window.orderBy(right_on)
-    iv = (
-        right.withColumn("_next_ts", F.lead(right_on).over(w))
-        .withColumn("_s", r_ord)
-        .withColumn("_e", _ordinal(F.col("_next_ts"), rt))
-    )
+    bound = F.lag(right_on).over(w) if fwd else F.lead(right_on).over(w)
+    iv = right.withColumn("_bound_ts", bound)
+    if fwd:
+        iv = iv.withColumn("_s", _ordinal(F.col("_bound_ts"), rt)).withColumn(
+            "_e", r_ord
+        )
+        # inclusive upper band: t <= ts ⇒ l_ord <= _e
+        band_hi = (F.col("_e") / width).cast("bigint")
+    else:
+        iv = iv.withColumn("_s", r_ord).withColumn(
+            "_e", _ordinal(F.col("_bound_ts"), rt)
+        )
+        # t < next_ts ⇒ l_ord <= _e - 1
+        band_hi = ((F.col("_e") - 1) / width).cast("bigint")
     closed = (
         iv.filter(F.col("_s") < F.col("_e"))
         .withColumn(
             "_band",
-            F.explode(
-                F.sequence(
-                    (F.col("_s") / width).cast("bigint"),
-                    ((F.col("_e") - 1) / width).cast("bigint"),
-                )
-            ),
+            F.explode(F.sequence((F.col("_s") / width).cast("bigint"), band_hi)),
         )
         .drop("_e")
     )
-    # Open last interval per group: exactly one row, t >= last ts.
+    # Open interval per group: exactly one row — last ts (backward:
+    # t >= max_ts) or first ts (forward: t <= min_ts).
     rn = F.row_number().over(
-        Window.partitionBy(*by).orderBy(F.desc(right_on))
+        Window.partitionBy(*by).orderBy(
+            right_on if fwd else F.desc(right_on)
+        )
         if by
-        else Window.orderBy(F.desc(right_on))
+        else Window.orderBy(right_on if fwd else F.desc(right_on))
     )
-    last = iv.filter(F.col("_next_ts").isNull()).withColumn("_rn", rn).filter(
+    last = iv.filter(F.col("_bound_ts").isNull()).withColumn("_rn", rn).filter(
         F.col("_rn") == 1
     )
 
@@ -138,11 +172,18 @@ def _asof_broadcast(left, right, left_on, right_on, by):
     closed = closed.alias("C")
     last = last.alias("A")
 
-    c_cond = (
-        (F.col("L._lband") == F.col("C._band"))
-        & (F.col(f"L.{left_on}") >= F.col(f"C.{right_on}"))
-        & (F.col(f"L.{left_on}") < F.col("C._next_ts"))
-    )
+    if fwd:
+        c_cond = (
+            (F.col("L._lband") == F.col("C._band"))
+            & (F.col(f"L.{left_on}") <= F.col(f"C.{right_on}"))
+            & (F.col(f"L.{left_on}") > F.col("C._bound_ts"))
+        )
+    else:
+        c_cond = (
+            (F.col("L._lband") == F.col("C._band"))
+            & (F.col(f"L.{left_on}") >= F.col(f"C.{right_on}"))
+            & (F.col(f"L.{left_on}") < F.col("C._bound_ts"))
+        )
     for k in by:
         c_cond = c_cond & (F.col(f"L.{k}") == F.col(f"C.{k}"))
     j1 = (
@@ -154,7 +195,11 @@ def _asof_broadcast(left, right, left_on, right_on, by):
         .alias("J")
     )
 
-    l_cond = F.col(f"J.{left_on}") >= F.col(f"A.{right_on}")
+    l_cond = (
+        F.col(f"J.{left_on}") <= F.col(f"A.{right_on}")
+        if fwd
+        else F.col(f"J.{left_on}") >= F.col(f"A.{right_on}")
+    )
     for k in by:
         l_cond = l_cond & (F.col(f"J.{k}") == F.col(f"A.{k}"))
     j2 = j1.join(F.broadcast(last), l_cond, "left")
@@ -168,26 +213,36 @@ def _asof_broadcast(left, right, left_on, right_on, by):
 
 
 def _asof_union(left, right, left_on, right_on, by, direction="backward"):
+    from pyspark.sql.types import StructType
+
     right_cols = [c for c in right.columns if c not in by]
     left_cols = left.columns
     # backward: right rows (tag 0) sort BEFORE left rows at equal ts and
     # last() looks back — exact ties match.  forward: right rows (tag 1)
     # sort AFTER left rows and first() looks ahead — again, exact ties
     # match.  Either way: ONE shuffle on the by-keys, no cartesian.
+    #
+    # The right payload travels as ONE struct, filled with a single
+    # first/last(ignorenulls): filling each column independently would
+    # let a legitimately-NULL payload column backfill from a DIFFERENT
+    # (older/newer) right row, emitting a mixed row that never existed.
+    # A right row's struct is never NULL (even if every field is), so
+    # ignorenulls skips exactly the left rows.
     fwd = direction == "forward"
     l_tag, r_tag = (0, 1) if fwd else (1, 0)
+    pay_type = StructType([right.schema[c] for c in right_cols])
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
         F.col(left_on).alias("_ts"),
         F.lit(l_tag).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(pay_type).alias("_rpay"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by],
         *[F.col(c) for c in by],
         F.col(right_on).alias("_ts"),
         F.lit(r_tag).alias("_tag"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*right_cols).alias("_rpay"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -197,16 +252,19 @@ def _asof_union(left, right, left_on, right_on, by, direction="backward"):
     )
     if fwd:
         w = w.rowsBetween(0, Window.unboundedFollowing)
-        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        filled_pay = F.first("_rpay", ignorenulls=True).over(w)
     else:
         w = w.rowsBetween(Window.unboundedPreceding, 0)
-        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        filled_pay = F.last("_rpay", ignorenulls=True).over(w)
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("_tag"),
-        *[fill(c).over(w).alias(c) for c in right_cols],
+        filled_pay.alias("_rpay"),
     )
-    return filled.filter(F.col("_tag") == l_tag).drop("_tag")
+    return filled.filter(F.col("_tag") == l_tag).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_rpay.{c}").alias(c) for c in right_cols],
+    )
 
 
 def containment_join(

@@ -96,8 +96,11 @@ def _group_pairs_kernel(threshold: float, n_blocks: int | None = None):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame({"id1": pd.Series([], dtype="int64"),
-                              "id2": pd.Series([], dtype="int64")})
+        # object dtype: Arrow casts an EMPTY column to any declared
+        # output type, so the kernel stays id-dtype-agnostic (the
+        # declared applyInPandas schema is derived from the id column)
+        empty = pd.DataFrame({"id1": pd.Series([], dtype="object"),
+                              "id2": pd.Series([], dtype="object")})
         if len(pdf) < 2:
             return empty
         ids = pdf["_id"].to_numpy()
@@ -159,9 +162,10 @@ def all_pairs_above(
         )
     )
     reps = base.select("_id", "_v", "_b", F.explode(grid).alias("_g"))
+    id_dt = emb.schema[id_col].dataType.simpleString()
     return reps.groupBy("_g").applyInPandas(
         _group_pairs_kernel(threshold, n_blocks=n_blocks),
-        "id1 long, id2 long",
+        f"id1 {id_dt}, id2 {id_dt}",
     )
 
 
@@ -341,8 +345,9 @@ def lsh_pairs_above(
     with_v = sigs.join(
         base.select(F.col("doc_id"), F.col("v").alias("_v")), "doc_id"
     ).select(F.col("doc_id").alias("_id"), "_v", "table_idx", "bucket")
+    id_dt = emb.schema[id_col].dataType.simpleString()
     return (
         with_v.groupBy("table_idx", "bucket")
-        .applyInPandas(_group_pairs_kernel(threshold), "id1 long, id2 long")
+        .applyInPandas(_group_pairs_kernel(threshold), f"id1 {id_dt}, id2 {id_dt}")
         .distinct()
     )

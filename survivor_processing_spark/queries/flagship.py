@@ -88,7 +88,8 @@ SELECT c.c_custkey,
        strftime(oa.last_order, '%Y-%m-%d')         AS last_order_date,
        COALESCE(v.n_items, 0)                      AS n_items,
        COALESCE(v.ever_returned, 0)                AS ever_returned,
-       COALESCE(v.fin4 / 10000.0, CAST(-1 AS DOUBLE)) AS fin_revenue
+       COALESCE(floor(v.fin4 / 100.0 + 0.5) / 100.0,
+                CAST(-1 AS DOUBLE))                   AS fin_revenue
 FROM customer c
 JOIN nation n          ON n.n_nationkey = c.c_nationkey
 JOIN region r          ON r.r_regionkey = n.n_regionkey
@@ -168,9 +169,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order_date"),
         F.coalesce("n_items", F.lit(0)).alias("n_items"),
         F.coalesce("ever_returned", F.lit(0)).alias("ever_returned"),
-        F.coalesce(F.col("fin4") / F.lit(10000.0), F.lit(-1.0)).alias(
-            "fin_revenue"
-        ),
+        # 2-decimal consumer contract: the exact 4-decimal cent-product
+        # sum (fin4, long) rounds half-up to cents via pure IEEE ops —
+        # floor(x+0.5) stays in codegen (F.round routes through
+        # BigDecimal per value); identical expression in the oracle, so
+        # the double is bit-equal cross-engine.
+        F.coalesce(
+            F.floor(F.col("fin4") / F.lit(100.0) + F.lit(0.5)) / F.lit(100.0),
+            F.lit(-1.0),
+        ).alias("fin_revenue"),
     )
 
 

@@ -24,6 +24,29 @@ from ..streaming.incremental import (
 )
 from ._registry import register
 
+def _detach_and_cleanup(df: DataFrame, *paths: str) -> DataFrame:
+    """Materialize ``df`` off its backing files (localCheckpoint pins
+    the rows in block-manager storage), then delete the temp dirs —
+    the caller's DataFrame stays valid after cleanup.  On a cluster
+    the equivalent is ``checkpoint()`` to fault-tolerant storage."""
+    out = df.localCheckpoint(eager=True)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
+def _await_or_die(q, timeout_s: int) -> None:
+    """availableNow streams terminate on their own; if the timeout
+    trips first something is wedged — stop the query and fail loudly
+    rather than read a sink mid-write (flaky partial results)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{timeout_s}s; stopped to avoid reading a mid-write sink"
+        )
+
+
 # --- N1/E7: watermark incremental read -------------------------------------
 
 
@@ -104,7 +127,7 @@ def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_upsert(spark, path, initial, keys)
     merge_upsert(spark, path, updates, keys)
     merge_upsert(spark, path, updates, keys)  # replay: must be a no-op
-    return spark.read.parquet(path)
+    return _detach_and_cleanup(spark.read.parquet(path), path)
 
 
 # --- N1 streaming: watermark + tumbling-window aggregation ------------------
@@ -144,7 +167,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_die(q, 120)
     return spark.table(sink).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
@@ -235,5 +258,5 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    return spark.read.parquet(path)
+    _await_or_die(q, 180)
+    return _detach_and_cleanup(spark.read.parquet(path), path, ckpt)

@@ -243,3 +243,61 @@ def yaml_correction_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correction_overlay(
         c, corrections, on="c_name", target="resolved_id", corrected="fixed_id"
     )
+
+
+# --- A8/N5: incremental file sync (modified-since pickup) -------------------
+
+
+@register(
+    "filesync_modified_since",
+    doc="A8/N5: two-phase incremental file pickup via the checkpointed "
+    "file-stream (streaming/filesync.py — the reference's Drive "
+    "modified-since sync, confessional_extract.py:133-193): sync 3 "
+    "files, land 2 more, re-sync — the second pass must process ONLY "
+    "the new arrivals (checkpoint file-index, no mtime bookkeeping)",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'a', 10), (1, 'b', 20), (1, 'c', 30),
+  (2, 'd', 40), (2, 'e', 50)
+) AS t(sync_phase, doc, val)
+""",
+)
+def filesync_modified_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+    import uuid
+
+    from ..streaming.filesync import incremental_file_sync
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"sps_filesync_{uuid.uuid4().hex[:8]}"
+    )
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    def land(name: str, val: int) -> None:
+        with open(os.path.join(src, f"{name}.json"), "w") as f:
+            json.dump({"doc": name, "val": val}, f)
+
+    picked: list[tuple[int, str, int]] = []
+    phase = [1]
+
+    def record(batch_df: DataFrame, _batch_id: int) -> None:
+        picked.extend(
+            (phase[0], r["doc"], r["val"])
+            for r in batch_df.select("doc", "val").collect()
+        )
+
+    try:
+        for name, val in (("a", 10), ("b", 20), ("c", 30)):
+            land(name, val)
+        incremental_file_sync(spark, src, ckpt, "doc string, val int", record)
+        phase[0] = 2
+        for name, val in (("d", 40), ("e", 50)):
+            land(name, val)
+        incremental_file_sync(spark, src, ckpt, "doc string, val int", record)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(picked), "sync_phase int, doc string, val int"
+    )

@@ -48,7 +48,8 @@ def test_asof_matches_duckdb(spark, strategy, facts, dims):
         # union strategy with an empty right side is exercised in
         # test_asof.py; hypothesis shrinks here explode runtime
         return
-    out = asof_join(left, right, "ft", "dt", strategy=strategy)
+    out = asof_join(left, right, "ft", "dt", strategy=strategy,
+                    allow_unkeyed_union=True)
     got = {r.idx: r.dt for r in out.collect()}
     assert got == _oracle(facts, dims)
 
@@ -81,7 +82,34 @@ def test_asof_forward_matches_duckdb(spark, facts, dims):
         [(t,) for t in sorted(set(dims))], "dt long"
     )
     out = asof_join(
-        left, right, "ft", "dt", strategy="union", direction="forward"
+        left, right, "ft", "dt", strategy="union", direction="forward",
+        allow_unkeyed_union=True,
+    )
+    got = {r.idx: r.dt for r in out.collect()}
+    assert got == _oracle_forward(facts, dims)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(TS, min_size=1, max_size=40),
+    dims=st.lists(TS, min_size=1, max_size=25),
+)
+def test_asof_forward_broadcast_matches_duckdb(spark, facts, dims):
+    """The banded-broadcast strategy's forward direction agrees with
+    DuckDB's forward ASOF on random inputs (exact ties, facts after
+    the last dim row, facts before the first)."""
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(facts)], "idx long, ft long"
+    )
+    right = spark.createDataFrame(
+        [(t,) for t in sorted(set(dims))], "dt long"
+    )
+    out = asof_join(
+        left, right, "ft", "dt", strategy="broadcast", direction="forward"
     )
     got = {r.idx: r.dt for r in out.collect()}
     assert got == _oracle_forward(facts, dims)

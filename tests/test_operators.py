@@ -384,3 +384,19 @@ def test_simhash_pigeonhole_recall_to_hamming7(spark):
     assert expected <= got
     # and nothing beyond the verify threshold leaks through
     assert all(bin((sigs[a] ^ sigs[b]) & MASK64).count("1") <= 7 for a, b in got)
+
+
+def test_all_pairs_cosine_string_ids(spark):
+    """Output id schema derives from the id column dtype — string ids
+    must survive the pandas kernel (previously hardcoded bigint)."""
+    from survivor_processing_spark.operators.similarity import all_pairs_above
+
+    rows = [
+        ("docA", [1.0, 0.0, 0.0]),
+        ("docB", [1.0, 0.0, 0.0]),     # identical to docA
+        ("docC", [0.0, 1.0, 0.0]),     # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = all_pairs_above(emb, threshold=0.9)
+    assert dict(out.dtypes) == {"id1": "string", "id2": "string"}
+    assert {(r.id1, r.id2) for r in out.collect()} == {("docA", "docB")}
