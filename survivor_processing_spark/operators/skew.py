@@ -17,7 +17,7 @@ Phase 7; the 100 TB playbook beyond AQE).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 def salted_join(
@@ -59,3 +59,40 @@ def bucketed_join(
     """Join two same-bucketed tables — the plan has no Exchange on
     either input (asserted in tests/test_skew_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), keys)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    k: int,
+    salt_on: list[str],
+    rank_col: str = "rank",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-proof per-group top-k ranking (two-stage salted window).
+
+    A plain ``row_number() OVER (PARTITION BY keys)`` sorts EVERY row
+    of a group in one task — with few/hot groups (e.g. 25 nations
+    over 100 TB of customers) that task is the job.  Here stage 1
+    ranks within (keys, salt) — salt is a hash of ``salt_on``
+    (a high-cardinality column like the row's id), so each group
+    splits into ``n_salts`` bounded sorts — and keeps only the local
+    top-k.  Stage 2 ranks the <= n_salts*k survivors per group: its
+    per-group input is O(n_salts*k) rows REGARDLESS of group size, so
+    the second window cannot be hot.  Output == the single-window
+    top-k (any global top-k row is top-k within its salt bucket —
+    pigeonhole), and ``order_cols`` must totally order rows (include
+    a tiebreak) for determinism.  Both stages are JVM windows —
+    whole-stage-codegen'd, no Python."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(n_salts))
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", salt.cast("int"))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_salt", "_r1")
+    )

@@ -139,15 +139,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    doc="SimHash-64 near-dup pairs, 8x8-bit-chunk bucketing (pigeonhole-"
-    "exact recall for hamming<=7; pairs at exactly 8 probabilistic) + "
-    "hamming verify, hot buckets capped at max_posting=1000 (signature "
-    "values are engine-hash-specific → rows-only check)",
+    doc="SimHash-64 near-dup pairs at hamming<=3 via 4x16-bit-chunk "
+    "bucketing — the filter EQUALS the pigeonhole guarantee (a 16-bit "
+    "chunk must agree for d<=3), so recall is exact, buckets stay cool "
+    "(65536 values/chunk), and hot buckets are capped at "
+    "max_posting=1000.  Deeper recall (hamming<=7) is the tested "
+    "n_chunks=8 mode at ~28x the candidate volume; beyond that, "
+    "MinHash-LSH.  (Signature values are engine-hash-specific → "
+    "rows-only check.)",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(
-        d, "text", "doc_id", max_hamming=8, max_posting=1000, n_chunks=8
+        d, "text", "doc_id", max_hamming=3, max_posting=1000, n_chunks=4
     )
 
 

@@ -305,6 +305,37 @@ def window_rank_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group_salted",
+    doc="skew-proof top-3 per nation (operators/skew.py top_k_per_group): "
+    "two-stage salted window — stage 1 sorts each (nation, salt) slice "
+    "and keeps a local top-k, stage 2 ranks the <= n_salts*k survivors, "
+    "so no task ever sorts a whole hot group; output == the single-"
+    "window top-k (pigeonhole)",
+    oracle="""
+SELECT c_nationkey, c_custkey, rank FROM (
+    SELECT c_nationkey, c_custkey,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+           ) AS INTEGER) AS rank
+    FROM customer)
+WHERE rank <= 3
+""",
+)
+def topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import top_k_per_group
+
+    c = load_table(spark, sf_dir, "customer")
+    return top_k_per_group(
+        c,
+        keys=["c_nationkey"],
+        order_cols=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        k=3,
+        salt_on=["c_custkey"],
+    ).select("c_nationkey", "c_custkey", "rank")
+
+
+@register(
     "group_ordinal_appearance",
     doc="reference episode_stats_extract.py:338-346 — per-group ordinal of "
     "appearance; pandas-index order becomes an explicit order column",

@@ -71,3 +71,47 @@ def test_iterative_replace_null(spark):
     )
     out = iterative_replace_null(df, "win", ["win_alt", 1.0])
     assert [r.win for r in out.collect()] == [1.0, 1.0, 5.0]
+
+
+def test_top_k_per_group_equals_single_window(spark):
+    """Salted two-stage top-k == plain single-window top-k on a
+    skewed input (one group holds ~90% of rows)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from survivor_processing_spark.operators.skew import top_k_per_group
+
+    rows = [(i, 1 if i < 900 else i % 5 + 2, float(i % 97)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp int, score double")
+    got = {
+        (r.grp, r.id, r["rank"])
+        for r in top_k_per_group(
+            df, ["grp"], [F.desc("score"), F.asc("id")], 4, salt_on=["id"]
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    want = {
+        (r.grp, r.id, r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    }
+    assert got == want
+
+
+def test_top_k_per_group_two_stage_plan(spark):
+    """The plan must contain BOTH window stages, the first partitioned
+    by (keys, salt) — i.e. the salted pre-prune actually happens
+    before the per-group window."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.skew import top_k_per_group
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"), F.rand(7).alias("score")
+    )
+    out = top_k_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 2,
+                          salt_on=["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") == 2  # operator nodes, not spec mentions
+    assert "_salt" in plan  # stage-1 partition keys include the salt
