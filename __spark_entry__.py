@@ -47,6 +47,13 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "docx_confessional_scan",
     "filesync_modified_since",
+    # round-2 additions (no prior row by definition)
+    "quality_filter_chain",
+    "stratified_hash_sample",
+    "pack_sequences",
+    "pii_redaction",
+    "asof_join_forward_broadcast",
+    "topk_per_group_salted",
     "streaming_foreachbatch_merge",
     "streaming_windowed_counts",
     "merge_upsert_idempotent",

@@ -1,0 +1,168 @@
+"""Training-data curation operators: rule-based quality filtering,
+deterministic stratified sampling, token-budget sequence packing, and
+PII redaction.
+
+These are the corpus-curation steps a 100 TB pretraining pipeline
+runs between ingestion and tokenization (the public C4 / Gopher
+cleaning recipes describe the rule families).  Everything is pure SQL
+expressions — whole-stage codegen, no Python, no shuffle except where
+the semantics demand one (packing's per-stratum cumulative sum).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..functions.textstats import quality_score_exprs, token_count_expr
+
+
+def quality_rules(text_col: Column) -> dict[str, Column]:
+    """Named boolean pass/fail rules over one document (C4/Gopher-style
+    heuristics re-expressed as codegen-able SQL).  True = keep."""
+    ex = quality_score_exprs(text_col)
+    return {
+        # Gopher: docs outside [min, max] token bounds are boilerplate
+        # or truncation artifacts
+        "len_ok": (ex["n_tokens"] >= 10) & (ex["n_tokens"] <= 100000),
+        # C4: pages with low alphabetic content are nav/markup debris
+        "alpha_ok": ex["alpha_ratio"] >= 0.6,
+        # Gopher: mean word length outside [3, 10] indicates non-prose
+        "word_len_ok": (ex["avg_token_len"] >= 3.0)
+        & (ex["avg_token_len"] <= 12.0),
+        # Gopher: prose carries function words; their absence flags
+        # tables/code/gibberish
+        "stopword_ok": ex["stopword_ratio"] > 0.0,
+    }
+
+
+def quality_filter(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Apply the rule chain; emit per-rule flags, the overall verdict,
+    and the FIRST failing rule name (deterministic rule order) so
+    rejects are auditable.  One projection — no shuffle; at 100 TB
+    this is a map-only pass fused into the scan."""
+    rules = quality_rules(F.col(text_col))
+    keep = None
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(list(rules.items())):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    for ok in rules.values():
+        keep = ok if keep is None else (keep & ok)
+    return df.select(
+        F.col(id_col),
+        *[ok.alias(name) for name, ok in rules.items()],
+        keep.alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    hash_expr: Column | None = None,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling for training-mix
+    construction: keep a row iff ``hash(id) mod resolution <
+    rate[stratum] * resolution``.
+
+    Hash-based (not ``rand()``) so the sample is REPRODUCIBLE across
+    runs, retries, and engines, and a document's fate is independent
+    of partitioning — the properties a dataset card needs.  Map-only:
+    the decision is a projection, no shuffle, and Catalyst can push
+    the stratum filter to the scan.  ``hash_expr`` defaults to
+    ``xxhash64(id)`` (the scale path); pass a portable expression
+    (e.g. a multiplicative integer hash) when the sample must be
+    reproducible outside Spark."""
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(id_col))
+    bucket = F.pmod(h, F.lit(resolution))
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.withColumn("_bucket", bucket).filter(
+        F.col("_bucket") < rate * resolution
+    ).drop("_bucket")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    by: list[str] | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs:
+    deterministic contiguous packing — order documents (within the
+    ``by`` strata) and cut a new pack whenever the cumulative token
+    count crosses the budget.  A document goes to the pack where its
+    FIRST token lands, so packs may overrun by < max-doc-tokens
+    (standard concat-then-chunk pretraining semantics; no document
+    reordering, no bin-packing nondeterminism).
+
+    Emits (id, n_tokens, pack_id, pack_offset).  One shuffle on the
+    strata keys.  Packing REQUIRES a total order within each stratum,
+    so like the as-of union strategy an empty ``by`` would be one
+    global-sort task: strata (source/domain/shard — packs rarely mix
+    sources anyway) are mandatory; for a truly global pack, pre-shard
+    the corpus into synthetic strata and pack per shard."""
+    by = by or []
+    if not by:
+        raise ValueError(
+            "pack_sequences requires `by` strata: un-keyed packing is one "
+            "global-sort task at scale — shard first (e.g. by source or a "
+            "hash-derived shard column), then pack per shard"
+        )
+    order = order_by or id_col
+    ntok = token_count_expr(F.col(text_col))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.select(
+        *[F.col(c) for c in by],
+        F.col(id_col),
+        ntok.cast("bigint").alias("n_tokens"),
+        F.sum(ntok.cast("bigint")).over(w).alias("_cum"),
+    )
+    start = F.col("_cum") - F.col("n_tokens")
+    return out.select(
+        *by,
+        id_col,
+        "n_tokens",
+        F.floor(start / budget).cast("bigint").alias("pack_id"),
+        (start - F.floor(start / budget) * budget).cast("bigint").alias(
+            "pack_offset"
+        ),
+    )
+
+
+# Portable, engine-agnostic PII patterns (common RE2/Java/PCRE subset;
+# at 100 TB these run inside codegen'd regexp_replace over the scan).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Scrub emails and international-format phone numbers with typed
+    placeholder tokens (the pretraining convention: redact, don't
+    drop, so surrounding context stays trainable).  Map-only
+    projection; order matters (emails first, so a phone-like digit
+    run inside a local-part is not half-replaced)."""
+    out = out_col or text_col
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(out, redacted)

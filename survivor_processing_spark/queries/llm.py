@@ -493,3 +493,154 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.50)), 2).alias("p50"),
         F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.75)), 2).alias("p75"),
     )
+
+
+# --- training-data curation (operators/curation.py) -------------------------
+
+
+@register(
+    "quality_filter_chain",
+    doc="C4/Gopher-style rule-chain quality filter: per-rule pass flags, "
+    "overall keep verdict, first-failing-rule audit column — one map-only "
+    "projection, rules fused into the scan",
+    oracle="""
+WITH q AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ')) AS n_tokens,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_intersect(
+               list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+               ['the','a','of','and','to','in','is','that'])) AS stop_hits
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           n_tokens >= 10 AND n_tokens <= 100000 AS len_ok,
+           alpha_chars * 1.0 / n_chars >= 0.6 AS alpha_ok,
+           n_chars * 1.0 / n_tokens >= 3.0
+               AND n_chars * 1.0 / n_tokens <= 12.0 AS word_len_ok,
+           stop_hits * 1.0 / n_tokens > 0.0 AS stopword_ok
+    FROM q
+)
+SELECT doc_id, len_ok, alpha_ok, word_len_ok, stopword_ok,
+       len_ok AND alpha_ok AND word_len_ok AND stopword_ok AS keep,
+       CASE WHEN NOT len_ok THEN 'len_ok'
+            WHEN NOT alpha_ok THEN 'alpha_ok'
+            WHEN NOT word_len_ok THEN 'word_len_ok'
+            WHEN NOT stopword_ok THEN 'stopword_ok' END AS reject_reason
+FROM r
+""",
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_filter(d, "text", "doc_id")
+
+
+@register(
+    "stratified_hash_sample",
+    doc="deterministic per-stratum training-mix sampling: keep iff "
+    "hash(doc_id) mod 10000 < rate[lang]*10000 — reproducible across "
+    "runs/retries/engines (portable multiplicative hash here so DuckDB "
+    "agrees; xxhash64 is the operator default at scale), map-only, no "
+    "shuffle",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 10000 <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                WHEN 'zh' THEN 0.1 ELSE 0.05 END * 10000
+""",
+)
+def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d,
+        stratum_col="lang",
+        id_col="doc_id",
+        rates={"en": 0.5, "es": 0.25, "zh": 0.1},
+        default_rate=0.05,
+        hash_expr=F.col("doc_id") * F.lit(2654435761),
+    )
+
+
+@register(
+    "pack_sequences",
+    doc="token-budget sequence packing (concat-then-chunk pretraining "
+    "semantics): deterministic contiguous packs per lang stratum, "
+    "pack = bucket of the doc's first-token offset; one shuffle on the "
+    "strata keys, un-keyed global packing refused by the operator",
+    oracle="""
+WITH t AS (
+    SELECT lang, doc_id,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                 ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens
+            - CAST(floor((cum - n_tokens) / 512) AS BIGINT) * 512
+            AS BIGINT) AS pack_offset
+FROM c
+""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, id_col="doc_id", text_col="text", budget=512, by=["lang"]
+    )
+
+
+@register(
+    "pii_redaction",
+    doc="PII scrub with typed placeholders (<EMAIL>/<PHONE>): plants "
+    "deterministic synthetic PII on 2/3 of docs, redacts with portable "
+    "regexes identical in both engines; map-only regexp_replace chain",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(
+           text || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+                        WHEN doc_id % 3 = 1
+                        THEN ' call +1 555 0100123 today'
+                        ELSE '' END,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}', '<PHONE>', 'g')
+           AS redacted
+FROM documents
+""",
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" call +1 555 0100123 today"))
+            .otherwise(F.lit("")),
+        ).alias("redacted"),
+    )
+    return redact_pii(planted, "redacted")

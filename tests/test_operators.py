@@ -441,3 +441,85 @@ def test_ngram_prefix_filter_exact_vs_bruteforce(spark):
                 ).collect()
             }
             assert got == want, f"{strategy}@{t}: {got ^ want}"
+
+
+def test_pack_sequences_semantics_and_unkeyed_refusal(spark):
+    """Contiguous packing: pack = bucket of first-token offset, packs
+    may overrun by < max doc tokens, order never changes; un-keyed
+    call refused (global-sort foot-gun)."""
+    import pytest as _pytest
+
+    from survivor_processing_spark.operators.curation import pack_sequences
+
+    rows = [(1, "s", "a " * 5), (2, "s", "b " * 5), (3, "s", "c " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in pack_sequences(
+            df, "doc_id", "text", budget=8, by=["src"]
+        ).collect()
+    }
+    # "a "*5 -> trailing empty token after split-normalize = 5 tokens
+    # doc1 starts at 0 (pack 0), doc2 at 5 (pack 0, overruns), doc3 at
+    # 10 (pack 1, offset 2)
+    assert out[1] == (5, 0, 0)
+    assert out[2] == (5, 0, 5)
+    assert out[3] == (5, 1, 2)
+    with _pytest.raises(ValueError, match="global-sort"):
+        pack_sequences(df, "doc_id", "text", budget=8)
+
+
+def test_redact_pii_patterns(spark):
+    from survivor_processing_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c%d@sub.example.co or call +44 123 45678901 ok"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.text for r in redact_pii(df, "text").collect()}
+    assert got[1] == "mail me at <EMAIL> or call <PHONE> ok"
+    assert got[2] == "no pii here at all"
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Same input -> same sample (hash-based, not rand); rates steer
+    per-stratum volume; default_rate applies to unknown strata."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.curation import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    kw = dict(stratum_col="lang", id_col="doc_id", rates={"en": 0.4},
+              default_rate=0.1)
+    a = {r.doc_id for r in stratified_hash_sample(df, **kw).collect()}
+    b = {r.doc_id for r in stratified_hash_sample(df, **kw).collect()}
+    assert a == b  # reproducible
+    per = {
+        r.lang: r.n
+        for r in stratified_hash_sample(df, **kw)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(per["en"] - 2000) < 200   # ~40% of 5000
+    assert abs(per["xx"] - 500) < 150    # ~10% of 5000
+
+
+def test_quality_filter_flags_and_reason(spark):
+    from survivor_processing_spark.operators.curation import quality_filter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "x y z"),                       # too short -> len_ok fails first
+        (3, "1234 5678 9012 3456 7890 " * 4),  # numeric -> alpha_ok fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.reject_reason)
+           for r in quality_filter(df, "text", "doc_id").collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "len_ok")
+    assert got[3][0] is False and got[3][1] == "alpha_ok"
