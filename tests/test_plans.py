@@ -118,3 +118,27 @@ def test_rollup_single_pass(spark):
     plan = plan_of(spark, "rollup_multilevel_agg")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_curation_filters_are_map_only(spark):
+    """Quality filter, sampling, and redaction must be pure map-side
+    projections: no exchange, no Python eval."""
+    for q in ("quality_filter_chain", "stratified_hash_sample",
+              "pii_redaction"):
+        plan = plan_of(spark, q)
+        assert "Exchange" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_sampling_prunes_scan_columns(spark):
+    plan = plan_of(spark, "stratified_hash_sample")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "doc_id" in read and "lang" in read and "text" not in read
+
+
+def test_pack_sequences_single_stratum_shuffle(spark):
+    """Packing shuffles ONCE on the strata keys (the window), nothing
+    else."""
+    plan = plan_of(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
