@@ -54,6 +54,8 @@ _PRIORITY = [
     "pii_redaction",
     "asof_join_forward_broadcast",
     "topk_per_group_salted",
+    "streaming_stateful_dedup",
+    "streaming_running_max",
     "streaming_foreachbatch_merge",
     "streaming_windowed_counts",
     "merge_upsert_idempotent",

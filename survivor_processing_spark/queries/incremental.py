@@ -260,3 +260,102 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_or_die(q, 180)
     return _detach_and_cleanup(spark.read.parquet(path), path, ckpt)
+
+
+# --- custom stateful streaming (applyInPandasWithState) ---------------------
+
+
+@register(
+    "streaming_stateful_dedup",
+    doc="cross-micro-batch exactly-once-style dedup via "
+    "applyInPandasWithState (streaming/stateful.py): batch 1 lands "
+    "events < 600, batch 2 REPLAYS them plus 600-999 — the keyed seen-"
+    "set state drops every replayed row, so the end state is each event "
+    "exactly once; oracle is the distinct projection",
+    oracle="""
+SELECT CAST(user_id % 10 AS VARCHAR) AS key,
+       event_id,
+       event_type
+FROM events WHERE event_id < 1000
+""",
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_seen_filter
+
+    base = f"{tempfile.gettempdir()}/spark_graft_ssd_{uuid.uuid4().hex[:8]}"
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).cast("string").alias("key"),
+        "event_id",
+        "event_type",
+    )
+    # two files = (ideally) two micro-batches; identical replayed rows
+    # must be dropped by STATE even when batches interleave
+    ev.filter(F.col("event_id") < 600).coalesce(1).write.parquet(f"{src}/b1")
+    ev.filter(F.col("event_id") < 1000).coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema("key string, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    deduped = streaming_seen_filter(stream)
+    sink = f"ssd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 120)
+    return _detach_and_cleanup(spark.table(sink), base)
+
+
+@register(
+    "streaming_running_max",
+    doc="per-key running high-watermark carried across micro-batches "
+    "(applyInPandasWithState, update mode): the streaming form of the "
+    "reference's MAX(created_dt) cursor (reddit_extract.py:86-100); "
+    "end state per key == batch MAX",
+    oracle="""
+SELECT CAST(user_id % 10 AS VARCHAR) AS key,
+       MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS max_ts
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_running_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_running_max
+
+    base = f"{tempfile.gettempdir()}/spark_graft_srm_{uuid.uuid4().hex[:8]}"
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).cast("string").alias("key"),
+        F.unix_timestamp("ts").alias("ts"),
+    )
+    # split the stream in two so the running max actually carries
+    # state across micro-batches instead of folding in one pass
+    half = ev.agg(F.expr("percentile(ts, 0.5)")).first()[0]
+    ev.filter(F.col("ts") <= half).coalesce(1).write.parquet(f"{src}/b1")
+    ev.filter(F.col("ts") > half).coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema("key string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    running = streaming_running_max(stream)
+    sink = f"srm_{uuid.uuid4().hex[:8]}"
+    q = (
+        running.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 120)
+    # update-mode memory sink appends every update; the END state per
+    # key is the row from the LAST batch that touched the key
+    final = spark.table(sink).groupBy("key").agg(F.max("max_ts").alias("max_ts"))
+    return _detach_and_cleanup(final, base)
