@@ -322,10 +322,12 @@ def connected_components(
     starts labeled with itself; each round takes the min of its own
     and all neighbors' labels; stop when no label changes.  Rounds =
     graph diameter — near-dup clusters are shallow (a dup cluster is
-    near-clique), so this converges in 2-4 rounds in practice;
-    ``max_iters`` bounds pathological chains.  For adversarial
-    long-chain graphs at scale, swap in large-star/small-star
-    (O(log n) rounds) — same DataFrame surface.
+    near-clique), so this converges in 2-4 rounds in practice.  If
+    the graph has NOT converged after ``max_iters`` (adversarial
+    chain, diameter > max_iters), this RAISES rather than silently
+    returning partial labels — use
+    ``connected_components_star`` (O(log n) rounds, same output
+    contract) for such graphs.
 
     Scale: each round is one shuffle of E edges on the node key plus
     a label join; ``localCheckpoint`` truncates the lineage per round
@@ -371,8 +373,107 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            return labels.select(
+                F.col("node"), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds max_iters) — partial labels would be "
+        "WRONG; use connected_components_star (O(log n) rounds) for "
+        "long-chain graphs"
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm, re-expressed as DataFrame ops).  Same output
+    contract as ``connected_components``: (node, component_id = min
+    reachable node), nodes only (callers coalesce isolated ids).
+
+    Why it exists: min-label propagation needs diameter rounds — a
+    10^6-node chain needs 10^6 shuffles.  The star operations contract
+    paths, converging in O(log n) rounds on ANY graph:
+
+    * large-star: per node u, connect every LARGER neighbor to the
+      minimum m of u's neighborhood (emit (v, m) for v > u);
+    * small-star: orient edges toward smaller ids, then per node u
+      connect u and all its (smaller) neighbors to the neighborhood
+      minimum.
+
+    Each phase is one window-min over the edge list plus a distinct —
+    shuffles on the node key, no joins.  Fixpoint detection compares
+    (count, xxhash64-sum) edge-set checksums between rounds;
+    ``localCheckpoint`` truncates lineage per round as in the
+    label-prop variant."""
+    e = (
+        pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def min_nbr(df):
+        w = Window.partitionBy("a")
+        return df.withColumn(
+            "m", F.least(F.col("a"), F.min("b").over(w))
+        )
+
+    def large_star(edges):
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        g = min_nbr(sym)
+        return (
+            g.filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(edges):
+        orient = edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        g = min_nbr(orient)
+        out = g.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+            g.select("a", F.col("m").alias("b"))
+        )
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    def checksum(edges):
+        # bit_xor: order-independent, overflow-free (ANSI-safe); edge
+        # rows are distinct so no xor-cancellation of duplicates
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iters):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
             break
-    return labels.select(F.col("node"), F.col("label").alias("component_id"))
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds (expected O(log n)) — graph or checksum anomaly"
+        )
+    # Fixpoint edges are stars (v -> component min); min nodes label
+    # themselves.
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .union(e.select(F.col("b").alias("node"), F.col("b").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("component_id"))
+    )
 
 
 def near_dedup_components(

@@ -523,3 +523,56 @@ def test_quality_filter_flags_and_reason(spark):
     assert got[1] == (True, None)
     assert got[2] == (False, "len_ok")
     assert got[3][0] is False and got[3][1] == "alpha_ok"
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    """large-star/small-star CC == driver-side union-find ground truth
+    on random graphs (including multi-component and dense cases)."""
+    import random
+
+    from survivor_processing_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for n, m in ((30, 15), (60, 80), (40, 40)):
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {x for ab in edges for x in ab}
+        want = {x: min(y for y in touched if find(y) == find(x))
+                for x in touched}
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {r.node: r.component_id
+               for r in connected_components_star(df).collect()}
+        assert got == want, (n, m)
+
+
+def test_star_cc_long_chain_and_labelprop_guard(spark):
+    """A 300-node chain: label propagation at default max_iters must
+    RAISE (not silently return partial labels); the star variant
+    converges in O(log n) rounds and labels the whole chain."""
+    import pytest as _pytest
+
+    from survivor_processing_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id1 long, id2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=5)
+    got = {r.node: r.component_id
+           for r in connected_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(301)}
