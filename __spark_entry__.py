@@ -48,6 +48,9 @@ _PRIORITY = [
     "docx_confessional_scan",
     "filesync_modified_since",
     # round-2 additions (no prior row by definition)
+    "decontaminate_ngram",
+    "paragraph_dedup",
+    "repetition_stats",
     "quality_filter_chain",
     "stratified_hash_sample",
     "pack_sequences",

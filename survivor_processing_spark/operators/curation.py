@@ -145,6 +145,66 @@ def pack_sequences(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    ``n``-grams of the normalized text:
+
+    * ``top_ngram_char_frac`` — characters covered by the single most
+      frequent n-gram (count x gram length) / normalized doc chars;
+    * ``dup_ngram_char_frac`` — characters covered by ALL n-grams
+      occurring more than once, overlap-ignoring (the standard
+      published approximation — adjacent duplicate grams double-count
+      shared words, so the value may exceed 1).
+
+    Docs with fewer than ``n`` words emit 0.0 for both (strict n-gram
+    semantics).  Fractions are a single integer-ratio double division
+    so both engines produce bit-identical values.
+
+    Scale shape: two aggregates on doc-local keys — (doc, gram) then
+    doc — both map-side combinable; no joins, no windows, no Python.
+    The gram key inherits the document's distribution, so there is no
+    global hot key even on boilerplate-heavy corpora."""
+    from .dedup import ngrams_from_words, normalize_text
+
+    norm = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(normalize_text(F.col(text_col))).cast("bigint").alias("n_chars"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    grams = norm.select(
+        "_id",
+        "n_chars",
+        F.explode_outer(ngrams_from_words("_w", n)).alias("_g"),
+    )
+    counts = grams.groupBy("_id", "n_chars", "_g").agg(
+        F.count("*").alias("_cnt")
+    )
+    covered = F.col("_cnt") * F.length("_g")
+    return (
+        counts.groupBy("_id", "n_chars")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("_g").isNotNull(), covered)), F.lit(0)
+            ).alias("_top"),
+            F.coalesce(
+                F.sum(F.when(F.col("_cnt") >= 2, covered)), F.lit(0)
+            ).alias("_dup"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chars",
+            (F.col("_top") * 1.0 / F.col("n_chars")).alias(
+                "top_ngram_char_frac"
+            ),
+            (F.col("_dup") * 1.0 / F.col("n_chars")).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )
+
+
 # Portable, engine-agnostic PII patterns (common RE2/Java/PCRE subset;
 # at 100 TB these run inside codegen'd regexp_replace over the scan).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -74,6 +74,24 @@ def shingles_from_words(words_col: str, n: int = 3):
     )
 
 
+def ngrams_from_words(words_col: str, n: int, distinct: bool = False):
+    """Word n-grams from a pre-split words array with STRICT
+    semantics: a document with fewer than ``n`` words emits an empty
+    array (unlike ``shingles_from_words``, which degrades short docs
+    to one whole-doc shingle — the right call for MinHash recall, the
+    wrong one for decontamination/repetition metrics where a 3-word
+    "8-gram" would be a lie).  Same column-name-not-expression
+    contract as ``shingles_from_words`` (see its docstring for the
+    CollapseProject rationale).  The ``size < n`` guard also dodges
+    ``sequence(1, 0)`` which Spark evaluates DESCENDING as [1, 0]."""
+    body = (
+        f"if(size({words_col}) < {n}, array(),"
+        f" transform(sequence(1, size({words_col}) - {n - 1}),"
+        f"   i -> concat_ws(' ', slice({words_col}, i, {n}))))"
+    )
+    return F.expr(f"array_distinct({body})" if distinct else body)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per normalized text; adds
     ``n_copies``.  One hash-aggregate shuffle on the text hash."""
@@ -85,6 +103,60 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
         .drop("_norm")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str, id_col: str, delim: str = "\n\n"
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: split each document
+    on ``delim``, keep only the globally FIRST occurrence of every
+    paragraph (first = min (doc_id, position)), and reassemble each
+    document from its surviving paragraphs in original order.
+
+    Returns (id_col, n_paras, n_kept, text_dedup) for every input
+    document (``text_dedup`` is '' when every paragraph already
+    appeared earlier in the corpus).  ``delim`` is treated as a
+    LITERAL separator (regex-quoted internally).
+
+    Scale shape: the winner per paragraph is a ``min(struct(doc_id,
+    pos))`` hash AGGREGATE — map-side combinable, so a boilerplate
+    paragraph repeated a billion times costs one partial per task,
+    not a single-task window sort (``row_number() over (partition by
+    para)`` would put every copy of a hot paragraph in one task).
+    The flag-back join is on the same paragraph key (partitioning
+    reused; AQE skew-split covers pathological boilerplate), then one
+    aggregate on doc_id rebuilds documents.  Paragraph order inside
+    a doc rides a ``struct(pos, para)`` sort — no global sort."""
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), f"\\Q{delim}\\E", -1)
+        ).alias("_pos", "_para"),
+    )
+    winners = e.groupBy("_para").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w")
+    )
+    j = e.join(winners, "_para")
+    kept = F.struct("_id", "_pos") == F.col("_w")
+    return (
+        j.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("_pos", "_para"))
+                        )
+                    ),
+                    lambda x: x["_para"],
+                ),
+                delim,
+            ).alias("text_dedup"),
+        )
+        .withColumnRenamed("_id", id_col)
     )
 
 

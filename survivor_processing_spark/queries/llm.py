@@ -644,3 +644,120 @@ def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("redacted"),
     )
     return redact_pii(planted, "redacted")
+
+
+@register(
+    "decontaminate_ngram",
+    doc="benchmark decontamination (GPT-3-style n-gram overlap filter): "
+    "flag training docs sharing any 8-gram with the eval set "
+    "(doc_id % 41 = 0 here); eval n-gram set broadcast, training side "
+    "map-only — the 100 TB corpus never shuffles to find hits",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        ' ') AS w
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(w) < 8 THEN []
+                    ELSE list_transform(range(1, len(w) - 6),
+                         i -> array_to_string(w[i:i+7], ' ')) END)) AS gram
+    FROM norm
+), bg AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0
+), hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import ngram_decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return ngram_decontaminate(d, bench, "text", "doc_id", n=8)
+
+
+@register(
+    "paragraph_dedup",
+    doc="CCNet-style paragraph-level exact dedup: global keep-first per "
+    "paragraph (min (doc_id, pos)), docs reassembled in original order; "
+    "winner via map-side-combinable min-struct aggregate (NOT a "
+    "row_number window, which single-tasks hot boilerplate paragraphs)",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           unnest(string_split(replace(text, ' the ', chr(10)), chr(10)))
+               AS para,
+           generate_subscripts(
+               string_split(replace(text, ' the ', chr(10)), chr(10)), 1)
+               AS pos
+    FROM documents
+), k AS (
+    SELECT doc_id, para, pos,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+               AS kept
+    FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                    FILTER (WHERE kept), '') AS text_dedup
+FROM k GROUP BY doc_id
+""",
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_paragraphs
+
+    # The synthetic corpus has no newlines; derive paragraph breaks
+    # deterministically (identical literal replace in both engines).
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return dedup_paragraphs(d, "text", "doc_id", "\n")
+
+
+@register(
+    "repetition_stats",
+    doc="Gopher-style within-doc repetition signals: top-bigram and "
+    "duplicate-bigram character coverage fractions; two map-side-"
+    "combinable aggregates on doc-local keys, no joins/windows/Python",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+    FROM documents
+), w AS (
+    SELECT doc_id, length(t) AS n_chars, string_split(t, ' ') AS ws FROM norm
+), g AS (
+    SELECT doc_id, n_chars,
+           unnest(CASE WHEN len(ws) < 2 THEN [NULL]
+                       ELSE list_transform(range(1, len(ws)),
+                            i -> array_to_string(ws[i:i+1], ' ')) END) AS gram
+    FROM w
+), c AS (
+    SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+    FROM g GROUP BY doc_id, n_chars, gram
+)
+SELECT doc_id, n_chars,
+       COALESCE(MAX(CASE WHEN gram IS NOT NULL
+                         THEN cnt * length(gram) END), 0) * 1.0 / n_chars
+           AS top_ngram_char_frac,
+       COALESCE(SUM(CASE WHEN cnt >= 2
+                         THEN cnt * length(gram) END), 0) * 1.0 / n_chars
+           AS dup_ngram_char_frac
+FROM c GROUP BY doc_id, n_chars
+""",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id", n=2)

@@ -576,3 +576,83 @@ def test_star_cc_long_chain_and_labelprop_guard(spark):
     got = {r.node: r.component_id
            for r in connected_components_star(chain).collect()}
     assert got == {i: 0 for i in range(301)}
+
+
+def test_ngram_decontaminate_planted(spark):
+    """Docs sharing an 8-gram with the bench set are flagged; short
+    docs (< n words) and clean docs are not; n_hits counts distinct
+    overlapping grams."""
+    from survivor_processing_spark.operators.decontam import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # shares 'a b c d e f g h'
+            (2, "z y x w v u t s r q"),      # clean
+            (3, "a b c d e f g h"),          # exactly the bench gram
+            (4, "a b c d e f g"),            # 7 words: no 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "p p a b c d e f g h p p")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in ngram_decontaminate(
+            docs, bench, "text", "doc_id", n=8
+        ).collect()
+    }
+    assert got == {1: (1, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Global keep-first by (doc_id, pos); docs reassembled in original
+    order; a doc whose every paragraph appeared earlier keeps ''."""
+    from survivor_processing_spark.operators.dedup import dedup_paragraphs
+
+    p = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta\nbeta"),
+            (3, "gamma\nalpha"),
+            (4, "delta\nepsilon\nalpha"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_dedup)
+        for r in dedup_paragraphs(p, "text", "doc_id", "\n").collect()
+    }
+    assert got == {
+        1: (3, 3, "alpha\nbeta\ngamma"),
+        2: (3, 1, "delta"),
+        3: (2, 0, ""),
+        4: (3, 1, "epsilon"),
+    }
+
+
+def test_repetition_stats_exact_fractions(spark):
+    """Hand-computed Gopher repetition fractions, incl. the strict
+    short-doc (0-gram) path."""
+    from survivor_processing_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    r = spark.createDataFrame(
+        [
+            (1, "x y x y x y"),   # norm 11 chars; 'x y'*3=9, 'y x'*2=6
+            (2, "a b c d"),       # all bigrams distinct, max 1*3
+            (3, "solo"),          # < 2 words
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        row.doc_id: (row.n_chars, row.top_ngram_char_frac,
+                     row.dup_ngram_char_frac)
+        for row in repetition_stats(r, "text", "doc_id", n=2).collect()
+    }
+    assert got[1] == (11, 9 / 11, 15 / 11)
+    assert got[2] == (7, 3 / 7, 0.0)
+    assert got[3] == (4, 0.0, 0.0)

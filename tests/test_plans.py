@@ -142,3 +142,33 @@ def test_pack_sequences_single_stratum_shuffle(spark):
     plan = plan_of(spark, "pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_decontaminate_training_side_broadcast_only(spark):
+    """The 100 TB training corpus must never shuffle to discover
+    hits: eval-gram lookup and verdict-back are both broadcast hash
+    joins, and nothing sort-merge-joins."""
+    plan = plan_of(spark, "decontaminate_ngram")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_no_window_no_python(spark):
+    """Keep-first winner must be a map-side-combinable min-struct
+    aggregate, not a row_number window (hot boilerplate paragraph =
+    one task); partial_min proves the combine."""
+    plan = plan_of(spark, "paragraph_dedup")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_join_free_partial_agg(spark):
+    """Two aggregates on doc-local keys: no joins, no windows,
+    map-side combine, one scan."""
+    plan = plan_of(spark, "repetition_stats")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") == 1
