@@ -31,11 +31,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Columnar parquet: Catalyst prunes
     columns and pushes predicates into this scan.
 
-    ``events.ts`` is nano-precision parquet, which Spark's reader
-    rejects ([PARQUET_TYPE_ILLEGAL]); read it as nanos-since-epoch
-    long and convert to a (microsecond) timestamp in-plan.  The
-    truncation is ns→µs floor, matching DuckDB's
-    ``CAST(ts AS TIMESTAMP)``.
+    ``events.ts`` has shipped as BOTH nano-precision parquet (which
+    Spark's reader rejects, [PARQUET_TYPE_ILLEGAL]) and plain µs
+    timestamps, depending on the fixture generation.  Read with the
+    nanos-as-long escape hatch and branch on the landed type: a long
+    is nanos-since-epoch → floor-convert to µs (matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)``); a timestamp passes through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
@@ -46,11 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         import pyspark.sql.functions as F
 
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
