@@ -52,10 +52,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")),
-            )
+            # exact long integral division: floor(ts/1000) goes through
+            # a double, and ns-since-epoch (~1.7e18) exceeds 2^53, so
+            # the floored quotient can drift ±1 µs from DuckDB's exact
+            # CAST(ts AS TIMESTAMP)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

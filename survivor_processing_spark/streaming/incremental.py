@@ -43,27 +43,36 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes
     """Structured Streaming source over the events table with event-time
     watermarking.  The parquet dir stands in for a real stream; the
     same plan runs against Kafka by swapping the reader."""
-    # streaming reader can't use the nanos conversion path; read the
-    # raw longs and convert in-plan like the batch catalog does.
-    # The parquet stream source requires a *directory*: stage one
-    # with a symlink to the events file.
+    # The parquet stream source requires an explicit schema AND a
+    # *directory*: stage one with a symlink to the events file.
+    # events.ts has shipped as BOTH int64-nanos parquet and plain µs
+    # timestamps (see catalog.load_table); a streaming reader can't
+    # introspect, so probe the landed type with a batch schema read
+    # (footer-only, no data scan) and branch like the batch catalog.
     import os
     import tempfile
+
+    from pyspark.sql.types import LongType
 
     stage = tempfile.mkdtemp(prefix="spark_graft_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_nanos_long = isinstance(landed["ts"].dataType, LongType)
+    ts_decl = "ts bigint" if ts_is_nanos_long else "ts timestamp"
     raw = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
+            f"event_id bigint, {ts_decl}, user_id bigint, "
             "event_type string, value double, props string"
         )
         .format("parquet")
         .load(stage)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    ).withWatermark("ts", watermark)
+    if ts_is_nanos_long:
+        # exact long integral division (ts div 1000): double division
+        # loses ULPs above 2^53 and ns-since-epoch is ~1.7e18
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withWatermark("ts", watermark)
 
 
 def streaming_counts_query(stream_df: DataFrame, window: str = "1 hour"):
