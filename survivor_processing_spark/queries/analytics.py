@@ -1,0 +1,345 @@
+"""Analytics-window / OLAP-shape queries (beyond-reference F/E/H
+extensions): cumulative + moving windows, explicit-values pivot,
+GROUPING SETS, deterministic mode/median, binned numeric range join,
+SCD2 dimension build, and sketch aggregates.
+
+Hash-safety conventions as in relational.py: money/value math rides
+decimal(18,2) (exact, summation-order-free) and is emitted as
+doubles; dates as ``yyyy-MM-dd`` strings; window frames are explicit
+ROWS frames over a unique (ts, id) ordering so both engines resolve
+ties identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.rangejoin import binned_range_join
+from ..operators.scd2 import scd2_from_history
+from ._registry import register
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- F-family: cumulative / moving / lag windows ----------------------------
+
+
+@register(
+    "cumulative_window_sums",
+    doc="running total, 4-row moving sum, and lag delta per user over "
+    "event time — one window partitioning (user_id), one shuffle, all "
+    "three frames share the sort; decimal lanes keep every engine's "
+    "partial-sum order irrelevant",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w_cum AS DOUBLE) AS cum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w_mov AS DOUBLE) AS mov_sum4,
+       CAST(CAST(value AS DECIMAL(18,2))
+            - LAG(CAST(value AS DECIMAL(18,2))) OVER w_ord AS DOUBLE) AS delta
+FROM events
+WINDOW
+  w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+  w_cum AS (w_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (w_ord ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def cumulative_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_ord.rowsBetween(-3, Window.currentRow)
+    v = _dec("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(v).over(w_cum).cast("double").alias("cum_value"),
+        F.sum(v).over(w_mov).cast("double").alias("mov_sum4"),
+        (v - F.lag(v).over(w_ord)).cast("double").alias("delta"),
+    )
+
+
+# --- H/L-family: explicit-values pivot (long -> wide) ------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_type_wide",
+    doc="long->wide pivot of per-user value by event type with an "
+    "EXPLICIT pivot-value list: one hash aggregate, no "
+    "distinct-values pre-job (implicit pivot runs a whole extra "
+    "action to discover values — never do that at 100 TB)",
+    oracle="""
+SELECT user_id,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                     FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS click,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                     FILTER (WHERE event_type = 'error'), 0) AS DOUBLE) AS error,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                     FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS purchase,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                     FILTER (WHERE event_type = 'signup'), 0) AS DOUBLE) AS signup,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                     FILTER (WHERE event_type = 'view'), 0) AS DOUBLE) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_event_type_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum(_dec("value")))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+# --- E-family: GROUPING SETS (beyond rollup_multilevel_agg) ------------------
+
+
+@register(
+    "grouping_sets_agg",
+    doc="GROUPING SETS ((status, priority), (status), ()) over orders "
+    "— Spark expands to one Expand + single hash aggregate (one "
+    "shuffle for all three grains); grouping() flags disambiguate "
+    "subtotal rows from genuine NULL keys",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS INTEGER) AS lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS INT) AS lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+    )
+
+
+# --- E-family: deterministic mode + lower median -----------------------------
+
+
+@register(
+    "mode_median_per_group",
+    doc="per-event-type exact lower median and deterministic mode "
+    "(most frequent user bucket, smallest wins ties) — both derived "
+    "from counts + row_number, NOT the engines' mode()/median() whose "
+    "tie-breaks and interpolation differ; no fp interpolation at all",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*)    OVER (PARTITION BY event_type) AS n
+    FROM events
+), med AS (
+    SELECT event_type, n,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS median_lo
+    FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+), buckets AS (
+    SELECT event_type, user_id % 100 AS bucket, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), md AS (
+    SELECT event_type, bucket AS mode_bucket
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cnt DESC, bucket) AS r
+          FROM buckets)
+    WHERE r = 1
+)
+SELECT m.event_type, m.n AS n_events, m.median_lo, md.mode_bucket
+FROM med m JOIN md USING (event_type)
+""",
+)
+def mode_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        _dec("value").cast("double").alias("median_lo"),
+    )
+    buckets = (
+        ev.select("event_type", (F.col("user_id") % 100).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("bucket")
+    )
+    md = (
+        buckets.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"))
+    )
+    return med.join(md, "event_type")
+
+
+# --- D-family: binned numeric range join ------------------------------------
+
+VALUE_BANDS = [
+    ("nano", 0.0, 5.0),
+    ("micro", 5.0, 20.0),
+    ("small", 20.0, 75.0),
+    ("mid", 75.0, 150.0),
+    ("large", 150.0, 300.0),
+    ("whale", 300.0, 1000.0),
+]
+
+
+@register(
+    "range_join_binned",
+    doc="events.value -> irregular value bands via the binned range "
+    "join (operators/rangejoin.py): grid-cell equi-join + residual "
+    "filter plans a BroadcastHashJoin, fact side map-side only — the "
+    "naive BETWEEN join is a BroadcastNestedLoopJoin scanning every "
+    "band per row (plan-tested away, tests/test_plans.py)",
+    oracle="""
+WITH bands(band, lo, hi) AS (VALUES
+  ('nano', 0.0, 5.0), ('micro', 5.0, 20.0), ('small', 20.0, 75.0),
+  ('mid', 75.0, 150.0), ('large', 150.0, 300.0), ('whale', 300.0, 1000.0)
+)
+SELECT b.band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""",
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        VALUE_BANDS, "band string, lo double, hi double"
+    )
+    joined = binned_range_join(
+        ev, bands, value_col="value", lo_col="lo", hi_col="hi", bin_width=50.0
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+# --- B-family: SCD2 dimension build -----------------------------------------
+
+
+@register(
+    "scd2_order_history",
+    doc="type-2 slowly-changing dimension from order history "
+    "(operators/scd2.py): per-customer daily spend band, consecutive "
+    "unchanged bands run-length-compressed, effective_from/to closed "
+    "date ranges + is_current — the historical companion to the "
+    "reference's type-1 ON CONFLICT upserts (load_helpers.py:4-39)",
+    oracle="""
+WITH daily AS (
+    SELECT o_custkey, o_orderdate,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders GROUP BY 1, 2
+), banded AS (
+    SELECT o_custkey, o_orderdate,
+           CASE WHEN spend < 150000 THEN 'low'
+                WHEN spend < 300000 THEN 'mid'
+                ELSE 'high' END AS spend_band
+    FROM daily
+), chg AS (
+    SELECT *,
+           LAG(spend_band) OVER w AS prev_band,
+           LAG(o_orderdate) OVER w AS prev_ts
+    FROM banded
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+), compressed AS (
+    SELECT o_custkey, o_orderdate, spend_band
+    FROM chg
+    WHERE prev_ts IS NULL OR spend_band IS DISTINCT FROM prev_band
+)
+SELECT o_custkey, spend_band,
+       strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+       COALESCE(strftime(LEAD(o_orderdate) OVER w - INTERVAL 1 DAY,
+                         '%Y-%m-%d'), '9999-12-31') AS effective_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM compressed
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+""",
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    banded = daily.select(
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.col("spend") < 150000, "low")
+        .when(F.col("spend") < 300000, "mid")
+        .otherwise("high")
+        .alias("spend_band"),
+    )
+    return scd2_from_history(
+        banded, ["o_custkey"], "o_orderdate", ["spend_band"]
+    )
+
+
+# --- sketches: approximate distinct + quantiles (rows-only) ------------------
+
+
+@register(
+    "sketch_distinct_quantiles",
+    doc="per-event-type HyperLogLog++ approx distinct users and "
+    "approx quantile sketch of value — mergeable sketches are THE "
+    "100 TB shape for cardinality/quantile answers (exact "
+    "count-distinct shuffles every key; sketches shuffle KBs).  "
+    "Sketch outputs are engine-specific by construction -> rows-only "
+    "driver check; tests/test_analytics.py pins accuracy vs exact "
+    "(HLL++ rel err < 5%, quantiles within rank tolerance)",
+)
+def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx(
+                "value", [0.5, 0.9, 0.99], 10_000
+            ).alias("value_quantiles"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(F.col("value_quantiles")[0], 2).alias("p50"),
+            F.round(F.col("value_quantiles")[1], 2).alias("p90"),
+            F.round(F.col("value_quantiles")[2], 2).alias("p99"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Corpus-curation composite queries: cluster-level dedup with
+canonical-document selection, and per-domain rebalanced sampling.
+
+These compose the dedup/skew operators into the end-to-end shapes a
+training-data pipeline actually ships: "drop near-duplicates but
+keep the best copy" and "cap every domain's contribution".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.dedup import connected_components, ngram_jaccard_pairs
+from ..operators.skew import top_k_per_group
+from ._registry import register
+
+
+@register(
+    "near_dup_keep_best",
+    doc="cluster-level dedup keeping the BEST copy: exact n-gram "
+    "Jaccard pairs (>=0.5) -> connected components -> per cluster keep "
+    "the longest document (n_chars desc, doc_id asc tiebreak).  The "
+    "keep-best rule is one window over clusters — cluster sizes are "
+    "near-dup-bounded, so the window cannot be hot; at 100 TB swap the "
+    "pair source for MinHash-LSH (same downstream plan).  Oracle: "
+    "recursive-CTE transitive closure + the same window",
+    oracle="""
+WITH RECURSIVE w AS (
+    SELECT doc_id, n_chars,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(words[i:i+2], ' ') AS shingle
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+        )
+    )
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT id1, id2
+    FROM common
+    JOIN cnt c1 ON c1.doc_id = id1
+    JOIN cnt c2 ON c2.doc_id = id2
+    WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
+), edges AS (
+    SELECT id1 AS a, id2 AS b FROM pairs
+    UNION ALL
+    SELECT id2, id1 FROM pairs
+), walk AS (
+    SELECT a AS node, b AS reach FROM edges
+    UNION
+    SELECT wk.node, e.b FROM walk wk JOIN edges e ON wk.reach = e.a
+), comp AS (
+    SELECT node, least(node, min(reach)) AS component_id
+    FROM walk GROUP BY node
+), labeled AS (
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, component_id,
+       ROW_NUMBER() OVER (PARTITION BY component_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS kept
+FROM labeled
+""",
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    comps = connected_components(pairs.select("id1", "id2"))
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comps, F.col("doc_id") == comps.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "component_id",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+@register(
+    "domain_rebalance_sample",
+    doc="per-domain contribution cap: keep at most 10 documents per "
+    "source, chosen by md5(doc_id) order — a deterministic uniform "
+    "draw reproducible across engines AND across reruns (no rand()).  "
+    "Runs through the skew-proof two-stage salted top-k "
+    "(operators/skew.py): a 100x-overrepresented crawl domain sorts in "
+    "32 bounded buckets, never one hot task.  md5 (not xxhash64) "
+    "because the oracle must compute the identical draw",
+    oracle="""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+    FROM documents
+)
+WHERE rnk <= 10
+""",
+)
+def domain_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    capped = top_k_per_group(
+        d,
+        keys=["source"],
+        order_cols=[F.col("_h"), F.col("doc_id")],
+        k=10,
+        salt_on=["doc_id"],
+    )
+    return capped.select("doc_id", "source")

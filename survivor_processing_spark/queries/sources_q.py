@@ -301,3 +301,82 @@ def filesync_modified_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(picked), "sync_phase int, doc string, val int"
     )
+
+
+# --- A: native splittable text formats (CSV / JSONL) ------------------------
+
+
+@register(
+    "csv_scan_typed",
+    doc="native CSV scan with an EXPLICIT schema, quoted/escaped "
+    "fields and a malformed-row DROPMALFORMED policy — schema "
+    "inference would read the whole dataset twice at 100 TB, so it is "
+    "off; CSV splits by byte range, one task per split",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'Alice, Jr.',  CAST(10.50 AS DOUBLE), '2001-05-17'),
+  (2, 'Bob "B" Ng',  CAST(-3.25 AS DOUBLE), '1999-12-31'),
+  (4, 'Dana',        CAST(NULL AS DOUBLE),  '2020-02-29')
+) AS t(id, name, score, joined)
+""",
+)
+def csv_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fixture_dir("csv")
+    path = os.path.join(d, "people.csv")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(
+                'id,name,score,joined\n'
+                '1,"Alice, Jr.",10.50,2001-05-17\n'
+                '2,"Bob ""B"" Ng",-3.25,1999-12-31\n'
+                'not-an-int,Mallory,zzz,bad-row\n'
+                '4,Dana,,2020-02-29\n'
+            )
+    return (
+        spark.read.schema("id int, name string, score double, joined string")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        # RFC-4180 doubled-quote escaping: Spark's default escape is
+        # backslash, so '""' inside a quoted field needs escape='"'
+        .option("escape", '"')
+        .csv(d)
+    )
+
+
+@register(
+    "jsonl_scan",
+    doc="native JSON-lines scan with an explicit schema including a "
+    "nested struct and an array — nested fields project straight out "
+    "of the scan (no UDF re-parse); inference off as with CSV",
+    oracle="""
+SELECT * FROM (VALUES
+  (101, 'es', CAST(2 AS BIGINT),  'w1',  CAST(7   AS BIGINT)),
+  (102, 'en', CAST(0 AS BIGINT),  NULL,  CAST(NULL AS BIGINT)),
+  (103, NULL, CAST(1 AS BIGINT),  'solo', CAST(-4 AS BIGINT))
+) AS t(rec_id, lang, n_tags, first_tag, depth)
+""",
+)
+def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fixture_dir("jsonl")
+    path = os.path.join(d, "records.jsonl")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(
+                '{"rec_id": 101, "meta": {"lang": "es", "depth": 7}, "tags": ["w1", "w2"]}\n'
+                '{"rec_id": 102, "meta": {"lang": "en"}, "tags": []}\n'
+                '{"rec_id": 103, "meta": {"depth": -4}, "tags": ["solo"]}\n'
+            )
+    df = (
+        spark.read.schema(
+            "rec_id bigint, meta struct<lang: string, depth: bigint>, "
+            "tags array<string>"
+        )
+        .json(d)
+    )
+    return df.select(
+        F.col("rec_id").cast("int").alias("rec_id"),
+        F.col("meta.lang").alias("lang"),
+        F.size("tags").cast("bigint").alias("n_tags"),
+        F.try_element_at("tags", F.lit(1)).alias("first_tag"),
+        F.col("meta.depth").alias("depth"),
+    )

@@ -172,3 +172,47 @@ def test_repetition_stats_join_free_partial_agg(spark):
     assert "Window" not in plan
     assert "partial_count" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_cumulative_windows_share_one_shuffle_and_sort(spark):
+    # three frames (cumulative, moving, lag) over the same (user_id)
+    # partitioning must collapse into ONE Window operator behind ONE
+    # exchange + sort — a per-frame shuffle would triple the cost
+    plan = plan_of(spark, "cumulative_window_sums")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
+def test_scd2_windows_reuse_partitioning(spark):
+    # lag-compress + lead-effective-to are two Window nodes over the
+    # same (o_custkey, ts) sort: one sort, <= 2 exchanges (daily agg
+    # keys differ from the window key), never a per-window shuffle
+    plan = plan_of(spark, "scd2_order_history")
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Sort ") == 1
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    # GROUPING SETS must plan one Expand + one aggregate exchange for
+    # all three grains, not one scan/shuffle per grain
+    plan = plan_of(spark, "grouping_sets_agg")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_range_join_binned_is_hash_join(spark):
+    # the binned range join's whole point: BroadcastHashJoin on the
+    # grid cell, never a nested-loop probe of every band per row
+    plan = plan_of(spark, "range_join_binned")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_rebalance_no_global_sort(spark):
+    # the per-domain cap rides partitioned windows (salted two-stage
+    # top-k); a global orderBy would single-task the corpus
+    plan = plan_of(spark, "domain_rebalance_sample")
+    for line in plan.splitlines():
+        if "Sort " in line and "global=true" in line:
+            raise AssertionError(f"global sort in plan: {line}")
