@@ -41,6 +41,13 @@ HEADLINE = [
     "text_quality_scores",
     "session_window_agg",
     "rollup_multilevel_agg",
+    # round 3
+    "cumulative_window_sums",
+    "pivot_event_type_wide",
+    "grouping_sets_agg",
+    "range_join_binned",
+    "scd2_order_history",
+    "domain_rebalance_sample",
 ]
 
 
