@@ -80,6 +80,11 @@ _PRIORITY = [
     "sketch_distinct_quantiles",
     "near_dup_keep_best",
     "domain_rebalance_sample",
+    "streaming_session_windows",
+    "stream_stream_interval_join",
+    "token_budget_mix",
+    "embedding_dim_stats",
+    "partition_pruned_scan",
 ]
 
 

@@ -343,3 +343,46 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value_quantiles")[2], 2).alias("p99"),
         )
     )
+
+
+# --- sinks/scans: hive-partitioned write + partition-pruned read ------------
+
+
+@register(
+    "partition_pruned_scan",
+    doc="hive-partitioned parquet write (partitionBy event_type) + "
+    "read-back with a partition-key predicate: the filter resolves at "
+    "PLANNING time against directory names (PartitionFilters in the "
+    "scan, plan-tested) — 3 of 5 partitions are never opened, the "
+    "100 TB analog of not reading 60% of the lake; oracle computes "
+    "the same aggregate on the unpartitioned table",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    path = f"{tempfile.gettempdir()}/spark_graft_part_{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    out = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    res = out.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return res

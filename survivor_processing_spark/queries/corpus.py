@@ -130,3 +130,96 @@ def domain_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on=["doc_id"],
     )
     return capped.select("doc_id", "source")
+
+
+LANG_TOKEN_BUDGETS = {
+    "en": 5000,
+    "es": 2000,
+    "de": 2000,
+    "fr": 2000,
+    "zh": 2000,
+}
+
+
+@register(
+    "token_budget_mix",
+    doc="training-mix construction: per-language TOKEN budgets (not doc "
+    "counts) — docs draw in md5(doc_id) order per language until the "
+    "language's running token total would stay under budget.  The "
+    "running total is one cumulative window per language partition; "
+    "the deterministic draw makes the mix reproducible across engines "
+    "and reruns.  Hot languages (en at 60%+ of a crawl) sort within "
+    "their own partition only; for truly giant single-language corpora "
+    "pre-filter by hash range before the window",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ')) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000 ELSE 2000 END
+""",
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import token_count_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in LANG_TOKEN_BUDGETS.items() for x in kv]
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget[F.col("lang")])
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    doc="per-(label, dimension) embedding profile: min/max/count of "
+    "each of the 64 dims — posexplode keeps everything JVM-side, one "
+    "hash-agg shuffle on (label, dim); min/max of floats are exact "
+    "(no summation-order hazard, unlike means — which is why the "
+    "hash-gated stats are min/max and sketch-style means live in "
+    "rows-only queries).  The feature-store 'column profile' shape",
+    oracle="""
+SELECT label, i AS dim,
+       MIN(embedding[i]) AS dim_min,
+       MAX(embedding[i]) AS dim_max,
+       COUNT(*) AS n_vecs
+FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i
+)
+GROUP BY label, i
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.min("v").alias("dim_min"),
+            F.max("v").alias("dim_max"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

@@ -359,3 +359,135 @@ def streaming_running_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key is the row from the LAST batch that touched the key
     final = spark.table(sink).groupBy("key").agg(F.max("max_ts").alias("max_ts"))
     return _detach_and_cleanup(final, base)
+
+
+# --- N1 streaming: session windows (stateful merge across batches) ----------
+
+
+@register(
+    "streaming_session_windows",
+    doc="Structured Streaming sessionization: F.session_window with a "
+    "30-minute inactivity gap over a user subset, complete-mode memory "
+    "sink, availableNow trigger — the streaming twin of "
+    "session_window_agg; oracle is the exact gaps-and-islands rewrite",
+    oracle="""
+WITH e AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WHERE user_id % 10 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM e
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sess_no
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir, watermark="30 minutes").filter(
+        F.col("user_id") % 10 == 0
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    # complete mode: sessions merge statefully across micro-batches and
+    # ALL final sessions emit at the end — append mode would hold back
+    # any session the final watermark has not passed
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 120)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+        "n_events",
+        "total_value",
+    )
+
+
+# --- N1 streaming: stream-stream time-interval join -------------------------
+
+
+@register(
+    "stream_stream_interval_join",
+    doc="stream-stream inner join with a time-interval condition: "
+    "click stream joins purchase stream per user within [click, click "
+    "+ 2h]; BOTH sides watermarked (bounds the join state Spark must "
+    "buffer — unbounded without it), availableNow, append sink.  "
+    "Inner-join emission does not wait on the watermark, so the end "
+    "state equals the batch join; oracle is that batch join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS secs_after
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir, watermark="1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        # stream_events already watermarked ts; the mark rides the
+        # alias (re-applying raises "Redefining watermark")
+    )
+    purchases = (
+        stream_events(spark, sf_dir, watermark="1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= click_ts AND "
+            "purchase_ts <= click_ts + INTERVAL 2 HOURS"
+        ),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 120)
+    return spark.table(sink).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("secs_after"),
+    )

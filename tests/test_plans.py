@@ -216,3 +216,41 @@ def test_domain_rebalance_no_global_sort(spark):
     for line in plan.splitlines():
         if "Sort " in line and "global=true" in line:
             raise AssertionError(f"global sort in plan: {line}")
+
+
+def test_partition_pruned_scan_has_partition_filters(spark):
+    # the partitionBy(event_type) read-back must resolve the predicate
+    # against directory names: PartitionFilters non-empty, so 3 of 5
+    # partitions are never opened.  (The registered query returns a
+    # localCheckpoint — plan is an ExistingRDD scan — so rebuild the
+    # pre-checkpoint read here.)
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.catalog import load_table
+
+    path = f"{tempfile.gettempdir()}/sps_prune_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "value", "event_type"
+        )
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+        pruned = spark.read.parquet(path).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        pushed = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert pushed.strip(), "partition filter list is empty"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_token_budget_mix_no_global_sort(spark):
+    plan = plan_of(spark, "token_budget_mix")
+    for line in plan.splitlines():
+        if "Sort " in line and "global=true" in line:
+            raise AssertionError(f"global sort in plan: {line}")
