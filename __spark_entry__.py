@@ -85,6 +85,9 @@ _PRIORITY = [
     "token_budget_mix",
     "embedding_dim_stats",
     "partition_pruned_scan",
+    "asof_join_nearest_broadcast",
+    "streaming_dedup_within_watermark",
+    "geo_mean_udaf",
 ]
 
 

@@ -57,8 +57,16 @@ def asof_join(
     un-keyed calls always take the banded-broadcast path (an un-keyed
     union would be one global-sort task)."""
     by = by or []
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        if strategy != "broadcast":
+            raise ValueError(
+                "direction='nearest' is implemented for the broadcast "
+                "strategy (midpoint-interval banding); the union strategy "
+                "has no single-direction window rewrite for it"
+            )
+        return _asof_broadcast_nearest(left, right, left_on, right_on, by)
     if strategy == "union" and not by and not allow_unkeyed_union:
         # Un-keyed union degenerates to ONE global Window.orderBy —
         # a single task over left+right, the exact foot-gun SCALE.md
@@ -203,6 +211,111 @@ def _asof_broadcast(left, right, left_on, right_on, by, direction="backward"):
     for k in by:
         l_cond = l_cond & (F.col(f"J.{k}") == F.col(f"A.{k}"))
     j2 = j1.join(F.broadcast(last), l_cond, "left")
+    return j2.select(
+        *[F.col(f"J.{c}") for c in left.columns],
+        *[
+            F.coalesce(F.col(f"J._c_{c}"), F.col(f"A.{c}")).alias(c)
+            for c in right_cols
+        ],
+    )
+
+
+def _asof_broadcast_nearest(left, right, left_on, right_on, by):
+    """Nearest-direction as-of (``pd.merge_asof(direction='nearest')``
+    semantics, ties broken backward/earlier): banded-broadcast via
+    MIDPOINT interval ownership.
+
+    On the integer ordinal axis (exact for timestamps=µs, dates=days,
+    integers; floats floor), right row r_i owns
+    ``(m_{i-1}, m_i]`` where ``m_i = (ord_i + ord_{i+1}) div 2`` —
+    a left row at exactly m_i is equidistant and the floor division
+    hands it to the EARLIER row, so the tie rule is integral to the
+    interval algebra, not a post-filter.  First/last rows per group
+    own open-ended intervals.  The ownership intervals tile the line
+    disjointly, so the plan is the same two-phase shape as the other
+    directions: finite intervals explode into bands →
+    BroadcastHashJoin; the ≤2 open-ended rows per group join like the
+    open-interval row of backward/forward.  Fact side: zero shuffle.
+    """
+    rt = right.schema[right_on].dataType
+    lt = left.schema[left_on].dataType
+    r_ord = _ordinal(F.col(right_on), rt)
+    l_ord = _ordinal(F.col(left_on), lt)
+
+    lo, hi, n = right.agg(F.min(r_ord), F.max(r_ord), F.count(right_on)).first()
+    if n == 0:
+        null_right = [
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right.columns
+            if c not in by
+        ]
+        return left.select("*", *null_right)
+    width = max(1, (hi - lo) // n)
+
+    w = Window.partitionBy(*by).orderBy(right_on) if by else Window.orderBy(right_on)
+    iv = (
+        right.withColumn("_ord", r_ord)
+        .withColumn("_prev", F.lag("_ord").over(w))
+        .withColumn("_next", F.lead("_ord").over(w))
+        .withColumn(
+            "_lo",  # (m_{i-1}, ...]  ⇒ lower closed bound m_{i-1}+1
+            F.expr("(_prev + _ord) div 2 + 1"),
+        )
+        .withColumn("_hi", F.expr("(_ord + _next) div 2"))
+    )
+    # duplicate right_on values collapse to the earliest copy: later
+    # duplicates get _lo > _hi (empty ownership) and drop here
+    closed = (
+        iv.filter(F.col("_lo").isNotNull() & F.col("_hi").isNotNull())
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .withColumn(
+            "_band",
+            F.explode(
+                F.sequence(
+                    (F.col("_lo") / width).cast("bigint"),
+                    (F.col("_hi") / width).cast("bigint"),
+                )
+            ),
+        )
+    )
+    # open-ended rows: first (_prev null → (-inf, _hi]) and last
+    # (_next null → [_lo, +inf)); a single-row group is both (matches
+    # its whole group).  Empty-ownership duplicates of the first/last
+    # ts are excluded the same way as in `closed`.
+    open_rows = iv.filter(
+        (F.col("_prev").isNull() | F.col("_next").isNull())
+        & ~F.coalesce(F.col("_lo") > F.col("_hi"), F.lit(False))
+    )
+
+    right_cols = [c for c in right.columns if c not in by]
+    lhs = left.withColumn("_lord", l_ord).withColumn(
+        "_lband", (l_ord / width).cast("bigint")
+    ).alias("L")
+    closed = closed.alias("C")
+    opens = open_rows.alias("A")
+
+    c_cond = (
+        (F.col("L._lband") == F.col("C._band"))
+        & (F.col("L._lord") >= F.col("C._lo"))
+        & (F.col("L._lord") <= F.col("C._hi"))
+    )
+    for k in by:
+        c_cond = c_cond & (F.col(f"L.{k}") == F.col(f"C.{k}"))
+    j1 = (
+        lhs.join(F.broadcast(closed), c_cond, "left")
+        .select(
+            *[F.col(f"L.{c}") for c in left.columns],
+            F.col("L._lord").alias("_lord"),
+            *[F.col(f"C.{c}").alias(f"_c_{c}") for c in right_cols],
+        )
+        .alias("J")
+    )
+    o_cond = (F.col("A._lo").isNull() | (F.col("J._lord") >= F.col("A._lo"))) & (
+        F.col("A._hi").isNull() | (F.col("J._lord") <= F.col("A._hi"))
+    )
+    for k in by:
+        o_cond = o_cond & (F.col(f"J.{k}") == F.col(f"A.{k}"))
+    j2 = j1.join(F.broadcast(opens), o_cond, "left")
     return j2.select(
         *[F.col(f"J.{c}") for c in left.columns],
         *[

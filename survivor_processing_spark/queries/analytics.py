@@ -386,3 +386,34 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out.localCheckpoint(eager=True)
     shutil.rmtree(path, ignore_errors=True)
     return res
+
+
+# --- M4: grouped-aggregate Pandas UDAF --------------------------------------
+
+
+@register(
+    "geo_mean_udaf",
+    doc="custom UDAF surface (SURVEY §2.M4, beyond built-ins): "
+    "per-event-type geometric mean of value as a GROUPED_AGG pandas "
+    "UDF — Arrow ships each group's values once, the kernel is "
+    "vectorized numpy.  Rows-only gate: the float log-sum order "
+    "follows shuffle arrival order, so the last ~1 ulp is not "
+    "cross-engine-stable; tests/test_analytics.py pins the value "
+    "against exp(avg(ln)) to 1e-9 instead",
+)
+def geo_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` turns type hints into strings pandas_udf can't
+    # inspect for GROUPED_AGG inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log1p(v.to_numpy(dtype="float64")).mean()) - 1.0)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(geo_mean("value").alias("geo_mean_value"))
+    )

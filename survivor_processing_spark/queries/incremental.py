@@ -491,3 +491,54 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).alias("secs_after"),
     )
+
+
+# --- N3: built-in streaming dedup (dropDuplicatesWithinWatermark) -----------
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    doc="built-in cross-batch streaming dedup: "
+    "dropDuplicatesWithinWatermark(event_id) over a replayed two-batch "
+    "fixture (batch 2 replays all of batch 1) — the engine-managed "
+    "counterpart of the custom applyInPandasWithState seen-set "
+    "(q:streaming_stateful_dedup); the watermark delay exceeds the "
+    "fixture's time span so state never expires mid-run and no fresh "
+    "row is dropped as late.  Oracle: the distinct projection",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch
+FROM events WHERE event_id < 1000
+""",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"{tempfile.gettempdir()}/spark_graft_ddw_{uuid.uuid4().hex[:8]}"
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    ev.filter(F.col("event_id") < 600).coalesce(1).write.parquet(f"{src}/b1")
+    ev.filter(F.col("event_id") < 1000).coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 120)
+    out = spark.table(sink).select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+    return _detach_and_cleanup(out, base)

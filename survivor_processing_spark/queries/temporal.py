@@ -125,6 +125,43 @@ def asof_join_forward_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_nearest_broadcast",
+    doc="nearest-direction as-of (pd.merge_asof direction='nearest', "
+    "ties backward): each event attaches the CLOSEST signup time in "
+    "either direction — midpoint-interval banding keeps the same "
+    "zero-fact-shuffle BroadcastHashJoin plan as backward/forward; "
+    "oracle is a correlated LATERAL argmin with the same tie rule",
+    oracle="""
+SELECT e.event_id, s.nearest_signup_epoch
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type <> 'signup') e,
+LATERAL (
+    SELECT CAST(floor(epoch(sts)) AS BIGINT) AS nearest_signup_epoch
+    FROM (SELECT DISTINCT CAST(ts AS TIMESTAMP) AS sts
+          FROM events WHERE event_type = 'signup')
+    ORDER BY abs(epoch_us(e.ts) - epoch_us(sts)), sts
+    LIMIT 1
+) s
+""",
+)
+def asof_join_nearest_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") != "signup").select("event_id", "ts")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("ts").alias("signup_ts"))
+        .distinct()
+    )
+    out = asof_join(
+        facts, dim, "ts", "signup_ts", strategy="broadcast", direction="nearest"
+    )
+    return out.select(
+        "event_id",
+        F.unix_timestamp("signup_ts").alias("nearest_signup_epoch"),
+    )
+
+
 # --- D6/K4: containment join with NULL-out ---------------------------------
 
 

@@ -174,3 +174,43 @@ def test_near_dup_keep_best_one_winner_per_component(spark, sf_dir):
     assert all(r.n_kept == 1 for r in per_comp)
     # every doc labeled exactly once
     assert out.select("doc_id").distinct().count() == out.count()
+
+
+def test_geo_mean_udaf_matches_sql_formula(spark, sf_dir):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.queries.analytics import geo_mean_udaf
+
+    got = {r.event_type: r.geo_mean_value
+           for r in geo_mean_udaf(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: math.exp(r.m) - 1.0
+        for r in ev.groupBy("event_type")
+        .agg(F.avg(F.log1p("value")).alias("m"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert abs(got[k] - exact[k]) < 1e-9
+
+
+def test_observed_quality_metrics_ride_the_single_pass(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.functions.observe import observed_quality
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "maybe", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
+    observed, obs = observed_quality(ev, null_cols=["maybe", "props"])
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    expected_nulls = ev.filter(F.col("maybe").isNull()).count()
+    assert got["n_null_maybe"] == expected_nulls
+    assert got["n_null_props"] == ev.filter(F.col("props").isNull()).count()

@@ -113,3 +113,42 @@ def test_asof_forward_broadcast_matches_duckdb(spark, facts, dims):
     )
     got = {r.idx: r.dt for r in out.collect()}
     assert got == _oracle_forward(facts, dims)
+
+
+def _oracle_nearest(facts: list[int], dims: list[int]) -> dict[int, int | None]:
+    """Min |dist|, tie -> earlier dim (the floor-midpoint rule)."""
+    ds = sorted(set(dims))
+    out: dict[int, int | None] = {}
+    for i, ft in enumerate(facts):
+        out[i] = min(ds, key=lambda d: (abs(ft - d), d)) if ds else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(TS, min_size=1, max_size=40),
+    dims=st.lists(TS, min_size=0, max_size=25),
+)
+def test_asof_nearest_matches_bruteforce(spark, facts, dims):
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(facts)], "idx long, ft long"
+    )
+    right = spark.createDataFrame(
+        [(t,) for t in sorted(set(dims))], "dt long"
+    )
+    out = asof_join(left, right, "ft", "dt", strategy="broadcast",
+                    direction="nearest")
+    got = {r.idx: r.dt for r in out.collect()}
+    assert got == _oracle_nearest(facts, dims)
+
+
+def test_asof_nearest_union_strategy_rejected(spark):
+    left = spark.createDataFrame([(1, 1)], "idx long, ft long")
+    right = spark.createDataFrame([(1,)], "dt long")
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, right, "ft", "dt", strategy="union",
+                  direction="nearest")
