@@ -88,6 +88,8 @@ _PRIORITY = [
     "asof_join_nearest_broadcast",
     "streaming_dedup_within_watermark",
     "geo_mean_udaf",
+    "vocab_top_terms",
+    "export_balanced_shards",
 ]
 
 

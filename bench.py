@@ -48,6 +48,8 @@ HEADLINE = [
     "range_join_binned",
     "scd2_order_history",
     "domain_rebalance_sample",
+    "asof_join_nearest_broadcast",
+    "vocab_top_terms",
 ]
 
 

@@ -223,3 +223,92 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+@register(
+    "vocab_top_terms",
+    doc="per-language vocabulary extraction: top-20 tokens by corpus "
+    "frequency — explode + count is ONE map-side-combined hash agg "
+    "(shuffle carries distinct (lang, token), not token instances), "
+    "then the skew-proof salted top-k picks winners; a Zipfian hot "
+    "token costs one combiner cell per task, never a hot partition",
+    oracle="""
+WITH tok AS (
+    SELECT lang,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                               ' ')) AS token
+    FROM documents
+), c AS (
+    SELECT lang, token, COUNT(*) AS n
+    FROM tok WHERE token <> '' GROUP BY 1, 2
+)
+SELECT lang, token, n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, token) AS r
+    FROM c
+) WHERE r <= 20
+""",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = top_k_per_group(
+        counts,
+        keys=["lang"],
+        order_cols=[F.col("n").desc(), F.col("token")],
+        k=20,
+        salt_on=["token"],
+    )
+    return top.select("lang", "token", "n")
+
+
+@register(
+    "export_balanced_shards",
+    doc="training-data export: hash-sharded, intra-shard-sorted "
+    "parquet layout — repartition(shard) + sortWithinPartitions + "
+    "partitionBy write gives N balanced reader-friendly shards with "
+    "deterministic membership (pmod, not engine-specific hash); the "
+    "query proves the landed layout by reading the written dataset "
+    "back and aggregating per shard",
+    oracle="""
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    path = f"{tempfile.gettempdir()}/spark_graft_shards_{uuid.uuid4().hex[:8]}"
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("bigint")
+    )
+    (
+        d.repartition(8, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = (
+        spark.read.parquet(path)
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    res = back.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return res
