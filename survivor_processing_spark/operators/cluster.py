@@ -1,0 +1,105 @@
+"""K-means (Lloyd's algorithm) over an embedding column — the
+iterative-algorithm surface of the LLM-pipeline extensions (IVF
+coarse quantizers, corpus clustering for mix curation).
+
+Spark-first shape: each iteration is ONE distributed pass —
+assignment is a JVM expression over a broadcast centroid literal
+(k·dim doubles, trivially driver-held), the centroid update is
+posexplode + hash aggregate (map-side partial sums).  Nothing but
+the k·dim centroid matrix ever reaches the driver; the loop is
+driver-side control flow over lazy plans, which is exactly how
+MLlib's own KMeans iterates.  At 100 TB you'd persist the assigned
+DataFrame between iterations (here each pass re-reads parquet,
+which is fine at bench scale and keeps the lineage short).
+
+Determinism: init is the first k vectors by id (no RNG), distances
+are exact doubles, ties break toward the lowest cluster id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _sq_dist(vec_col: str, centroid: list[float]):
+    """Squared L2 distance between an array<float/double> column and
+    a centroid literal, fully JVM-side (zip_with + aggregate)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(
+        F.col(vec_col).cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Adds ``cluster``: argmin over the centroid list (k small —
+    the distance array is a codegen'd expression, no UDF)."""
+    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    # array_position returns the FIRST index of the min → lowest
+    # cluster id wins ties deterministically
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn("cluster", cluster)
+
+
+def update_centroids(
+    assigned: DataFrame, vec_col: str, k: int, dim: int
+) -> list[list[float]]:
+    """Mean vector per cluster via posexplode + one hash aggregate;
+    only the k×dim result is collected."""
+    means = (
+        assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    out: list[list[float]] = [[0.0] * dim for _ in range(k)]
+    seen = set()
+    for r in means:
+        out[r["cluster"]][r["pos"]] = float(r["m"])
+        seen.add(r["cluster"])
+    return out
+
+
+def farthest_point_init(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic k-center seeding (the greedy farthest-point /
+    max-min heuristic, i.e. k-means++ with argmax instead of RNG):
+    seed 1 is the lowest-id vector; each next seed maximizes the
+    min distance to the chosen set, ties to the lowest id.  k scans,
+    each a JVM expression + one-row max_by — no sampling, no RNG,
+    and seeds land one per well-separated blob by construction
+    (first-k-ids seeding can drop all k seeds into one blob)."""
+    first = (
+        df.orderBy(id_col).limit(1).select(F.col(vec_col).cast("array<double>"))
+    ).collect()
+    centroids = [list(first[0][0])]
+    while len(centroids) < k:
+        dists = [_sq_dist(vec_col, c) for c in centroids]
+        min_d = dists[0] if len(dists) == 1 else F.least(*dists)
+        # max_by on (distance, -id): farthest wins, lowest id on ties
+        pick = df.select(
+            F.max_by(
+                F.col(vec_col).cast("array<double>"),
+                F.struct(min_d.alias("d"), (-F.col(id_col)).alias("tb")),
+            ).alias("v")
+        ).collect()
+        centroids.append(list(pick[0]["v"]))
+    return centroids
+
+
+def kmeans_lloyd(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: farthest-point init, ``iters``
+    assignment/update rounds, returns the input with a final
+    ``cluster`` column."""
+    centroids = farthest_point_init(df, vec_col, id_col, k)
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        centroids = update_centroids(assigned, vec_col, k, dim)
+    return assign_clusters(df, vec_col, centroids)

@@ -20,5 +20,7 @@ from . import incremental  # noqa: F401  (B1 merge, N1-N3 incremental/streaming)
 from . import sources_q  # noqa: F401  (A3/A5/A7/A9/A10 ingestion connectors)
 from . import analytics  # noqa: F401  (windows, pivot, grouping sets, range join, SCD2, sketches)
 from . import corpus  # noqa: F401  (keep-best cluster dedup, domain rebalancing)
+from . import etl  # noqa: F401  (bucketed joins, CDC, incremental agg, DQ audit)
+from . import mining  # noqa: F401  (funnel, fuzzy match, histogram, k-means)
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,314 @@
+"""Warehouse-ETL queries (round 3): co-located bucketed joins, CDC
+changelog application, incremental aggregate maintenance, and a
+data-quality constraint audit.
+
+These generalize the reference's load layer — keyed Postgres upserts
+and full-recompute stat tables (reference: helpers/load_helpers.py:
+4-39, SURVEY §2.B/§2.E) — into the shapes a 100 TB warehouse
+actually runs: shuffle-once bucketed layouts, ordered I/U/D
+changelogs, delta-only aggregate refresh, and constraint monitoring.
+
+Hash-safety conventions as elsewhere: money on decimal(18,2) lanes,
+timestamps emitted as epoch-second bigints, every output column
+aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.cdc import apply_changelog
+from ..operators.partial_agg import merge_agg_states, partial_agg_state
+from ..operators.skew import bucketed_join, write_bucketed
+from ._registry import register
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- D-family at scale: co-located join over bucketed tables -----------------
+
+
+@register(
+    "bucketed_join_colocated",
+    doc="orders ⋈ customer over SAME-bucketed managed tables "
+    "(operators/skew.py write_bucketed/bucketed_join): the shuffle is "
+    "paid ONCE at write time; the join plan reads both sides already "
+    "hash-partitioned on the key — no Exchange on either input "
+    "(asserted in tests/test_skew_bucketing.py).  At 100 TB this is "
+    "the amortization for every repeated join/agg on the same key; "
+    "oracle is the plain join + aggregate",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"b_orders_{tag}", f"b_cust_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ),
+        t_orders,
+        ["o_custkey"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        t_cust,
+        ["o_custkey"],
+        n_buckets=8,
+    )
+    joined = bucketed_join(spark, t_orders, t_cust, ["o_custkey"])
+    out = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+    res = out.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+    return res
+
+
+# --- B-family: ordered I/U/D changelog application (CDC) ---------------------
+
+# Deterministic changelog synthesized from orders itself (both sides
+# derive it identically):
+#   key%10 == 0 → U(seq1) then D(seq2)   — delete wins
+#   key%10 == 1 → U(seq1) then U(seq2)   — last update wins
+#   key%10 == 2 → U(seq1)                — single update
+#   key%10 == 3 → I(seq1) under key -k   — pure insert (new key)
+
+
+@register(
+    "cdc_apply_changelog",
+    doc="ordered insert/update/delete changelog collapsed (max_by per "
+    "key — hash agg, no window sort) and merged over the base "
+    "snapshot in one full-outer join (operators/cdc.py): the "
+    "generalized form of the reference's ON CONFLICT upserts "
+    "(load_helpers.py:4-39) with deletes and replay order; oracle "
+    "recomputes the end state with window SQL",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+), ch AS (
+    SELECT k, 1 AS seq, 'U' AS op, 'UPD1' AS status, price + 1 AS price
+    FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, 2, 'D', NULL, NULL FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, 1, 'U', 'UPD1', price * 2 FROM base WHERE k % 10 IN (1, 2)
+    UNION ALL
+    SELECT k, 2, 'U', 'UPD2', price + 5 FROM base WHERE k % 10 = 1
+    UNION ALL
+    SELECT -k, 1, 'I', 'NEW', CAST(100.00 AS DECIMAL(18,2))
+    FROM base WHERE k % 10 = 3
+), latest AS (
+    SELECT k, op, status, price FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch
+    ) WHERE rn = 1
+), merged AS (
+    SELECT COALESCE(c.k, b.k) AS k,
+           CASE WHEN c.k IS NOT NULL THEN c.status ELSE b.status END AS status,
+           CASE WHEN c.k IS NOT NULL THEN c.price ELSE b.price END AS price,
+           c.op AS op
+    FROM base b FULL OUTER JOIN latest c ON b.k = c.k
+)
+SELECT k, status, CAST(price AS DOUBLE) AS price
+FROM merged WHERE op IS NULL OR op <> 'D'
+""",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+    )
+    m = F.col("k") % 10
+    dec_null = F.lit(None).cast("decimal(18,2)")
+    parts = [
+        base.filter(m == 0).select(
+            "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            F.lit("UPD1").alias("status"), (F.col("price") + 1).alias("price"),
+        ),
+        base.filter(m == 0).select(
+            "k", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("status"),
+            dec_null.alias("price"),
+        ),
+        base.filter(m.isin(1, 2)).select(
+            "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            F.lit("UPD1").alias("status"), (F.col("price") * 2).alias("price"),
+        ),
+        base.filter(m == 1).select(
+            "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            F.lit("UPD2").alias("status"), (F.col("price") + 5).alias("price"),
+        ),
+        base.filter(m == 3).select(
+            (-F.col("k")).alias("k"), F.lit(1).alias("seq"),
+            F.lit("I").alias("op"), F.lit("NEW").alias("status"),
+            F.lit(100.00).cast("decimal(18,2)").alias("price"),
+        ),
+    ]
+    changes = parts[0]
+    for p in parts[1:]:
+        changes = changes.unionByName(p)
+    end = apply_changelog(
+        base, changes, keys=["k"], seq_col="seq", op_col="op"
+    )
+    return end.select("k", "status", F.col("price").cast("double").alias("price"))
+
+
+# --- E-family at scale: incremental aggregate maintenance --------------------
+
+_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "incremental_agg_merge",
+    doc="materialized per-user aggregate refreshed by MERGING partial "
+    "state (operators/partial_agg.py): state from events before the "
+    "cutoff + a delta batch after it fold via union + one hash agg — "
+    "counts/sums add, maxes max (commutative monoids, the same "
+    "algebra as Spark's map-side partial agg).  The 100 TB shape: "
+    "only the delta shuffles, the full history is never re-read; "
+    "oracle recomputes from scratch and must agree exactly",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS max_ts_epoch
+FROM events
+GROUP BY user_id
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        _dec("value").alias("v"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "ts",
+    )
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    mk_state = lambda df: partial_agg_state(  # noqa: E731
+        df,
+        keys=["user_id"],
+        sum_cols={"total_value": "v"},
+        max_cols={"max_ts_epoch": "ts_epoch"},
+        count_col="n_events",
+    )
+    state = mk_state(ev.filter(F.col("ts") < cutoff))
+    delta = mk_state(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_agg_states(
+        [state, delta],
+        keys=["user_id"],
+        sum_cols=["n_events", "total_value"],
+        max_cols=["max_ts_epoch"],
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_ts_epoch",
+    )
+
+
+# --- C-family: data-quality constraint audit ---------------------------------
+
+
+@register(
+    "dq_constraint_audit",
+    doc="warehouse constraint monitor in one report: referential "
+    "integrity (anti-joins), uniqueness (count vs distinct), nullness "
+    "and range checks — the declarative form of the reference's "
+    "implicit Postgres PK/FK assumptions (load_helpers.py:28-33).  "
+    "Each check is an aggregate over one scan; FK checks broadcast "
+    "the key side.  Violation counts, not violating rows: at 100 TB "
+    "the report is O(checks), the rows stay put",
+    oracle="""
+SELECT 'orders_fk_customer' AS check_name,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'customer_null_acctbal',
+       (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL)
+UNION ALL
+SELECT 'events_dup_event_id',
+       (SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+UNION ALL
+SELECT 'events_value_range',
+       (SELECT COUNT(*) FROM events
+        WHERE value IS NULL OR value < 0 OR value > 1000)
+UNION ALL
+SELECT 'orders_nonpositive_price',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+""",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_fk_customer",
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        one("customer_null_acctbal", c.filter(F.col("c_acctbal").isNull())),
+        ev.select(
+            F.lit("events_dup_event_id").alias("check_name"),
+            (F.count("*") - F.count_distinct(F.col("event_id"))).alias(
+                "n_violations"
+            ),
+        ),
+        one(
+            "events_value_range",
+            ev.filter(
+                F.col("value").isNull()
+                | (F.col("value") < 0)
+                | (F.col("value") > 1000)
+            ),
+        ),
+        one("orders_nonpositive_price", o.filter(F.col("o_totalprice") <= 0)),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -1,0 +1,199 @@
+"""Behavioral-mining and matching queries (round 3): ordered funnel
+analysis, guaranteed-recall fuzzy matching, equi-width histograms,
+and deterministic k-means clustering.
+
+The fuzzy matcher is the scalable replacement for the reference's
+``difflib.get_close_matches`` name reconciliation (reference:
+helpers + data/interim/truedorks_contestant_namemap.yaml); the rest
+extend the E/F aggregation families with the event-sequence and
+clustering shapes an LLM-corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.cluster import kmeans_lloyd
+from ..operators.fuzzy import fuzzy_join_dist1
+from ._registry import register
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- F-family: ordered funnel (view -> click -> purchase) --------------------
+
+
+@register(
+    "funnel_stage_counts",
+    doc="strictly-ordered three-stage funnel per user (first view, "
+    "first click AFTER it, first purchase after that) — three chained "
+    "conditional-min windows over ONE user_id partitioning: Catalyst "
+    "plans a single Exchange and the Window nodes share the sort, so "
+    "the whole funnel is one shuffle regardless of stage count; "
+    "oracle is the identical window chain in SQL",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, ts, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+), s2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM s1
+), s3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM s2
+), u AS (
+    SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+    FROM s3 GROUP BY user_id
+)
+SELECT 'view' AS stage, 1 AS stage_no, COUNT(t1) AS n_users FROM u
+UNION ALL
+SELECT 'click', 2, COUNT(t2) FROM u
+UNION ALL
+SELECT 'purchase', 3, COUNT(t3) FROM u
+""",
+)
+def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    stages = [
+        u.select(
+            F.lit("view").alias("stage"),
+            F.lit(1).alias("stage_no"),
+            F.count("t1").alias("n_users"),
+        ),
+        u.select(F.lit("click"), F.lit(2), F.count("t2")),
+        u.select(F.lit("purchase"), F.lit(3), F.count("t3")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s.toDF("stage", "stage_no", "n_users"))
+    return out
+
+
+# --- D9 at scale: guaranteed-recall fuzzy match ------------------------------
+
+
+@register(
+    "fuzzy_name_match",
+    doc="edit-distance-1 name reconciliation via symmetric-delete "
+    "blocking (operators/fuzzy.py): a deterministically-corrupted "
+    "copy of customer names (one char deleted at custkey % len) "
+    "re-matches the clean roster through ONE hash equi-join on "
+    "deletion variants + JVM levenshtein verify — 100% recall at "
+    "dist ≤ 1 by construction, candidates O(n·len) not O(n²) "
+    "(the reference's difflib scan is the quadratic form).  Oracle "
+    "is the naive all-pairs levenshtein join (exact ground truth)",
+    oracle="""
+WITH dirty AS (
+    SELECT c_custkey + 1000000 AS d_key,
+           substr(c_name, 1, c_custkey % length(c_name)) ||
+           substr(c_name, (c_custkey % length(c_name)) + 2) AS d_name
+    FROM customer
+)
+SELECT d.d_key, c.c_custkey, levenshtein(d.d_name, c.c_name) AS dist
+FROM dirty d, customer c
+WHERE levenshtein(d.d_name, c.c_name) <= 1
+""",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = cust.select(
+        (F.col("c_custkey") + 1000000).alias("d_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"),
+            F.expr(
+                "substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"
+            ),
+        ).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    pairs = fuzzy_join_dist1(dirty, clean, "d_name", "c_name", max_dist=1)
+    return pairs.select(
+        "d_key", "c_custkey", F.col("dist").cast("long").alias("dist")
+    )
+
+
+# --- E-family: equi-width histogram ------------------------------------------
+
+
+@register(
+    "value_histogram_equiwidth",
+    doc="equi-width histogram of events.value (bin width 50): one "
+    "map-side-combined hash agg over a computed bin key — the "
+    "distributed histogram primitive (both engines bin on identical "
+    "IEEE double ops, so bucket edges agree bit-for-bit)",
+    oracle="""
+SELECT CAST(floor(value / 50) AS INTEGER) * 50 AS bin_lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.floor(F.col("value") / 50).cast("int") * 50).alias("bin_lo")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --- clustering: deterministic Lloyd's k-means (rows-only) -------------------
+
+
+@register(
+    "kmeans_clusters",
+    doc="k-means over the embeddings table (operators/cluster.py): "
+    "deterministic farthest-point init, 3 Lloyd iterations, each "
+    "a single distributed pass — assignment is a codegen'd JVM "
+    "expression against broadcast centroid literals, the update is "
+    "posexplode + hash agg; only k×dim doubles touch the driver.  "
+    "Iterative and engine-specific in fp tie behavior -> rows-only "
+    "driver check; tests/test_cluster.py pins planted-cluster "
+    "recovery exactly",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("cluster")
+    )
