@@ -1,0 +1,191 @@
+"""Time-series and layout queries (round 3b): calendar gap-fill with
+forward fill, event-transition matrices, decile profiling, and
+Morton (z-order) keys for multi-dimensional data skipping.
+
+The reference's episode timelines are dense by construction; real
+event feeds are not — these queries add the regularization and
+layout shapes a 100 TB event lake needs.  Hash-safety: dates emitted
+as yyyy-MM-dd strings, money on decimal lanes, z-values as plain
+bigints from portable shift/mask ops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.timeseries import resample_daily_ffill
+from ..operators.zorder import zvalue
+from ._registry import register
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- gap fill + forward fill -------------------------------------------------
+
+
+@register(
+    "gap_fill_forward_fill",
+    doc="per-user daily spend densified to a complete January "
+    "calendar and forward-filled (operators/timeseries.py): the "
+    "dense skeleton is sequence()+explode per key (no driver "
+    "calendar, no cross join), the fill is last(ignorenulls) over "
+    "one key-partitioned window — resample+ffill as a single "
+    "shuffle; oracle is the identical densify+window in SQL",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS daily_value
+    FROM events WHERE user_id % 20 = 0
+    GROUP BY 1, 2
+), skel AS (
+    SELECT u.user_id, d.day
+    FROM (SELECT DISTINCT user_id FROM daily) u
+    CROSS JOIN (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+    ) d
+), j AS (
+    SELECT s.user_id, s.day, dv.daily_value
+    FROM skel s LEFT JOIN daily dv
+      ON s.user_id = dv.user_id AND s.day = dv.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       daily_value IS NULL AS was_gap,
+       CAST(LAST_VALUE(daily_value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS daily_value
+FROM j
+""",
+)
+def gap_fill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(_dec("value")).alias("daily_value"))
+    filled = resample_daily_ffill(
+        daily,
+        keys=["user_id"],
+        date_col="day",
+        value_cols=["daily_value"],
+        span_lo="2024-01-01",
+        span_hi="2024-01-30",
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "was_gap",
+        F.col("daily_value").cast("double").alias("daily_value"),
+    )
+
+
+# --- behavioral: event-type transition matrix --------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    doc="first-order Markov transition counts over per-user event "
+    "sequences: lead() over ONE (user, ts, id)-ordered window + one "
+    "hash agg — sequence mining as two shuffles total, with the "
+    "(ts, event_id) composite order making ties deterministic",
+    oracle="""
+WITH seq AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+)
+SELECT src, dst, COUNT(*) AS n_transitions
+FROM seq WHERE dst IS NOT NULL
+GROUP BY src, dst
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+# --- profiling: exact deciles ------------------------------------------------
+
+
+@register(
+    "ntile_decile_stats",
+    doc="customer account-balance deciles via NTILE(10) over a "
+    "totally-ordered window (acctbal, custkey tiebreak — identical "
+    "bucket remainder semantics in both engines).  Exact global "
+    "ranking needs the global sort; at 100 TB swap to "
+    "approx_percentile bounds (q:sketch_distinct_quantiles) or a "
+    "two-stage sampled partitioner — documented in SCALE.md",
+    oracle="""
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+FROM (
+    SELECT c_acctbal,
+           NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+    FROM customer
+)
+GROUP BY decile
+""",
+)
+def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min(_dec("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(_dec("c_acctbal")).cast("double").alias("max_bal"),
+        )
+    )
+
+
+# --- layout: Morton (z-order) keys -------------------------------------------
+
+
+@register(
+    "zorder_morton_keys",
+    doc="Morton z-value per event interleaving (user_id, floor(value)) "
+    "bits (operators/zorder.py): the clustering key behind "
+    "OPTIMIZE ZORDER, computed as one codegen'd shift/mask fold — "
+    "writing the table sorted by it gives row-group min/max pruning "
+    "on BOTH dimensions (tests/test_round3_ops.py measures the stats "
+    "tightening); oracle recomputes the interleave arithmetically",
+    oracle="""
+SELECT event_id,
+       CAST(SUM(((user_id >> i) & 1) << (2 * i))
+          + SUM(((v >> i) & 1) << (2 * i + 1)) AS BIGINT) AS zval
+FROM (SELECT event_id, user_id,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events),
+     (SELECT unnest(range(16)) AS i)
+GROUP BY event_id
+""",
+)
+def zorder_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("bigint").alias("v"),
+    )
+    return ev.select(
+        "event_id", zvalue("user_id", "v", bits=16).alias("zval")
+    )

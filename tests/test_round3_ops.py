@@ -172,3 +172,78 @@ def test_kmeans_deterministic(spark):
     b = {r["vec_id"]: r["cluster"]
          for r in kmeans_lloyd(df, "embedding", "vec_id", k=4, iters=3).collect()}
     assert a == b
+
+
+# --- z-order layout ---------------------------------------------------------
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path):
+    """A z-ordered rewrite must give materially narrower per-row-group
+    min/max ranges on BOTH dimensions than the unsorted layout —
+    that narrowing IS the data-skipping win."""
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.zorder import zorder_write
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("bigint").alias("b"),
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    # unsorted baseline: shuffle rows round-robin so neither column is
+    # accidentally clustered, one file/row group per partition
+    df.repartition(4).write.parquet(plain)
+    zorder_write(df, zed, "a", "b", bits=12, n_files=16)
+
+    def avg_span(path, col):
+        import glob
+
+        spans, total = [], 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        spans.append(st.max - st.min)
+                        total += 1
+        return sum(spans) / total
+
+    # plain layout: every row group spans ~the full domain of both
+    # columns; z-order: both dimensions should tighten markedly
+    assert avg_span(zed, "a") < avg_span(plain, "a") * 0.5
+    assert avg_span(zed, "b") < avg_span(plain, "b") * 0.5
+
+
+# --- gap fill ---------------------------------------------------------------
+
+
+def test_resample_ffill_semantics(spark):
+    from survivor_processing_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            (1, "2024-01-02", 10.0),
+            (1, "2024-01-04", 40.0),
+            (2, "2024-01-01", 5.0),
+        ],
+        "k int, day string, v double",
+    ).select("k", F.col("day").cast("date").alias("day"), "v")
+    out = resample_daily_ffill(
+        daily, ["k"], "day", ["v"], "2024-01-01", "2024-01-05"
+    )
+    rows = {
+        (r["k"], str(r["day"])): (r["v"], r["was_gap"]) for r in out.collect()
+    }
+    assert len(rows) == 10  # 2 keys x 5 days
+    assert rows[(1, "2024-01-01")] == (None, True)  # before first obs
+    assert rows[(1, "2024-01-02")] == (10.0, False)
+    assert rows[(1, "2024-01-03")] == (10.0, True)  # carried forward
+    assert rows[(1, "2024-01-04")] == (40.0, False)
+    assert rows[(1, "2024-01-05")] == (40.0, True)
+    assert rows[(2, "2024-01-05")] == (5.0, True)
