@@ -36,39 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # visibility, and anything the driver flagged re-verifies next round.
 _PRIORITY = [
     # (b) failed in r02 (streaming ts schema mismatch) — fixed in
-    # streaming/incremental.py; re-verify first
+    # streaming/incremental.py (landed-type branch); re-verify first
     "streaming_windowed_counts",
     "streaming_foreachbatch_merge",
-    # (a) the 28 green-in-r01 queries that fell past r02's 50-cut
-    "string_funcs_merge_key",
-    "null_normalize_unit_scale",
-    "date_parse_epoch",
-    "date_window_predicate",
-    "asof_join_keyed",
-    "asof_join_broadcast_dim",
-    "containment_join_nullout",
-    "id_minting_sequential",
-    "entity_resolution_cascade",
-    "schema_sync_project",
-    "derivation_chain",
-    "session_window_agg",
-    "asof_join_forward_keyed",
-    "json_extract_payload",
-    "explode_map_of_arrays",
-    "array_numbered_columns",
-    "explode_distinct_union",
-    "to_json_roundtrip",
-    "exact_dedup_docs",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "near_dup_components",
-    "embedding_near_dup_pairs",
-    "embedding_lsh_pairs",
-    "cosine_topk",
-    "ivf_topk",
-    "text_quality_scores",
-    # (c) round-3 additions (no prior row by definition)
+    # (a) never driver-rowed: round-2 additions that missed both cuts
     "csv_scan_typed",
     "jsonl_scan",
     "cumulative_window_sums",
@@ -90,6 +61,36 @@ _PRIORITY = [
     "geo_mean_udaf",
     "vocab_top_terms",
     "export_balanced_shards",
+    # (c) round-3 additions (no prior row by definition)
+    "bucketed_join_colocated",
+    "cdc_apply_changelog",
+    "incremental_agg_merge",
+    "dq_constraint_audit",
+    "orc_roundtrip_scan",
+    "funnel_stage_counts",
+    "fuzzy_name_match",
+    "value_histogram_equiwidth",
+    "kmeans_clusters",
+    "gap_fill_forward_fill",
+    "event_transition_matrix",
+    "ntile_decile_stats",
+    "zorder_morton_keys",
+    "tfidf_top_terms",
+    # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
+    # first; the rest rotate next round
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "near_dup_components",
+    "exact_dedup_docs",
+    "embedding_near_dup_pairs",
+    "embedding_lsh_pairs",
+    "cosine_topk",
+    "ivf_topk",
+    "text_quality_scores",
+    "asof_join_keyed",
+    "asof_join_broadcast_dim",
+    "containment_join_nullout",
 ]
 
 

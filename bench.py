@@ -50,6 +50,12 @@ HEADLINE = [
     "domain_rebalance_sample",
     "asof_join_nearest_broadcast",
     "vocab_top_terms",
+    # round 3b
+    "cdc_apply_changelog",
+    "funnel_stage_counts",
+    "fuzzy_name_match",
+    "zorder_morton_keys",
+    "incremental_agg_merge",
 ]
 
 

@@ -56,11 +56,14 @@ def fuzzy_join_dist1(
     """
     lv = left.withColumn("_var", F.explode(deletion_variants(left_col)))
     rv = right.withColumn("_var", F.explode(deletion_variants(right_col)))
-    cand = (
-        lv.join(rv, "_var")
-        .drop("_var")
+    cand = lv.join(rv, "_var").drop("_var")
+    # verify BEFORE deduplicating: levenshtein on a candidate is a
+    # cheap codegen'd kernel, and filtering first shrinks the distinct
+    # shuffle to true matches (candidates carry multi-variant dupes)
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col(left_col), F.col(right_col))
+        )
+        .filter(F.col("dist") <= max_dist)
         .dropDuplicates(left.columns + right.columns)
     )
-    return cand.filter(
-        F.levenshtein(F.col(left_col), F.col(right_col)) <= max_dist
-    ).withColumn("dist", F.levenshtein(F.col(left_col), F.col(right_col)))

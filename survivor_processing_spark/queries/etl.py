@@ -312,3 +312,43 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+# --- A-family: ORC sink + scan (format breadth beyond parquet/csv/jsonl) -----
+
+
+@register(
+    "orc_roundtrip_scan",
+    doc="columnar-format breadth: land an events projection as ORC "
+    "(zlib, Spark native reader/writer — same predicate-pushdown and "
+    "column-pruning contract as parquet) and aggregate the read-back; "
+    "oracle computes the same aggregate over the original table",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE value > 100
+GROUP BY event_type
+""",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/spark_graft_orc_{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(path)
+    out = (
+        spark.read.orc(path)
+        .filter(F.col("value") > 100)  # pushed into the ORC scan
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    res = out.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return res

@@ -87,19 +87,35 @@ def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = s3.groupBy("user_id").agg(
         F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    stages = [
-        u.select(
-            F.lit("view").alias("stage"),
-            F.lit(1).alias("stage_no"),
-            F.count("t1").alias("n_users"),
-        ),
-        u.select(F.lit("click"), F.lit(2), F.count("t2")),
-        u.select(F.lit("purchase"), F.lit(3), F.count("t3")),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s.toDF("stage", "stage_no", "n_users"))
-    return out
+    # ONE pass: per-stage counts land in a single row, then unpivot —
+    # a 3-way union of selects over `u` would recompute the whole
+    # window chain per branch (3x the scan and shuffles)
+    counts = u.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("stage"),
+                    F.lit(1).alias("stage_no"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("click").alias("stage"),
+                    F.lit(2).alias("stage_no"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("purchase").alias("stage"),
+                    F.lit(3).alias("stage_no"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.stage_no", "s.n_users")
 
 
 # --- D9 at scale: guaranteed-recall fuzzy match ------------------------------

@@ -254,3 +254,45 @@ def test_token_budget_mix_no_global_sort(spark):
     for line in plan.splitlines():
         if "Sort " in line and "global=true" in line:
             raise AssertionError(f"global sort in plan: {line}")
+
+
+# --- round 3b plans ---------------------------------------------------------
+
+
+def test_funnel_single_window_exchange(spark):
+    """Three chained conditional-min windows + the final 1-row agg
+    must share partitionings: 2 Exchanges total, 3 Window nodes (a
+    naive 3-branch union triples the whole chain)."""
+    plan = plan_of(spark, "funnel_stage_counts")
+    assert plan.count("Exchange") == 2
+    assert plan.count("Window") == 3
+
+
+def test_event_transitions_one_window_shuffle(spark):
+    plan = plan_of(spark, "event_transition_matrix")
+    # window shuffle + aggregate shuffle, nothing else
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_is_hash_equijoin(spark):
+    """Symmetric-delete blocking must plan an equi-join on the
+    variant (hash join), never a nested-loop over all pairs."""
+    plan = plan_of(spark, "fuzzy_name_match")
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_keys_scan_only(spark):
+    """The Morton key is a pure projection — no shuffle at all."""
+    plan = plan_of(spark, "zorder_morton_keys")
+    assert "Exchange" not in plan
+
+
+def test_cdc_collapse_is_hash_agg_not_window(spark):
+    """The changelog collapse must be max_by aggregation (partial
+    agg, bounded per-key state), not a row_number window sort."""
+    plan = plan_of(spark, "cdc_apply_changelog")
+    assert "Window" not in plan
+    assert "max_by" in plan or "MaxBy" in plan
