@@ -296,3 +296,19 @@ def test_cdc_collapse_is_hash_agg_not_window(spark):
     plan = plan_of(spark, "cdc_apply_changelog")
     assert "Window" not in plan
     assert "max_by" in plan or "MaxBy" in plan
+
+
+def test_orc_scan_filter_pushdown(spark, tmp_path):
+    """The ORC reader honors the same pushdown contract as parquet
+    (q:orc_roundtrip_scan relies on it)."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "orc")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).write.orc(p)
+    df = spark.read.orc(p).filter(F.col("id") > 500)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "id" in pushed
