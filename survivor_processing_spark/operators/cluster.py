@@ -97,6 +97,15 @@ def kmeans_lloyd(
     """Deterministic Lloyd's k-means: farthest-point init, ``iters``
     assignment/update rounds, returns the input with a final
     ``cluster`` column."""
+    # k init scans + iters assignment passes all re-read the source
+    # otherwise; pin the working set once (on a cluster: persist to
+    # MEMORY_AND_DISK — same idea, fault-tolerant storage).  The loop
+    # runs ~k+iters tiny sequential jobs, so empty-task scheduling
+    # dominates if the vector table is over-partitioned: right-size
+    # to ~64k vectors/partition before pinning (a 100 TB corpus keeps
+    # its natural partitioning — the guard only ever shrinks).
+    n_parts = max(1, min(df.rdd.getNumPartitions(), df.count() // 65536 + 1))
+    df = df.coalesce(n_parts).localCheckpoint(eager=True)
     centroids = farthest_point_init(df, vec_col, id_col, k)
     dim = len(centroids[0])
     for _ in range(iters):
