@@ -76,6 +76,7 @@ _PRIORITY = [
     "ntile_decile_stats",
     "zorder_morton_keys",
     "tfidf_top_terms",
+    "skew_salted_join_agg",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "text_quality_scores",
     "asof_join_keyed",
     "asof_join_broadcast_dim",
-    "containment_join_nullout",
 ]
 
 

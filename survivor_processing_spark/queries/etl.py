@@ -292,20 +292,30 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         one("customer_null_acctbal", c.filter(F.col("c_acctbal").isNull())),
-        ev.select(
-            F.lit("events_dup_event_id").alias("check_name"),
-            (F.count("*") - F.count_distinct(F.col("event_id"))).alias(
-                "n_violations"
-            ),
-        ),
-        one(
-            "events_value_range",
-            ev.filter(
+        # uniqueness + range violations ride ONE events scan (each
+        # check as its own filter would re-read the table per rule —
+        # the anti-pattern at 100 TB); unpivot the single agg row
+        ev.agg(
+            (F.count("*") - F.count_distinct(F.col("event_id"))).alias("dup"),
+            F.count_if(
                 F.col("value").isNull()
                 | (F.col("value") < 0)
                 | (F.col("value") > 1000)
-            ),
-        ),
+            ).alias("rng"),
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("events_dup_event_id").alias("check_name"),
+                        F.col("dup").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("events_value_range").alias("check_name"),
+                        F.col("rng").alias("n_violations"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.check_name", "s.n_violations"),
         one("orders_nonpositive_price", o.filter(F.col("o_totalprice") <= 0)),
     ]
     out = checks[0]
@@ -352,3 +362,44 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out.localCheckpoint(eager=True)
     shutil.rmtree(path, ignore_errors=True)
     return res
+
+
+# --- D-family at scale: explicit salted join ---------------------------------
+
+
+@register(
+    "skew_salted_join_agg",
+    doc="orders ⋈ nation-sized status dim through the EXPLICIT salted "
+    "join (operators/skew.py salted_join): the fact side carries a "
+    "deterministic xxhash64 salt, the dim explodes n_salts ways, and "
+    "the join key becomes (key, salt) — one pathological key spreads "
+    "over 16 reducers instead of one hot task.  AQE's skew split "
+    "covers most cases; the explicit form is for when stats are "
+    "absent or the skewed side feeds an aggregation.  Output equals "
+    "the unsalted join (unit-tested); oracle is the plain join",
+    oracle="""
+WITH dim(status, label) AS (VALUES
+    ('O', 'open'), ('F', 'filled'), ('P', 'pending'))
+SELECT d.label, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN dim d ON o.o_orderstatus = d.status
+GROUP BY d.label
+""",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"), "o_totalprice"
+    )
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")],
+        "status string, label string",
+    )
+    # 3-value join key over millions of orders = the textbook skew
+    # shape AQE can't always see (dim is tiny, fact feeds an agg)
+    joined = salted_join(o, dim, ["status"], n_salts=16)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
