@@ -77,6 +77,7 @@ _PRIORITY = [
     "zorder_morton_keys",
     "tfidf_top_terms",
     "skew_salted_join_agg",
+    "streaming_incremental_agg",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "ivf_topk",
     "text_quality_scores",
     "asof_join_keyed",
-    "asof_join_broadcast_dim",
 ]
 
 

@@ -542,3 +542,91 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.unix_timestamp("ts").alias("ts_epoch"),
     )
     return _detach_and_cleanup(out, base)
+
+
+# --- N1+E at scale: streaming materialized aggregate (state merge) ----------
+
+
+@register(
+    "streaming_incremental_agg",
+    doc="streaming materialized view: readStream over a two-batch "
+    "events fixture -> foreachBatch computes the batch's PARTIAL "
+    "aggregate state (operators/partial_agg.py) and folds it into a "
+    "persistent state table (count/sum/max are mergeable monoids — "
+    "each batch shuffles only its own groups, history is never "
+    "re-read; the swap is atomic-rename here, Delta MERGE on a real "
+    "cluster).  End state == the batch aggregate; oracle recomputes "
+    "from scratch",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS max_ts_epoch
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.partial_agg import merge_agg_states, partial_agg_state
+
+    base = f"{tempfile.gettempdir()}/spark_graft_sia_{uuid.uuid4().hex[:8]}"
+    src, ckpt, state = f"{base}/src", f"{base}/ckpt", f"{base}/state"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b1")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+
+    def mk_state(df: DataFrame) -> DataFrame:
+        return partial_agg_state(
+            df.select(
+                "user_id",
+                F.col("value").cast("decimal(18,2)").alias("v"),
+                F.unix_timestamp("ts").alias("ts_epoch"),
+            ),
+            keys=["user_id"],
+            sum_cols={"total_value": "v"},
+            max_cols={"max_ts_epoch": "ts_epoch"},
+            count_col="n_events",
+        )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = mk_state(batch_df)
+        if os.path.exists(state):
+            merged = merge_agg_states(
+                [s.read.parquet(state), delta],
+                keys=["user_id"],
+                sum_cols=["n_events", "total_value"],
+                max_cols=["max_ts_epoch"],
+            )
+        else:
+            merged = delta
+        # land-then-swap keeps readers off half-written state
+        merged.write.mode("overwrite").parquet(f"{state}_new")
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.rename(f"{state}_new", state)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 180)
+    out = spark.read.parquet(state).select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_ts_epoch",
+    )
+    return _detach_and_cleanup(out, base)
