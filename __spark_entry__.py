@@ -78,6 +78,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     "skew_salted_join_agg",
     "streaming_incremental_agg",
+    "variant_props_agg",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "cosine_topk",
     "ivf_topk",
     "text_quality_scores",
-    "asof_join_keyed",
 ]
 
 

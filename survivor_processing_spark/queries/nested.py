@@ -140,3 +140,36 @@ def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload_json"),
     )
+
+
+# --- L4 at scale: VARIANT semi-structured type (Spark 4) --------------------
+
+
+@register(
+    "variant_props_agg",
+    doc="semi-structured analytics on the VARIANT type (Spark 4 "
+    "parse_json/variant_get): props parses ONCE into the binary "
+    "variant encoding, typed extraction happens without re-parsing "
+    "the string per access — at 100 TB the parse-once layout beats "
+    "per-expression get_json_object (q:json_extract_payload is the "
+    "string-path twin); oracle uses DuckDB's native JSON extraction",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
