@@ -79,6 +79,7 @@ _PRIORITY = [
     "skew_salted_join_agg",
     "streaming_incremental_agg",
     "variant_props_agg",
+    "cohort_retention",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "embedding_lsh_pairs",
     "cosine_topk",
     "ivf_topk",
-    "text_quality_scores",
 ]
 
 

@@ -189,3 +189,51 @@ def zorder_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zvalue("user_id", "v", bits=16).alias("zval")
     )
+
+
+# --- cohort retention --------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    doc="weekly cohort retention: each user's cohort is their "
+    "first-seen week (one hash agg), activity joins back on user "
+    "(shuffle on the natural key) and counts distinct users per "
+    "(cohort_week, week_offset) cell — the standard retention "
+    "triangle as two aggregates and one join, no window over the "
+    "full event stream; weeks are epoch-day arithmetic (no "
+    "engine-specific week-of-year semantics)",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           CAST(floor(CAST(epoch(MIN(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                      / 604800) AS BIGINT) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                      / 604800) AS BIGINT) AS act_week
+    FROM events
+)
+SELECT f.cohort_week,
+       a.act_week - f.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
