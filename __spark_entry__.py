@@ -80,6 +80,7 @@ _PRIORITY = [
     "streaming_incremental_agg",
     "variant_props_agg",
     "cohort_retention",
+    "quality_model_score",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "embedding_lsh_pairs",
     "cosine_topk",
-    "ivf_topk",
 ]
 
 

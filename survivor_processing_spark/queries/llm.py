@@ -761,3 +761,64 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return repetition_stats(d, "text", "doc_id", n=2)
+
+
+@register(
+    "quality_model_score",
+    doc="linear quality model scored as pure columnar math (the "
+    "fasttext-classifier-filter shape with the model baked to fixed "
+    "weights): logit = w·[alpha_ratio, stopword_ratio, "
+    "avg_token_len/10, ln(1+n_tokens)/10] + b, sigmoid'd and rounded "
+    "— model inference over 100 TB as one codegen'd projection, no "
+    "UDF, no model server; keep-decision at 0.5.  Both engines "
+    "compute identical IEEE doubles through exp/ln, rounded at 1e-6",
+    oracle="""
+WITH feats AS (
+    SELECT doc_id,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / length(text) AS f_alpha,
+           len(list_intersect(
+                   list_distinct(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')),
+                   ['the','a','of','and','to','in','is','that'])) * 1.0
+               / len(string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ')) AS f_stop,
+           (length(text) * 1.0
+               / len(string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' '))) * 0.1 AS f_len,
+           ln(1 + len(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' '))) * 0.1 AS f_ntok
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(2.0 * f_alpha + 3.0 * f_stop
+                                - 0.5 * f_len + 1.0 * f_ntok - 1.0))),
+             6) AS quality,
+       (1.0 / (1.0 + exp(-(2.0 * f_alpha + 3.0 * f_stop
+                           - 0.5 * f_len + 1.0 * f_ntok - 1.0)))) >= 0.5
+           AS keep
+FROM feats
+""",
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import quality_score_exprs
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = quality_score_exprs(F.col("text"))
+    logit = (
+        2.0 * ex["alpha_ratio"]
+        + 3.0 * ex["stopword_ratio"]
+        - 0.5 * (ex["avg_token_len"] * 0.1)
+        + 1.0 * (F.log(1 + ex["n_tokens"]) * 0.1)
+        - 1.0
+    )
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality"),
+        (prob >= 0.5).alias("keep"),
+    )
