@@ -81,6 +81,8 @@ _PRIORITY = [
     "variant_props_agg",
     "cohort_retention",
     "quality_model_score",
+    "safe_math_try_ops",
+    "schema_evolution_scan",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
@@ -89,8 +91,6 @@ _PRIORITY = [
     "near_dup_components",
     "exact_dedup_docs",
     "embedding_near_dup_pairs",
-    "embedding_lsh_pairs",
-    "cosine_topk",
 ]
 
 

@@ -403,3 +403,111 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+# --- K-family: ANSI-safe arithmetic / casts ----------------------------------
+
+
+@register(
+    "safe_math_try_ops",
+    doc="ANSI-safe expression surface: try_divide (NULL on /0 instead "
+    "of a job-killing exception under ANSI mode), try_cast of dirty "
+    "strings, and try_add overflow behavior — per-status aggregates "
+    "over lineitem-derived dirty inputs.  At 100 TB one poisoned row "
+    "must NULL out, not fail a 6-hour job; oracle uses DuckDB's "
+    "TRY_CAST and NULLIF-guarded division",
+    oracle="""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                           / NULLIF(CAST(o_orderkey % 3 AS INTEGER), 0), 6)
+                     AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_ratio,
+       CAST(SUM(CASE WHEN TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'oops'
+                                   ELSE CAST(o_orderkey AS VARCHAR) END
+                              AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_casts
+FROM orders
+GROUP BY 1
+""",
+)
+def safe_math_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dirty_str = F.when(F.col("o_orderkey") % 5 == 0, F.lit("oops")).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.round(
+                F.try_divide(
+                    _dec("o_totalprice"), (F.col("o_orderkey") % 3).cast("int")
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("ratio"),
+            F.try_to_number(dirty_str, F.lit("999999999999")).alias("as_num"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ratio").cast("double").alias("sum_ratio"),
+            F.sum(
+                F.when(F.col("as_num").isNull(), 1).otherwise(0)
+            ).alias("n_bad_casts"),
+        )
+    )
+
+
+# --- A-family: schema evolution (mergeSchema across file generations) --------
+
+
+@register(
+    "schema_evolution_scan",
+    doc="lake schema evolution: generation-1 files (2 columns) and "
+    "generation-2 files (3 columns, new nullable col) read as ONE "
+    "dataset via mergeSchema — old rows surface NULL for the added "
+    "column, aggregates treat both generations uniformly.  The "
+    "100 TB reality is that columns get added mid-lake; mergeSchema "
+    "unions footers at planning time (no data rewrite).  Oracle "
+    "rebuilds the same two generations with UNION ALL",
+    oracle="""
+WITH gen1 AS (
+    SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+), gen2 AS (
+    SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 1
+), unioned AS (
+    SELECT event_id, event_type, NULL::DOUBLE AS value FROM gen1
+    UNION ALL
+    SELECT event_id, event_type, value FROM gen2
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_with_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM unioned
+GROUP BY event_type
+""",
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/spark_graft_evo_{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    ).write.parquet(f"{path}/gen=1")
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    ).write.parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    out = merged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+    res = out.localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return res
