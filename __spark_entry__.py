@@ -83,13 +83,13 @@ _PRIORITY = [
     "quality_model_score",
     "safe_math_try_ops",
     "schema_evolution_scan",
+    "embedding_quantize_int8",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
     "near_dup_components",
-    "exact_dedup_docs",
     "embedding_near_dup_pairs",
 ]
 

@@ -382,3 +382,47 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 3)
         .select("doc_id", "token", "tf", "df", "score")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    doc="symmetric int8 quantization of the embedding column (the "
+    "4× storage cut every 100 TB vector corpus takes before ANN "
+    "serving): per-vector scale = 127/max|x|, codes = round(x·scale) "
+    "— all higher-order JVM array functions (transform/array_max/"
+    "aggregate), no UDF, no Python; verified via per-vector code "
+    "statistics.  Both engines run identical IEEE double ops on the "
+    "same float inputs, so codes agree exactly",
+    oracle="""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE)
+                                          * (127.0 / list_max(list_transform(
+                                                embedding,
+                                                y -> abs(CAST(y AS DOUBLE)))))
+                                          , 0) AS INTEGER)) AS codes
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS qsum,
+       CAST(list_min(codes) AS INTEGER) AS qmin,
+       CAST(list_max(codes) AS INTEGER) AS qmax
+FROM q
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / max_abs
+    codes = F.transform(v, lambda x: F.round(x * scale, 0).cast("int"))
+    q = emb.select("vec_id", codes.alias("codes"))
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("qsum"),
+        F.array_min("codes").alias("qmin"),
+        F.array_max("codes").alias("qmax"),
+    )
