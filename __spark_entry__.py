@@ -84,12 +84,12 @@ _PRIORITY = [
     "safe_math_try_ops",
     "schema_evolution_scan",
     "embedding_quantize_int8",
+    "corpus_curation_pipeline",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
-    "near_dup_components",
     "embedding_near_dup_pairs",
 ]
 

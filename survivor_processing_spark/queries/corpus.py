@@ -426,3 +426,117 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").alias("qmin"),
         F.array_max("codes").alias("qmax"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    doc="END-TO-END curation: quality gate (C4/Gopher rule chain) -> "
+    "exact dedup (keep min doc_id per normalized text) -> near-dup "
+    "cluster dedup keeping the longest copy (exact 3-gram Jaccard "
+    ">= 0.5 + connected components) -> per-language corpus stats.  "
+    "One composed lazy plan: the gates are map-side filters, dedup "
+    "is the posting-list pair path, and nothing materializes "
+    "between stages (at 100 TB each stage would checkpoint to the "
+    "lake; the PLAN per stage is identical).  Oracle replays the "
+    "same chain in SQL with a recursive-CTE closure",
+    oracle="""
+WITH RECURSIVE feats AS (
+    SELECT doc_id, lang, n_chars, text,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ')) AS n_tokens,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_intersect(
+               list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+               ['the','a','of','and','to','in','is','that'])) AS stop_hits
+    FROM documents
+), s1 AS (
+    SELECT * FROM feats
+    WHERE n_tokens BETWEEN 10 AND 100000
+      AND alpha_chars * 1.0 / n_chars >= 0.6
+      AND n_chars * 1.0 / n_tokens BETWEEN 3.0 AND 12.0
+      AND stop_hits * 1.0 / n_tokens > 0.0
+), s2 AS (
+    SELECT * FROM s1
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM s1 GROUP BY norm)
+), w AS (
+    SELECT doc_id, n_chars,
+           string_split(norm, ' ') AS words
+    FROM s2
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+        )
+    )
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT id1, id2 FROM common
+    JOIN cnt c1 ON c1.doc_id = id1
+    JOIN cnt c2 ON c2.doc_id = id2
+    WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
+), edges AS (
+    SELECT id1 AS a, id2 AS b FROM pairs
+    UNION ALL SELECT id2, id1 FROM pairs
+), walk AS (
+    SELECT a AS node, b AS reach FROM edges
+    UNION
+    SELECT wk.node, e.b FROM walk wk JOIN edges e ON wk.reach = e.a
+), comp AS (
+    SELECT node, least(node, min(reach)) AS component_id
+    FROM walk GROUP BY node
+), labeled AS (
+    SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens,
+           COALESCE(c.component_id, s.doc_id) AS component_id
+    FROM s2 s LEFT JOIN comp c ON c.node = s.doc_id
+), s3 AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+                                     ORDER BY n_chars DESC, doc_id) AS r
+        FROM labeled
+    ) WHERE r = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM s3 GROUP BY lang
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quality_filter
+    from ..operators.dedup import exact_dedup, tokens_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    # stage 1: quality gate
+    flags = quality_filter(d, "text", "doc_id").filter("keep").select("doc_id")
+    s1 = d.join(flags, "doc_id")
+    # stage 2: exact dedup (min doc_id per normalized text)
+    keep_exact = exact_dedup(s1, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s2 = s1.join(keep_exact, "doc_id")
+    # stage 3: near-dup cluster dedup, keep the longest copy
+    prs = ngram_jaccard_pairs(s2, "text", "doc_id", threshold=0.5, shingle_n=3)
+    comps = connected_components(prs.select("id1", "id2"))
+    labeled = s2.join(comps, s2.doc_id == comps.node, "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokens_expr("text")).alias("n_tokens"),
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    s3 = labeled.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    return s3.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
