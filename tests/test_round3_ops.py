@@ -247,3 +247,26 @@ def test_resample_ffill_semantics(spark):
     assert rows[(1, "2024-01-04")] == (40.0, False)
     assert rows[(1, "2024-01-05")] == (40.0, True)
     assert rows[(2, "2024-01-05")] == (5.0, True)
+
+
+def test_zvalue_matches_python_interleave(spark):
+    """The JVM shift/mask fold must equal a reference Python Morton
+    encode for arbitrary inputs across the full bit range."""
+    from survivor_processing_spark.operators.zorder import zvalue
+
+    def morton(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+            (65535, 0), (1, 65534), (32768, 32767)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zvalue("a", "b", 16).alias("z")).collect()
+    }
+    for a, b in vals:
+        assert got[(a, b)] == morton(a, b)
