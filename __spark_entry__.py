@@ -85,11 +85,11 @@ _PRIORITY = [
     "schema_evolution_scan",
     "embedding_quantize_int8",
     "corpus_curation_pipeline",
+    "stream_static_enrich_join",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "simhash_near_pairs",
     "embedding_near_dup_pairs",
 ]
 

@@ -630,3 +630,61 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_ts_epoch",
     )
     return _detach_and_cleanup(out, base)
+
+
+# --- N1 streaming: stream-static broadcast enrichment ------------------------
+
+
+@register(
+    "stream_static_enrich_join",
+    doc="stream-static join: the events stream enriches against a "
+    "STATIC dimension (user tier derived batch-side) — the static "
+    "side broadcasts per micro-batch, no stream-side state, no "
+    "watermark requirement (unlike stream-stream joins); the "
+    "standard streaming enrichment shape.  availableNow + memory "
+    "sink; oracle is the equivalent batch join + aggregate",
+    oracle="""
+WITH tiers AS (
+    SELECT user_id,
+           CASE WHEN user_id % 3 = 0 THEN 'gold'
+                WHEN user_id % 3 = 1 THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT t.tier, e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN tiers t ON e.user_id = t.user_id
+GROUP BY t.tier, e.event_type
+""",
+)
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+    stream = stream_events(spark, sf_dir, watermark="30 minutes")
+    enriched = stream.join(F.broadcast(tiers), "user_id")
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    sink = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 120)
+    return spark.table(sink).select("tier", "event_type", "n_events", "total_value")
