@@ -86,6 +86,7 @@ _PRIORITY = [
     "embedding_quantize_int8",
     "corpus_curation_pipeline",
     "stream_static_enrich_join",
+    "cube_agg",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
