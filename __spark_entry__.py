@@ -91,7 +91,6 @@ _PRIORITY = [
     # first; the rest rotate next round
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "embedding_near_dup_pairs",
 ]
 
 
