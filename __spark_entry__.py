@@ -34,6 +34,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose last row predates a relevant fix, (c) brand-new
 # queries — so across consecutive rounds every query gets driver
 # visibility, and anything the driver flagged re-verifies next round.
+#
+# Round-4 rotation note: front-load (after any r03 failures) the
+# r01-only-verified queries currently rotated out — string_funcs_merge_key,
+# null_normalize_unit_scale, date_parse_epoch, date_window_predicate,
+# derivation_chain, entity_resolution_cascade, explode_distinct_union,
+# explode_map_of_arrays, id_minting_sequential, json_extract_payload,
+# schema_sync_project, string I/J family, to_json_roundtrip,
+# array_numbered_columns, asof_join_forward_keyed, exact_dedup_docs,
+# embedding_near_dup_pairs, embedding_lsh_pairs, cosine_topk, ivf_topk,
+# text_quality_scores, asof_join_keyed/_broadcast_dim,
+# containment_join_nullout, session_window_agg, simhash_near_pairs,
+# near_dup_components — then any round-4 additions.
 _PRIORITY = [
     # (b) failed in r02 (streaming ts schema mismatch) — fixed in
     # streaming/incremental.py (landed-type branch); re-verify first
