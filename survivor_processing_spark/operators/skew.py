@@ -40,17 +40,22 @@ def salted_join(
 
 
 def write_bucketed(
-    df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (+ sorted) managed table: pays the
-    shuffle once at write time so every later equi-join or
-    aggregation on ``keys`` is exchange-free."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, *keys)
-        .sortBy(*keys)
-        .saveAsTable(table)
-    )
+    """Persist as a bucketed (+ sorted) table: pays the shuffle once
+    at write time so every later equi-join or aggregation on ``keys``
+    is exchange-free.  Pass ``path`` to land an EXTERNAL table at an
+    explicit location (no dependence on the session's warehouse dir —
+    bucketing metadata requires the catalog, so this is still
+    ``saveAsTable``, but the data lives where the caller says)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def bucketed_join(

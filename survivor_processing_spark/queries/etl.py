@@ -51,8 +51,12 @@ GROUP BY c.c_mktsegment
 """,
 )
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
     tag = uuid.uuid4().hex[:8]
     t_orders, t_cust = f"b_orders_{tag}", f"b_cust_{tag}"
+    base = f"{tempfile.gettempdir()}/spark_graft_bkt_{tag}"
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice"
@@ -60,6 +64,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_orders,
         ["o_custkey"],
         n_buckets=8,
+        path=f"{base}/orders",
     )
     write_bucketed(
         load_table(spark, sf_dir, "customer").select(
@@ -68,6 +73,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_cust,
         ["o_custkey"],
         n_buckets=8,
+        path=f"{base}/customer",
     )
     joined = bucketed_join(spark, t_orders, t_cust, ["o_custkey"])
     out = joined.groupBy("c_mktsegment").agg(
@@ -77,6 +83,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out.localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
     spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+    shutil.rmtree(base, ignore_errors=True)
     return res
 
 
