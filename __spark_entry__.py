@@ -99,10 +99,10 @@ _PRIORITY = [
     "corpus_curation_pipeline",
     "stream_static_enrich_join",
     "cube_agg",
+    "weighted_sample_aes",
     # (d) oldest-verified fill (green in r01 only) — heavy/load-bearing
     # first; the rest rotate next round
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
 ]
 
 

@@ -226,3 +226,42 @@ def redact_pii(
         "<PHONE>",
     )
     return df.withColumn(out, redacted)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per key group — the
+    Efraimidis–Spirakis A-ES scheme: draw u ~ U(0,1) per row, rank by
+    ``-ln(u)/weight`` ascending and keep the k smallest (equivalent
+    to keeping the k largest u^(1/w)).  Heavier rows win
+    proportionally more often, each row at most once.
+
+    u comes from a portable multiplicative integer hash of the id
+    (reproducible across runs/engines — same contract as
+    ``stratified_hash_sample``), offset by +0.5 so u is never 0.
+    Ranking rides the skew-proof two-stage salted top-k, so one huge
+    stratum cannot pin a task.  The decision column is a plain
+    projection — the only shuffles are the top-k's two bounded
+    window stages."""
+    from .skew import top_k_per_group
+
+    u = (
+        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(resolution))
+        + F.lit(0.5)
+    ) / F.lit(float(resolution))
+    key = -F.log(u) / F.col(weight_col)
+    ranked = df.withColumn("_aes_key", key)
+    out = top_k_per_group(
+        ranked,
+        keys=keys,
+        order_cols=[F.col("_aes_key").asc(), F.col(id_col).asc()],
+        k=k,
+        salt_on=[id_col],
+    )
+    return out.drop("_aes_key")

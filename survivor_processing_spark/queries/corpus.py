@@ -540,3 +540,39 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "weighted_sample_aes",
+    doc="weighted sampling without replacement (Efraimidis–Spirakis "
+    "A-ES, operators/curation.py weighted_sample_k): 15 docs per "
+    "language drawn with probability proportional to n_chars — rank "
+    "by -ln(u)/weight with a portable hash-derived u, keep the k "
+    "smallest through the salted two-stage top-k (no hot stratum).  "
+    "Deterministic across runs and engines; oracle replays the "
+    "identical arithmetic and ranking in SQL",
+    oracle="""
+WITH keyed AS (
+    SELECT lang, doc_id,
+           -ln(((doc_id * 2654435761) % 1000000 + 0.5) / 1000000.0)
+               / n_chars AS aes_key
+    FROM documents
+)
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY aes_key, doc_id) AS r
+    FROM keyed
+) WHERE r <= 15
+""",
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import weighted_sample_k
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    out = weighted_sample_k(
+        d, keys=["lang"], id_col="doc_id", weight_col="n_chars", k=15
+    )
+    return out.select("lang", "doc_id")
