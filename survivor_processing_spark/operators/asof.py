@@ -242,6 +242,26 @@ def _asof_broadcast_nearest(left, right, left_on, right_on, by):
     r_ord = _ordinal(F.col(right_on), rt)
     l_ord = _ordinal(F.col(left_on), lt)
 
+    # Pre-collapse duplicate (by, right_on) rows to ONE deterministic
+    # winner (lexicographically-least payload struct).  Without this a
+    # duplicated pair does NOT collapse in the interval algebra: the
+    # second copy gets _lo = ord+1 with a non-empty _hi (or an open
+    # tail when the duplicates are last in the group), so facts past
+    # the duplicated ts would receive the LATER copy's payload —
+    # copy-inconsistent when payload columns differ between copies.
+    pay_cols = [c for c in right.columns if c not in by and c != right_on]
+    if pay_cols:
+        right = (
+            right.groupBy(*by, right_on)
+            .agg(F.min(F.struct(*pay_cols)).alias("_pay"))
+            .select(*[
+                F.col(f"_pay.{c}").alias(c) if c in pay_cols else F.col(c)
+                for c in right.columns
+            ])
+        )
+    else:
+        right = right.dropDuplicates([*by, right_on])
+
     lo, hi, n = right.agg(F.min(r_ord), F.max(r_ord), F.count(right_on)).first()
     if n == 0:
         null_right = [
@@ -263,8 +283,9 @@ def _asof_broadcast_nearest(left, right, left_on, right_on, by):
         )
         .withColumn("_hi", F.expr("(_ord + _next) div 2"))
     )
-    # duplicate right_on values collapse to the earliest copy: later
-    # duplicates get _lo > _hi (empty ownership) and drop here
+    # right_on is unique per group after the pre-collapse above, so
+    # every finite interval is non-empty; the _lo <= _hi guard stays
+    # as a cheap invariant check
     closed = (
         iv.filter(F.col("_lo").isNotNull() & F.col("_hi").isNotNull())
         .filter(F.col("_lo") <= F.col("_hi"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..operators.cluster import kmeans_lloyd
-from ..operators.fuzzy import fuzzy_join_dist1
+from ..operators.fuzzy import fuzzy_join, fuzzy_join_dist1
 from ._registry import register
 
 
@@ -156,6 +156,60 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = cust.select("c_custkey", "c_name")
     pairs = fuzzy_join_dist1(dirty, clean, "d_name", "c_name", max_dist=1)
+    return pairs.select(
+        "d_key", "c_custkey", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@register(
+    "fuzzy_name_match_dist2",
+    doc="edit-distance-2 name reconciliation via TWO-round "
+    "symmetric-delete blocking (operators/fuzzy.py fuzzy_join "
+    "max_dist=2): a doubly-corrupted copy of 1-in-10 customer names "
+    "(two deterministic char deletions) re-matches the clean roster "
+    "through one hash equi-join on depth-2 deletion variants + JVM "
+    "levenshtein verify — 100% recall at dist ≤ 2 by the SymSpell "
+    "depth-2 guarantee, candidates O(n·len²) not O(n²) (mirrors the "
+    "reference's loose difflib cascade, episodes_transform.py:218-240)."
+    "  Oracle is the naive all-pairs levenshtein join (exact ground "
+    "truth)",
+    oracle="""
+WITH dirty1 AS (
+    SELECT c_custkey, c_custkey + 2000000 AS d_key,
+           substr(c_name, 1, c_custkey % length(c_name)) ||
+           substr(c_name, (c_custkey % length(c_name)) + 2) AS d1
+    FROM customer
+    WHERE c_custkey % 10 = 7
+), dirty AS (
+    SELECT d_key,
+           substr(d1, 1, c_custkey % length(d1)) ||
+           substr(d1, (c_custkey % length(d1)) + 2) AS d_name
+    FROM dirty1
+)
+SELECT d.d_key, c.c_custkey, levenshtein(d.d_name, c.c_name) AS dist
+FROM dirty d, customer c
+WHERE levenshtein(d.d_name, c.c_name) <= 2
+""",
+)
+def fuzzy_name_match_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty1 = cust.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        (F.col("c_custkey") + 2000000).alias("d_key"),
+        F.expr(
+            "substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) || "
+            "substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"
+        ).alias("d1"),
+    )
+    dirty = dirty1.select(
+        "d_key",
+        F.expr(
+            "substr(d1, 1, CAST(c_custkey % length(d1) AS INT)) || "
+            "substr(d1, CAST(c_custkey % length(d1) AS INT) + 2)"
+        ).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    pairs = fuzzy_join(dirty, clean, "d_name", "c_name", max_dist=2)
     return pairs.select(
         "d_key", "c_custkey", F.col("dist").cast("long").alias("dist")
     )

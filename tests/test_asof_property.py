@@ -146,6 +146,37 @@ def test_asof_nearest_matches_bruteforce(spark, facts, dims):
     assert got == _oracle_nearest(facts, dims)
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(TS, min_size=1, max_size=40),
+    dims=st.lists(TS, min_size=1, max_size=25),
+)
+def test_asof_nearest_duplicate_right_ts(spark, facts, dims):
+    """Duplicate right timestamps with DIFFERING payloads collapse to
+    one deterministic winner (min payload struct): every fact near a
+    duplicated ts must see the same payload copy, and matches must
+    still be the nearest ts with ties broken earlier."""
+    # every dim ts appears twice, with payloads 2t and 2t+1 — the
+    # min-struct winner is always payload 2t
+    rows = [(t, 2 * t) for t in dims] + [(t, 2 * t + 1) for t in dims]
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(facts)], "idx long, ft long"
+    )
+    right = spark.createDataFrame(rows, "dt long, pay long")
+    out = asof_join(left, right, "ft", "dt", strategy="broadcast",
+                    direction="nearest")
+    got_ts = {r.idx: r.dt for r in out.collect()}
+    got_pay = {r.idx: r.pay for r in out.collect()}
+    expect = _oracle_nearest(facts, dims)
+    assert got_ts == expect
+    assert got_pay == {i: (None if t is None else 2 * t)
+                       for i, t in expect.items()}
+
+
 def test_asof_nearest_union_strategy_rejected(spark):
     left = spark.createDataFrame([(1, 1)], "idx long, ft long")
     right = spark.createDataFrame([(1,)], "dt long")
