@@ -235,6 +235,7 @@ def weighted_sample_k(
     weight_col: str,
     k: int,
     resolution: int = 1_000_000,
+    key_decimals: int = 12,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k per key group — the
     Efraimidis–Spirakis A-ES scheme: draw u ~ U(0,1) per row, rank by
@@ -245,6 +246,11 @@ def weighted_sample_k(
     u comes from a portable multiplicative integer hash of the id
     (reproducible across runs/engines — same contract as
     ``stratified_hash_sample``), offset by +0.5 so u is never 0.
+    The raw key is a transcendental double (Java Math.log vs libm log
+    can differ by ulps), so it is rounded to ``key_decimals`` places
+    and ranked as a DECIMAL — the repo's integer-keyed/order-safe
+    ranking convention — with the id as tiebreak; an engine pair that
+    disagrees at the 1e-12 level can no longer flip a rank-k boundary.
     Ranking rides the skew-proof two-stage salted top-k, so one huge
     stratum cannot pin a task.  The decision column is a plain
     projection — the only shuffles are the top-k's two bounded
@@ -255,7 +261,9 @@ def weighted_sample_k(
         F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(resolution))
         + F.lit(0.5)
     ) / F.lit(float(resolution))
-    key = -F.log(u) / F.col(weight_col)
+    key = F.round(-F.log(u) / F.col(weight_col), key_decimals).cast(
+        "decimal(24,12)"
+    )
     ranked = df.withColumn("_aes_key", key)
     out = top_k_per_group(
         ranked,

@@ -39,10 +39,23 @@ def scd2_from_history(
     ``effective_from`` / ``effective_to`` (date strings, closed
     interval) and ``is_current``.  Input must be unique per
     (key, ts) — aggregate upstream if not.
+
+    The output grain is the DAY, so multiple changes on one calendar
+    day first collapse to the day's last snapshot (otherwise the
+    closed-interval arithmetic would emit an inverted range
+    ``effective_to = day - 1 < effective_from`` and duplicate
+    ``effective_from`` values per key).  The collapse rides the same
+    (key, ts) window sort as the run-length compression — Catalyst
+    still plans ONE shuffle for the whole build.
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
     w = Window.partitionBy(*keys).orderBy(ts_col)
+    # keep only the last snapshot of each (key, day): a row survives
+    # when the next row (same key) is on a different day or absent
+    nxt_day = F.to_date(F.lead(ts_col).over(w))
+    last_of_day = nxt_day.isNull() | (nxt_day != F.to_date(F.col(ts_col)))
+    history = history.withColumn("_lod", last_of_day).filter("_lod").drop("_lod")
     # first row per key is always a change (lag(ts) null), even when
     # every attr is null — don't rely on eqNullSafe for it
     changed = F.lag(ts_col).over(w).isNull()

@@ -139,6 +139,7 @@ LANG_TOKEN_BUDGETS = {
     "fr": 2000,
     "zh": 2000,
 }
+DEFAULT_LANG_BUDGET = 2000  # oracle CASE's ELSE branch — keep in sync
 
 
 @register(
@@ -188,7 +189,13 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget[F.col("lang")])
+        # coalesce mirrors the oracle's CASE ELSE branch: a lang absent
+        # from LANG_TOKEN_BUDGETS gets the default non-en budget rather
+        # than a NULL comparison that silently drops every doc
+        .filter(
+            F.col("cum_tokens")
+            <= F.coalesce(budget[F.col("lang")], F.lit(DEFAULT_LANG_BUDGET))
+        )
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
 
@@ -549,13 +556,16 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "language drawn with probability proportional to n_chars — rank "
     "by -ln(u)/weight with a portable hash-derived u, keep the k "
     "smallest through the salted two-stage top-k (no hot stratum).  "
-    "Deterministic across runs and engines; oracle replays the "
-    "identical arithmetic and ranking in SQL",
+    "Deterministic across runs and engines — the key is rounded to "
+    "12 decimals and ranked as DECIMAL so a Java-vs-libm ln() ulp "
+    "cannot flip the rank-15 boundary; oracle replays the identical "
+    "arithmetic and ranking in SQL",
     oracle="""
 WITH keyed AS (
     SELECT lang, doc_id,
-           -ln(((doc_id * 2654435761) % 1000000 + 0.5) / 1000000.0)
-               / n_chars AS aes_key
+           CAST(round(-ln(((doc_id * 2654435761) % 1000000 + 0.5)
+                          / 1000000.0) / n_chars, 12)
+                AS DECIMAL(24,12)) AS aes_key
     FROM documents
 )
 SELECT lang, doc_id FROM (

@@ -114,6 +114,37 @@ def test_scd2_run_length_compression(spark):
     assert [r.attr for r in k3] == [None, "Z", None]
 
 
+def test_scd2_same_day_changes_collapse_to_last(spark):
+    """Several changes on one calendar day yield ONE day-grain range
+    carrying the day's LAST value — never an inverted closed interval
+    (effective_to < effective_from) or duplicate effective_from."""
+    rows = [
+        # three changes on 2020-01-01, then a change the next day,
+        # then two more same-day changes at the end of history
+        (1, "2020-01-01 08:00:00", "A"),
+        (1, "2020-01-01 12:00:00", "B"),
+        (1, "2020-01-01 18:00:00", "C"),
+        (1, "2020-01-02 09:00:00", "D"),
+        (1, "2020-03-01 01:00:00", "E"),
+        (1, "2020-03-01 02:00:00", "F"),
+    ]
+    hist = spark.createDataFrame(
+        rows, "k int, ts string, attr string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        scd2_from_history(hist, ["k"], "ts", ["attr"]).collect(),
+        key=lambda r: r.effective_from,
+    )
+    assert [(r.attr, r.effective_from, r.effective_to) for r in out] == [
+        ("C", "2020-01-01", "2020-01-01"),
+        ("D", "2020-01-02", "2020-02-29"),
+        ("F", "2020-03-01", "9999-12-31"),
+    ]
+    for r in out:
+        assert r.effective_from <= r.effective_to
+    assert [r.is_current for r in out] == [False, False, True]
+
+
 def test_scd2_exactly_one_current_per_key(spark):
     out = scd2_from_history(_history(spark), ["k"], "ts", ["attr"])
     cur = out.filter("is_current").groupBy("k").count().collect()
