@@ -28,19 +28,28 @@ class Query:
     fn: QueryFn
     oracle: str | None = None
     doc: str = ""
+    # True for oracles that pin row count + group keys + schema but
+    # whose value columns are engine-specific by construction (e.g.
+    # HLL++/GK sketches): the driver's hash flag is EXPECTED false,
+    # and tools/check_correctness.py grades rows+schema+keys only.
+    partial: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str, oracle: str | None = None, doc: str = "", partial: bool = False
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
     registry under ``name`` with its DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(
+            fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), partial=partial
+        )
         return fn
 
     return deco

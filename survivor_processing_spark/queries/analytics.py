@@ -321,9 +321,22 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx quantile sketch of value — mergeable sketches are THE "
     "100 TB shape for cardinality/quantile answers (exact "
     "count-distinct shuffles every key; sketches shuffle KBs).  "
-    "Sketch outputs are engine-specific by construction -> rows-only "
-    "driver check; tests/test_analytics.py pins accuracy vs exact "
-    "(HLL++ rel err < 5%, quantiles within rank tolerance)",
+    "Sketch VALUES are engine-specific by construction (HLL++ vs "
+    "DuckDB's HLL, GK vs T-Digest), so the oracle is a deliberate "
+    "PARTIAL match: row count, group keys, and schema are exact and "
+    "driver-checked; the value-hash flag is expected false.  "
+    "tests/test_analytics.py pins accuracy vs exact (HLL++ rel err "
+    "< 5%, quantiles within rank tolerance)",
+    partial=True,
+    oracle="""
+SELECT event_type,
+       approx_count_distinct(user_id) AS approx_users,
+       round(quantile_cont(value, 0.5), 2) AS p50,
+       round(quantile_cont(value, 0.9), 2) AS p90,
+       round(quantile_cont(value, 0.99), 2) AS p99
+FROM events
+GROUP BY event_type
+""",
 )
 def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -394,12 +407,23 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "geo_mean_udaf",
     doc="custom UDAF surface (SURVEY §2.M4, beyond built-ins): "
-    "per-event-type geometric mean of value as a GROUPED_AGG pandas "
-    "UDF — Arrow ships each group's values once, the kernel is "
-    "vectorized numpy.  Rows-only gate: the float log-sum order "
-    "follows shuffle arrival order, so the last ~1 ulp is not "
-    "cross-engine-stable; tests/test_analytics.py pins the value "
-    "against exp(avg(ln)) to 1e-9 instead",
+    "per-event-type geometric mean of (1+value) minus 1 as a "
+    "GROUPED_AGG pandas UDF — Arrow ships each group's values once, "
+    "the kernel is vectorized numpy.  Hash-checkable by the integer "
+    "log-lane convention: each ln(1+v) is scaled by 1e12 and "
+    "floor(x+0.5)-rounded to an int64, so the SUM is exact and "
+    "order-independent (float log-sums follow shuffle arrival order "
+    "otherwise); the only residual cross-engine wobble is a ≤1-ulp "
+    "ln/exp libm difference, absorbed by the final round(·, 6).  "
+    "Oracle replays the identical integer-lane arithmetic in SQL",
+    oracle="""
+SELECT event_type,
+       round(exp(CAST(SUM(CAST(floor(ln(1 + value) * 1e12 + 0.5) AS BIGINT))
+                      AS DOUBLE) / COUNT(value) / 1e12) - 1, 6)
+           AS geo_mean_value
+FROM events
+GROUP BY event_type
+""",
 )
 def geo_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -410,7 +434,14 @@ def geo_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inspect for GROUPED_AGG inference
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def geo_mean(v):
-        return float(np.exp(np.log1p(v.to_numpy(dtype="float64")).mean()) - 1.0)
+        x = v.to_numpy(dtype="float64")
+        # ln(1+x) (not log1p: the oracle computes ln of the rounded
+        # double 1+x, so mirror that exactly), integer micro-units,
+        # floor(x+0.5) rounding on both engines (np.rint is half-even,
+        # DuckDB round() half-away — floor(+0.5) sidesteps both)
+        scaled = np.floor(np.log(1.0 + x) * 1e12 + 0.5).astype("int64")
+        mean_ln = (float(scaled.sum()) / len(scaled)) / 1e12
+        return round(float(np.exp(mean_ln) - 1.0), 6)
 
     ev = load_table(spark, sf_dir, "events")
     return (

@@ -43,6 +43,30 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def compare_partial(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """For registry entries marked ``partial=True``: row count, column
+    names+dtypes, and exact equality of the non-numeric (group-key)
+    columns; sketch-valued numeric columns are engine-specific and
+    deliberately unchecked."""
+    problems: list[str] = []
+    if len(sdf) != len(odf):
+        return [f"row count: spark={len(sdf)} oracle={len(odf)}"]
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    for c in sorted(sdf.columns):
+        if str(sdf[c].dtype) != str(odf[c].dtype):
+            problems.append(
+                f"dtype[{c}]: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+            )
+    keys = [c for c in sorted(sdf.columns) if sdf[c].dtype.kind not in "fiu"]
+    if keys:
+        s = sdf[keys].sort_values(by=keys, ignore_index=True)
+        o = odf[keys].sort_values(by=keys, ignore_index=True)
+        if not s.equals(o):
+            problems.append(f"group keys differ on {keys}")
+    return problems
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(sdf) != len(odf):
@@ -103,14 +127,21 @@ def main() -> int:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, odf)
+        from survivor_processing_spark.queries import REGISTRY
+
+        if REGISTRY.get(name) is not None and REGISTRY[name].partial:
+            problems = compare_partial(sdf, odf)
+            tag = "PART"
+        else:
+            problems = compare(name, sdf, odf)
+            tag = "OK  "
         if problems:
             n_fail += 1
             print(f"FAIL {name}:")
             for p in problems[:8]:
                 print(f"   - {p}")
         else:
-            print(f"OK   {name} ({len(sdf)} rows, {len(sdf.columns)} cols)")
+            print(f"{tag} {name} ({len(sdf)} rows, {len(sdf.columns)} cols)")
     print(f"\n{n_fail} failing")
     return 1 if n_fail else 0
 
