@@ -12,12 +12,17 @@ confessional_extract.py:156-166), generalized:
 
 Processing runs through ``mapInPandas`` — Arrow batches in, Arrow
 batches out, parallel per partition; binary blobs never pass through
-the driver.  Actual codecs (PIL/ffmpeg) are NOT in this container,
-so decode bodies are stubbed: ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it
-produces a deterministic fake decode (byte length + md5 + an 8-dim
-feature vector from the digest) so the Spark-side plumbing — schema,
-batching, partitioning — is fully exercised and tested.
+the driver.  Pixel/sample-level codecs (PIL/ffmpeg) are NOT in this
+container, but CONTAINER-level decode is pure stdlib: ``decode_media``
+with ``fake=False`` sniffs the magic bytes and parses real format
+headers — PNG IHDR width/height, GIF logical-screen descriptor,
+JPEG SOF frame dimensions, BMP info header, WAV fmt/data chunk walk
+for duration — alongside byte length + md5.  ``fake=True``
+additionally fills the 8-dim feature vector from the digest (the
+stand-in for pixel-level features, which genuinely need the absent
+codec libs); real mode leaves ``features`` NULL rather than faking
+it.  ``resize_media`` / ``frame_sample`` touch pixels/samples, so
+they stay stub-gated.
 """
 
 from __future__ import annotations
@@ -61,9 +66,73 @@ DECODED_SCHEMA = StructType(
         StructField("asset_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("digest", StringType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
         StructField("features", ArrayType(DoubleType())),
     ]
 )
+
+
+def parse_media_header(b: bytes) -> tuple[str | None, int | None, int | None, float | None]:
+    """(mime, width, height, duration_s) from real container headers,
+    pure stdlib ``struct`` — no codec libraries.
+
+    PNG: IHDR width/height (big-endian u32 at offset 16, per the spec
+    the IHDR chunk is always first).  GIF: logical-screen descriptor
+    (little-endian u16 at offset 6).  BMP: BITMAPINFOHEADER (i32 LE at
+    18/22; height may be negative for top-down rows).  JPEG: walk the
+    marker segments to the first SOF0-SOF15 frame header (height then
+    width, big-endian u16).  WAV: walk RIFF chunks; duration =
+    data-chunk byte length / fmt byte-rate.  Unknown magic → all None.
+    """
+    import struct
+
+    n = len(b)
+    if n >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return "image/png", w, h, None
+    if n >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "image/gif", w, h, None
+    if n >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "image/bmp", w, abs(h), None
+    if n >= 4 and b[:2] == b"\xff\xd8":
+        # walk segments: [FFxx][len_hi][len_lo][payload...]; frame
+        # headers are FFC0..FFCF except C4 (DHT), C8 (JPG), CC (DAC)
+        i = 2
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "image/jpeg", w, h, None
+            i += 2 + seg_len
+        return "image/jpeg", None, None, None
+    if n >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, byte_rate, data_size = 12, None, None
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                byte_rate = struct.unpack("<I", b[i + 16 : i + 20])[0]
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        dur = (
+            float(data_size) / float(byte_rate)
+            if byte_rate and data_size is not None
+            else None
+        )
+        return "audio/wav", None, None, dur
+    return None, None, None, None
 
 
 def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -81,33 +150,112 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def synth_png(width: int, height: int) -> bytes:
+    """A fully valid 8-bit grayscale PNG (zlib IDAT, correct CRCs) —
+    stdlib-only fixture generator for the real header-parse path."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    scanlines = (b"\x00" + b"\x00" * width) * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_gif(width: int, height: int) -> bytes:
+    """GIF87a header + logical-screen descriptor + trailer (enough
+    header structure for dimension parsing; no image block)."""
+    import struct
+
+    return (
+        b"GIF87a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+    )
+
+
+def synth_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG segment stream: SOI + JFIF APP0 + SOF0 carrying
+    the frame dimensions + EOI."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def synth_wav(n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A valid 16-bit mono PCM WAV with ``n_samples`` zero samples —
+    duration parses back as n_samples*2 / (sample_rate*2)."""
+    import struct
+
+    data = b"\x00\x00" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
     out = []
     for asset_id, blob in zip(pdf["asset_id"], pdf["media"]):
         b = bytes(blob) if blob is not None else b""
-        digest = hashlib.md5(b).hexdigest()
-        # 8-dim deterministic pseudo-feature from the digest bytes
-        raw = hashlib.md5(b).digest()
-        feats = [raw[i] / 255.0 for i in range(8)]
-        out.append((asset_id, len(b), digest, feats))
-    return pd.DataFrame(out, columns=["asset_id", "n_bytes", "digest", "features"])
+        raw = hashlib.md5(b)
+        mime, w, h, dur = parse_media_header(b)
+        # fake: 8-dim digest-derived pseudo-features (stand-in for the
+        # pixel-level features that need absent codec libs); real
+        # mode leaves features NULL rather than inventing them
+        feats = [x / 255.0 for x in raw.digest()[:8]] if fake else None
+        out.append((asset_id, len(b), raw.hexdigest(), mime, w, h, dur, feats))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "asset_id", "n_bytes", "digest",
+            "mime", "width", "height", "duration_s", "features",
+        ],
+    )
 
 
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode/feature-extract media blobs via mapInPandas.
-
-    Real codec libraries (PIL, torchaudio, ffmpeg) are not available
-    in this environment; with ``fake=False`` this raises at plan
-    time rather than shipping a broken UDF to executors."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "pass fake=True for the deterministic stub decode"
-        )
+    """Decode media blobs via mapInPandas: byte length, md5 digest,
+    and REAL container-header metadata (``parse_media_header`` —
+    PNG/GIF/BMP/JPEG dimensions, WAV duration, stdlib-only) in both
+    modes.  ``fake=True`` additionally fills the 8-dim digest-derived
+    feature vector; pixel/sample-level features need PIL/ffmpeg,
+    which this container lacks, so real mode reports them as NULL."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _fake_decode_batch(pdf)
+            yield _decode_batch(pdf, fake)
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 

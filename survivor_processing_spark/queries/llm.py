@@ -436,6 +436,70 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_header_parse",
+    doc="REAL media decode, no codec libs: synthesize fully valid "
+    "PNG (zlib IDAT + CRCs) / GIF87a / 16-bit PCM WAV files per doc "
+    "(format = doc_id % 3) in one mapInPandas pass, then "
+    "decode_media(fake=False) parses the actual container headers "
+    "back — PNG IHDR big-endian dims, GIF little-endian logical "
+    "screen, WAV fmt/data chunk walk for duration.  The oracle "
+    "predicts the parsed metadata in closed form; duration is the "
+    "same int/int double division on both engines (bit-equal)",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            ELSE 'audio/wav' END AS mime,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN CAST(doc_id % 64 + 1 AS INTEGER)
+            WHEN 1 THEN CAST(doc_id % 100 + 1 AS INTEGER)
+            ELSE NULL END AS width,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN CAST(doc_id % 48 + 1 AS INTEGER)
+            WHEN 1 THEN CAST(doc_id % 80 + 1 AS INTEGER)
+            ELSE NULL END AS height,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 2 THEN CAST((doc_id % 500) * 32 AS DOUBLE) / 16000.0
+            ELSE NULL END AS duration_s
+FROM documents
+""",
+)
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        synth_gif,
+        synth_png,
+        synth_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                kind = i % 3
+                if kind == 0:
+                    blob = synth_png(i % 64 + 1, i % 48 + 1)
+                elif kind == 1:
+                    blob = synth_gif(i % 100 + 1, i % 80 + 1)
+                else:
+                    blob = synth_wav((i % 500) * 16)
+                rows.append((i, blob, None))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media", "media_meta"]
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return decode_media(media, fake=False).select(
+        "asset_id", "mime", "width", "height", "duration_s"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     doc="video frame sampling: 1 media row -> N frame rows via "
     "mapInPandas (UDTF-style M3 emit); synthetic duration = "

@@ -172,11 +172,59 @@ def test_ivf_topk_self_first_and_probe_all_exact(spark, sf_dir):
 def test_multimodal_stub_gates_and_fake_decodes(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
     media = text_as_media(df, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        decode_media(media, fake=False)
+    # real mode works (header parse yields no mime for plain text)
+    # but never fakes pixel features
+    real = decode_media(media, fake=False).collect()
+    assert all(r["features"] is None and r["mime"] is None for r in real)
     out = {r["asset_id"]: (r["n_bytes"], len(r["features"]))
            for r in decode_media(media, fake=True).collect()}
     assert out == {1: (3, 8), 2: (4, 8)}
+
+
+def test_parse_media_header_real_formats():
+    """Pure-function check of every stdlib header parser against
+    files synthesized by the module's own generators AND against
+    hand-built edge cases (JPEG marker walk past APP segments,
+    odd-sized WAV chunks with word-alignment padding)."""
+    from survivor_processing_spark.operators.multimodal import (
+        parse_media_header,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+        synth_wav,
+    )
+
+    assert parse_media_header(synth_png(640, 480)) == (
+        "image/png", 640, 480, None,
+    )
+    assert parse_media_header(synth_gif(320, 200)) == (
+        "image/gif", 320, 200, None,
+    )
+    assert parse_media_header(synth_jpeg(1024, 768)) == (
+        "image/jpeg", 1024, 768, None,
+    )
+    mime, w, h, dur = parse_media_header(synth_wav(16000, sample_rate=8000))
+    assert (mime, w, h) == ("audio/wav", None, None)
+    assert dur == 2.0  # 16000 samples * 2 B / 16000 B/s
+    # odd-sized chunk before data: word-alignment skip must not
+    # misread the data chunk
+    import struct
+
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    wav = synth_wav(8000)
+    padded = wav[:12] + odd + wav[12:]
+    padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert parse_media_header(padded)[3] == 1.0
+    # unknown magic → all None
+    assert parse_media_header(b"\x00\x01\x02") == (None, None, None, None)
+    # PNG decoded via the zlib IDAT really is a valid image payload
+    import zlib
+
+    png = synth_png(3, 2)
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[idat_start - 8 : idat_start - 4])[0]
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert len(raw) == 2 * (1 + 3)  # height * (filter byte + width)
 
 
 def test_merge_upsert_idempotent_and_key_fillna(spark):
