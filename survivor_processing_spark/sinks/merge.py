@@ -142,6 +142,52 @@ def merge_upsert_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def delta_available() -> bool:
+    """True when delta-spark (Python bindings + JVM jars) is usable
+    in this session — the gate for the production MERGE INTO path."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def merge_upsert_delta(
+    spark: SparkSession, target_path: str, source: DataFrame, keys: list[str]
+) -> None:
+    """The production MERGE: ``MERGE INTO delta.`path` USING source
+    ON keys WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`` —
+    the exact one-liner the parquet fallback above emulates
+    (reference ON CONFLICT semantics, load_helpers.py:4-39).  Delta
+    handles conflict detection, file-level pruning on the join keys,
+    and atomicity; source-internal duplicates are pre-collapsed the
+    same way as the fallback so MATCHED rows are unambiguous.
+
+    Requires delta-spark (``delta_available()``); exercised by a
+    skip-marked test so the cluster path has CI shape even where the
+    jars are absent."""
+    if not delta_available():
+        raise ModuleNotFoundError(
+            "delta-spark not installed; use merge_upsert (parquet "
+            "fallback) or install delta-spark on the cluster"
+        )
+    from delta.tables import DeltaTable
+
+    src = source.dropDuplicates(keys)
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        src.write.format("delta").mode("overwrite").save(target_path)
+        return
+    tgt = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    (
+        tgt.alias("t")
+        .merge(src.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, target_path: str) -> None:
     """Write to a staging dir, then swap — the reader of the old data
     is never the writer's victim (parquet can't overwrite in place
