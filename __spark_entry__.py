@@ -40,7 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # verification-debt cohort from VERDICT r03), every query touched by
 # this round's fixes re-verifies, and the remaining 13 slots carry
 # the heaviest r02-latest greens.  Round-5 rotation note: front-load
-# any r04 failures, then the r02-latest remainder (doc_fingerprint,
+# any r04 failures, then change_detection_incremental /
+# decontaminate_ngram / stratified_hash_sample (displaced from the
+# r04 window by the three new r04 queries), then the r02-latest
+# remainder (doc_fingerprint,
 # docx/html/xlsx/rest/yaml sources, pack_sequences, pii_redaction,
 # paragraph_dedup, repetition_stats, quality_filter_chain,
 # lang_id_heuristic, streaming_running_max, streaming_stateful_dedup,
@@ -67,6 +70,9 @@ _PRIORITY = [
     # (b) new in r04
     "fuzzy_name_match_dist2",
     "multimodal_header_parse",
+    "bloom_prefilter_join",
+    "interval_merge_islands",
+    "doc_chunk_overlap",
     # (c) the rest of the r01-only cohort (verification debt)
     "array_numbered_columns",
     "cosine_topk",
@@ -102,9 +108,6 @@ _PRIORITY = [
     "anti_join_new_entities",
     "merge_upsert_idempotent",
     "watermark_incremental",
-    "change_detection_incremental",
-    "decontaminate_ngram",
-    "stratified_hash_sample",
 ]
 
 

@@ -60,3 +60,48 @@ def resample_daily_ffill(
         ],
     )
     return filled
+
+
+def merge_intervals(
+    df: DataFrame, keys: list[str], start_col: str, end_col: str
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands).
+
+    Classic two-window plan: an interval starts a new island iff its
+    start exceeds the running max end of every earlier interval in
+    the key's (start, end) order; the island id is the running sum of
+    those flags.  Returns one row per island: ``keys``,
+    ``island_start`` = min start, ``island_end`` = max end,
+    ``n_intervals``.
+
+    Scale shape: both windows and the final aggregation share ONE
+    partitioning on ``keys`` (a single shuffle end-to-end); each
+    key's series is independent so no window is global, and Spark
+    evaluates both running frames incrementally.  Equal (start, end)
+    ties cannot split an island — a tied row's running-max-end
+    already covers its start — so the output is order-deterministic
+    even though the tie order itself is not.
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_end = F.max(end_col).over(w_prev)
+    flagged = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new_island").over(w_run))
+    return flagged.groupBy(*keys, "_island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("_island")

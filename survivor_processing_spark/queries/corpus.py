@@ -586,3 +586,51 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, keys=["lang"], id_col="doc_id", weight_col="n_chars", k=15
     )
     return out.select("lang", "doc_id")
+
+
+# --- fixed-window document chunking -----------------------------------------
+
+
+@register(
+    "doc_chunk_overlap",
+    doc="split every document into overlapping fixed-width chunks "
+    "(200 chars, stride 150 -> 50-char overlap) with stable per-doc "
+    "chunk ordinals — the context-window packing front half of an "
+    "LLM ingest (RAG indexing, embedding batches).  Map-only plan: "
+    "sequence() + posexplode inside the scan stage, zero shuffles, "
+    "zero Python; at 100 TB this is pure scan throughput.  Empty "
+    "docs yield one empty chunk (explicit, not dropped).  Oracle: "
+    "generate_series + substr in DuckDB, char-for-char identical.  "
+    "Reference anchor: confessional text blobs (docx paragraphs) are "
+    "chunk inputs; the reference never re-windows them — this is the "
+    "missing scale half",
+    oracle="""
+SELECT d.doc_id,
+       (i - 1) // 150 AS chunk_id,
+       substr(d.text, CAST(i AS INT), 200) AS chunk_text,
+       CAST(length(substr(d.text, CAST(i AS INT), 200)) AS BIGINT)
+           AS chunk_len
+FROM documents d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(d.text), 1), 150)) AS i
+)
+""",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, stride = 200, 150
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.length("text"), F.lit(1)).cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("pos", "start"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("text")
+            .substr(F.col("start").cast("int"), F.lit(chunk))
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )

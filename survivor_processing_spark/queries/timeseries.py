@@ -237,3 +237,65 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# --- interval merge (gaps and islands) --------------------------------------
+
+
+@register(
+    "interval_merge_islands",
+    doc="merge overlapping activity intervals per user (gaps-and-"
+    "islands): each event opens a 300 s interval; overlapping/"
+    "touching intervals collapse to one island with min start, max "
+    "end and the event count.  Two running windows + the final agg "
+    "share ONE hash partitioning on user_id (single shuffle end-to-"
+    "end); every user's series is independent, so the plan has no "
+    "global sort and survives 1000 executors.  Equal-(s,e) ties "
+    "cannot split an island, so the result is engine-order-"
+    "invariant.  Oracle: identical window SQL in DuckDB.  Reference "
+    "anchor: episode airdate spans (episodes_transform.py) are the "
+    "dense single-node special case",
+    oracle="""
+WITH iv AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+    FROM events
+), flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+    WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged
+)
+SELECT user_id,
+       MIN(s) AS island_start_s,
+       MAX(e) AS island_end_s,
+       COUNT(*) AS n_events
+FROM isl
+GROUP BY user_id, island
+""",
+)
+def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.lit(300)).alias("e"),
+    )
+    out = merge_intervals(iv, ["user_id"], "s", "e")
+    return out.select(
+        "user_id",
+        F.col("island_start").alias("island_start_s"),
+        F.col("island_end").alias("island_end_s"),
+        F.col("n_intervals").alias("n_events"),
+    )
