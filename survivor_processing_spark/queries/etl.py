@@ -527,12 +527,15 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_prefilter_join",
     doc="map-side Bloom cut of the fact table before the join: build "
     "a distributed Bloom filter over the urgent-finished order keys "
-    "(bit_or word fold -> one broadcast map row), drop non-joining "
-    "lineitem rows inside the scan stage, then the exact broadcast "
-    "semi join repairs false positives.  At 100 TB the filter removes "
-    "~93% of fact rows before any join machinery; no collect(), no "
-    "Python, no fact shuffle (the final agg's exchange is the only "
-    "one).  Oracle: the plain IN-subquery the cut is equivalent to.  "
+    "(bit_or word fold -> dense array<long> literal in the scan "
+    "predicate, the same materialization Spark's runtime bloom "
+    "filter uses), drop non-joining lineitem rows inside the scan "
+    "stage, then the exact broadcast semi join repairs false "
+    "positives.  At 100 TB the filter removes ~93% of fact rows "
+    "before any join machinery; the only collect is filter-sized "
+    "(<=16k words), no Python, no fact shuffle (the final agg's "
+    "exchange is the only one).  Oracle: the plain IN-subquery the "
+    "cut is equivalent to.  "
     "Reference anchor: helpers/db_funcs.py:4-45 loads whole lookup "
     "tables driver-side; this is the scale-safe inversion",
     oracle="""
@@ -557,11 +560,16 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderstatus") == "F")
     ).select("o_orderkey")
+    # Filter sized to the key count (~10k urgent-F orders at sf0.1 ->
+    # 2**17 bits = 13 bits/key, fpp ~0.5% at k=3).  Sizing only moves
+    # the fpp/cost tradeoff — the verify semi join keeps the RESULT
+    # exact at any size, so a 100 TB run just passes a larger num_bits.
     matched = bloom_semi_join(
         li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
         urgent,
         "l_orderkey",
         "o_orderkey",
+        num_bits=1 << 17,
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     return matched.groupBy("l_returnflag").agg(

@@ -9,8 +9,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from survivor_processing_spark.operators.bloom import (
+    bloom_filter_literal,
     bloom_semi_join,
-    build_bloom,
     might_contain,
 )
 from survivor_processing_spark.operators.timeseries import merge_intervals
@@ -25,12 +25,8 @@ SF = "/root/testdata/sf0.001"
 def test_bloom_no_false_negatives(spark):
     """Every inserted key must pass might_contain — the Bloom contract."""
     keys = spark.range(0, 2000).select((F.col("id") * 7919 + 13).alias("k"))
-    bloom = build_bloom(keys, "k", num_bits=1 << 14, num_hashes=5)
-    hits = (
-        keys.join(F.broadcast(bloom))
-        .filter(might_contain(F.col("bloom"), F.col("k"), 1 << 14, 5))
-        .count()
-    )
+    blit = bloom_filter_literal(keys, "k", num_bits=1 << 14, num_hashes=5)
+    hits = keys.filter(might_contain(blit, F.col("k"), 1 << 14, 5)).count()
     assert hits == 2000
 
 
@@ -39,12 +35,8 @@ def test_bloom_false_positive_rate_reasonable(spark):
      8 bits/key, k=5); a broken hash family degenerates to ~100%."""
     member = spark.range(0, 2000).select(F.col("id").alias("k"))
     probe = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
-    bloom = build_bloom(member, "k", num_bits=1 << 14, num_hashes=5)
-    fp = (
-        probe.join(F.broadcast(bloom))
-        .filter(might_contain(F.col("bloom"), F.col("k"), 1 << 14, 5))
-        .count()
-    )
+    blit = bloom_filter_literal(member, "k", num_bits=1 << 14, num_hashes=5)
+    fp = probe.filter(might_contain(blit, F.col("k"), 1 << 14, 5)).count()
     assert fp / 10_000 < 0.15
 
 
@@ -70,12 +62,13 @@ def test_bloom_semi_join_exact_vs_plain_semi(spark):
 
 
 def test_bloom_query_plan_no_shuffle_join(spark):
-    """Plan audit: the 1-row bloom and the dim keys both broadcast —
-    no SortMergeJoin anywhere; the fact side is never exchanged
-    before its filter."""
+    """Plan audit: the membership predicate is a literal inside the
+    fact scan stage (no join for it at all), the exact semi join is
+    broadcast — no SortMergeJoin anywhere."""
     df = REGISTRY["bloom_prefilter_join"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
 
 
