@@ -52,3 +52,16 @@ def test_every_oracle_key_has_query():
     assert set(oracles) <= set(qs)
     # every registered query is callable with the standard signature
     assert all(callable(f) for f in qs.values())
+
+
+def test_priority_window_is_exactly_fifty_registered_names():
+    """The driver records CORRECTNESS rows for the first 50 queries()
+    entries only; a short/misspelled _PRIORITY silently wastes
+    verification slots, a long one silently drops the tail."""
+    import __spark_entry__ as entrymod
+    from survivor_processing_spark.queries import REGISTRY
+
+    assert len(entrymod._PRIORITY) == 50
+    missing = [n for n in entrymod._PRIORITY if n not in REGISTRY]
+    assert missing == []
+    assert len(set(entrymod._PRIORITY)) == 50
