@@ -56,6 +56,12 @@ HEADLINE = [
     "fuzzy_name_match",
     "zorder_morton_keys",
     "incremental_agg_merge",
+    # round 4
+    "bloom_prefilter_join",
+    "interval_merge_islands",
+    "doc_chunk_overlap",
+    "fuzzy_name_match_dist2",
+    "multimodal_header_parse",
 ]
 
 
