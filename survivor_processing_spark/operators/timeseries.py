@@ -81,6 +81,10 @@ def merge_intervals(
     ties cannot split an island — a tied row's running-max-end
     already covers its start — so the output is order-deterministic
     even though the tie order itself is not.
+
+    Contract: ``start_col``/``end_col`` must be non-null with
+    start ≤ end per row (NULL starts would sort first and open a
+    spurious island; an inverted interval could bridge a real gap).
     """
     order = [F.col(start_col).asc(), F.col(end_col).asc()]
     w_prev = (

@@ -610,7 +610,7 @@ SELECT d.doc_id,
        substr(d.text, CAST(i AS INT), 200) AS chunk_text,
        CAST(length(substr(d.text, CAST(i AS INT), 200)) AS BIGINT)
            AS chunk_len
-FROM documents d, LATERAL (
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d, LATERAL (
     SELECT unnest(generate_series(1, greatest(length(d.text), 1), 150)) AS i
 )
 """,
@@ -618,6 +618,11 @@ FROM documents d, LATERAL (
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, stride = 200, 150
     d = load_table(spark, sf_dir, "documents")
+    # NULL text -> '' on BOTH sides: Spark's greatest() skips NULLs
+    # (sequence(1,1) -> one empty chunk) but DuckDB's propagates them
+    # (generate_series(1, NULL) -> row dropped); pinning '' keeps the
+    # engines divergence-free if a fixture ever carries NULL text.
+    d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     starts = F.sequence(
         F.lit(1).cast("long"),
         F.greatest(F.length("text"), F.lit(1)).cast("long"),
