@@ -41,9 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round's fixes re-verifies, and the remaining 13 slots carry
 # the heaviest r02-latest greens.  Round-5 rotation note: front-load
 # any r04 failures, then change_detection_incremental /
-# decontaminate_ngram / stratified_hash_sample (displaced from the
-# r04 window by the three new r04 queries), then the r02-latest
-# remainder (doc_fingerprint,
+# decontaminate_ngram / stratified_hash_sample / watermark_incremental
+# (displaced from the r04 window by the four new r04 queries), then
+# the r02-latest remainder (doc_fingerprint,
 # docx/html/xlsx/rest/yaml sources, pack_sequences, pii_redaction,
 # paragraph_dedup, repetition_stats, quality_filter_chain,
 # lang_id_heuristic, streaming_running_max, streaming_stateful_dedup,
@@ -73,6 +73,7 @@ _PRIORITY = [
     "bloom_prefilter_join",
     "interval_merge_islands",
     "doc_chunk_overlap",
+    "sliding_range_window",
     # (c) the rest of the r01-only cohort (verification debt)
     "array_numbered_columns",
     "cosine_topk",
@@ -107,7 +108,6 @@ _PRIORITY = [
     "broadcast_lookup_join",
     "anti_join_new_entities",
     "merge_upsert_idempotent",
-    "watermark_incremental",
 ]
 
 

@@ -489,3 +489,52 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --- time-based sliding window (RANGE frame) --------------------------------
+
+
+@register(
+    "sliding_range_window",
+    doc="trailing 1-hour event count and value sum per user at every "
+    "event — the RANGE-frame sliding window (frame membership decided "
+    "by ORDER-BY VALUE distance, not row position), which ROWS frames "
+    "cannot express over irregular event times.  One shuffle on "
+    "user_id; Spark evaluates the sliding frame incrementally "
+    "(add/remove at the frame edges, never a per-row rescan), and "
+    "RANGE peers make the result tie-order-invariant by definition.  "
+    "Decimal-lane sum keeps the hash bit-stable.  Oracle: identical "
+    "RANGE BETWEEN window in DuckDB",
+    oracle="""
+SELECT event_id, user_id, ts_epoch,
+       COUNT(*) OVER w AS trailing_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS trailing_value
+FROM (
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value
+    FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(_dec("value")).over(w).cast("double").alias("trailing_value"),
+    )

@@ -178,3 +178,40 @@ def test_doc_chunk_plan_is_map_only(spark):
     df = REGISTRY["doc_chunk_overlap"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- RANGE-frame sliding window ---------------------------------------------
+
+
+def test_sliding_range_window_matches_bruteforce(spark):
+    """Trailing-3600s frame per user vs a brute-force python sweep,
+    including duplicate-timestamp peers (RANGE includes all peers)."""
+    rows = [
+        ("u", 0, 10.0), ("u", 1800, 20.0), ("u", 3600, 30.0),
+        ("u", 3600, 40.0), ("u", 7300, 50.0), ("v", 100, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_epoch long, value double")
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id").orderBy("ts_epoch").rangeBetween(-3600, W.currentRow)
+    )
+    got = {
+        (r.user_id, r.ts_epoch, r.value): (r.n, r.s)
+        for r in df.select(
+            "user_id", "ts_epoch", "value",
+            FF.count(FF.lit(1)).over(w).alias("n"),
+            FF.sum("value").over(w).alias("s"),
+        ).collect()
+    }
+    for u, t, v in rows:
+        peer = [(uu, tt, vv) for uu, tt, vv in rows if uu == u and t - 3600 <= tt <= t]
+        assert got[(u, t, v)] == (len(peer), sum(p[2] for p in peer)), (u, t)
+
+
+def test_sliding_range_window_single_shuffle_plan(spark):
+    df = REGISTRY["sliding_range_window"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
