@@ -36,78 +36,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-4 window: all 27 r01-only-verified queries are in (the whole
-# verification-debt cohort from VERDICT r03), every query touched by
-# this round's fixes re-verifies, and the remaining 13 slots carry
-# the heaviest r02-latest greens.  Round-5 rotation note: front-load
-# any r04 failures, then change_detection_incremental /
-# decontaminate_ngram / stratified_hash_sample / watermark_incremental
-# (displaced from the r04 window by the four new r04 queries), then
-# the r02-latest remainder (doc_fingerprint,
-# docx/html/xlsx/rest/yaml sources, pack_sequences, pii_redaction,
-# paragraph_dedup, repetition_stats, quality_filter_chain,
-# lang_id_heuristic, streaming_running_max, streaming_stateful_dedup,
-# top_k_customers, topk_per_group_salted, intersect_except_sets,
-# coalesce/conditional/filtered agg family, …) and the r03 greens.
+# Round-5 window (executes VERDICT r04 "Next round" #1): (a) queries
+# whose gating code changed this round (bloom auto-sizing,
+# doc_chunk_overlap helper refactor) plus the two r04 partials the
+# verdict front-loaded (sketch/ivf), (b) the queries NEW this round
+# (ivf_topk_exact — the hash-green IVF configuration — and
+# entity_match_quarantine), (c) the ENTIRE 38-query r02-latest
+# cohort, closing the two-rounds-stale debt, (d) fill to 50 with the
+# heaviest r03-latest greens.  After this round no query's latest
+# driver row predates r03.  Round-6 rotation note: the remaining
+# r03-latest cohort (~37 queries: bucketed_join_colocated,
+# cdc/cube/cohort/csv/jsonl/orc families, gap_fill, grouping_sets,
+# incremental_agg_merge, kmeans, mode_median, near_dup_keep_best,
+# ntile, partition_pruned_scan, pivot, quality_model_score,
+# safe_math, schema_evolution_scan, stream_* family, tfidf,
+# value_histogram, variant_props, vocab, zorder, …) plus anything
+# r05 flags or changes.
 _PRIORITY = [
-    # (a) code changed in r04 — re-verify first: asof.py nearest
-    # dedup fix + the whole asof/containment family (last rowed r01),
-    # fuzzy.py refactor, A-ES decimal key, token-budget coalesce,
-    # scd2 day-grain collapse, geo-mean integer log-lane oracle,
-    # sketch partial oracle, decode_media schema extension
-    "asof_join_nearest_broadcast",
-    "asof_join_keyed",
-    "asof_join_broadcast_dim",
-    "asof_join_forward_keyed",
-    "containment_join_nullout",
-    "fuzzy_name_match",
-    "weighted_sample_aes",
-    "token_budget_mix",
-    "scd2_order_history",
-    "geo_mean_udaf",
-    "sketch_distinct_quantiles",
-    "multimodal_decode_features",
-    # (b) new in r04
-    "fuzzy_name_match_dist2",
-    "multimodal_header_parse",
+    # (a) code changed in r05 + the r04 partial-hash pair
     "bloom_prefilter_join",
-    "interval_merge_islands",
     "doc_chunk_overlap",
-    "sliding_range_window",
-    # (c) the rest of the r01-only cohort (verification debt)
-    "array_numbered_columns",
-    "cosine_topk",
-    "date_parse_epoch",
-    "date_window_predicate",
-    "derivation_chain",
-    "embedding_lsh_pairs",
-    "embedding_near_dup_pairs",
-    "entity_resolution_cascade",
-    "exact_dedup_docs",
-    "explode_distinct_union",
-    "explode_map_of_arrays",
-    "id_minting_sequential",
+    "sketch_distinct_quantiles",
     "ivf_topk",
-    "json_extract_payload",
-    "near_dup_components",
-    "ngram_jaccard_pairs",
-    "null_normalize_unit_scale",
-    "schema_sync_project",
-    "session_window_agg",
-    "simhash_near_pairs",
-    "string_funcs_merge_key",
-    "text_quality_scores",
-    "to_json_roundtrip",
-    # (d) fill to 50 with the heaviest r02-latest greens
-    "flagship_contestant_stats",
-    "multiway_left_join",
-    "grouped_sum_all_measures",
-    "window_rank_placement",
-    "unpivot_measures",
-    "rollup_multilevel_agg",
-    "broadcast_lookup_join",
-    "anti_join_new_entities",
-    "merge_upsert_idempotent",
+    # (b) new in r05
+    "ivf_topk_exact",
+    "entity_match_quarantine",
+    # (c) the whole r02-latest cohort (verification debt, 38)
+    "asof_join_forward_broadcast",
+    "change_detection_incremental",
+    "coalesce_cascade_defaults",
+    "coalesce_default_agg",
+    "conditional_flag_agg",
+    "decontaminate_ngram",
+    "distinct_dims",
+    "doc_fingerprint",
+    "doc_length_quantiles",
+    "docx_confessional_scan",
+    "filesync_modified_since",
+    "filter_project",
+    "filtered_group_sum",
+    "group_max_arithmetic",
+    "group_ordinal_appearance",
+    "html_infobox_extract",
+    "intersect_except_sets",
+    "lang_id_heuristic",
+    "multi_pattern_first_match",
+    "multimodal_frame_sample",
+    "pack_sequences",
+    "paragraph_dedup",
+    "pii_redaction",
+    "quality_filter_chain",
+    "regex_extract_columns",
+    "repetition_stats",
+    "rest_keyset_scan",
+    "rolling_fingerprint",
+    "semi_join_running_entities",
+    "stratified_hash_sample",
+    "streaming_running_max",
+    "streaming_stateful_dedup",
+    "top_k_customers",
+    "topk_per_group_salted",
+    "union_all_by_name",
+    "watermark_incremental",
+    "xlsx_region_scan",
+    "yaml_correction_map",
+    # (d) fill to 50 with the heaviest r03-latest greens
+    "minhash_lsh_pairs",
+    "range_join_binned",
+    "skew_salted_join_agg",
+    "cdc_apply_changelog",
+    "streaming_foreachbatch_merge",
+    "grouping_sets_agg",
 ]
 
 

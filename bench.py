@@ -87,6 +87,57 @@ def run_one(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     return best
 
 
+def _calibration(spark) -> float:
+    """Fixed pure-compute probe (no I/O, no SF dependence): 50M-row
+    xxhash64 fold.  Its wall time moves only with host conditions
+    (CPU contention, thermal state), so the artifact self-normalizes:
+    comparing calibration_sec across rounds separates real query
+    regressions from scheduler noise — the adjudication VERDICT r04
+    had to do by hand."""
+    import pyspark.sql.functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000).select(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _prior_common(queries: dict[str, float]) -> dict | None:
+    """Common-subset comparison against the most recent committed
+    BENCH_r{N}.json, computed in-harness so the round-over-round
+    ratio ships inside the artifact."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        (int(m.group(1)), fn)
+        for fn in os.listdir(root)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+    )
+    if not rounds:
+        return None
+    n, fn = rounds[-1]
+    try:
+        with open(os.path.join(root, fn)) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return None
+    common = sorted(set(prior) & set(queries))
+    if not common:
+        return None
+    p = round(sum(prior[q] for q in common), 3)
+    t = round(sum(queries[q] for q in common), 3)
+    return {
+        "prior_round": n,
+        "n_common": len(common),
+        "prior_sec": p,
+        "this_sec": t,
+        "ratio": round(t / p, 3) if p else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -94,8 +145,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = os.getloadavg()
     for name in HEADLINE:  # warm-up: JVM, codegen, file listing
         _execute(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+    cal = _calibration(spark)
 
     queries: dict[str, float] = {}
     for name in HEADLINE:
@@ -109,6 +162,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "calibration_sec": cal,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "prior_common": _prior_common(queries),
             }
         )
     )

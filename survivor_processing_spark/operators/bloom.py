@@ -147,12 +147,33 @@ def might_contain(
     return reduce(lambda a, b: a & b, checks)
 
 
+def auto_num_bits(
+    n_keys: int,
+    bits_per_key: int = 10,
+    min_bits: int = 1 << 14,
+    max_bits: int = 1 << 27,
+) -> int:
+    """Filter size for a key-count estimate: next power of two at or
+    above ``n_keys * bits_per_key`` (10 bits/key ≈ 1% fpp at k=3),
+    clamped to [min_bits, max_bits].  The max clamp (2**27 bits =
+    16 MiB literal) bounds the driver fold and the plan size; past it
+    the filter degrades gracefully toward pass-through and the exact
+    semi join still repairs the result — at that cardinality the dim
+    is no longer "a sliver" and a shuffle join is the right plan
+    anyway."""
+    target = max(int(n_keys) * bits_per_key, 1)
+    bits = min_bits
+    while bits < target and bits < max_bits:
+        bits <<= 1
+    return bits
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim_keys: DataFrame,
     fact_key: str,
     dim_key: str,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """Exact semi join of ``fact`` against ``dim_keys``, Bloom-cut.
@@ -161,7 +182,14 @@ def bloom_semi_join(
     (inside the scan stage, no join machinery touched by non-members)
     → broadcast LEFT SEMI hash join for exactness.  Equivalent to
     ``fact WHERE fact_key IN (SELECT dim_key FROM dim_keys)``.
+
+    ``num_bits=None`` sizes the filter from the actual key count
+    (one dim-side count job — dim-sized, like the build itself) at
+    ~10 bits/key, so the filter stays *effective* (~1% fpp) as the
+    dim grows instead of silently degrading toward pass-through.
     """
+    if num_bits is None:
+        num_bits = auto_num_bits(dim_keys.count())
     blit = bloom_filter_literal(dim_keys, dim_key, num_bits, num_hashes)
     pre = fact.filter(
         might_contain(blit, F.col(fact_key), num_bits, num_hashes)

@@ -21,8 +21,11 @@ for duration — alongside byte length + md5.  ``fake=True``
 additionally fills the 8-dim feature vector from the digest (the
 stand-in for pixel-level features, which genuinely need the absent
 codec libs); real mode leaves ``features`` NULL rather than faking
-it.  ``resize_media`` / ``frame_sample`` touch pixels/samples, so
-they stay stub-gated.
+it.  ``resize_media`` runs REAL pixel resampling when Pillow is
+importable (guarded import, like the optional delta-spark branch);
+without it — and for ``frame_sample``, which needs ffmpeg — the
+deterministic stub codecs stay behind ``fake=True`` and
+``fake=False`` raises rather than silently degrading.
 """
 
 from __future__ import annotations
@@ -278,15 +281,80 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable — the guarded-dependency gate
+    for the real pixel-resampling path (same pattern as the optional
+    delta-spark branch in sinks/merge.py)."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resize_media_pil(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL pixel resampling via Pillow inside mapInPandas: decode
+    each image blob, bilinear-resize to (width, height), re-encode in
+    its source container format.  Non-image or undecodable blobs
+    (e.g. WAV audio) pass through with ``media`` NULL and their meta
+    intact — quarantine semantics, never a task crash at row 10^11.
+    Pillow is imported inside the worker function, so the plan builds
+    (and the guard raises) driver-side before any job runs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for asset_id, blob, meta in zip(
+                pdf["asset_id"], pdf["media"], pdf["media_meta"]
+            ):
+                b = bytes(blob) if blob is not None else b""
+                mime = meta["mime"] if meta is not None else None
+                dur = meta["duration_s"] if meta is not None else None
+                try:
+                    img = Image.open(io.BytesIO(b))
+                    fmt = img.format or "PNG"
+                    out = io.BytesIO()
+                    img.resize((width, height)).save(out, format=fmt)
+                    resized = out.getvalue()
+                    mime = Image.MIME.get(fmt, mime)
+                except Exception:
+                    resized = None  # undecodable: quarantine, don't crash
+                rows.append(
+                    (
+                        asset_id,
+                        resized,
+                        {
+                            "mime": mime,
+                            "width": width if resized is not None else None,
+                            "height": height if resized is not None else None,
+                            "duration_s": dur,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def resize_media(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize image/video media to (width, height): binary→binary
-    through mapInPandas, metadata struct updated in the same pass.
-    Real resampling needs PIL/ffmpeg; the fake codec is a
-    deterministic byte transform (truncate/cycle to w*h bytes) so
-    schema, batching and meta propagation are fully exercised."""
+    """Resize image media to (width, height): binary→binary through
+    mapInPandas, metadata struct updated in the same pass.  With
+    Pillow installed the real path decodes, bilinear-resamples and
+    re-encodes per blob (``_resize_media_pil``); without it the
+    deterministic fake codec (truncate/cycle to w*h bytes) exercises
+    schema, batching and meta propagation, and ``fake=False`` raises
+    so absence of a codec is never silent."""
     if not fake:
+        if pil_available():
+            return _resize_media_pil(df, width, height)
         raise NotImplementedError(
-            "image codecs not available in this environment; "
+            "image codecs not available in this environment "
+            "(pip install pillow for the real resample path); "
             "pass fake=True for the deterministic stub resize"
         )
     target = width * height

@@ -591,6 +591,35 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- fixed-window document chunking -----------------------------------------
 
 
+def chunk_documents(
+    d: DataFrame, chunk: int = 200, stride: int = 150
+) -> DataFrame:
+    """The production chunking expression over any (doc_id, text)
+    DataFrame — shared by the registered query and the unit tests so
+    edge cases (empty text) pin THIS expression, not a copy."""
+    # NULL text -> '' on BOTH sides: Spark's greatest() skips NULLs
+    # (sequence(1,1) -> one empty chunk) but DuckDB's propagates them
+    # (generate_series(1, NULL) -> row dropped); pinning '' keeps the
+    # engines divergence-free if a fixture ever carries NULL text.
+    d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.length("text"), F.lit(1)).cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    return (
+        d.select("doc_id", "text", F.posexplode(starts).alias("pos", "start"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("text")
+            .substr(F.col("start").cast("int"), F.lit(chunk))
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
 @register(
     "doc_chunk_overlap",
     doc="split every document into overlapping fixed-width chunks "
@@ -616,26 +645,4 @@ FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d, LATERAL (
 """,
 )
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chunk, stride = 200, 150
-    d = load_table(spark, sf_dir, "documents")
-    # NULL text -> '' on BOTH sides: Spark's greatest() skips NULLs
-    # (sequence(1,1) -> one empty chunk) but DuckDB's propagates them
-    # (generate_series(1, NULL) -> row dropped); pinning '' keeps the
-    # engines divergence-free if a fixture ever carries NULL text.
-    d = d.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    starts = F.sequence(
-        F.lit(1).cast("long"),
-        F.greatest(F.length("text"), F.lit(1)).cast("long"),
-        F.lit(stride).cast("long"),
-    )
-    return (
-        d.select("doc_id", "text", F.posexplode(starts).alias("pos", "start"))
-        .select(
-            "doc_id",
-            F.col("pos").cast("long").alias("chunk_id"),
-            F.col("text")
-            .substr(F.col("start").cast("int"), F.lit(chunk))
-            .alias("chunk_text"),
-        )
-        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
-    )
+    return chunk_documents(load_table(spark, sf_dir, "documents"))

@@ -560,16 +560,18 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderstatus") == "F")
     ).select("o_orderkey")
-    # Filter sized to the key count (~10k urgent-F orders at sf0.1 ->
-    # 2**17 bits = 13 bits/key, fpp ~0.5% at k=3).  Sizing only moves
+    # num_bits=None auto-sizes from the actual key count at ~10
+    # bits/key (one dim-side count job), so the filter stays
+    # fpp-effective at any scale instead of the old fixed 2**17 demo
+    # sizing that degraded to ~1.3 bits/key at sf1.  Sizing only moves
     # the fpp/cost tradeoff — the verify semi join keeps the RESULT
-    # exact at any size, so a 100 TB run just passes a larger num_bits.
+    # exact at any size.
     matched = bloom_semi_join(
         li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
         urgent,
         "l_orderkey",
         "o_orderkey",
-        num_bits=1 << 17,
+        num_bits=None,
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     return matched.groupBy("l_returnflag").agg(

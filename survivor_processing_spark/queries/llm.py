@@ -305,6 +305,37 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_topk_exact",
+    doc="the SAME IVF-Flat code path (coarse quantizer, cluster "
+    "assignment, isin-pushdown probe filter, per-list brute force) in "
+    "its degraded-to-exact configuration n_probe = n_centroids: every "
+    "inverted list is probed, so the result is bit-identical to exact "
+    "brute-force top-10 and the full value-hash oracle applies.  This "
+    "hash-gates the IVF machinery itself; the approximate n_probe=4 "
+    "variant stays registered as the rows+schema partial "
+    "(q:ivf_topk).  The degrades-to-exact property is also pinned in "
+    "tests/test_operators.py",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+       ) AS INTEGER) AS sim_rank,
+       e.vec_id
+FROM embeddings e, q
+QUALIFY sim_rank <= 10
+""",
+)
+def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    return ivf_topk(
+        e, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=16
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 

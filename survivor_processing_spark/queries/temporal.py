@@ -275,6 +275,52 @@ def entity_resolution_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "lang_name", "lang_name_resolved_by")
 
 
+@register(
+    "entity_match_quarantine",
+    doc="the D9 cascade's RESIDUE made observable: rows no attempt "
+    "resolved (resolved_by = -1) summarized per unresolved key with a "
+    "count and a deterministic sample id — the quarantine table a "
+    "distributed engine routes to where the reference dropped into "
+    "pdb (episodes_transform.py:218-240; quarantine writer "
+    "pipelines/confessional.py).  Same broadcast-cascade plan as "
+    "entity_resolution_cascade plus one filter and a tiny groupBy",
+    oracle="""
+SELECT d.lang AS unresolved_key,
+       COUNT(*) AS n_quarantined,
+       MIN(d.doc_id) AS sample_doc_id
+FROM documents d
+LEFT JOIN (VALUES ('en', 'English'), ('de', 'German')) p(lang, lang_name)
+       ON p.lang = d.lang
+LEFT JOIN (VALUES ('es', 'Spanish'), ('zh', 'Chinese'), ('de', 'Deutsch'))
+       f(lang, lang_name)
+       ON f.lang = d.lang
+WHERE p.lang_name IS NULL AND f.lang_name IS NULL
+GROUP BY d.lang
+""",
+)
+def entity_match_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    primary = [("en", "English"), ("de", "German")]
+    fallback = [("es", "Spanish"), ("zh", "Chinese"), ("de", "Deutsch")]
+    schema = ["lang", "lang_name"]
+    p_df = d.sparkSession.createDataFrame(primary, schema)
+    f_df = d.sparkSession.createDataFrame(fallback, schema)
+    out = resolve_cascade(
+        d,
+        [(p_df, ["lang"], "lang_name"), (f_df, ["lang"], "lang_name")],
+        out_col="lang_name",
+        default="unknown",
+    )
+    return (
+        out.filter(F.col("lang_name_resolved_by") == -1)
+        .groupBy(F.col("lang").alias("unresolved_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_quarantined"),
+            F.min("doc_id").alias("sample_doc_id"),
+        )
+    )
+
+
 # --- C7: schema sync against a target schema --------------------------------
 
 _SYNC_TARGET = StructType(

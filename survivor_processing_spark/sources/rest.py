@@ -58,6 +58,44 @@ register_fetcher("synthetic", _synthetic_fetcher)
 register_fetcher("default", _synthetic_fetcher)
 
 
+def make_http_fetcher(base_url: str, timeout_s: float = 10.0) -> Fetcher:
+    """A real HTTP page fetcher (stdlib urllib — no extra deps) for
+    the same keyset contract: GET
+    ``{base_url}?type=<entity>&after=<cursor>&limit=<n>`` returning a
+    JSON list of records (or ``{"data": [...]}``, the pushshift shape
+    the reference consumed — reddit_extract.py:47-83).  Timeouts and
+    HTTP errors raise; :func:`paged_fetch`'s bounded retry loop is
+    the policy layer, exactly as it is for any other fetcher."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    def fetch(entity_type: str, after: int, limit: int) -> list[dict]:
+        q = urllib.parse.urlencode(
+            {"type": entity_type, "after": after, "limit": limit}
+        )
+        with urllib.request.urlopen(
+            f"{base_url}?{q}", timeout=timeout_s
+        ) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        return payload["data"] if isinstance(payload, dict) else payload
+
+    return fetch
+
+
+def resolve_fetcher(name: str) -> Fetcher:
+    """Fetcher lookup used inside the Python worker.  A registered
+    name wins; otherwise an ``http(s)://`` name IS the endpoint — the
+    worker builds an HTTP fetcher bound to it, so real endpoints need
+    no import-time registration ritual (DataSource options are plain
+    strings and this is how the URL rides along)."""
+    if name in _FETCHERS:
+        return _FETCHERS[name]
+    if name.startswith(("http://", "https://")):
+        return make_http_fetcher(name)
+    raise KeyError(f"unknown fetcher {name!r}")
+
+
 def paged_fetch(
     fetcher: Fetcher,
     entity_type: str,
@@ -123,7 +161,7 @@ try:
             return [_RestPartition(t, self.start, self.stop) for t in self.types]
 
         def read(self, partition: _RestPartition):
-            fetcher = _FETCHERS[self.fetcher_name]
+            fetcher = resolve_fetcher(self.fetcher_name)
             for rec in paged_fetch(
                 fetcher,
                 partition.entity_type,

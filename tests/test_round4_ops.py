@@ -6,7 +6,6 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
-import pytest
 
 from survivor_processing_spark.operators.bloom import (
     bloom_filter_literal,
@@ -15,8 +14,7 @@ from survivor_processing_spark.operators.bloom import (
 )
 from survivor_processing_spark.operators.timeseries import merge_intervals
 from survivor_processing_spark.queries import REGISTRY
-
-SF = "/root/testdata/sf0.001"
+from survivor_processing_spark.queries.corpus import chunk_documents
 
 
 # --- bloom ------------------------------------------------------------------
@@ -61,11 +59,11 @@ def test_bloom_semi_join_exact_vs_plain_semi(spark):
     assert got == want
 
 
-def test_bloom_query_plan_no_shuffle_join(spark):
+def test_bloom_query_plan_no_shuffle_join(spark, sf_dir):
     """Plan audit: the membership predicate is a literal inside the
     fact scan stage (no join for it at all), the exact semi join is
     broadcast — no SortMergeJoin anywhere."""
-    df = REGISTRY["bloom_prefilter_join"].fn(spark, SF)
+    df = REGISTRY["bloom_prefilter_join"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -118,10 +116,10 @@ def test_merge_intervals_duplicate_and_touching(spark):
     assert got == [(0, 20, 3), (22, 30, 1)]
 
 
-def test_interval_islands_single_shuffle_plan(spark):
+def test_interval_islands_single_shuffle_plan(spark, sf_dir):
     """Both windows and the final agg reuse one hash partitioning on
     user_id: exactly one exchange after the scan."""
-    df = REGISTRY["interval_merge_islands"].fn(spark, SF)
+    df = REGISTRY["interval_merge_islands"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
 
@@ -155,27 +153,22 @@ def test_doc_chunks_reconstruct_documents(spark, sf_dir):
 
 
 def test_doc_chunks_empty_text_yields_one_chunk(spark):
-    df = spark.createDataFrame([(1, "")], "doc_id int, text string")
-    df.createOrReplaceTempView("_chunk_empty")
-    chunk = (
-        df.select(
-            "doc_id",
-            F.posexplode(
-                F.sequence(
-                    F.lit(1).cast("long"),
-                    F.greatest(F.length("text"), F.lit(1)).cast("long"),
-                    F.lit(150).cast("long"),
-                )
-            ).alias("pos", "start"),
-            F.col("text").substr(F.lit(1), F.lit(200)).alias("chunk_text"),
-        )
-    ).collect()
-    assert len(chunk) == 1 and chunk[0].chunk_text == ""
+    """Empty and NULL text each yield exactly one empty chunk through
+    the PRODUCTION chunking expression (the same helper the registered
+    doc_chunk_overlap query runs), not a re-implementation."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id int, text string"
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.chunk_len)
+        for r in chunk_documents(df).collect()
+    )
+    assert rows == [(1, 0, "", 0), (2, 0, "", 0)]
 
 
-def test_doc_chunk_plan_is_map_only(spark):
+def test_doc_chunk_plan_is_map_only(spark, sf_dir):
     """Chunking must stay inside the scan stage: no exchange at all."""
-    df = REGISTRY["doc_chunk_overlap"].fn(spark, SF)
+    df = REGISTRY["doc_chunk_overlap"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
@@ -210,8 +203,8 @@ def test_sliding_range_window_matches_bruteforce(spark):
         assert got[(u, t, v)] == (len(peer), sum(p[2] for p in peer)), (u, t)
 
 
-def test_sliding_range_window_single_shuffle_plan(spark):
-    df = REGISTRY["sliding_range_window"].fn(spark, SF)
+def test_sliding_range_window_single_shuffle_plan(spark, sf_dir):
+    df = REGISTRY["sliding_range_window"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan

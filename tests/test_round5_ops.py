@@ -1,0 +1,233 @@
+"""Round-5 additions: auto-sized Bloom filters, the real HTTP REST
+fetcher, guarded-PIL resize, quarantine inspection, exact-config IVF."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pyspark.sql.functions as F
+import pytest
+
+from survivor_processing_spark.operators.bloom import (
+    auto_num_bits,
+    bloom_semi_join,
+)
+from survivor_processing_spark.operators.multimodal import (
+    pil_available,
+    resize_media,
+    synth_png,
+)
+from survivor_processing_spark.queries import REGISTRY
+from survivor_processing_spark.sources.rest import (
+    _synthetic_fetcher,
+    make_http_fetcher,
+    paged_fetch,
+    resolve_fetcher,
+)
+
+# --- bloom auto-sizing ------------------------------------------------------
+
+
+def test_auto_num_bits_scaling():
+    """~10 bits/key, power-of-two, clamped: the sizing rule VERDICT
+    r04 asked for so the filter never silently degrades."""
+    assert auto_num_bits(0) == 1 << 14
+    assert auto_num_bits(1000) == 1 << 14  # min clamp
+    assert auto_num_bits(10_000) == 1 << 17  # 100k bits -> 131072
+    assert auto_num_bits(100_000) == 1 << 20
+    assert auto_num_bits(1_000_000) == 1 << 24
+    assert auto_num_bits(10**12) == 1 << 27  # max clamp
+    for n in (1, 5_000, 77_777, 123_456_789):
+        bits = auto_num_bits(n)
+        assert bits & (bits - 1) == 0  # power of two
+
+
+def test_bloom_semi_join_auto_sized_exact(spark):
+    """num_bits=None (count-driven sizing) returns exactly the plain
+    semi join's rows, like any explicit sizing."""
+    fact = spark.range(0, 5000).select((F.col("id") % 700).alias("k"),
+                                       F.col("id").alias("payload"))
+    dim = spark.createDataFrame([(k,) for k in range(0, 700, 13)], "dk long")
+    got = sorted(
+        (r.k, r.payload)
+        for r in bloom_semi_join(fact, dim, "k", "dk", num_bits=None).collect()
+    )
+    want = sorted(
+        (i % 700, i) for i in range(5000) if (i % 700) % 13 == 0
+    )
+    assert got == want
+
+
+# --- HTTP REST fetcher ------------------------------------------------------
+
+
+class _ApiHandler(BaseHTTPRequestHandler):
+    """Local keyset API over the synthetic dataset: the integration
+    shape reference reddit_extract.py:47-83 consumed (pushshift
+    ``{"data": [...]}`` envelope)."""
+
+    fail_first = 0  # per-server: fail the first N requests with a 500
+
+    def do_GET(self):  # noqa: N802 - http.server API
+        q = parse_qs(urlparse(self.path).query)
+        if type(self).fail_first > 0:
+            type(self).fail_first -= 1
+            self.send_error(500, "transient")
+            return
+        page = _synthetic_fetcher(
+            q["type"][0], int(q["after"][0]), int(q["limit"][0])
+        )
+        body = json.dumps({"data": page}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture()
+def api_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/api"
+    srv.shutdown()
+
+
+def test_http_fetcher_pages_match_synthetic(api_server):
+    """The real urllib fetcher through the real HTTP stack yields the
+    byte-identical record stream the in-process fetcher does."""
+    fetcher = make_http_fetcher(api_server)
+    via_http = list(
+        paged_fetch(fetcher, "comment", 1_600_000_000, 1_600_000_600, 50)
+    )
+    direct = list(
+        paged_fetch(
+            _synthetic_fetcher, "comment", 1_600_000_000, 1_600_000_600, 50
+        )
+    )
+    assert via_http == direct and len(direct) == 10
+
+
+def test_http_fetcher_survives_transient_500(api_server):
+    """paged_fetch's bounded retry loop (reference
+    reddit_extract.py:61-73) absorbs transient server errors."""
+    _ApiHandler.fail_first = 2
+    try:
+        fetcher = make_http_fetcher(api_server)
+        got = list(
+            paged_fetch(
+                fetcher, "submission", 1_600_000_000, 1_600_000_300, 3,
+                max_retries=5, sleep_s=0.0,
+            )
+        )
+    finally:
+        _ApiHandler.fail_first = 0
+    # keyset cursor is exclusive: first record is start + step
+    assert [r["created_utc"] for r in got] == [
+        1_600_000_060 + 60 * i for i in range(5)
+    ]
+
+
+def test_rest_datasource_with_http_url(spark, api_server):
+    """End-to-end: the Spark DataSource resolves an http:// fetcher
+    name inside the Python worker and reads the same rows as the
+    synthetic path (rest_keyset_scan's registered semantics)."""
+    from survivor_processing_spark.sources import register_rest_source
+
+    register_rest_source(spark)
+
+    def scan(fetcher_name):
+        return sorted(
+            (r.entity_type, r.id, r.created_utc)
+            for r in (
+                spark.read.format("rest_keyset")
+                .option("fetcher", fetcher_name)
+                .option("types", "submission,comment")
+                .option("start", "1600000000")
+                .option("stop", "1600000600")
+                .load()
+                .collect()
+            )
+        )
+
+    assert scan(api_server) == scan("synthetic")
+
+
+def test_resolve_fetcher_unknown_name():
+    with pytest.raises(KeyError):
+        resolve_fetcher("nope")
+
+
+# --- guarded-PIL resize -----------------------------------------------------
+
+
+def _media_df(spark):
+    rows = [(1, synth_png(8, 6), ("image/png", 8, 6, None)),
+            (2, b"not an image", (None, None, None, None))]
+    return spark.createDataFrame(
+        rows,
+        "asset_id long, media binary, "
+        "media_meta struct<mime:string,width:int,height:int,duration_s:double>",
+    )
+
+
+@pytest.mark.skipif(not pil_available(), reason="Pillow not installed")
+def test_resize_media_real_pil(spark):
+    """With Pillow present, fake=False really resamples: output
+    decodes to the target dimensions; undecodable blobs quarantine
+    (media NULL) instead of failing the task."""
+    import io
+
+    from PIL import Image
+
+    out = {r.asset_id: r for r in
+           resize_media(_media_df(spark), 4, 3, fake=False).collect()}
+    img = Image.open(io.BytesIO(bytes(out[1].media)))
+    assert img.size == (4, 3)
+    assert out[1].media_meta.width == 4 and out[1].media_meta.height == 3
+    assert out[2].media is None and out[2].media_meta.width is None
+
+
+@pytest.mark.skipif(pil_available(), reason="Pillow installed: real path active")
+def test_resize_media_gate_without_pil(spark):
+    """Without Pillow, fake=False raises at PLAN TIME (driver-side
+    guard) — a missing codec is never a silent fake."""
+    with pytest.raises(NotImplementedError):
+        resize_media(_media_df(spark), 4, 3, fake=False)
+
+
+# --- quarantine inspection + exact IVF --------------------------------------
+
+
+def test_entity_match_quarantine_residue(spark, sf_dir):
+    """The quarantine query surfaces exactly the langs neither
+    attempt table covers (fixture has 'fr'), with counts matching a
+    direct filter."""
+    out = {r.unresolved_key: r.n_quarantined
+           for r in REGISTRY["entity_match_quarantine"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    known = {"en", "de", "es", "zh"}
+    want = {
+        r.lang: r.n
+        for r in docs.filter(~F.col("lang").isin(*known))
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert out == want and out  # non-empty residue
+
+
+def test_ivf_topk_exact_matches_bruteforce_query(spark, sf_dir):
+    """The registered exact-config IVF query returns bit-identical
+    rows to the registered brute-force query — the degraded-to-exact
+    property at the queries()/oracle gate level."""
+    a = [(r.sim_rank, r.vec_id)
+         for r in REGISTRY["ivf_topk_exact"].fn(spark, sf_dir).collect()]
+    b = [(r.sim_rank, r.vec_id)
+         for r in REGISTRY["cosine_topk"].fn(spark, sf_dir).collect()]
+    assert sorted(a) == sorted(b)
