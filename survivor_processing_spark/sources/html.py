@@ -86,3 +86,64 @@ def extract_links(html: str, href_prefix: str | None = None) -> list[tuple[str, 
     p.feed(html)
     p.close()
     return p.links
+
+
+def fetch_url(
+    url: str, timeout_s: float = 10.0, max_retries: int = 3
+) -> tuple[int, str | None]:
+    """One real HTTP GET (stdlib urllib) with bounded retry —
+    (status, body) on success, (-1, None) after exhausted retries.
+    The per-URL error is DATA, not an exception: at a million URLs a
+    dead link must not kill the task (reference retried per page too,
+    reddit_extract.py:61-73)."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    for attempt in range(max_retries):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500:  # permanent: retrying won't help
+                return e.code, None
+            if attempt == max_retries - 1:
+                return e.code, None
+        except Exception:  # noqa: BLE001 - network errors retry
+            if attempt == max_retries - 1:
+                return -1, None
+        time.sleep(0.05 * (attempt + 1))
+    return -1, None
+
+
+def fetch_pages(
+    urls_df,
+    url_col: str = "url",
+    timeout_s: float = 10.0,
+    max_retries: int = 3,
+    fetch_partitions: int | None = None,
+):
+    """Distributed page fetch: the A4 crawl's second half.  The driver
+    holds only the URL LIST (seed-page ``extract_links`` output); the
+    GETs run executor-side through ``mapInPandas``, so page bodies
+    never pass through the driver.  Output: (url, status, html) with
+    failures as ``status=-1, html NULL`` rows (quarantine semantics).
+
+    ``fetch_partitions`` round-robins the URL list first — a crawl is
+    latency-bound, not data-bound, so parallelism should be set by
+    target-host politeness x executor count, not by the accident of
+    the input file's partitioning."""
+    import pandas as pd
+
+    if fetch_partitions is not None:
+        urls_df = urls_df.repartition(fetch_partitions)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for u in pdf[url_col]:
+                status, body = fetch_url(u, timeout_s, max_retries)
+                rows.append((u, status, body))
+            yield pd.DataFrame(rows, columns=["url", "status", "html"])
+
+    return urls_df.mapInPandas(run, schema="url string, status int, html string")

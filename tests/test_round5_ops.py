@@ -165,6 +165,76 @@ def test_resolve_fetcher_unknown_name():
         resolve_fetcher("nope")
 
 
+# --- distributed HTML crawl -------------------------------------------------
+
+
+_PAGES = {
+    "/index.html": (
+        '<ul><li><a href="/wiki/alpha">Alpha</a></li>'
+        '<li><a href="/wiki/beta">Beta</a></li>'
+        '<li><a href="/other/x">skip me</a></li></ul>'
+    ),
+    "/wiki/alpha": '<div data-source="winner"><b>Alice</b> won</div>',
+    "/wiki/beta": '<div data-source="winner">Bob  won</div>',
+}
+
+
+class _PageHandler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 - http.server API
+        body = _PAGES.get(urlparse(self.path).path)
+        if body is None:
+            self.send_error(404)
+            return
+        data = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def page_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _PageHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_pages_distributed_crawl(spark, page_server):
+    """The full A4 shape over a real HTTP stack: driver fetches the
+    seed link list, executors fetch + parse the child pages via
+    mapInPandas; a dead URL quarantines as status=-1 instead of
+    failing the task."""
+    from survivor_processing_spark.sources.html import (
+        extract_data_sources,
+        extract_links,
+        fetch_pages,
+        fetch_url,
+    )
+
+    status, seed = fetch_url(f"{page_server}/index.html")
+    assert status == 200
+    links = extract_links(seed, href_prefix="/wiki/")
+    assert [t for _, t in links] == ["Alpha", "Beta"]
+
+    urls = spark.createDataFrame(
+        [(f"{page_server}{href}",) for href, _ in links]
+        + [(f"{page_server}/missing",)],
+        "url string",
+    )
+    got = {r.url.rsplit("/", 1)[-1]: r
+           for r in fetch_pages(urls, fetch_partitions=2).collect()}
+    assert got["missing"].status == 404 and got["missing"].html is None
+    winners = {
+        k: extract_data_sources(v.html)["winner"]
+        for k, v in got.items() if v.status == 200
+    }
+    assert winners == {"alpha": "Alice won", "beta": "Bob won"}
+
+
 # --- guarded-PIL resize -----------------------------------------------------
 
 
