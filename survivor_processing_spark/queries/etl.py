@@ -527,15 +527,16 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_prefilter_join",
     doc="map-side Bloom cut of the fact table before the join: build "
     "a distributed Bloom filter over the urgent-finished order keys "
-    "(bit_or word fold -> dense array<long> literal in the scan "
-    "predicate, the same materialization Spark's runtime bloom "
-    "filter uses), drop non-joining lineitem rows inside the scan "
-    "stage, then the exact broadcast semi join repairs false "
-    "positives.  At 100 TB the filter removes ~93% of fact rows "
-    "before any join machinery; the only collect is filter-sized "
-    "(<=16k words), no Python, no fact shuffle (the final agg's "
-    "exchange is the only one).  Oracle: the plain IN-subquery the "
-    "cut is equivalent to.  "
+    "(bit_or word fold -> one-row dense array<long> -> SCALAR "
+    "SUBQUERY in the scan predicate, the same materialization "
+    "Spark's runtime bloom filter uses), drop non-joining lineitem "
+    "rows inside the scan stage, then the exact broadcast semi join "
+    "repairs false positives.  At 100 TB the auto-sized filter "
+    "(~10 bits/key) removes ~93% of fact rows before any join "
+    "machinery; nothing filter-shaped crosses the driver (the only "
+    "driver value is the sizing count), no Python, no fact shuffle "
+    "(the final agg's exchange is the only one).  Oracle: the plain "
+    "IN-subquery the cut is equivalent to.  "
     "Reference anchor: helpers/db_funcs.py:4-45 loads whole lookup "
     "tables driver-side; this is the scale-safe inversion",
     oracle="""

@@ -61,6 +61,33 @@ def test_bloom_semi_join_auto_sized_exact(spark):
     assert got == want
 
 
+def test_bloom_filter_subquery_matches_literal(spark):
+    """The scalar-subquery materialization admits exactly the same
+    keys as the driver-folded literal (same words, same probes), and
+    an EMPTY key set rejects everything (all-zero filter)."""
+    from survivor_processing_spark.operators.bloom import (
+        bloom_filter_literal,
+        bloom_filter_subquery,
+        might_contain,
+    )
+
+    keys = spark.range(0, 500).select((F.col("id") * 31 + 7).alias("k"))
+    probe = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    bits = 1 << 14
+    sub = bloom_filter_subquery(keys, "k", bits, 4)
+    lit = bloom_filter_literal(keys, "k", bits, 4)
+    got_sub = sorted(
+        r.k for r in probe.filter(might_contain(sub, F.col("k"), bits, 4)).collect()
+    )
+    got_lit = sorted(
+        r.k for r in probe.filter(might_contain(lit, F.col("k"), bits, 4)).collect()
+    )
+    assert got_sub == got_lit
+    empty = keys.filter(F.lit(False))
+    none = bloom_filter_subquery(empty, "k", bits, 4)
+    assert probe.filter(might_contain(none, F.col("k"), bits, 4)).count() == 0
+
+
 # --- HTTP REST fetcher ------------------------------------------------------
 
 
