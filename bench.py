@@ -62,6 +62,9 @@ HEADLINE = [
     "doc_chunk_overlap",
     "fuzzy_name_match_dist2",
     "multimodal_header_parse",
+    # round 5
+    "ivf_topk_exact",
+    "entity_match_quarantine",
 ]
 
 
