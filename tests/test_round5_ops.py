@@ -319,6 +319,19 @@ def test_entity_match_quarantine_residue(spark, sf_dir):
     assert out == want and out  # non-empty residue
 
 
+def test_entity_match_quarantine_plan(spark, sf_dir):
+    """Cascade attempts stay broadcast joins; the only shuffle is the
+    final quarantine-summary aggregation."""
+    df = REGISTRY["entity_match_quarantine"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # 3 exchanges: one per attempt-table dedup (rows = distinct
+    # correction keys, broadcast-sized) + the final summary agg; the
+    # FACT side never shuffles before aggregation
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
 def test_ivf_topk_exact_matches_bruteforce_query(spark, sf_dir):
     """The registered exact-config IVF query returns bit-identical
     rows to the registered brute-force query — the degraded-to-exact
