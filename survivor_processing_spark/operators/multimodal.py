@@ -21,11 +21,14 @@ for duration — alongside byte length + md5.  ``fake=True``
 additionally fills the 8-dim feature vector from the digest (the
 stand-in for pixel-level features, which genuinely need the absent
 codec libs); real mode leaves ``features`` NULL rather than faking
-it.  ``resize_media`` runs REAL pixel resampling when Pillow is
-importable (guarded import, like the optional delta-spark branch);
-without it — and for ``frame_sample``, which needs ffmpeg — the
-deterministic stub codecs stay behind ``fake=True`` and
-``fake=False`` raises rather than silently degrading.
+it.  ``resize_media`` runs REAL pixel resampling in both codec
+environments: Pillow when importable (guarded import, like the
+optional delta-spark branch), else a pure-stdlib PNG codec
+(``png_decode``/``png_encode`` — zlib IDAT, all five scanline
+filters, nearest-neighbor resample) with non-PNG blobs quarantined
+per row.  ``frame_sample`` genuinely needs ffmpeg, so its stub
+stays behind ``fake=True`` and ``fake=False`` raises rather than
+silently degrading.
 """
 
 from __future__ import annotations
@@ -153,28 +156,137 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
 def synth_png(width: int, height: int) -> bytes:
     """A fully valid 8-bit grayscale PNG (zlib IDAT, correct CRCs) —
     stdlib-only fixture generator for the real header-parse path."""
     import struct
     import zlib
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     scanlines = (b"\x00" + b"\x00" * width) * height
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines))
-        + chunk(b"IEND", b"")
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def png_decode(b: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib PNG decode → (width, height, channels, raw pixel
+    bytes, row-major).  Supports the common web subset: 8-bit depth,
+    gray / gray+alpha / RGB / RGBA color types, non-interlaced, all
+    five scanline filters (None/Sub/Up/Average/Paeth per the PNG
+    spec §9).  Pure-Python per-byte unfiltering — right for fixtures
+    and thumbnails; a production cluster installs Pillow and takes
+    the guarded fast path instead."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, colortype = 8, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, colortype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or colortype not in (0, 2, 4, 6):
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                up = prev[i]
+                pr = a + up - c
+                pa, pb, pc = abs(pr - a), abs(pr - up), abs(pr - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, nch, bytes(out)
+
+
+def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Raw pixels → valid PNG (filter 0 rows, one zlib IDAT)."""
+    import struct
+    import zlib
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    stride = width * channels
+    scan = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_resize_nn(b: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor PNG resize through the stdlib codec: decode,
+    sample source pixel (x*w//new_w, y*h//new_h), re-encode."""
+    w, h, nch, px = png_decode(b)
+    out = bytearray(new_w * new_h * nch)
+    for y in range(new_h):
+        srow = (y * h // new_h) * w * nch
+        orow = y * new_w * nch
+        for x in range(new_w):
+            s = srow + (x * w // new_w) * nch
+            o = orow + x * nch
+            out[o : o + nch] = px[s : s + nch]
+    return png_encode(new_w, new_h, nch, bytes(out))
 
 
 def synth_gif(width: int, height: int) -> bytes:
@@ -341,22 +453,58 @@ def _resize_media_pil(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def _resize_media_stdlib(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Pillow-free real path: REAL nearest-neighbor resampling for
+    PNG blobs through the module's stdlib codec
+    (:func:`png_resize_nn`); every other format quarantines (media
+    NULL, meta intact) — the same per-blob contract the Pillow path
+    applies to undecodable inputs, with a narrower decodable set."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        for pdf in batches:
+            rows = []
+            for asset_id, blob, meta in zip(
+                pdf["asset_id"], pdf["media"], pdf["media_meta"]
+            ):
+                b = bytes(blob) if blob is not None else b""
+                mime = meta["mime"] if meta is not None else None
+                dur = meta["duration_s"] if meta is not None else None
+                try:
+                    resized = png_resize_nn(b, width, height)
+                    mime = "image/png"
+                except Exception:
+                    resized = None
+                rows.append(
+                    (
+                        asset_id,
+                        resized,
+                        {
+                            "mime": mime,
+                            "width": width if resized is not None else None,
+                            "height": height if resized is not None else None,
+                            "duration_s": dur,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def resize_media(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize image media to (width, height): binary→binary through
-    mapInPandas, metadata struct updated in the same pass.  With
-    Pillow installed the real path decodes, bilinear-resamples and
-    re-encodes per blob (``_resize_media_pil``); without it the
-    deterministic fake codec (truncate/cycle to w*h bytes) exercises
-    schema, batching and meta propagation, and ``fake=False`` raises
-    so absence of a codec is never silent."""
+    mapInPandas, metadata struct updated in the same pass.  Real-mode
+    codec chain: Pillow when importable (every format PIL reads,
+    bilinear), else the stdlib PNG codec (8-bit PNG, nearest
+    neighbor) with non-PNG blobs quarantined as ``media NULL`` rows.
+    ``fake=True`` keeps the deterministic byte-stub (truncate/cycle
+    to w*h bytes) for plumbing tests that must not depend on any
+    codec's output bytes."""
     if not fake:
         if pil_available():
             return _resize_media_pil(df, width, height)
-        raise NotImplementedError(
-            "image codecs not available in this environment "
-            "(pip install pillow for the real resample path); "
-            "pass fake=True for the deterministic stub resize"
-        )
+        return _resize_media_stdlib(df, width, height)
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

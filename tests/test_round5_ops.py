@@ -292,12 +292,99 @@ def test_resize_media_real_pil(spark):
     assert out[2].media is None and out[2].media_meta.width is None
 
 
-@pytest.mark.skipif(pil_available(), reason="Pillow installed: real path active")
-def test_resize_media_gate_without_pil(spark):
-    """Without Pillow, fake=False raises at PLAN TIME (driver-side
-    guard) — a missing codec is never a silent fake."""
-    with pytest.raises(NotImplementedError):
-        resize_media(_media_df(spark), 4, 3, fake=False)
+def test_png_codec_roundtrip_and_filters():
+    """The stdlib PNG codec round-trips pixels exactly and unfilters
+    every scanline filter type (hand-built filtered IDATs with known
+    pixel expectations)."""
+    import struct
+    import zlib
+
+    from survivor_processing_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        png_decode,
+        png_encode,
+    )
+
+    # RGB gradient roundtrip
+    w, h = 5, 3
+    px = bytes((x * 50 + y * 10 + c) & 0xFF
+               for y in range(h) for x in range(w) for c in range(3))
+    got = png_decode(png_encode(w, h, 3, px))
+    assert got == (w, h, 3, px)
+
+    def hand_png(filters_and_rows, width, nch, colortype):
+        raw = b"".join(bytes([f]) + bytes(r) for f, r in filters_and_rows)
+        ihdr = struct.pack(
+            ">IIBBBBB", width, len(filters_and_rows), 8, colortype, 0, 0, 0
+        )
+        return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    # grayscale, width 3: Sub then Up then Average then Paeth
+    img = hand_png(
+        [
+            (0, [10, 20, 30]),       # None -> 10 20 30
+            (1, [5, 5, 5]),          # Sub  -> 5 10 15
+            (2, [1, 1, 1]),          # Up   -> 6 11 16
+            (3, [4, 3, 2]),          # Avg  -> 7 11+? compute below
+            (4, [1, 1, 1]),          # Paeth
+        ],
+        3, 1, 0,
+    )
+    _, _, _, out = png_decode(img)
+    rows = [list(out[i * 3 : (i + 1) * 3]) for i in range(5)]
+    assert rows[0] == [10, 20, 30]
+    assert rows[1] == [5, 10, 15]
+    assert rows[2] == [6, 11, 16]
+    # Average: x + (left + up)//2
+    r3 = [(4 + (0 + 6) // 2) & 0xFF]
+    r3.append((3 + (r3[0] + 11) // 2) & 0xFF)
+    r3.append((2 + (r3[1] + 16) // 2) & 0xFF)
+    assert rows[3] == r3
+    # Paeth row: verify against a direct predictor computation
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    r4, prev = [], rows[3]
+    for i in range(3):
+        a = r4[i - 1] if i else 0
+        c = prev[i - 1] if i else 0
+        r4.append((1 + paeth(a, prev[i], c)) & 0xFF)
+    assert rows[4] == r4
+
+
+@pytest.mark.skipif(pil_available(), reason="Pillow installed: PIL path active")
+def test_resize_media_stdlib_png_path(spark):
+    """Without Pillow the real path still REALLY resizes PNGs via the
+    stdlib codec: output parses to the target dimensions and samples
+    the expected source pixels; non-PNG blobs quarantine."""
+    from survivor_processing_spark.operators.multimodal import (
+        parse_media_header,
+        png_decode,
+        png_encode,
+    )
+
+    w, h = 8, 6
+    px = bytes(((x * 37 + y * 11) & 0xFF) for y in range(h) for x in range(w))
+    rows = [(1, png_encode(w, h, 1, px), ("image/png", w, h, None)),
+            (2, b"not an image", (None, None, None, None))]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, media binary, "
+        "media_meta struct<mime:string,width:int,height:int,duration_s:double>",
+    )
+    out = {r.asset_id: r for r in resize_media(df, 4, 3, fake=False).collect()}
+    blob = bytes(out[1].media)
+    assert parse_media_header(blob) == ("image/png", 4, 3, None)
+    _, _, _, small = png_decode(blob)
+    want = bytes(px[(y * 6 // 3) * w + (x * 8 // 4)]
+                 for y in range(3) for x in range(4))
+    assert small == want
+    assert out[1].media_meta.width == 4 and out[1].media_meta.mime == "image/png"
+    assert out[2].media is None and out[2].media_meta.width is None
 
 
 # --- quarantine inspection + exact IVF --------------------------------------
