@@ -61,6 +61,7 @@ _PRIORITY = [
     # (b) new in r05
     "ivf_topk_exact",
     "entity_match_quarantine",
+    "multimodal_resize_pipeline",
     # (c) the whole r02-latest cohort (verification debt, 38)
     "asof_join_forward_broadcast",
     "change_detection_incremental",
@@ -106,7 +107,6 @@ _PRIORITY = [
     "skew_salted_join_agg",
     "cdc_apply_changelog",
     "streaming_foreachbatch_merge",
-    "grouping_sets_agg",
 ]
 
 

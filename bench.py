@@ -102,8 +102,10 @@ def _calibration(spark) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        # bit_xor: overflow-free under ANSI mode, still forces every
+        # row through the hash
         spark.range(0, 50_000_000).select(
-            F.sum(F.xxhash64("id")).alias("h")
+            F.bit_xor(F.xxhash64("id")).alias("h")
         ).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)

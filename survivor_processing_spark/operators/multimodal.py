@@ -492,6 +492,14 @@ def _resize_media_stdlib(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def resize_media_nn(df: DataFrame, width: int, height: int) -> DataFrame:
+    """The deterministic nearest-neighbor PNG resize as a public
+    operator: byte-identical output on every host (no codec-library
+    variance), which is what an oracle-gated pipeline needs.  Alias
+    of the stdlib path ``resize_media`` falls back to."""
+    return _resize_media_stdlib(df, width, height)
+
+
 def resize_media(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize image media to (width, height): binary→binary through
     mapInPandas, metadata struct updated in the same pass.  Real-mode

@@ -546,6 +546,81 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_pipeline",
+    doc="REAL distributed image resize, no codec libs: synthesize a "
+    "doc-dependent grayscale gradient PNG per document (w = "
+    "doc_id%13+4, h = doc_id%7+3, pixel(x,y) = (doc_id+37x+11y)%256), "
+    "nearest-neighbor resize every blob to 4x3 through the stdlib "
+    "PNG codec (resize_media_nn: zlib decode, unfilter, sample, "
+    "re-encode), decode the OUTPUT blob again and emit its parsed "
+    "dims plus the sum of its 12 pixels.  The oracle replays the "
+    "whole pixel pipeline in closed form (NN sample index x*w//4, "
+    "y*h//3) — a wrong filter impl, sample index, or re-encode "
+    "corrupts pixel_sum, so this hash-gates the codec end to end",
+    oracle="""
+SELECT CAST(d.doc_id AS BIGINT) AS asset_id,
+       'image/png' AS mime,
+       4 AS out_w, 3 AS out_h,
+       CAST(SUM((d.doc_id + 37 * ((x.x * (d.doc_id % 13 + 4)) // 4)
+                 + 11 * ((y.y * (d.doc_id % 7 + 3)) // 3)) % 256)
+            AS BIGINT) AS pixel_sum
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) x
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS y) y
+GROUP BY d.doc_id
+""",
+)
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        png_decode,
+        png_encode,
+        resize_media_nn,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 13 + 4, i % 7 + 3
+                px = bytes(
+                    (i + 37 * x + 11 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append((i, png_encode(w, h, 1, px), None))
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for asset_id, blob, meta in zip(
+                pdf["asset_id"], pdf["media"], pdf["media_meta"]
+            ):
+                w, h, _nch, px = png_decode(bytes(blob))
+                rows.append(
+                    (asset_id, meta["mime"], w, h, sum(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "mime", "out_w", "out_h", "pixel_sum"],
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    resized = resize_media_nn(media, 4, 3)
+    return resized.mapInPandas(
+        checksum,
+        schema="asset_id long, mime string, out_w int, out_h int, "
+        "pixel_sum long",
+    )
+
+
+@register(
     "multimodal_frame_sample",
     doc="video frame sampling: 1 media row -> N frame rows via "
     "mapInPandas (UDTF-style M3 emit); synthetic duration = "
