@@ -37,16 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-verifies next round.
 #
 # Round-5 window (executes VERDICT r04 "Next round" #1): (a) queries
-# whose gating code changed this round (bloom auto-sizing,
-# doc_chunk_overlap helper refactor) plus the two r04 partials the
-# verdict front-loaded (sketch/ivf), (b) the queries NEW this round
-# (ivf_topk_exact — the hash-green IVF configuration — and
-# entity_match_quarantine), (c) the ENTIRE 38-query r02-latest
-# cohort, closing the two-rounds-stale debt, (d) fill to 50 with the
-# heaviest r03-latest greens.  After this round no query's latest
-# driver row predates r03.  Round-6 rotation note: the remaining
-# r03-latest cohort (~37 queries: bucketed_join_colocated,
-# cdc/cube/cohort/csv/jsonl/orc families, gap_fill, grouping_sets,
+# whose gating code changed this round (bloom scalar-subquery +
+# auto-sizing, doc_chunk_overlap helper refactor) plus the two r04
+# partials the verdict front-loaded (sketch/ivf), (b) the five
+# queries NEW this round (ivf_topk_exact — the hash-green IVF
+# configuration — entity_match_quarantine,
+# multimodal_resize_pipeline, incremental_dedup_new_docs,
+# dataset_split_hash), (c) the ENTIRE 38-query r02-latest cohort,
+# closing the two-rounds-stale debt, (d) fill to 50 with heavy
+# r03-latest greens.  After this round no query's latest driver row
+# predates r03.  Round-6 rotation note: the remaining r03-latest
+# cohort (~40 queries: bucketed_join_colocated, cdc_apply_changelog,
+# streaming_foreachbatch_merge, grouping_sets_agg,
+# cube/cohort/csv/jsonl/orc families, gap_fill,
 # incremental_agg_merge, kmeans, mode_median, near_dup_keep_best,
 # ntile, partition_pruned_scan, pivot, quality_model_score,
 # safe_math, schema_evolution_scan, stream_* family, tfidf,
@@ -62,6 +65,8 @@ _PRIORITY = [
     "ivf_topk_exact",
     "entity_match_quarantine",
     "multimodal_resize_pipeline",
+    "incremental_dedup_new_docs",
+    "dataset_split_hash",
     # (c) the whole r02-latest cohort (verification debt, 38)
     "asof_join_forward_broadcast",
     "change_detection_incremental",
@@ -105,8 +110,6 @@ _PRIORITY = [
     "minhash_lsh_pairs",
     "range_join_binned",
     "skew_salted_join_agg",
-    "cdc_apply_changelog",
-    "streaming_foreachbatch_merge",
 ]
 
 

@@ -225,15 +225,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, rows: int = 4) -> Da
     the same bucket only if a full band agrees, which for non-dup
     text is a 2^-64 event per band; posting lists are dup-cluster
     sized.  Output is candidates only; callers verify."""
-    banded = sig_df.select(
-        "doc_id",
-        F.posexplode_outer(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = lsh_band_index(sig_df, bands, rows)
     return (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -283,6 +275,84 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
     shingles = shingle_table(df, text_col, id_col, shingle_n)
     return jaccard_verify(cands, shingles, threshold)
+
+
+def lsh_band_index(
+    sig_df: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Banded posting rows ``(band_idx, band_hash, doc_id)`` for a
+    signature table — the MATERIALIZABLE half of incremental dedup.
+    At 100 TB this is what you persist (partitioned/bucketed by
+    ``band_hash``): the historical corpus is indexed once, and every
+    incoming crawl batch joins against it instead of re-signing the
+    world."""
+    return sig_df.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_match_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (asymmetric) near-dup detection: which NEW
+    documents duplicate something already in the corpus?  The
+    batch-vs-history shape every rolling crawl ingest needs — batch
+    pairs are NOT emitted, only (new_id, corpus_id, jaccard).
+
+    Plan shape: signatures + band postings for the small new batch;
+    one hash equi-join on (band_idx, band_hash) against the corpus
+    index (at rest: the persisted :func:`lsh_band_index` table, so
+    only matching index partitions are read); distinct candidate
+    pairs; exact Jaccard verify via two id joins.  Cost scales with
+    the BATCH and its collisions, never with corpus size.  Recall is
+    the LSH banding curve, same as :func:`minhash_dedup_pairs`."""
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k, shingle_n)
+    corpus_idx = lsh_band_index(
+        minhash_signatures(corpus_df, text_col, id_col, k, shingle_n),
+        bands,
+        rows,
+    ).withColumnRenamed("doc_id", "corpus_id")
+    new_idx = lsh_band_index(new_sigs, bands, rows).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    cands = (
+        new_idx.join(corpus_idx, ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = shingle_table(new_df, text_col, id_col, shingle_n).select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh1")
+    )
+    sh_corpus = shingle_table(corpus_df, text_col, id_col, shingle_n).select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh2")
+    )
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_corpus, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(

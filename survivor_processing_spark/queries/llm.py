@@ -248,6 +248,98 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs_above(e, threshold=0.5, n_planes=4, n_tables=16)
 
 
+@register(
+    "incremental_dedup_new_docs",
+    doc="rolling-crawl dedup: does a NEW batch (doc_id % 10 = 0) "
+    "duplicate anything in the EXISTING corpus (doc_id % 10 != 0)? "
+    "MinHash signatures for the batch, one hash join against the "
+    "corpus's banded LSH index (the persistable lsh_band_index "
+    "table), exact-Jaccard verify — cost scales with the batch, "
+    "never the corpus.  Oracle: the full asymmetric exact-Jaccard "
+    "join at the same threshold; candidates here are near-identical "
+    "planted dups where LSH recall is ~1 (same regime as "
+    "q:minhash_lsh_pairs)",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(words[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ')
+                         AS words
+              FROM documents) w,
+             LATERAL (SELECT unnest(generate_series(1,
+                          greatest(len(words) - 2, 1))) AS i)
+    ) GROUP BY doc_id, shingle
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT new_id, corpus_id,
+       round(n_common * 1.0 / (c1.n + c2.n - n_common), 6) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = new_id
+JOIN cnt c2 ON c2.doc_id = corpus_id
+WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
+""",
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_match_against_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out = minhash_match_against_corpus(
+        new, corpus, "text", "doc_id", threshold=0.5
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dataset_split_hash",
+    doc="deterministic content-keyed train/val/test split — the "
+    "holdout assignment a training pipeline needs to be stable "
+    "across re-runs and engines: first hex char of md5(doc_id) "
+    "buckets 16 ways (0-b train 75%, c-d val, e-f test), then "
+    "per-(lang, split) doc and char totals.  Pure projection + one "
+    "aggregation; md5 of the decimal id string is engine-portable "
+    "where xxhash64 is Spark-specific",
+    oracle="""
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, split
+""",
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c < "c", "train").when(c < "e", "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 
