@@ -126,8 +126,10 @@ def _prior_common(queries: dict[str, float]) -> dict | None:
     n, fn = rounds[-1]
     try:
         with open(os.path.join(root, fn)) as f:
-            prior = json.load(f).get("queries", {})
-    except (OSError, json.JSONDecodeError):
+            doc = json.load(f)
+        # driver artifacts wrap the bench line under "parsed"
+        prior = (doc.get("parsed") or doc).get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
         return None
     common = sorted(set(prior) & set(queries))
     if not common:
