@@ -152,6 +152,12 @@ def bloom_filter_subquery(
             ).alias("arr")
         )
     )
+    # cache the one-row result: might_contain's k probes embed k
+    # scalar-subquery instances that Spark executes independently
+    # (ReuseSubquery does not collapse them) — with the cache, probes
+    # after the first cost scheduling only.  One row, ~num_bits/8
+    # bytes: session-lived like the temp view itself.
+    dense = dense.cache()
     view = f"_bloom_words_{uuid.uuid4().hex[:12]}"
     dense.createOrReplaceTempView(view)
     return F.expr(f"(SELECT arr FROM {view})")
@@ -183,11 +189,22 @@ def might_contain(
     bloom: Column, key: Column, num_bits: int = 1 << 20, num_hashes: int = 3
 ) -> Column:
     """JVM-side membership test against a dense ``array<long>``
-    filter (literal from :func:`bloom_filter_literal`, or any array
-    column with the same layout).
+    filter (scalar subquery from :func:`bloom_filter_subquery`,
+    literal from :func:`bloom_filter_literal`, or any array column
+    with the same layout).
 
     True for every key that was inserted (no false negatives);
-    spuriously true at the filter's false-positive rate."""
+    spuriously true at the filter's false-positive rate.
+
+    Expression shape: the k probes are ANDed checks, so ``bloom``
+    appears k times.  A single-reference ``forall`` over the position
+    array is NOT legal when ``bloom`` is a scalar subquery (Spark
+    rejects subquery expressions inside higher-order functions), and
+    the executed plan shows the k subquery instances are NOT
+    collapsed by ReuseSubquery — which is why
+    :func:`bloom_filter_subquery` caches its one-row dense dataset:
+    executions after the first are cache hits, so the k-fold
+    execution costs scheduling only."""
     checks = []
     for p in _positions(key, num_bits, num_hashes):
         w = (p / F.lit(64)).cast("int")
