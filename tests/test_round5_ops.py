@@ -356,6 +356,38 @@ def test_png_codec_roundtrip_and_filters():
     assert rows[4] == r4
 
 
+def test_png_codec_roundtrip_property():
+    """Property: encode→decode is identity for arbitrary dimensions,
+    channel counts, and pixel contents (pure-Python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from survivor_processing_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+        png_resize_nn,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        nch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, nch, seed):
+        import random
+
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+        assert png_decode(png_encode(w, h, nch, px)) == (w, h, nch, px)
+        # resize to same size is identity (NN with ratio 1 maps i->i)
+        same = png_resize_nn(png_encode(w, h, nch, px), w, h)
+        assert png_decode(same) == (w, h, nch, px)
+
+    check()
+
+
 @pytest.mark.skipif(pil_available(), reason="Pillow installed: PIL path active")
 def test_resize_media_stdlib_png_path(spark):
     """Without Pillow the real path still REALLY resizes PNGs via the
