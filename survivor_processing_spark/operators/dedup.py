@@ -670,6 +670,103 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select("doc_id", F.expr(bit_terms).alias("simhash64"))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 48
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash: identical to :func:`simhash` except
+    the token hash is the first 15 hex chars of md5 (a 60-bit value
+    every engine computes identically) instead of Spark-specific
+    xxhash64 — so the signatures, and therefore the near-pair set,
+    are bit-reproducible in DuckDB/Postgres/anything with md5, and
+    the q:simhash_portable_pairs oracle can be a full value-hash
+    gate rather than rows-only.  ``n_bits`` ≤ 60 lanes of the md5
+    value are voted; same flat-aggregate shape and cost profile as
+    the xxhash64 variant (which stays the scale default — one
+    xxhash64 beats an md5 + hex-parse per token)."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60]")
+    votes = (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("_t"))
+        .select("doc_id", F.explode_outer("_t").alias("_tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            *[
+                F.sum(F.expr(f"bit_get(_h, {b})")).alias(f"_v{b}")
+                for b in range(n_bits)
+            ],
+        )
+    )
+    bit_terms = " + ".join(
+        f"if(_v{b} * 2 > _n, shiftleft(cast(1 as bigint), {b}), 0L)"
+        for b in range(n_bits)
+    )
+    return votes.select("doc_id", F.expr(bit_terms).alias("simhash_sig"))
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 5,
+    n_bits: int = 48,
+    n_chunks: int = 6,
+) -> DataFrame:
+    """All pairs at hamming ≤ ``max_hamming`` over the PORTABLE
+    signature, with exact pigeonhole recall (``n_chunks`` >
+    ``max_hamming`` and no posting cap): the output equals a full
+    O(n²) hamming scan, which is what the DuckDB oracle computes.
+    Same posting-list bucketing as :func:`simhash_near_pairs`."""
+    if n_bits % n_chunks:
+        raise ValueError(f"n_chunks must divide n_bits")
+    if max_hamming >= n_chunks:
+        raise ValueError("exact recall needs n_chunks > max_hamming")
+    width = n_bits // n_chunks
+    mask = (1 << width) - 1
+    sh = simhash_portable(df, text_col, id_col, n_bits)
+    chunks = sh.select(
+        "doc_id",
+        "simhash_sig",
+        F.posexplode_outer(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" c -> cast(shiftright(simhash_sig, c * {width}) & {mask} as int))"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    posting = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.collect_list(F.struct("doc_id", "simhash_sig")).alias("ids")
+    )
+    return (
+        posting.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(least(x, y) as lo, greatest(x, y) as hi))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.lo.doc_id").alias("id1"),
+            F.col("p.hi.doc_id").alias("id2"),
+            F.expr("bit_count(p.lo.simhash_sig ^ p.hi.simhash_sig)")
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str,

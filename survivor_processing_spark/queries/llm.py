@@ -162,6 +162,56 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_portable_pairs",
+    doc="the SAME SimHash machinery (per-bit token votes, pigeonhole "
+    "chunk bucketing, popcount verify) over an ENGINE-PORTABLE token "
+    "hash — the first 15 hex chars of md5, a 60-bit value DuckDB "
+    "computes identically — with 48 voted bits, 6 chunks, hamming<=5 "
+    "and no posting cap, so pigeonhole recall is exact and the "
+    "output EQUALS a full O(n^2) hamming scan.  This hash-gates the "
+    "simhash family end to end (votes, sign fold, chunking, "
+    "popcount); the xxhash64 variant stays registered as the scale "
+    "default (q:simhash_near_pairs, rows-only)",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+), hashes AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+    FROM toks
+), votes AS (
+    SELECT doc_id, b.b AS b,
+           COUNT(*) AS n,
+           SUM((h >> b.b) & 1) AS v
+    FROM hashes
+    CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) b
+    GROUP BY doc_id, b.b
+), sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v * 2 > n
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 5
+""",
+)
+def simhash_portable_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_portable_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_portable_pairs(
+        d, "text", "doc_id", max_hamming=5, n_bits=48, n_chunks=6
+    )
+
+
+@register(
     "near_dup_components",
     doc="near-dup clusters: MinHash-LSH pairs -> min-label-propagation "
     "connected components; every doc labeled with its cluster "
