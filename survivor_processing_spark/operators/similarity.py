@@ -283,6 +283,100 @@ def ivf_topk(
     )
 
 
+def lsh_portable_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENGINE-PORTABLE hyperplane LSH: same banding scheme as
+    :func:`lsh_pairs_above`, but every piece of the signature is
+    bit-reproducible across engines so a DuckDB oracle can replay it
+    for a full value-hash gate:
+
+    - plane signs come from md5 of the STRING ``"{component}_{seed}"``
+      (seed = table*n_planes+plane) — parity of a 60-bit md5-hex
+      prefix, not Spark-private xxhash64;
+    - projections are INTEGER-LANE: each component is scaled
+      ``floor(x*1e6+0.5)`` to an int64 before the ±1 sum, so the
+      bucket decision (``proj > 0``) is exact integer arithmetic with
+      no summation-order sensitivity (the float-sum variant can flip
+      a sign on a projection within an ulp of zero);
+    - the verify is the exact cosine at ``threshold``, the same
+      comparison the hash-green exact all-pairs query already pins
+      cross-engine on this corpus.
+
+    The xxhash64 float-lane variant stays the scale default (one
+    hash op per element vs an md5 + hex parse per (element, plane));
+    this variant exists to hash-gate the LSH machinery itself."""
+    comps = emb.select(
+        F.col(id_col).alias("doc_id"), F.posexplode_outer(vec_col).alias("_i", "_x")
+    ).select(
+        "doc_id",
+        "_i",
+        F.floor(F.col("_x").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("_q"),
+    )
+    sign = lambda seed: F.when(  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("_i"), F.lit(seed))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(1))
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj_aggs = [
+        F.sum(F.col("_q") * sign(t * n_planes + p)).alias(f"_s_{t}_{p}")
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    projs = comps.groupBy("doc_id").agg(*proj_aggs)
+    bucket_exprs = [
+        sum(
+            (F.when(F.col(f"_s_{t}_{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+            for p in range(n_planes)
+        ).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    buckets = projs.select("doc_id", *bucket_exprs)
+    sigs = buckets.select(
+        "doc_id",
+        F.posexplode_outer(F.array(*[f"_b{t}" for t in range(n_tables)])).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    cands = (
+        sigs.groupBy("table_idx", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(least(x, y) as id1, greatest(x, y) as id2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    e1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    e2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    return (
+        cands.join(e1, "id1")
+        .join(e2, "id2")
+        .filter(cosine_expr("_v1", "_v2") >= threshold)
+        .select("id1", "id2")
+    )
+
+
 def lsh_pairs_above(
     emb: DataFrame,
     threshold: float,

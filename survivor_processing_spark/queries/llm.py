@@ -299,6 +299,62 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_lsh_portable_pairs",
+    doc="the SAME hyperplane-LSH banding (4 planes x 16 tables, "
+    "bucket join, exact-cosine verify at 0.5) over ENGINE-PORTABLE "
+    "building blocks: md5-parity plane signs and integer-lane "
+    "projections (floor(x*1e6+0.5) int64 sums — exact, order-free), "
+    "so the DuckDB oracle replays the entire signature pipeline and "
+    "the value hash gates LSH end to end.  The xxhash64 float-lane "
+    "variant stays the scale default (q:embedding_lsh_pairs, "
+    "rows-only)",
+    oracle="""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+seeds AS (SELECT unnest(generate_series(0, 63)) AS s),
+signs AS (
+    SELECT i, s,
+           CASE WHEN CAST(('0x' || substr(md5(
+                         CAST(i - 1 AS VARCHAR) || '_' || CAST(s AS VARCHAR)
+                     ), 1, 15)) AS BIGINT) & 1 = 1
+                THEN 1 ELSE -1 END AS sgn
+    FROM dims, seeds
+),
+comps AS (
+    SELECT e.vec_id, d.i,
+           CAST(floor(e.embedding[d.i] * 1e6 + 0.5) AS BIGINT) AS q
+    FROM embeddings e, dims d
+),
+projs AS (
+    SELECT c.vec_id, s.s, SUM(c.q * s.sgn) AS proj
+    FROM comps c JOIN signs s ON s.i = c.i
+    GROUP BY c.vec_id, s.s
+),
+buckets AS (
+    SELECT vec_id, s // 4 AS t,
+           SUM(CASE WHEN proj > 0 THEN (1 << (s % 4)) ELSE 0 END) AS bucket
+    FROM projs GROUP BY vec_id, s // 4
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+    FROM buckets a
+    JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id
+)
+SELECT c.id1, c.id2
+FROM cand c
+JOIN embeddings e1 ON e1.vec_id = c.id1
+JOIN embeddings e2 ON e2.vec_id = c.id2
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.5
+""",
+)
+def embedding_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_portable_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_portable_pairs(e, threshold=0.5, n_planes=4, n_tables=16)
+
+
+@register(
     "incremental_dedup_new_docs",
     doc="rolling-crawl dedup: does a NEW batch (doc_id % 10 = 0) "
     "duplicate anything in the EXISTING corpus (doc_id % 10 != 0)? "
