@@ -730,7 +730,17 @@ def simhash_portable_pairs(
         raise ValueError("exact recall needs n_chunks > max_hamming")
     width = n_bits // n_chunks
     mask = (1 << width) - 1
-    sh = simhash_portable(df, text_col, id_col, n_bits)
+    # cache the (tiny: one row per doc) signature table, then expand
+    # candidate pairs as a SELF-JOIN on the chunk key rather than a
+    # per-bucket pair array.  The posting-array expansion the capped
+    # xxhash64 variant uses materializes m(m-1)/2 structs in ONE row
+    # per bucket — with no posting cap (required for exact recall) a
+    # hot bucket OOMs the executor (observed at ~sf1: the clone-10x
+    # generator preserves token MULTISETS, SimHash is order-blind, so
+    # every clone family shares a signature and buckets run hot).
+    # The join streams the same pairs through AQE's skew handling,
+    # and caching keeps the signature pipeline from running twice.
+    sh = simhash_portable(df, text_col, id_col, n_bits).cache()
     chunks = sh.select(
         "doc_id",
         "simhash_sig",
@@ -741,26 +751,25 @@ def simhash_portable_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    posting = chunks.groupBy("chunk_idx", "chunk_val").agg(
-        F.collect_list(F.struct("doc_id", "simhash_sig")).alias("ids")
+    a = chunks.select(
+        "chunk_idx",
+        "chunk_val",
+        F.col("doc_id").alias("id1"),
+        F.col("simhash_sig").alias("_s1"),
+    )
+    b = chunks.select(
+        "chunk_idx",
+        "chunk_val",
+        F.col("doc_id").alias("id2"),
+        F.col("simhash_sig").alias("_s2"),
     )
     return (
-        posting.filter(F.size("ids") >= 2)
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(least(x, y) as lo, greatest(x, y) as hi))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.lo.doc_id").alias("id1"),
-            F.col("p.hi.doc_id").alias("id2"),
-            F.expr("bit_count(p.lo.simhash_sig ^ p.hi.simhash_sig)")
-            .cast("long")
-            .alias("hamming"),
+            "id1",
+            "id2",
+            F.expr("bit_count(_s1 ^ _s2)").cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

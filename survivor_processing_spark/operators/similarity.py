@@ -311,6 +311,8 @@ def lsh_portable_pairs(
     The xxhash64 float-lane variant stays the scale default (one
     hash op per element vs an md5 + hex parse per (element, plane));
     this variant exists to hash-gate the LSH machinery itself."""
+    import hashlib
+
     comps = emb.select(
         F.col(id_col).alias("doc_id"), F.posexplode_outer(vec_col).alias("_i", "_x")
     ).select(
@@ -320,19 +322,30 @@ def lsh_portable_pairs(
         .cast("long")
         .alias("_q"),
     )
-    sign = lambda seed: F.when(  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("_i"), F.lit(seed))), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .bitwiseAND(F.lit(1))
-        == 1,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
+
+    def sign_value(i: int, seed: int) -> int:
+        # the signature DEFINITION: parity of the 60-bit md5-hex
+        # prefix of "{component}_{seed}".  Signs depend only on
+        # (i, seed), so they constant-fold here via hashlib (the
+        # same md5 the oracle computes in SQL) instead of running
+        # an md5 + hex-parse per (row, lane) on the cluster — that
+        # per-row variant measured 64 md5s/component-row, minutes
+        # at ~sf1; this one is a 64-int literal lookup per lane.
+        h = int(hashlib.md5(f"{i}_{seed}".encode()).hexdigest()[:15], 16)
+        return 1 if h & 1 else -1
+
+    dim = len(emb.select(vec_col).first()[0])
+
+    def sign_lit(seed: int):
+        return F.array(*[F.lit(sign_value(i, seed)) for i in range(dim)])
+
     proj_aggs = [
-        F.sum(F.col("_q") * sign(t * n_planes + p)).alias(f"_s_{t}_{p}")
+        F.sum(
+            F.col("_q")
+            * F.element_at(sign_lit(t * n_planes + p), F.col("_i") + 1).cast(
+                "long"
+            )
+        ).alias(f"_s_{t}_{p}")
         for t in range(n_tables)
         for p in range(n_planes)
     ]
@@ -351,20 +364,21 @@ def lsh_portable_pairs(
             "table_idx", "bucket"
         ),
     )
+    # candidate pairs via SELF-JOIN on the bucket key (4-bit buckets
+    # have only 16 values per table — hot by construction, so a
+    # per-bucket pair array would materialize O(m²) structs in one
+    # row; the join streams them and AQE splits skewed keys).  The
+    # signature table is one tiny row per vector — cache it so the
+    # projection pipeline runs once, not once per join branch.
+    sigs = sigs.cache()
     cands = (
-        sigs.groupBy("table_idx", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(least(x, y) as id1, greatest(x, y) as id2))))"
-                )
-            ).alias("p")
+        sigs.select("table_idx", "bucket", F.col("doc_id").alias("id1"))
+        .join(
+            sigs.select("table_idx", "bucket", F.col("doc_id").alias("id2")),
+            ["table_idx", "bucket"],
         )
-        .select("p.id1", "p.id2")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
         .distinct()
     )
     e1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
