@@ -39,12 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 window (executes VERDICT r04 "Next round" #1): (a) queries
 # whose gating code changed this round (bloom scalar-subquery +
 # auto-sizing, doc_chunk_overlap helper refactor) plus the two r04
-# partials the verdict front-loaded (sketch/ivf), (b) the seven
+# partials the verdict front-loaded (sketch/ivf), (b) the eight
 # queries NEW this round (ivf_topk_exact, entity_match_quarantine,
 # multimodal_resize_pipeline, incremental_dedup_new_docs,
 # dataset_split_hash, simhash_portable_pairs,
-# embedding_lsh_portable_pairs — the last three being hash-green
-# portable configurations of formerly rows-only families), (c) the ENTIRE 38-query r02-latest cohort,
+# embedding_lsh_portable_pairs, cluster_assign_portable — the last
+# four being hash-green portable configurations of formerly
+# rows-only families), (c) the ENTIRE 38-query r02-latest cohort,
 # closing the two-rounds-stale debt, (d) fill to 50 with heavy
 # r03-latest greens.  After this round no query's latest driver row
 # predates r03.  Round-6 rotation note: the remaining r03-latest
@@ -70,6 +71,7 @@ _PRIORITY = [
     "dataset_split_hash",
     "simhash_portable_pairs",
     "embedding_lsh_portable_pairs",
+    "cluster_assign_portable",
     # (c) the whole r02-latest cohort (verification debt, 38)
     "asof_join_forward_broadcast",
     "change_detection_incremental",
@@ -109,8 +111,6 @@ _PRIORITY = [
     "watermark_incremental",
     "xlsx_region_scan",
     "yaml_correction_map",
-    # (d) fill to 50 with the heaviest r03-latest greens
-    "minhash_lsh_pairs",
 ]
 
 

@@ -112,3 +112,59 @@ def kmeans_lloyd(
         assigned = assign_clusters(df, vec_col, centroids)
         centroids = update_centroids(assigned, vec_col, k, dim)
     return assign_clusters(df, vec_col, centroids)
+
+
+def assign_clusters_portable(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """ENGINE-PORTABLE nearest-seed assignment — the argmax half of a
+    Lloyd iteration, built so a DuckDB oracle can replay it bit-for-
+    bit and hash-gate the clustering machinery (full Lloyd stays
+    rows-only: float centroid MEANS are not portable, exact integer
+    DOTS are):
+
+    - seeds are the k vectors with the smallest md5 of their id
+      string (portable ordering; no RNG, no engine-private hash);
+    - similarity is the INTEGER-LANE dot product: every component is
+      scaled ``floor(x*1e6+0.5)`` to int64 on both sides, so the sum
+      is exact and order-free — the argmax cannot flip on an ulp;
+    - ties break toward the lowest seed rank (array_position takes
+      the first maximum).
+
+    Only the k seed vectors cross the driver (bounded k·dim)."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+        )
+        .orderBy("_m")
+        .limit(k)
+        .collect()
+    )
+    import math
+
+    seed_lanes = [
+        [int(math.floor(float(x) * 1e6 + 0.5)) for x in r["_v"]] for r in rows
+    ]
+    q = F.expr(
+        f"transform({vec_col},"
+        " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+    )
+
+    def int_dot(lanes):
+        slit = F.array(*[F.lit(v).cast("long") for v in lanes])
+        return F.aggregate(
+            F.zip_with(q, slit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dots = F.array(*[int_dot(lanes) for lanes in seed_lanes])
+    return df.select(
+        F.col(id_col),
+        (F.array_position(dots, F.array_max(dots)) - 1)
+        .cast("int")
+        .alias("cluster_idx"),
+        F.array_max(dots).alias("best_dot"),
+    )

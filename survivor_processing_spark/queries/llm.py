@@ -355,6 +355,55 @@ def embedding_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_assign_portable",
+    doc="ENGINE-PORTABLE nearest-seed cluster assignment (the argmax "
+    "half of a Lloyd iteration): seeds are the 8 vectors with the "
+    "smallest md5(id), similarity is the exact INTEGER-LANE dot "
+    "product (floor(x*1e6+0.5) int64 sums — the argmax cannot flip "
+    "on an ulp), ties break to the lowest seed rank.  Hash-gates the "
+    "clustering/IVF assignment machinery; full Lloyd stays "
+    "rows-only (q:kmeans_clusters) because float centroid MEANS are "
+    "not engine-portable",
+    oracle="""
+WITH seeds AS (
+    SELECT embedding,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cluster_idx
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+seed_lanes AS (
+    SELECT s.cluster_idx, d.i,
+           CAST(floor(CAST(s.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS sq
+    FROM seeds s, dims d
+), vec_lanes AS (
+    SELECT e.vec_id, d.i,
+           CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS q
+    FROM embeddings e, dims d
+), dots AS (
+    SELECT v.vec_id, s.cluster_idx, CAST(SUM(v.q * s.sq) AS BIGINT) AS dot
+    FROM vec_lanes v JOIN seed_lanes s ON s.i = v.i
+    GROUP BY v.vec_id, s.cluster_idx
+)
+SELECT vec_id, CAST(cluster_idx AS INTEGER) AS cluster_idx,
+       dot AS best_dot
+FROM (SELECT vec_id, cluster_idx, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cluster_idx ASC) AS r
+      FROM dots)
+WHERE r = 1
+""",
+)
+def cluster_assign_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import assign_clusters_portable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return assign_clusters_portable(e, "embedding", "vec_id", k=8)
+
+
+@register(
     "incremental_dedup_new_docs",
     doc="rolling-crawl dedup: does a NEW batch (doc_id % 10 = 0) "
     "duplicate anything in the EXISTING corpus (doc_id % 10 != 0)? "
