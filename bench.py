@@ -111,10 +111,12 @@ def _calibration(spark) -> float:
     return round(best, 3)
 
 
-def _prior_common(queries: dict[str, float]) -> dict | None:
+def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
     """Common-subset comparison against the most recent committed
     BENCH_r{N}.json, computed in-harness so the round-over-round
-    ratio ships inside the artifact."""
+    ratio ships inside the artifact.  Skipped (None) when the prior
+    artifact was recorded at a different scale factor — a cross-sf
+    ratio would read as a 10x regression."""
     root = os.path.dirname(os.path.abspath(__file__))
     rounds = sorted(
         (int(m.group(1)), fn)
@@ -128,21 +130,26 @@ def _prior_common(queries: dict[str, float]) -> dict | None:
         with open(os.path.join(root, fn)) as f:
             doc = json.load(f)
         # driver artifacts wrap the bench line under "parsed"
-        prior = (doc.get("parsed") or doc).get("queries", {})
-    except (OSError, json.JSONDecodeError, AttributeError):
+        parsed = doc.get("parsed") or doc
+        prior = parsed.get("queries", {})
+        prior_sf = parsed.get("sf", doc.get("sf"))
+        if prior_sf is not None and float(prior_sf) != float(sf):
+            return None
+        common = sorted(set(prior) & set(queries))
+        if not common:
+            return None
+        p = round(sum(float(prior[q]) for q in common), 3)
+        t = round(sum(queries[q] for q in common), 3)
+        return {
+            "prior_round": n,
+            "n_common": len(common),
+            "prior_sec": p,
+            "this_sec": t,
+            "ratio": round(t / p, 3) if p else None,
+        }
+    except (OSError, json.JSONDecodeError, AttributeError, TypeError,
+            ValueError):
         return None
-    common = sorted(set(prior) & set(queries))
-    if not common:
-        return None
-    p = round(sum(prior[q] for q in common), 3)
-    t = round(sum(queries[q] for q in common), 3)
-    return {
-        "prior_round": n,
-        "n_common": len(common),
-        "prior_sec": p,
-        "this_sec": t,
-        "ratio": round(t / p, 3) if p else None,
-    }
 
 
 def main() -> None:
@@ -172,7 +179,7 @@ def main() -> None:
                 "calibration_sec": cal,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "prior_common": _prior_common(queries),
+                "prior_common": _prior_common(queries, sf),
             }
         )
     )

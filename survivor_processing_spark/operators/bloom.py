@@ -155,9 +155,12 @@ def bloom_filter_subquery(
     # cache the one-row result: might_contain's k probes embed k
     # scalar-subquery instances that Spark executes independently
     # (ReuseSubquery does not collapse them) — with the cache, probes
-    # after the first cost scheduling only.  One row, ~num_bits/8
-    # bytes: session-lived like the temp view itself.
-    dense = dense.cache()
+    # after the first cost scheduling only.  Bounded: one live cached
+    # copy per call site (a superseded filter's view recomputes
+    # lazily if something still references it).
+    from .dedup import cache_bounded
+
+    dense = cache_bounded("bloom_dense_words", dense)
     view = f"_bloom_words_{uuid.uuid4().hex[:12]}"
     dense.createOrReplaceTempView(view)
     return F.expr(f"(SELECT arr FROM {view})")

@@ -405,20 +405,19 @@ def pil_available() -> bool:
         return False
 
 
-def _resize_media_pil(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL pixel resampling via Pillow inside mapInPandas: decode
-    each image blob, bilinear-resize to (width, height), re-encode in
-    its source container format.  Non-image or undecodable blobs
-    (e.g. WAV audio) pass through with ``media`` NULL and their meta
-    intact — quarantine semantics, never a task crash at row 10^11.
-    Pillow is imported inside the worker function, so the plan builds
-    (and the guard raises) driver-side before any job runs."""
+def _resize_with_dims(
+    df: DataFrame, make_codec, width: int, height: int
+) -> DataFrame:
+    """Shared mapInPandas scaffold for every resize codec: per blob,
+    the codec returns ``(resized_bytes, mime | None)``; an
+    undecodable blob (codec raises) quarantines as ``media NULL``
+    with its meta intact — never a task crash at row 10^11.
+    ``make_codec`` is a zero-arg factory invoked INSIDE the worker,
+    so codec imports (Pillow) happen executor-side while the
+    driver-side guard runs before any job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        from PIL import Image
-
+        codec = make_codec()
         for pdf in batches:
             rows = []
             for asset_id, blob, meta in zip(
@@ -428,12 +427,8 @@ def _resize_media_pil(df: DataFrame, width: int, height: int) -> DataFrame:
                 mime = meta["mime"] if meta is not None else None
                 dur = meta["duration_s"] if meta is not None else None
                 try:
-                    img = Image.open(io.BytesIO(b))
-                    fmt = img.format or "PNG"
-                    out = io.BytesIO()
-                    img.resize((width, height)).save(out, format=fmt)
-                    resized = out.getvalue()
-                    mime = Image.MIME.get(fmt, mime)
+                    resized, out_mime = codec(b)
+                    mime = out_mime or mime
                 except Exception:
                     resized = None  # undecodable: quarantine, don't crash
                 rows.append(
@@ -453,6 +448,32 @@ def _resize_media_pil(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def _resize_media_pil(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL pixel resampling via Pillow: decode, BILINEAR-resize to
+    (width, height) — pinned explicitly; Pillow's default is bicubic
+    — re-encode in the source container format."""
+
+    def make_codec():
+        import io
+
+        from PIL import Image
+
+        resampling = getattr(Image, "Resampling", Image)
+
+        def codec(b: bytes):
+            img = Image.open(io.BytesIO(b))
+            fmt = img.format or "PNG"
+            out = io.BytesIO()
+            img.resize((width, height), resampling.BILINEAR).save(
+                out, format=fmt
+            )
+            return out.getvalue(), Image.MIME.get(fmt)
+
+        return codec
+
+    return _resize_with_dims(df, make_codec, width, height)
+
+
 def _resize_media_stdlib(df: DataFrame, width: int, height: int) -> DataFrame:
     """Pillow-free real path: REAL nearest-neighbor resampling for
     PNG blobs through the module's stdlib codec
@@ -460,36 +481,13 @@ def _resize_media_stdlib(df: DataFrame, width: int, height: int) -> DataFrame:
     NULL, meta intact) — the same per-blob contract the Pillow path
     applies to undecodable inputs, with a narrower decodable set."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[tuple] = []
-        for pdf in batches:
-            rows = []
-            for asset_id, blob, meta in zip(
-                pdf["asset_id"], pdf["media"], pdf["media_meta"]
-            ):
-                b = bytes(blob) if blob is not None else b""
-                mime = meta["mime"] if meta is not None else None
-                dur = meta["duration_s"] if meta is not None else None
-                try:
-                    resized = png_resize_nn(b, width, height)
-                    mime = "image/png"
-                except Exception:
-                    resized = None
-                rows.append(
-                    (
-                        asset_id,
-                        resized,
-                        {
-                            "mime": mime,
-                            "width": width if resized is not None else None,
-                            "height": height if resized is not None else None,
-                            "duration_s": dur,
-                        },
-                    )
-                )
-            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+    def make_codec():
+        def codec(b: bytes):
+            return png_resize_nn(b, width, height), "image/png"
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+        return codec
+
+    return _resize_with_dims(df, make_codec, width, height)
 
 
 def resize_media_nn(df: DataFrame, width: int, height: int) -> DataFrame:

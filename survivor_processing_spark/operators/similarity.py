@@ -334,7 +334,13 @@ def lsh_portable_pairs(
         h = int(hashlib.md5(f"{i}_{seed}".encode()).hexdigest()[:15], 16)
         return 1 if h & 1 else -1
 
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:  # empty input: the correct output is no pairs
+        return emb.sparkSession.createDataFrame(
+            [], f"id1 {emb.schema[id_col].dataType.simpleString()},"
+                f" id2 {emb.schema[id_col].dataType.simpleString()}"
+        )
+    dim = len(first[0])
 
     def sign_lit(seed: int):
         return F.array(*[F.lit(sign_value(i, seed)) for i in range(dim)])
@@ -368,9 +374,12 @@ def lsh_portable_pairs(
     # have only 16 values per table — hot by construction, so a
     # per-bucket pair array would materialize O(m²) structs in one
     # row; the join streams them and AQE splits skewed keys).  The
-    # signature table is one tiny row per vector — cache it so the
-    # projection pipeline runs once, not once per join branch.
-    sigs = sigs.cache()
+    # signature table is one tiny row per vector — cache it (bounded:
+    # one live copy per call site) so the projection pipeline runs
+    # once, not once per join branch.
+    from .dedup import cache_bounded
+
+    sigs = cache_bounded("lsh_portable_sigs", sigs)
     cands = (
         sigs.select("table_idx", "bucket", F.col("doc_id").alias("id1"))
         .join(

@@ -23,6 +23,13 @@ from collections.abc import Callable, Iterator, Sequence
 # page fetcher: (entity_type, after_cursor, limit) -> list[dict]
 Fetcher = Callable[[str, int, int], list[dict]]
 
+
+class PermanentFetchError(RuntimeError):
+    """A fetch failure retrying cannot cure (wrong response shape,
+    4xx semantics surfaced as payload).  ``paged_fetch`` re-raises it
+    immediately instead of burning the retry budget."""
+
+
 _FETCHERS: dict[str, Fetcher] = {}
 
 
@@ -78,7 +85,16 @@ def make_http_fetcher(base_url: str, timeout_s: float = 10.0) -> Fetcher:
             f"{base_url}?{q}", timeout=timeout_s
         ) as resp:
             payload = json.loads(resp.read().decode("utf-8"))
-        return payload["data"] if isinstance(payload, dict) else payload
+        if isinstance(payload, dict):
+            if "data" not in payload:
+                # dict-shaped error body with HTTP 200 (rate-limit /
+                # error JSON): permanent — retrying re-fetches the
+                # same shape; fail fast with the payload keys visible
+                raise PermanentFetchError(
+                    f"response has no 'data' field (keys: {sorted(payload)})"
+                )
+            return payload["data"]
+        return payload
 
     return fetch
 
@@ -116,6 +132,8 @@ def paged_fetch(
             try:
                 page = fetcher(entity_type, cursor, limit)
                 break
+            except PermanentFetchError:
+                raise
             except Exception:  # noqa: BLE001 - retry loop
                 if attempt == max_retries - 1:
                     raise
