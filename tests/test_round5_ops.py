@@ -192,6 +192,55 @@ def test_resolve_fetcher_unknown_name():
         resolve_fetcher("nope")
 
 
+def test_cache_bounded_unpersists_previous(spark):
+    """cache_bounded keeps at most ONE live cached copy per key —
+    re-caching under the same key unpersists the predecessor (which
+    stays usable via lazy recompute)."""
+    from survivor_processing_spark.operators.dedup import cache_bounded
+
+    a = cache_bounded("_t_bounded", spark.range(0, 10))
+    assert a.count() == 10 and a.storageLevel.useMemory
+    b = cache_bounded("_t_bounded", spark.range(0, 20))
+    assert b.count() == 20 and b.storageLevel.useMemory
+    assert not a.storageLevel.useMemory  # predecessor released
+    assert a.count() == 10  # still correct via recompute
+
+
+class _ErrorBodyHandler(BaseHTTPRequestHandler):
+    """HTTP 200 with a dict payload lacking 'data' — the error-JSON
+    shape that must NOT be retried."""
+
+    hits = 0
+
+    def do_GET(self):  # noqa: N802 - http.server API
+        type(self).hits += 1
+        body = json.dumps({"error": "rate limited"}).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_fetcher_permanent_error_not_retried():
+    from survivor_processing_spark.sources.rest import PermanentFetchError
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ErrorBodyHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fetcher = make_http_fetcher(
+            f"http://127.0.0.1:{srv.server_address[1]}/api"
+        )
+        _ErrorBodyHandler.hits = 0
+        with pytest.raises(PermanentFetchError):
+            list(paged_fetch(fetcher, "comment", 0, None, 10, max_retries=10))
+        assert _ErrorBodyHandler.hits == 1  # no retry burn
+    finally:
+        srv.shutdown()
+
+
 # --- distributed HTML crawl -------------------------------------------------
 
 
