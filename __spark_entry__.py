@@ -56,7 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ntile, partition_pruned_scan, pivot, quality_model_score,
 # safe_math, schema_evolution_scan, stream_* family, tfidf,
 # value_histogram, variant_props, vocab, zorder, …) plus anything
-# r05 flags or changes.
+# r05 flags or changes, plus doc_fingerprint (displaced from this
+# window by html_link_extract; its sibling rolling_fingerprint holds
+# the shared-machinery row).
 _PRIORITY = [
     # (a) code changed in r05 + the r04 partial-hash pair
     "bloom_prefilter_join",
@@ -72,6 +74,7 @@ _PRIORITY = [
     "simhash_portable_pairs",
     "embedding_lsh_portable_pairs",
     "cluster_assign_portable",
+    "html_link_extract",
     # (c) the whole r02-latest cohort (verification debt, 38)
     "asof_join_forward_broadcast",
     "change_detection_incremental",
@@ -80,7 +83,6 @@ _PRIORITY = [
     "conditional_flag_agg",
     "decontaminate_ngram",
     "distinct_dims",
-    "doc_fingerprint",
     "doc_length_quantiles",
     "docx_confessional_scan",
     "filesync_modified_since",

@@ -178,6 +178,54 @@ def html_infobox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parse_links_html(path: str, content: bytes) -> list[tuple]:
+    from ..sources.html import extract_links
+
+    page = os.path.basename(path).split(".")[0]
+    return [
+        (page, href, text)
+        for href, text in extract_links(
+            content.decode("utf-8"), href_prefix="/wiki/"
+        )
+    ]
+
+
+@register(
+    "html_link_extract",
+    doc="A4: the link-list crawl's FIRST half as an oracle-gated "
+    "query — seed pages parse to (page, href, anchor_text) rows via "
+    "the stdlib anchor state machine (prefix-filtered, nested-markup "
+    "anchor text collapsed), partition-parallel over files; the "
+    "second half (executor-side child fetch, fetch_pages) is "
+    "network-bound and gated by the http.server integration test",
+    oracle="""
+SELECT * FROM (VALUES
+  ('index1', '/wiki/alpha', 'Alpha One'),
+  ('index1', '/wiki/beta', 'Beta'),
+  ('index2', '/wiki/gamma', 'Gamma 3')
+) AS t(page, href, anchor_text)
+""",
+)
+def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fixture_dir("html_links")
+    pages = {
+        "index1.html": '<ul><li><a href="/wiki/alpha"><b>Alpha</b> One</a>'
+        '</li><li><a href="/wiki/beta">Beta</a></li>'
+        '<li><a href="/other/x">skip</a></li></ul>',
+        "index2.html": '<p>see <a href="/wiki/gamma">Gamma  3</a> and '
+        '<a href="http://elsewhere">ext</a></p>',
+    }
+    for fname, html in pages.items():
+        path = os.path.join(d, fname)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(html)
+    files = read_binary_files(spark, d, glob="*.html")
+    return parse_binary_files(
+        files, _parse_links_html, "page string, href string, anchor_text string"
+    )
+
+
 # --- A9/N1: REST keyset pagination ------------------------------------------
 
 
