@@ -36,83 +36,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-5 window (executes VERDICT r04 "Next round" #1): (a) queries
-# whose gating code changed this round (bloom scalar-subquery +
-# auto-sizing, doc_chunk_overlap helper refactor) plus the two r04
-# partials the verdict front-loaded (sketch/ivf), (b) the eight
-# queries NEW this round (ivf_topk_exact, entity_match_quarantine,
-# multimodal_resize_pipeline, incremental_dedup_new_docs,
-# dataset_split_hash, simhash_portable_pairs,
-# embedding_lsh_portable_pairs, cluster_assign_portable — the last
-# four being hash-green portable configurations of formerly
-# rows-only families), (c) the ENTIRE 38-query r02-latest cohort,
-# closing the two-rounds-stale debt, (d) fill to 50 with heavy
-# r03-latest greens.  After this round no query's latest driver row
-# predates r03.  Round-6 rotation note: the remaining r03-latest
-# cohort (~40 queries: bucketed_join_colocated, cdc_apply_changelog,
-# streaming_foreachbatch_merge, grouping_sets_agg,
-# cube/cohort/csv/jsonl/orc families, gap_fill,
-# incremental_agg_merge, kmeans, mode_median, near_dup_keep_best,
-# ntile, partition_pruned_scan, pivot, quality_model_score,
-# safe_math, schema_evolution_scan, stream_* family, tfidf,
-# value_histogram, variant_props, vocab, zorder, …) plus anything
-# r05 flags or changes, plus doc_fingerprint (displaced from this
-# window by html_link_extract; its sibling rolling_fingerprint holds
-# the shared-machinery row).
+# Round-6 window (executes VERDICT r05 "Next round" #1; cohort
+# computed by tools/staleness.py, not asserted by hand): (a) the
+# three queries whose GATING CODE changed this round — the sketch
+# error-bound gate (now hash-green), the capped portable-LSH config
+# (subquadratic at sf1), and the scale-true filesync (sink
+# round-trip, no driver collect); (b) the three queries NEW this
+# round (kmeans_lloyd_portable — full-Lloyd hash gate,
+# multimodal_wav_slice — real stdlib audio slicing,
+# entity_quarantine_roundtrip — D9 residue through the B1 merge
+# sink); (c) doc_fingerprint (r02-latest, the query the r5 rollup
+# miscounted) plus the ENTIRE 43-query r03-latest cohort.  That is
+# exactly 50; after this round tools/staleness.py must show nothing
+# older than r04-latest.  (bloom_prefilter_join's cache-eviction
+# lifecycle also changed this round, but not its semantics — its
+# r05 row is fresh and tests/test_round5_ops.py covers the
+# lifecycle, so it cedes its slot to the stale cohort.)
 _PRIORITY = [
-    # (a) code changed in r05 + the r04 partial-hash pair
-    "bloom_prefilter_join",
-    "doc_chunk_overlap",
+    # (a) gating code changed in r06
     "sketch_distinct_quantiles",
-    "ivf_topk",
-    # (b) new in r05
-    "ivf_topk_exact",
-    "entity_match_quarantine",
-    "multimodal_resize_pipeline",
-    "incremental_dedup_new_docs",
-    "dataset_split_hash",
-    "simhash_portable_pairs",
     "embedding_lsh_portable_pairs",
-    "cluster_assign_portable",
-    "html_link_extract",
-    # (c) the whole r02-latest cohort (verification debt, 38)
-    "asof_join_forward_broadcast",
-    "change_detection_incremental",
-    "coalesce_cascade_defaults",
-    "coalesce_default_agg",
-    "conditional_flag_agg",
-    "decontaminate_ngram",
-    "distinct_dims",
-    "doc_length_quantiles",
-    "docx_confessional_scan",
     "filesync_modified_since",
-    "filter_project",
-    "filtered_group_sum",
-    "group_max_arithmetic",
-    "group_ordinal_appearance",
-    "html_infobox_extract",
-    "intersect_except_sets",
-    "lang_id_heuristic",
-    "multi_pattern_first_match",
-    "multimodal_frame_sample",
-    "pack_sequences",
-    "paragraph_dedup",
-    "pii_redaction",
-    "quality_filter_chain",
-    "regex_extract_columns",
-    "repetition_stats",
-    "rest_keyset_scan",
-    "rolling_fingerprint",
-    "semi_join_running_entities",
-    "stratified_hash_sample",
-    "streaming_running_max",
-    "streaming_stateful_dedup",
-    "top_k_customers",
-    "topk_per_group_salted",
-    "union_all_by_name",
-    "watermark_incremental",
-    "xlsx_region_scan",
-    "yaml_correction_map",
+    # (b) new in r06
+    "kmeans_lloyd_portable",
+    "multimodal_wav_slice",
+    "entity_quarantine_roundtrip",
+    # (c) the r02 straggler + the whole r03-latest cohort (43)
+    "doc_fingerprint",
+    "bucketed_join_colocated",
+    "cdc_apply_changelog",
+    "cohort_retention",
+    "corpus_curation_pipeline",
+    "csv_scan_typed",
+    "cube_agg",
+    "cumulative_window_sums",
+    "domain_rebalance_sample",
+    "dq_constraint_audit",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "export_balanced_shards",
+    "funnel_stage_counts",
+    "gap_fill_forward_fill",
+    "grouping_sets_agg",
+    "incremental_agg_merge",
+    "jsonl_scan",
+    "kmeans_clusters",
+    "minhash_lsh_pairs",
+    "mode_median_per_group",
+    "near_dup_keep_best",
+    "ntile_decile_stats",
+    "orc_roundtrip_scan",
+    "partition_pruned_scan",
+    "pivot_event_type_wide",
+    "quality_model_score",
+    "range_join_binned",
+    "safe_math_try_ops",
+    "schema_evolution_scan",
+    "skew_salted_join_agg",
+    "stream_static_enrich_join",
+    "stream_stream_interval_join",
+    "streaming_dedup_within_watermark",
+    "streaming_foreachbatch_merge",
+    "streaming_incremental_agg",
+    "streaming_session_windows",
+    "streaming_windowed_counts",
+    "tfidf_top_terms",
+    "value_histogram_equiwidth",
+    "variant_props_agg",
+    "vocab_top_terms",
+    "zorder_morton_keys",
 ]
 
 

@@ -116,12 +116,19 @@ def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
     BENCH_r{N}.json, computed in-harness so the round-over-round
     ratio ships inside the artifact.  Skipped (None) when the prior
     artifact was recorded at a different scale factor — a cross-sf
-    ratio would read as a 10x regression."""
+    ratio would read as a 10x regression.
+
+    ``SPARK_GRAFT_ROUND`` (when set) names the round being generated:
+    artifacts from that round or later are excluded, so re-running
+    the bench after this round's artifact landed compares against the
+    true PRIOR round instead of itself (ratio≈1, ADVICE r05)."""
     root = os.path.dirname(os.path.abspath(__file__))
+    this_round = int(os.environ.get("SPARK_GRAFT_ROUND", "0") or 0)
     rounds = sorted(
         (int(m.group(1)), fn)
         for fn in os.listdir(root)
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        and not (this_round and int(m.group(1)) >= this_round)
     )
     if not rounds:
         return None
@@ -152,10 +159,46 @@ def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
         return None
 
 
+def _prior_stretch(queries: dict[str, float]) -> dict | None:
+    """Round-over-round comparison for the sf1 tier against the
+    committed BENCH_STRETCH.json (either this harness's flat format
+    or the r5 wrapper with the bench line under "sf1")."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(root, "BENCH_STRETCH.json")) as f:
+            doc = json.load(f)
+        parsed = doc.get("sf1") or doc
+        prior = parsed.get("queries", {})
+        common = sorted(set(prior) & set(queries))
+        if not common:
+            return None
+        p = round(sum(float(prior[q]) for q in common), 3)
+        t = round(sum(queries[q] for q in common), 3)
+        return {
+            "prior_round": doc.get("round"),
+            "n_common": len(common),
+            "prior_sec": p,
+            "this_sec": t,
+            "ratio": round(t / p, 3) if p else None,
+        }
+    except (OSError, json.JSONDecodeError, AttributeError, TypeError,
+            ValueError):
+        return None
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(sf_match.group(1)) if sf_match else -1.0
+    stretch = "--stretch" in sys.argv
+    if stretch:
+        # second scale point (VERDICT r05 #8): same harness, same
+        # self-normalizing fields, over the gen_scale.py ~sf1 fixture;
+        # committed as BENCH_STRETCH.json per round so regressions at
+        # 10x data are machine-comparable round-over-round
+        sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sps_scaled")
+        sf = 1.0
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+        sf = float(sf_match.group(1)) if sf_match else -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -168,21 +211,27 @@ def main() -> None:
     for name in HEADLINE:
         queries[name] = round(run_one(spark, name, sf_dir), 3)
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "calibration_sec": cal,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "prior_common": _prior_common(queries, sf),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "headline_queries_total_wall_stretch"
+            if stretch
+            else "headline_queries_total_wall"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "calibration_sec": cal,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "prior_common": (
+            _prior_stretch(queries) if stretch else _prior_common(queries, sf)
+        ),
+    }
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd:
+        out["round"] = int(rnd)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

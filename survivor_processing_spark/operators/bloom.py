@@ -160,8 +160,11 @@ def bloom_filter_subquery(
     # lazily if something still references it).
     from .dedup import cache_bounded
 
-    dense = cache_bounded("bloom_dense_words", dense)
     view = f"_bloom_words_{uuid.uuid4().hex[:12]}"
+    # registering the view with the bounded cache means the NEXT
+    # filter build at this call site drops it (catalog entries no
+    # longer accumulate across rounds/bench reps, ADVICE r05)
+    dense = cache_bounded("bloom_dense_words", dense, view=view)
     dense.createOrReplaceTempView(view)
     return F.expr(f"(SELECT arr FROM {view})")
 

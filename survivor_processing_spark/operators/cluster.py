@@ -114,6 +114,89 @@ def kmeans_lloyd(
     return assign_clusters(df, vec_col, centroids)
 
 
+def kmeans_lloyd_portable(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """ENGINE-PORTABLE full Lloyd's k-means: ``iters`` complete
+    assignment/update rounds whose every step a DuckDB oracle can
+    replay bit-for-bit, closing the one hash-gating gap the portable
+    single-step assignment (``assign_clusters_portable``, r5) left
+    open — float centroid MEANS are not portable, so this variant
+    runs Lloyd entirely in INTEGER arithmetic:
+
+    - vectors are quantized once: ``floor(x*1e6+0.5)`` per lane to
+      int64 (exact, order-free);
+    - seeds are the k vectors with the smallest md5 of their id
+      string (portable ordering; no RNG);
+    - assignment is argmin of the exact integer squared L2 distance,
+      ties to the lowest cluster idx;
+    - the centroid update is the FLOOR-DIVISION mean of the quantized
+      lanes (``floordiv(sum, count)``) — an exact integer both
+      engines compute identically, replacing the unportable float
+      mean.  The fixed-point grid is 1e-6 of the embedding scale, so
+      the clustering is semantically Lloyd with a microscopic
+      rounding of each centroid update; the float variant
+      (``kmeans_lloyd``) remains the numerically-classical sibling.
+    - clusters that lose all members simply drop out of the centroid
+      set (their label is never reassigned) — same rule both sides.
+
+    Driver traffic is bounded: k seed vectors + k·dim lane sums per
+    iteration; assignment stays a codegen'd JVM expression.  The
+    quantized working set is pinned with localCheckpoint so the
+    2·iters passes don't re-read parquet (at 100 TB: persist to
+    MEMORY_AND_DISK instead).
+    """
+    q_expr = F.expr(
+        f"transform(cast({vec_col} as array<double>),"
+        " x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"
+    )
+    qdf = df.select(F.col(id_col), q_expr.alias("_q")).localCheckpoint(eager=True)
+    seed_rows = (
+        qdf.select("_q", F.md5(F.col(id_col).cast("string")).alias("_m"))
+        .orderBy("_m")
+        .limit(k)
+        .collect()
+    )
+    # centroids: ordered [(cluster_idx, lanes)] — idx is the md5 rank
+    centroids = [(i, list(r["_q"])) for i, r in enumerate(seed_rows)]
+    dim = len(centroids[0][1])
+
+    def assigned(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        def d2(lanes: list[int]):
+            clit = F.array(*[F.lit(v).cast("long") for v in lanes])
+            return F.aggregate(
+                F.zip_with(F.col("_q"), clit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        dists = F.array(*[d2(lanes) for _, lanes in cents])
+        # position of the FIRST minimum -> lowest surviving idx wins
+        pos = F.array_position(dists, F.array_min(dists))
+        label = F.element_at(
+            F.array(*[F.lit(idx) for idx, _ in cents]), pos.cast("int")
+        )
+        return qdf.select(
+            F.col(id_col), label.cast("int").alias("cluster_idx"), "_q"
+        )
+
+    for _ in range(iters):
+        sums = (
+            assigned(centroids)
+            .select("cluster_idx", F.posexplode("_q").alias("pos", "x"))
+            .groupBy("cluster_idx", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_idx: dict[int, list[int]] = {}
+        for r in sums:  # bounded: k*dim rows
+            by_idx.setdefault(int(r["cluster_idx"]), [0] * dim)[int(r["pos"])] = (
+                int(r["s"]) // int(r["n"])  # Python // floors: matches SQL
+            )
+        centroids = sorted(by_idx.items())
+    return assigned(centroids).select(id_col, "cluster_idx")
+
+
 def assign_clusters_portable(
     df: DataFrame, vec_col: str, id_col: str, k: int = 8
 ) -> DataFrame:

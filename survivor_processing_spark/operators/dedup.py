@@ -44,23 +44,41 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
-_BOUNDED_CACHE: dict[str, DataFrame] = {}
+_BOUNDED_CACHE: dict[str, tuple[DataFrame, str | None]] = {}
+_BOUNDED_LOCK = __import__("threading").Lock()
 
 
-def cache_bounded(key: str, df: DataFrame) -> DataFrame:
+def cache_bounded(key: str, df: DataFrame, view: str | None = None) -> DataFrame:
     """``df.cache()`` with a one-entry-per-key lifecycle: caching a
-    new DataFrame under ``key`` unpersists the previous one.  Query
-    builders that cache an intermediate (signature tables, dense
-    filter rows) get re-invoked every driver round and bench rep —
-    an unbounded ``.cache()`` per build accumulates dead session-
-    lived copies; this caps residency at one live copy per call
-    site.  Unpersisting a DataFrame an old caller still holds is
-    safe: Spark just recomputes it lazily."""
-    prev = _BOUNDED_CACHE.get(key)
-    if prev is not None:
-        prev.unpersist()
+    new DataFrame under ``key`` unpersists the previous one (and
+    drops its temp ``view`` if one was registered — uuid-named views
+    would otherwise accumulate in the catalog across 50-query rounds
+    and pin superseded DataFrames, ADVICE r05).  Query builders that
+    cache an intermediate (signature tables, dense filter rows) get
+    re-invoked every driver round and bench rep — an unbounded
+    ``.cache()`` per build accumulates dead session-lived copies;
+    this caps residency at one live copy per call site.
+
+    CONTRACT: one live instance per call-site key.  Every builder
+    here creates its intermediate, and the enclosing query consumes
+    it before the same call site builds again — two simultaneously
+    live filters at one key would make the superseded one recompute
+    per probe execution (safe but slow; Spark recomputes unpersisted
+    lineage lazily).  The registry swap is lock-guarded, so
+    concurrent builds at worst evict each other, never corrupt the
+    map."""
     df = df.cache()
-    _BOUNDED_CACHE[key] = df
+    with _BOUNDED_LOCK:
+        prev = _BOUNDED_CACHE.get(key)
+        _BOUNDED_CACHE[key] = (df, view)
+    if prev is not None:
+        prev_df, prev_view = prev
+        prev_df.unpersist()
+        if prev_view is not None:
+            try:
+                prev_df.sparkSession.catalog.dropTempView(prev_view)
+            except Exception:
+                pass  # session gone / view already dropped
     return df
 
 

@@ -321,6 +321,80 @@ def synth_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def wav_info(b: bytes) -> dict | None:
+    """RIFF chunk walk for SLICING (the header parser at
+    :func:`parse_media_header` only derives duration): returns fmt
+    geometry plus the data chunk's byte offset/length, or None when
+    the blob is not a parseable WAV."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        sz = int.from_bytes(b[off + 4 : off + 8], "little")
+        if cid == b"fmt " and sz >= 16:
+            fmt = b[off + 8 : off + 8 + sz]
+        elif cid == b"data":
+            data = (off + 8, min(sz, len(b) - off - 8))
+        off += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    _afmt, _nch, rate, _brate, block, _bits = struct.unpack("<HHIIHH", fmt[:16])
+    if rate <= 0 or block <= 0:
+        return None
+    return {
+        "rate": rate,
+        "block": block,
+        "fmt": fmt,
+        "data_off": data[0],
+        "n_samples": data[1] // block,
+    }
+
+
+def wav_encode(fmt_chunk: bytes, data: bytes) -> bytes:
+    """Re-emit a valid WAV around an existing fmt chunk + sample
+    bytes (the slice writer for the real audio frame-sample path)."""
+    import struct
+
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_chunk))
+        + fmt_chunk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_slice_frames(
+    b: bytes, every_s: float
+) -> list[tuple[int, float, bytes]]:
+    """Slice a WAV blob into consecutive ``every_s``-second segments,
+    each re-encoded as a standalone valid WAV.  Sample-domain
+    arithmetic only (step = round(every_s*rate)), so segment
+    boundaries are exact integers an oracle can replay — no float
+    cumulative-time drift.  Returns [(frame_idx, ts_s, wav_bytes)]."""
+    info = wav_info(b)
+    if info is None:
+        return []
+    n, rate, block = info["n_samples"], info["rate"], info["block"]
+    step = int(round(every_s * rate))
+    if step <= 0:
+        step = 1
+    frames: list[tuple[int, float, bytes]] = []
+    idx = 0
+    while idx * step < n:
+        s0, s1 = idx * step, min((idx + 1) * step, n)
+        seg = b[info["data_off"] + s0 * block : info["data_off"] + s1 * block]
+        frames.append((idx, idx * every_s, wav_encode(info["fmt"], seg)))
+        idx += 1
+    return frames
+
+
 def synth_wav(n_samples: int, sample_rate: int = 8000) -> bytes:
     """A valid 16-bit mono PCM WAV with ``n_samples`` zero samples —
     duration parses back as n_samples*2 / (sample_rate*2)."""
@@ -542,18 +616,39 @@ def resize_media(df: DataFrame, width: int, height: int, fake: bool = False) -> 
 
 
 def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> DataFrame:
-    """Video frame sampling: ONE media row → N frame rows (UDTF-style
+    """Media frame sampling: ONE media row → N frame rows (UDTF-style
     1→N emit through mapInPandas, SURVEY §2 M3).  Frames at t = 0,
-    every_s, 2*every_s, … while t < media_meta.duration_s.  Real
-    decoding needs ffmpeg; the fake codec derives each frame's bytes
-    deterministically from (digest of the blob, frame_idx), so row
-    multiplicity, ordering, and batch shape — the Spark-side
-    semantics — are real and testable."""
+    every_s, 2*every_s, … while t < media_meta.duration_s.
+
+    Real mode (``fake=False``) slices WAV AUDIO natively: each frame
+    is the [t, t+every_s) sample segment re-encoded as a standalone
+    valid WAV (stdlib RIFF walk + slice, :func:`wav_slice_frames` —
+    the audio counterpart of the stdlib PNG resize path).  VIDEO
+    decoding genuinely needs ffmpeg, so a non-WAV blob in real mode
+    raises NotImplementedError; the fake codec derives each frame's
+    bytes deterministically from (digest of the blob, frame_idx), so
+    row multiplicity, ordering, and batch shape stay testable for
+    video too."""
     if not fake:
-        raise NotImplementedError(
-            "video codecs not available in this environment; "
-            "pass fake=True for the deterministic stub sampler"
-        )
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for asset_id, blob in zip(pdf["asset_id"], pdf["media"]):
+                    b = bytes(blob) if blob is not None else b""
+                    if wav_info(b) is None:
+                        raise NotImplementedError(
+                            "real frame sampling decodes WAV audio only; "
+                            "video needs ffmpeg (absent here) — pass "
+                            "fake=True for the deterministic stub sampler"
+                        )
+                    for idx, ts, seg in wav_slice_frames(b, every_s):
+                        rows.append((asset_id, idx, ts, seg))
+                yield pd.DataFrame(
+                    rows, columns=["asset_id", "frame_idx", "ts_s", "frame"]
+                )
+
+        return df.mapInPandas(run_real, schema=FRAME_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -290,6 +290,7 @@ def lsh_portable_pairs(
     n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ENGINE-PORTABLE hyperplane LSH: same banding scheme as
     :func:`lsh_pairs_above`, but every piece of the signature is
@@ -310,7 +311,17 @@ def lsh_portable_pairs(
 
     The xxhash64 float-lane variant stays the scale default (one
     hash op per element vs an md5 + hex parse per (element, plane));
-    this variant exists to hash-gate the LSH machinery itself."""
+    this variant exists to hash-gate the LSH machinery itself.
+
+    ``max_bucket`` is the PORTABLE hot-bucket cap: within each
+    (table, bucket) posting list only the ``max_bucket`` vectors with
+    the smallest md5(id) survive — a deterministic, engine-replayable
+    truncation, so the oracle stays hash-exact while the candidate
+    count is bounded by tables x buckets x max_bucket^2 instead of
+    sum-of-m^2 (the uncapped 4-bit config is quadratic within bucket:
+    131 s at sf1, the one scale-killer VERDICT r05 flagged).  At
+    gate scale (sf0.01) typical posting lists sit under the cap, so
+    the capped output is identical to the exact-replay one."""
     import hashlib
 
     comps = emb.select(
@@ -334,7 +345,10 @@ def lsh_portable_pairs(
         h = int(hashlib.md5(f"{i}_{seed}".encode()).hexdigest()[:15], 16)
         return 1 if h & 1 else -1
 
-    first = emb.select(vec_col).first()
+    # dimension probe: first NON-NULL vector (a NULL first row would
+    # TypeError at build time; NULL vectors are quarantined by the
+    # posexplode_outer path like everywhere else in the pipeline)
+    first = emb.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None:  # empty input: the correct output is no pairs
         return emb.sparkSession.createDataFrame(
             [], f"id1 {emb.schema[id_col].dataType.simpleString()},"
@@ -377,6 +391,17 @@ def lsh_portable_pairs(
     # signature table is one tiny row per vector — cache it (bounded:
     # one live copy per call site) so the projection pipeline runs
     # once, not once per join branch.
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("table_idx", "bucket").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        sigs = (
+            sigs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
     from .dedup import cache_bounded
 
     sigs = cache_bounded("lsh_portable_sigs", sigs)

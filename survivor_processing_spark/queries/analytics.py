@@ -321,40 +321,67 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx quantile sketch of value — mergeable sketches are THE "
     "100 TB shape for cardinality/quantile answers (exact "
     "count-distinct shuffles every key; sketches shuffle KBs).  "
-    "Sketch VALUES are engine-specific by construction (HLL++ vs "
-    "DuckDB's HLL, GK vs T-Digest), so the oracle is a deliberate "
-    "PARTIAL match: row count, group keys, and schema are exact and "
-    "driver-checked; the value-hash flag is expected false.  "
-    "tests/test_analytics.py pins accuracy vs exact (HLL++ rel err "
-    "< 5%, quantiles within rank tolerance)",
-    partial=True,
+    "Raw sketch VALUES are engine-specific by construction (HLL++ vs "
+    "DuckDB's HLL, GK vs T-Digest) and can never hash-match, so the "
+    "GATED output is the sketch's ACCURACY CONTRACT instead: "
+    "distinct-count within 5% (+0.5 floor) of exact, and each "
+    "approx quantile within RANK tolerance — the fraction of group "
+    "rows <= the sketch's answer must sit within 0.02 + 1.5/n of "
+    "the target quantile (rank error is what GK-style sketches "
+    "actually guarantee; VALUE tolerance is scale-fragile where "
+    "order-stat gaps are wide, e.g. p99 of a 40-row group).  One "
+    "distributed pipeline computes sketch + exact side by side; the "
+    "oracle asserts every boolean TRUE over the exact group keys — "
+    "a full value-hash gate: a broken or degraded sketch flips a "
+    "boolean and the driver sees a hash mismatch (VERDICT r05 "
+    "next-round #6; raw approx numbers live in "
+    "tests/test_analytics.py, which pins the same bounds)",
     oracle="""
-SELECT event_type,
-       approx_count_distinct(user_id) AS approx_users,
-       round(quantile_cont(value, 0.5), 2) AS p50,
-       round(quantile_cont(value, 0.9), 2) AS p90,
-       round(quantile_cont(value, 0.99), 2) AS p99
+SELECT event_type, TRUE AS users_within_tol, TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol, TRUE AS p99_within_tol
 FROM events
 GROUP BY event_type
 """,
 )
 def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx(
-                "value", [0.5, 0.9, 0.99], 10_000
-            ).alias("value_quantiles"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("aq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # achieved rank of each sketch answer: fraction of group rows at
+    # or below it (5-row broadcast back onto the fact table)
+    j = ev.select("event_type", "value").join(F.broadcast(agg), "event_type")
+
+    def frac(i: int):
+        return F.avg(
+            F.when(F.col("value") <= F.col("aq")[i], 1.0).otherwise(0.0)
         )
-        .select(
-            "event_type",
-            "approx_users",
-            F.round(F.col("value_quantiles")[0], 2).alias("p50"),
-            F.round(F.col("value_quantiles")[1], 2).alias("p90"),
-            F.round(F.col("value_quantiles")[2], 2).alias("p99"),
-        )
+
+    ranks = j.groupBy("event_type").agg(
+        F.first("approx_users").alias("approx_users"),
+        F.first("exact_users").alias("exact_users"),
+        F.first("n").alias("n"),
+        frac(0).alias("f50"),
+        frac(1).alias("f90"),
+        frac(2).alias("f99"),
+    )
+    slack = F.lit(0.02) + F.lit(1.5) / F.col("n")
+
+    def within_rank(fcol: str, q: float):
+        return F.abs(F.col(fcol) - F.lit(q)) <= slack
+
+    return ranks.select(
+        "event_type",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users") + F.lit(0.5)
+        ).alias("users_within_tol"),
+        within_rank("f50", 0.5).alias("p50_within_tol"),
+        within_rank("f90", 0.9).alias("p90_within_tol"),
+        within_rank("f99", 0.99).alias("p99_within_tol"),
     )
 
 

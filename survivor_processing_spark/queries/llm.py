@@ -305,9 +305,14 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "building blocks: md5-parity plane signs and integer-lane "
     "projections (floor(x*1e6+0.5) int64 sums — exact, order-free), "
     "so the DuckDB oracle replays the entire signature pipeline and "
-    "the value hash gates LSH end to end.  The xxhash64 float-lane "
-    "variant stays the scale default (q:embedding_lsh_pairs, "
-    "rows-only)",
+    "the value hash gates LSH end to end.  Posting lists carry the "
+    "PORTABLE per-bucket cap (64 md5-smallest ids per table+bucket, "
+    "replayed identically by the oracle): candidates are bounded by "
+    "tables x buckets x cap^2 instead of the sum-of-m^2 blowup the "
+    "uncapped 4-bit config had at sf1 (131 s, VERDICT r05); at gate "
+    "scale the cap does not bind, so the output equals the exact "
+    "replay.  The xxhash64 float-lane variant stays the scale "
+    "default (q:embedding_lsh_pairs, rows-only)",
     oracle="""
 WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 seeds AS (SELECT unnest(generate_series(0, 63)) AS s),
@@ -334,11 +339,19 @@ buckets AS (
            SUM(CASE WHEN proj > 0 THEN (1 << (s % 4)) ELSE 0 END) AS bucket
     FROM projs GROUP BY vec_id, s // 4
 ),
+capped AS (
+    SELECT vec_id, t, bucket FROM (
+        SELECT vec_id, t, bucket,
+               ROW_NUMBER() OVER (PARTITION BY t, bucket
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS r
+        FROM buckets) WHERE r <= 64
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-    FROM buckets a
-    JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
-                  AND a.vec_id < b.vec_id
+    FROM capped a
+    JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
 )
 SELECT c.id1, c.id2
 FROM cand c
@@ -351,7 +364,9 @@ def embedding_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_portable_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_portable_pairs(e, threshold=0.5, n_planes=4, n_tables=16)
+    return lsh_portable_pairs(
+        e, threshold=0.5, n_planes=4, n_tables=16, max_bucket=64
+    )
 
 
 @register(
@@ -401,6 +416,93 @@ def cluster_assign_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return assign_clusters_portable(e, "embedding", "vec_id", k=8)
+
+
+def _lloyd_portable_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB replay of the integer-lane Lloyd loop: one
+    (dist, assign, cent) CTE block per iteration, mechanically
+    generated so the SQL cannot drift from the loop structure.
+    Centroid update = exact integer floor division via the
+    nonneg-mod identity (DuckDB ``%`` truncates like Spark's; the
+    numerator is made exactly divisible before the ``/``)."""
+    blocks = [
+        f"""
+WITH vec_lanes AS (
+    SELECT e.vec_id, d.i,
+           CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS q
+    FROM embeddings e, (SELECT unnest(generate_series(1, {dim})) AS i) d
+),
+cent_0 AS (
+    SELECT s.cluster_idx, v.i, v.q AS c
+    FROM (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                     AS cluster_idx
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}) s
+    JOIN vec_lanes v ON v.vec_id = s.vec_id
+)"""
+    ]
+    for t in range(iters):
+        blocks.append(
+            f""",
+dist_{t} AS (
+    SELECT v.vec_id, c.cluster_idx, SUM((v.q - c.c) * (v.q - c.c)) AS d2
+    FROM vec_lanes v JOIN cent_{t} c ON c.i = v.i
+    GROUP BY v.vec_id, c.cluster_idx
+),
+assign_{t} AS (
+    SELECT vec_id, cluster_idx FROM (
+        SELECT vec_id, cluster_idx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster_idx ASC) AS r
+        FROM dist_{t}) WHERE r = 1
+),
+cent_{t + 1} AS (
+    SELECT a.cluster_idx, v.i,
+           CAST((SUM(v.q) - ((SUM(v.q) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                / COUNT(*) AS BIGINT) AS c
+    FROM assign_{t} a JOIN vec_lanes v ON v.vec_id = a.vec_id
+    GROUP BY a.cluster_idx, v.i
+)"""
+        )
+    blocks.append(
+        f""",
+dist_{iters} AS (
+    SELECT v.vec_id, c.cluster_idx, SUM((v.q - c.c) * (v.q - c.c)) AS d2
+    FROM vec_lanes v JOIN cent_{iters} c ON c.i = v.i
+    GROUP BY v.vec_id, c.cluster_idx
+)
+SELECT vec_id, CAST(cluster_idx AS INTEGER) AS cluster_idx
+FROM (SELECT vec_id, cluster_idx,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cluster_idx ASC) AS r
+      FROM dist_{iters})
+WHERE r = 1
+"""
+    )
+    return "".join(blocks)
+
+
+@register(
+    "kmeans_lloyd_portable",
+    doc="ENGINE-PORTABLE full Lloyd's k-means (3 complete "
+    "assignment/update iterations, k=8): extends the r5 argmax-replay "
+    "technique from one assignment step to the whole loop — vectors "
+    "quantized floor(x*1e6+0.5) to int64 lanes, md5(id) seed order, "
+    "exact integer squared-L2 argmin (ties to lowest idx), and the "
+    "centroid update as the exact integer FLOOR-DIVISION mean, which "
+    "both engines compute identically (float means are not portable; "
+    "the 1e-6 fixed-point grid is the documented rounding).  "
+    "Hash-gates the iterative clustering path that kmeans_clusters "
+    "(float Lloyd, rows-only) exercises approximately",
+    oracle=_lloyd_portable_oracle(k=8, iters=3, dim=64),
+)
+def kmeans_lloyd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import kmeans_lloyd_portable as _lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return _lloyd(e, "embedding", "vec_id", k=8, iters=3)
 
 
 @register(
@@ -897,6 +999,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("asset_id").agg(
         F.count("*").cast("long").alias("n_frames"),
         F.max("ts_s").alias("last_ts"),
+    )
+
+
+@register(
+    "multimodal_wav_slice",
+    doc="REAL distributed audio frame-sampling, no codec libs: "
+    "synthesize a doc-dependent 16-bit mono PCM WAV per document "
+    "(rate 800 Hz, n = (doc_id%40+5)*40 samples, sample(i) = "
+    "(doc_id*31 + i*7) % 65536 - 32768), slice it into 0.5 s frames "
+    "through the stdlib RIFF walk (frame_sample real mode: fmt/data "
+    "chunk parse, sample-domain [f*400, (f+1)*400) slice, re-encode "
+    "each segment as a standalone valid WAV), then re-parse every "
+    "emitted frame and sum its decoded samples.  The oracle replays "
+    "sample synthesis + slicing in closed form — a wrong chunk "
+    "offset, boundary, or re-encode corrupts sample_sum, so this "
+    "hash-gates the audio path end to end (the WAV counterpart of "
+    "q:multimodal_resize_pipeline; ffmpeg video decode remains the "
+    "documented environment limit)",
+    oracle="""
+WITH docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           (doc_id % 40 + 5) * 40 AS n
+    FROM documents
+),
+frames AS (
+    SELECT d.asset_id, d.n, f.f AS frame_idx
+    FROM docs d,
+         LATERAL (SELECT unnest(generate_series(0,
+                      CAST((d.n - 1) // 400 AS BIGINT))) AS f) f
+)
+SELECT fr.asset_id,
+       CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+       CAST(fr.frame_idx AS DOUBLE) * CAST(0.5 AS DOUBLE) AS ts_s,
+       CAST(least((fr.frame_idx + 1) * 400, fr.n)
+            - fr.frame_idx * 400 AS INTEGER) AS n_frame_samples,
+       CAST(SUM((fr.asset_id * 31 + i.i * 7) % 65536 - 32768)
+            AS BIGINT) AS sample_sum
+FROM frames fr,
+     LATERAL (SELECT unnest(generate_series(fr.frame_idx * 400,
+                  least((fr.frame_idx + 1) * 400, fr.n) - 1)) AS i) i
+GROUP BY fr.asset_id, fr.frame_idx, fr.n
+""",
+)
+def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, wav_info
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import struct as _s
+
+        from ..operators.multimodal import wav_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = (i % 40 + 5) * 40
+                vals = [(i * 31 + j * 7) % 65536 - 32768 for j in range(n)]
+                fmt = _s.pack("<HHIIHH", 1, 1, 800, 1600, 2, 16)
+                rows.append(
+                    (i, wav_encode(fmt, _s.pack(f"<{n}h", *vals)), None)
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+
+    def checksum(batches):
+        for pdf in batches:
+            rows = []
+            for asset_id, frame_idx, ts_s, blob in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["ts_s"], pdf["frame"]
+            ):
+                b = bytes(blob)
+                info = wav_info(b)
+                n = info["n_samples"]
+                vals = struct.unpack(
+                    f"<{n}h", b[info["data_off"] : info["data_off"] + 2 * n]
+                )
+                rows.append((asset_id, frame_idx, ts_s, n, sum(vals)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "ts_s",
+                    "n_frame_samples", "sample_sum",
+                ],
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    frames = frame_sample(media, every_s=0.5, fake=False)
+    return frames.mapInPandas(
+        checksum,
+        schema="asset_id long, frame_idx int, ts_s double, "
+        "n_frame_samples int, sample_sum long",
     )
 
 

@@ -95,24 +95,39 @@ def fetch_url(
     (status, body) on success, (-1, None) after exhausted retries.
     The per-URL error is DATA, not an exception: at a million URLs a
     dead link must not kill the task (reference retried per page too,
-    reddit_extract.py:61-73)."""
+    reddit_extract.py:61-73).
+
+    4xx is permanent (retrying won't help) EXCEPT 429 Too Many
+    Requests and 408 Request Timeout — the two 4xx a crawler must
+    back off and retry, honoring ``Retry-After`` when the server
+    sends one (capped at ``timeout_s``); classing them permanent
+    would drop whole partitions of URLs under rate limiting
+    (ADVICE r05)."""
     import time
     import urllib.error
     import urllib.request
 
     for attempt in range(max_retries):
+        delay = 0.05 * (attempt + 1)
         try:
             with urllib.request.urlopen(url, timeout=timeout_s) as resp:
                 return resp.status, resp.read().decode("utf-8", "replace")
         except urllib.error.HTTPError as e:
-            if 400 <= e.code < 500:  # permanent: retrying won't help
-                return e.code, None
+            retryable_4xx = e.code in (408, 429)
+            if 400 <= e.code < 500 and not retryable_4xx:
+                return e.code, None  # permanent: retrying won't help
             if attempt == max_retries - 1:
                 return e.code, None
+            if retryable_4xx:
+                ra = e.headers.get("Retry-After") if e.headers else None
+                try:
+                    delay = max(delay, min(float(ra), timeout_s))
+                except (TypeError, ValueError):
+                    pass  # absent or http-date Retry-After: keep backoff
         except Exception:  # noqa: BLE001 - network errors retry
             if attempt == max_retries - 1:
                 return -1, None
-        time.sleep(0.05 * (attempt + 1))
+        time.sleep(delay)
     return -1, None
 
 

@@ -158,8 +158,28 @@ def test_sketch_accuracy_vs_exact(spark, sf_dir):
     )
     from survivor_processing_spark.catalog import load_table
 
-    sk = {r.event_type: r for r in sketch_distinct_quantiles(spark, sf_dir).collect()}
+    # the registered query IS the accuracy contract now: every
+    # within-tolerance boolean must be TRUE (r6 error-bound gate)
+    gated = sketch_distinct_quantiles(spark, sf_dir).collect()
+    assert gated and all(
+        r.users_within_tol
+        and r.p50_within_tol
+        and r.p90_within_tol
+        and r.p99_within_tol
+        for r in gated
+    )
+    # raw sketch values, pinned against exact here (they no longer
+    # appear in the gated output — engine-specific by construction)
     ev = load_table(spark, sf_dir, "events")
+    sk = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("aq"),
+        )
+        .collect()
+    }
     exact = {
         r.event_type: r
         for r in ev.groupBy("event_type")
@@ -176,8 +196,8 @@ def test_sketch_accuracy_vs_exact(spark, sf_dir):
         # percentile_approx(acc=10k) is rank-exact on these sizes up to
         # interpolation: exact percentile interpolates, approx returns a
         # data value — allow a loose absolute corridor
-        assert abs(s.p50 - e.q[0]) < 15.0
-        assert abs(s.p90 - e.q[1]) < 30.0
+        assert abs(s.aq[0] - e.q[0]) < 15.0
+        assert abs(s.aq[1] - e.q[1]) < 30.0
 
 
 def test_domain_rebalance_cap_and_determinism(spark, sf_dir):

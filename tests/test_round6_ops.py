@@ -1,0 +1,178 @@
+"""Round-6 additions: portable full-Lloyd k-means, the capped
+portable LSH posting lists, real WAV frame slicing, the sketch
+error-bound gate, and the quarantine MERGE replay."""
+
+from __future__ import annotations
+
+import struct
+
+import pyspark.sql.functions as F
+import pytest
+
+from survivor_processing_spark.operators.cluster import kmeans_lloyd_portable
+from survivor_processing_spark.operators.multimodal import (
+    synth_wav,
+    wav_encode,
+    wav_info,
+    wav_slice_frames,
+)
+from survivor_processing_spark.operators.similarity import lsh_portable_pairs
+
+# --- portable full-Lloyd k-means --------------------------------------------
+
+
+def test_lloyd_portable_deterministic_and_total(spark, sf_dir):
+    from survivor_processing_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_lloyd_portable(e, "embedding", "vec_id", k=4, iters=2)
+    b = kmeans_lloyd_portable(e, "embedding", "vec_id", k=4, iters=2)
+    pa = {r["vec_id"]: r["cluster_idx"] for r in a.collect()}
+    pb = {r["vec_id"]: r["cluster_idx"] for r in b.collect()}
+    assert pa == pb  # bit-deterministic across runs
+    assert len(pa) == e.count()  # every vector labeled exactly once
+    assert set(pa.values()) <= set(range(4))
+
+
+def test_lloyd_portable_separates_planted_blobs(spark):
+    # two tight blobs far apart: after 2 iterations with k=2 the
+    # assignment must split them exactly (integer-lane Lloyd still
+    # has to CONVERGE like Lloyd, not just be deterministic)
+    rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(6)] + [
+        (i, [-10.0 - 0.01 * i, 0.0]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd_portable(df, "embedding", "vec_id", k=2, iters=2)
+    lab = {r["vec_id"]: r["cluster_idx"] for r in out.collect()}
+    left = {lab[i] for i in range(6)}
+    right = {lab[i] for i in range(6, 12)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+# --- capped portable LSH ----------------------------------------------------
+
+
+def test_lsh_portable_cap_bounds_candidates(spark):
+    # 40 identical vectors -> one hot bucket per table; the portable
+    # cap must bound survivors per bucket, and the verify still finds
+    # the (capped) identical pairs
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = lsh_portable_pairs(
+        df, threshold=0.9, n_planes=2, n_tables=2, max_bucket=5
+    )
+    n_capped = capped.count()
+    # 5 survivors per (table, bucket) -> at most C(5,2)=10 pairs per
+    # table, 2 tables, dedup'd: strictly fewer than the 780 uncapped
+    assert 0 < n_capped <= 20
+    uncapped = lsh_portable_pairs(df, threshold=0.9, n_planes=2, n_tables=2)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_lsh_portable_cap_noop_when_buckets_small(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        map(tuple, lsh_portable_pairs(df, 0.8, 2, 2).collect())
+    )
+    b = sorted(
+        map(tuple, lsh_portable_pairs(df, 0.8, 2, 2, max_bucket=64).collect())
+    )
+    assert a == b  # cap above every posting-list size changes nothing
+
+
+def test_lsh_portable_null_first_vector(spark):
+    # ADVICE r05: a NULL embedding in row 1 must not TypeError the
+    # dimension probe
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_portable_pairs(df, threshold=0.9, n_planes=2, n_tables=2)
+    assert sorted(map(tuple, out.collect())) == [(1, 2)]
+
+
+# --- WAV slicing ------------------------------------------------------------
+
+
+def test_wav_info_roundtrip():
+    b = synth_wav(1000, sample_rate=8000)
+    info = wav_info(b)
+    assert info["rate"] == 8000
+    assert info["block"] == 2
+    assert info["n_samples"] == 1000
+    assert wav_info(b"\x89PNG not a wav") is None
+
+
+def test_wav_slice_boundaries_and_reencode():
+    # 1000 samples @ 8000 Hz = 0.125 s; 0.05 s frames = 400 samples:
+    # frames of 400, 400, 200 (last partial)
+    vals = [(i * 13) % 65536 - 32768 for i in range(1000)]
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    b = wav_encode(fmt, struct.pack("<1000h", *vals))
+    frames = wav_slice_frames(b, every_s=0.05)
+    assert [(i, ts) for i, ts, _ in frames] == [
+        (0, 0.0), (1, 0.05), (2, 0.1)
+    ]
+    sizes, total = [], []
+    for _, _, seg in frames:
+        info = wav_info(seg)  # every frame is itself a valid WAV
+        n = info["n_samples"]
+        sizes.append(n)
+        total.extend(
+            struct.unpack(f"<{n}h", seg[info["data_off"]: info["data_off"] + 2 * n])
+        )
+    assert sizes == [400, 400, 200]
+    assert total == vals  # concatenated slices reproduce the input
+
+
+def test_frame_sample_real_wav_and_video_guard(spark):
+    from survivor_processing_spark.operators.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [(1, synth_wav(1200, 800), None)],
+        "asset_id long, media binary, media_meta struct<mime:string,"
+        "width:int,height:int,duration_s:double>",
+    )
+    out = frame_sample(media, every_s=0.5, fake=False).collect()
+    # 1200 samples @800 Hz = 1.5 s -> 3 frames of 400
+    assert [(r["frame_idx"], r["ts_s"]) for r in out] == [
+        (0, 0.0), (1, 0.5), (2, 1.0)
+    ]
+    video = spark.createDataFrame(
+        [(2, b"\x00\x01\x02not-audio", None)],
+        "asset_id long, media binary, media_meta struct<mime:string,"
+        "width:int,height:int,duration_s:double>",
+    )
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        frame_sample(video, every_s=0.5, fake=False).collect()
+
+
+# --- sketch error-bound gate ------------------------------------------------
+
+
+def test_sketch_gate_all_true(spark, sf_dir):
+    from survivor_processing_spark.queries.analytics import (
+        sketch_distinct_quantiles,
+    )
+
+    rows = sketch_distinct_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.users_within_tol and r.p50_within_tol
+        assert r.p90_within_tol and r.p99_within_tol
+
+
+# --- quarantine MERGE replay ------------------------------------------------
+
+
+def test_quarantine_merge_replay_idempotent(spark, tmp_path):
+    from survivor_processing_spark.sinks.merge import merge_upsert
+
+    residue = spark.createDataFrame(
+        [(1, "xx"), (2, "xx"), (3, "yy")], "doc_id long, lang string"
+    )
+    path = str(tmp_path / "quarantine")
+    merge_upsert(spark, path, residue, keys=["doc_id"])
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_upsert(spark, path, residue, keys=["doc_id"])  # replay
+    second = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert first == second == [(1, "xx"), (2, "xx"), (3, "yy")]
