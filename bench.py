@@ -65,6 +65,9 @@ HEADLINE = [
     # round 5
     "ivf_topk_exact",
     "entity_match_quarantine",
+    # round 6
+    "kmeans_lloyd_portable",
+    "multimodal_wav_slice",
 ]
 
 

@@ -150,7 +150,9 @@ def kmeans_lloyd_portable(
         f"transform(cast({vec_col} as array<double>),"
         " x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"
     )
-    qdf = df.select(F.col(id_col), q_expr.alias("_q")).localCheckpoint(eager=True)
+    qdf = df.select(F.col(id_col), q_expr.alias("_q")).localCheckpoint(
+        eager=True
+    )
     seed_rows = (
         qdf.select("_q", F.md5(F.col(id_col).cast("string")).alias("_m"))
         .orderBy("_m")
@@ -162,19 +164,24 @@ def kmeans_lloyd_portable(
     dim = len(centroids[0][1])
 
     def assigned(cents: list[tuple[int, list[int]]]) -> DataFrame:
-        def d2(lanes: list[int]):
-            clit = F.array(*[F.lit(v).cast("long") for v in lanes])
-            return F.aggregate(
-                F.zip_with(F.col("_q"), clit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+        # ONE parsed SQL string per pass, not k*dim F.lit() py4j round
+        # trips — the bloom lesson (operators/bloom.py, SCALE.md r5):
+        # per-element lit() calls cost ~0.5 ms of driver time each,
+        # which at 8x64 literals x (iters+1) passes dominated the
+        # whole query at bench scale; a single expr parses in ~ms
+        def d2(lanes: list[int]) -> str:
+            arr = "array(" + ",".join(f"{v}L" for v in lanes) + ")"
+            return (
+                f"aggregate(zip_with(_q, {arr}, (a, b) -> (a-b)*(a-b)),"
+                " 0L, (acc, x) -> acc + x)"
             )
 
-        dists = F.array(*[d2(lanes) for _, lanes in cents])
+        dists = "array(" + ",".join(d2(lanes) for _, lanes in cents) + ")"
+        labels = "array(" + ",".join(str(idx) for idx, _ in cents) + ")"
         # position of the FIRST minimum -> lowest surviving idx wins
-        pos = F.array_position(dists, F.array_min(dists))
-        label = F.element_at(
-            F.array(*[F.lit(idx) for idx, _ in cents]), pos.cast("int")
+        label = F.expr(
+            f"element_at({labels},"
+            f" cast(array_position({dists}, array_min({dists})) as int))"
         )
         return qdf.select(
             F.col(id_col), label.cast("int").alias("cluster_idx"), "_q"
