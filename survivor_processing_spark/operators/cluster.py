@@ -24,12 +24,24 @@ from pyspark.sql import DataFrame
 
 def _sq_dist(vec_col: str, centroid: list[float]):
     """Squared L2 distance between an array<float/double> column and
-    a centroid literal, fully JVM-side (zip_with + aggregate)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(
-        F.col(vec_col).cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)
+    a centroid literal, fully JVM-side (zip_with + aggregate).
+
+    The centroid literal is ONE parsed SQL string, not dim F.lit()
+    py4j round trips (the bloom lesson — per-element lit() costs
+    ~0.5 ms of driver time each, and k x dim x iters of them
+    dominated the portable variant at bench scale).  Components go
+    through repr() -> string -> double: shortest-round-trip decimals
+    re-parse to the identical IEEE double, so the expression is
+    bit-equal to the lit() form."""
+    arr = (
+        "array("
+        + ",".join(f"cast('{float(x)!r}' as double)" for x in centroid)
+        + ")"
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.expr(
+        f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
+        " (a, b) -> (a-b)*(a-b)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
 
 
 def assign_clusters(
@@ -237,24 +249,24 @@ def assign_clusters_portable(
     seed_lanes = [
         [int(math.floor(float(x) * 1e6 + 0.5)) for x in r["_v"]] for r in rows
     ]
-    q = F.expr(
+    q = (
         f"transform({vec_col},"
         " x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
     )
 
-    def int_dot(lanes):
-        slit = F.array(*[F.lit(v).cast("long") for v in lanes])
-        return F.aggregate(
-            F.zip_with(q, slit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # ONE parsed SQL string, not k*dim F.lit() py4j round trips (the
+    # bloom lesson; same rewrite as kmeans_lloyd_portable's loop)
+    def int_dot(lanes: list[int]) -> str:
+        arr = "array(" + ",".join(f"{v}L" for v in lanes) + ")"
+        return (
+            f"aggregate(zip_with({q}, {arr}, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
         )
 
-    dots = F.array(*[int_dot(lanes) for lanes in seed_lanes])
+    dots = "array(" + ",".join(int_dot(lanes) for lanes in seed_lanes) + ")"
     return df.select(
         F.col(id_col),
-        (F.array_position(dots, F.array_max(dots)) - 1)
-        .cast("int")
+        F.expr(f"cast(array_position({dots}, array_max({dots})) - 1 as int)")
         .alias("cluster_idx"),
-        F.array_max(dots).alias("best_dot"),
+        F.expr(f"array_max({dots})").alias("best_dot"),
     )

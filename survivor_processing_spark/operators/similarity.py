@@ -356,15 +356,20 @@ def lsh_portable_pairs(
         )
     dim = len(first[0])
 
-    def sign_lit(seed: int):
-        return F.array(*[F.lit(sign_value(i, seed)) for i in range(dim)])
+    def sign_arr(seed: int) -> str:
+        # ONE parsed SQL literal per seed, not dim F.lit() py4j round
+        # trips — n_tables*n_planes*dim lit() calls (4096 at the
+        # gating config) cost ~2 s of driver time per build and made
+        # the query FLAT across 10x data (fixed-cost-bound); a parsed
+        # array literal is ~ms (the bloom lesson, SCALE.md r5)
+        return (
+            "array(" + ",".join(str(sign_value(i, seed)) for i in range(dim)) + ")"
+        )
 
     proj_aggs = [
-        F.sum(
-            F.col("_q")
-            * F.element_at(sign_lit(t * n_planes + p), F.col("_i") + 1).cast(
-                "long"
-            )
+        F.expr(
+            f"sum(_q * element_at({sign_arr(t * n_planes + p)},"
+            " cast(_i + 1 as int)))"
         ).alias(f"_s_{t}_{p}")
         for t in range(n_tables)
         for p in range(n_planes)

@@ -312,3 +312,21 @@ def test_orc_scan_filter_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "id" in pushed
+
+
+def test_lsh_portable_capped_no_cartesian(spark):
+    """The capped portable-LSH config must stay an equi-join on the
+    bucket key (the r05 scale-killer was quadratic WITHIN buckets,
+    not a plan defect — but the cap's window must not perturb the
+    join shape)."""
+    plan = plan_of(spark, "embedding_lsh_portable_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the portable cap: one ranking window over (table_idx, bucket)
+    assert "row_number" in plan
+
+
+def test_lloyd_portable_no_cartesian(spark):
+    plan = plan_of(spark, "kmeans_lloyd_portable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
