@@ -165,11 +165,16 @@ def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
 def _prior_stretch(queries: dict[str, float]) -> dict | None:
     """Round-over-round comparison for the sf1 tier against the
     committed BENCH_STRETCH.json (either this harness's flat format
-    or the r5 wrapper with the bench line under "sf1")."""
+    or the r5 wrapper with the bench line under "sf1").  Same
+    SPARK_GRAFT_ROUND guard as _prior_common: an artifact from the
+    round being generated is not a prior."""
     root = os.path.dirname(os.path.abspath(__file__))
+    this_round = int(os.environ.get("SPARK_GRAFT_ROUND", "0") or 0)
     try:
         with open(os.path.join(root, "BENCH_STRETCH.json")) as f:
             doc = json.load(f)
+        if this_round and int(doc.get("round") or 0) >= this_round:
+            return None
         parsed = doc.get("sf1") or doc
         prior = parsed.get("queries", {})
         common = sorted(set(prior) & set(queries))

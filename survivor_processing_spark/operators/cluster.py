@@ -32,12 +32,23 @@ def _sq_dist(vec_col: str, centroid: list[float]):
     dominated the portable variant at bench scale).  Components go
     through repr() -> string -> double: shortest-round-trip decimals
     re-parse to the identical IEEE double, so the expression is
-    bit-equal to the lit() form."""
-    arr = (
-        "array("
-        + ",".join(f"cast('{float(x)!r}' as double)" for x in centroid)
-        + ")"
-    )
+    bit-equal to the lit() form (non-finite lanes spelled in the
+    'Infinity'/'NaN' forms Spark's string->double cast accepts —
+    Python's 'inf'/'nan' reprs would cast to NULL)."""
+
+    def dlit(x: float) -> str:
+        v = float(x)
+        if v != v:
+            s = "NaN"
+        elif v == float("inf"):
+            s = "Infinity"
+        elif v == float("-inf"):
+            s = "-Infinity"
+        else:
+            s = repr(v)
+        return f"cast('{s}' as double)"
+
+    arr = "array(" + ",".join(dlit(x) for x in centroid) + ")"
     return F.expr(
         f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
         " (a, b) -> (a-b)*(a-b)), cast(0.0 as double), (acc, x) -> acc + x)"
@@ -162,8 +173,14 @@ def kmeans_lloyd_portable(
         f"transform(cast({vec_col} as array<double>),"
         " x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"
     )
-    qdf = df.select(F.col(id_col), q_expr.alias("_q")).localCheckpoint(
-        eager=True
+    # NULL vectors are quarantined (dropped), matching the LSH
+    # pipeline and the oracle's IS NOT NULL filter — without this a
+    # NULL seed TypeErrors driver-side and a NULL non-seed diverges
+    # from the oracle's ROW_NUMBER-over-NULL-distance row
+    qdf = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), q_expr.alias("_q"))
+        .localCheckpoint(eager=True)
     )
     seed_rows = (
         qdf.select("_q", F.md5(F.col(id_col).cast("string")).alias("_m"))
@@ -171,6 +188,12 @@ def kmeans_lloyd_portable(
         .limit(k)
         .collect()
     )
+    if not seed_rows:  # empty input: empty labeled output, same schema
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {df.schema[id_col].dataType.simpleString()},"
+            " cluster_idx int",
+        )
     # centroids: ordered [(cluster_idx, lanes)] — idx is the md5 rank
     centroids = [(i, list(r["_q"])) for i, r in enumerate(seed_rows)]
     dim = len(centroids[0][1])

@@ -349,29 +349,49 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("aq"),
-        F.count(F.lit(1)).alias("n"),
     )
-    # achieved rank of each sketch answer: fraction of group rows at
-    # or below it (5-row broadcast back onto the fact table)
-    j = ev.select("event_type", "value").join(F.broadcast(agg), "event_type")
+    # achieved rank of each sketch answer, via a null-safe broadcast
+    # of the 5-row sketch result back onto the fact table (a plain
+    # equi-join would silently drop a NULL event_type group the
+    # oracle's GROUP BY retains)
+    a = agg.withColumnRenamed("event_type", "_et")
+    j = ev.select("event_type", "value").join(
+        F.broadcast(a), F.col("event_type").eqNullSafe(F.col("_et"))
+    )
+    # rank space excludes NULL values (quantile functions ignore
+    # them), and ties are BRACKETED: a correct sketch answer inside a
+    # run of equal values has strictly-below fraction <= q <= at-or-
+    # below fraction; a one-sided <= fraction would falsely fail a
+    # healthy sketch whenever the target quantile lands mid-run
+    nn = F.sum(F.when(F.col("value").isNotNull(), 1.0).otherwise(0.0))
 
-    def frac(i: int):
-        return F.avg(
-            F.when(F.col("value") <= F.col("aq")[i], 1.0).otherwise(0.0)
+    def frac(i: int, strict: bool):
+        cmp = (
+            F.col("value") < F.col("aq")[i]
+            if strict
+            else F.col("value") <= F.col("aq")[i]
         )
+        return F.sum(F.when(cmp, 1.0).otherwise(0.0)) / nn
 
     ranks = j.groupBy("event_type").agg(
         F.first("approx_users").alias("approx_users"),
         F.first("exact_users").alias("exact_users"),
-        F.first("n").alias("n"),
-        frac(0).alias("f50"),
-        frac(1).alias("f90"),
-        frac(2).alias("f99"),
+        nn.alias("n"),
+        *[
+            frac(i, strict).alias(f"f{name}{'_lt' if strict else '_le'}")
+            for i, name in enumerate(("50", "90", "99"))
+            for strict in (True, False)
+        ],
     )
     slack = F.lit(0.02) + F.lit(1.5) / F.col("n")
 
-    def within_rank(fcol: str, q: float):
-        return F.abs(F.col(fcol) - F.lit(q)) <= slack
+    def within_rank(name: str, q: float):
+        ok = (F.lit(q) >= F.col(f"f{name}_lt") - slack) & (
+            F.lit(q) <= F.col(f"f{name}_le") + slack
+        )
+        # all-NULL-value group: the quantile is undefined, the
+        # contract is vacuously met
+        return F.coalesce(ok, F.lit(True))
 
     return ranks.select(
         "event_type",
@@ -379,9 +399,9 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users") + F.lit(0.5)
         ).alias("users_within_tol"),
-        within_rank("f50", 0.5).alias("p50_within_tol"),
-        within_rank("f90", 0.9).alias("p90_within_tol"),
-        within_rank("f99", 0.99).alias("p99_within_tol"),
+        within_rank("50", 0.5).alias("p50_within_tol"),
+        within_rank("90", 0.9).alias("p90_within_tol"),
+        within_rank("99", 0.99).alias("p99_within_tol"),
     )
 
 

@@ -432,13 +432,14 @@ WITH vec_lanes AS (
            CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
                 AS BIGINT) AS q
     FROM embeddings e, (SELECT unnest(generate_series(1, {dim})) AS i) d
+    WHERE e.embedding IS NOT NULL
 ),
 cent_0 AS (
     SELECT s.cluster_idx, v.i, v.q AS c
     FROM (SELECT vec_id,
                  ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                      AS cluster_idx
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}) s
     JOIN vec_lanes v ON v.vec_id = s.vec_id
 )"""

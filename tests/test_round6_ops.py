@@ -52,6 +52,18 @@ def test_lloyd_portable_separates_planted_blobs(spark):
 # --- capped portable LSH ----------------------------------------------------
 
 
+def test_lloyd_portable_empty_and_null_vectors(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_lloyd_portable(empty, "embedding", "vec_id", k=3).count() == 0
+    # NULL vectors are quarantined (dropped), never labeled or seeded
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd_portable(df, "embedding", "vec_id", k=2, iters=1)
+    labels = {r["vec_id"]: r["cluster_idx"] for r in out.collect()}
+    assert set(labels) == {1, 2, 3}
+    assert labels[1] == labels[2] != labels[3]
+
+
 def test_lsh_portable_cap_bounds_candidates(spark):
     # 40 identical vectors -> one hot bucket per table; the portable
     # cap must bound survivors per bucket, and the verify still finds

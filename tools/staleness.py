@@ -13,8 +13,11 @@ reporting tool); the rotation window in __spark_entry__.py is built
 from its output.
 
 Usage: python tools/staleness.py [--max-stale-round N]
-  With --max-stale-round N, exits 1 if any query's latest green row
-  is older than round N (for use as a post-round assertion).
+  With --max-stale-round N, exits 1 if any query's latest driver row
+  OF ANY KIND is older than round N (rotation visibility, which is
+  what the window controls).  Hash-health is reported separately:
+  every in-window-but-never-green query is listed unconditionally,
+  so a red row can't hide behind a fresh round number.
 """
 
 from __future__ import annotations

@@ -6,12 +6,16 @@ coverage-at-scale artifact proving every query RUNS and bounding its
 cost at 10x data, not a best-of-N benchmark (that's bench.py
 --stretch / BENCH_STRETCH.json).
 
-Completeness is ASSERTED, not hoped for: sweep keys must equal
-registry keys or the script fails (round 5 shipped a 139/140 sweep
-because one query was registered after the final regeneration —
-VERDICT r05 "What's wrong" #2 / next-round #4).
+Completeness is ASSERTED at the point that matters: `--check`
+compares the COMMITTED SWEEP_SF1.json's keys against the CURRENT
+registry and exits 1 on any mismatch — that is the guard against the
+r5 failure mode (a query registered after the final regeneration
+shipped a 139/140 sweep, VERDICT r05 "What's wrong" #2 / next-round
+#4).  Run `python tools/sweep.py --check` as the end-of-round
+assertion; regenerate if it fails.  (The generation-time assert is
+kept but is self-referential — it cannot see future registrations.)
 
-Usage: python tools/sweep.py [sf01_dir] [sf1_dir]
+Usage: python tools/sweep.py [sf01_dir] [sf1_dir] | --check
   SPARK_GRAFT_ROUND stamps the round number into the artifact.
 """
 
@@ -29,7 +33,30 @@ from survivor_processing_spark import get_spark  # noqa: E402
 from survivor_processing_spark.queries import REGISTRY  # noqa: E402
 
 
+def check_committed(repo: str) -> int:
+    """Compare the committed artifact's query keys against the
+    CURRENT registry — the completeness assertion that can actually
+    catch a post-regeneration registration."""
+    path = os.path.join(repo, "SWEEP_SF1.json")
+    with open(path) as f:
+        committed = set(json.load(f)["queries"])
+    current = set(REGISTRY)
+    missing = sorted(current - committed)
+    extra = sorted(committed - current)
+    if missing or extra:
+        print(
+            f"SWEEP_SF1.json is stale: missing={missing} extra={extra} "
+            "— regenerate with tools/sweep.py"
+        )
+        return 1
+    print(f"SWEEP_SF1.json complete: {len(committed)} == registry")
+    return 0
+
+
 def main() -> int:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "--check" in sys.argv:
+        return check_committed(repo_root)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sps_scaled"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -74,10 +101,18 @@ def main() -> int:
         ),
         "totals_sec": {
             "sf0.1": round(
-                sum(r["sf01"] for r in results.values() if r["sf01"]), 1
+                sum(
+                    r["sf01"]
+                    for r in results.values()
+                    if r["sf01"] is not None
+                ),
+                1,
             ),
             "sf1": round(
-                sum(r["sf1"] for r in results.values() if r["sf1"]), 1
+                sum(
+                    r["sf1"] for r in results.values() if r["sf1"] is not None
+                ),
+                1,
             ),
         },
         "completeness": "asserted: sweep keys == registry keys",
