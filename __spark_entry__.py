@@ -48,10 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # sink); (c) doc_fingerprint (r02-latest, the query the r5 rollup
 # miscounted) plus the ENTIRE 43-query r03-latest cohort.  That is
 # exactly 50; after this round tools/staleness.py must show nothing
-# older than r04-latest.  (bloom_prefilter_join's cache-eviction
-# lifecycle also changed this round, but not its semantics — its
-# r05 row is fresh and tests/test_round5_ops.py covers the
-# lifecycle, so it cedes its slot to the stale cohort.)
+# older than r04-latest.  (Two queries changed NON-semantically and
+# cede their slots to the stale cohort, both with fresh r05 rows:
+# bloom_prefilter_join's cache-eviction lifecycle — covered by
+# tests/test_round5_ops.py — and cluster_assign_portable, whose
+# literal construction was rewritten from per-element lit() to one
+# parsed SQL string; its output re-verified hash-identical against
+# the unchanged oracle via tools/check_correctness.py this round.)
 _PRIORITY = [
     # (a) gating code changed in r06
     "sketch_distinct_quantiles",

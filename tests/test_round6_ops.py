@@ -158,6 +158,23 @@ def test_frame_sample_real_wav_and_video_guard(spark):
         frame_sample(video, every_s=0.5, fake=False).collect()
 
 
+# --- IVF recall floor (r7 gating machinery, built + tested in r6) -----------
+
+
+def test_ivf_recall_bound(spark, sf_dir):
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.similarity import ivf_recall_bound
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [r for r in e.limit(1).collect()][0]["embedding"]
+    query = [float(x) for x in q]
+    row = ivf_recall_bound(
+        e, query, k=5, n_centroids=8, n_probe=8, min_recall=1.0
+    ).collect()[0]
+    # n_probe = n_centroids scans everything -> recall is exactly 1
+    assert row["k"] == 5 and bool(row["recall_above_floor"])
+
+
 # --- sketch error-bound gate ------------------------------------------------
 
 
