@@ -175,6 +175,13 @@ def _prior_stretch(queries: dict[str, float]) -> dict | None:
             doc = json.load(f)
         if this_round and int(doc.get("round") or 0) >= this_round:
             return None
+        # cross-fixture guard (mirror of _prior_common's sf check):
+        # a ratio against a different-scale fixture reads as a fake
+        # 10x swing
+        prior_dir = doc.get("sf_dir")
+        cur_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sps_scaled")
+        if prior_dir is not None and prior_dir != cur_dir:
+            return None
         parsed = doc.get("sf1") or doc
         prior = parsed.get("queries", {})
         common = sorted(set(prior) & set(queries))
@@ -225,6 +232,7 @@ def main() -> None:
             if stretch
             else "headline_queries_total_wall"
         ),
+        **({"sf_dir": sf_dir} if stretch else {}),
         "value": total,
         "unit": "sec",
         "queries": queries,

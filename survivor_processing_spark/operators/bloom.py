@@ -161,11 +161,15 @@ def bloom_filter_subquery(
     from .dedup import cache_bounded
 
     view = f"_bloom_words_{uuid.uuid4().hex[:12]}"
-    # registering the view with the bounded cache means the NEXT
-    # filter build at this call site drops it (catalog entries no
-    # longer accumulate across rounds/bench reps, ADVICE r05)
-    dense = cache_bounded("bloom_dense_words", dense, view=view)
+    # create the view BEFORE registering it for eviction: registering
+    # first opens a race where a concurrent build evicts the
+    # not-yet-created view (a no-op drop) and the one created after
+    # leaks forever.  Registration second means the view always
+    # exists by the time any later build's eviction drops it —
+    # catalog entries no longer accumulate across rounds/bench reps
+    # (ADVICE r05).
     dense.createOrReplaceTempView(view)
+    dense = cache_bounded("bloom_dense_words", dense, view=view)
     return F.expr(f"(SELECT arr FROM {view})")
 
 

@@ -21,34 +21,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..functions.sql_literals import sql_int_array, sql_long_array
+
 
 def _sq_dist(vec_col: str, centroid: list[float]):
     """Squared L2 distance between an array<float/double> column and
     a centroid literal, fully JVM-side (zip_with + aggregate).
 
     The centroid literal is ONE parsed SQL string, not dim F.lit()
-    py4j round trips (the bloom lesson — per-element lit() costs
-    ~0.5 ms of driver time each, and k x dim x iters of them
-    dominated the portable variant at bench scale).  Components go
-    through repr() -> string -> double: shortest-round-trip decimals
-    re-parse to the identical IEEE double, so the expression is
-    bit-equal to the lit() form (non-finite lanes spelled in the
-    'Infinity'/'NaN' forms Spark's string->double cast accepts —
-    Python's 'inf'/'nan' reprs would cast to NULL)."""
+    py4j round trips — see functions/sql_literals.py for the shared
+    helpers and the measurements; repr() round-trips each component
+    to the identical IEEE double, so the expression is bit-equal to
+    the lit() form."""
+    from ..functions.sql_literals import sql_double_array
 
-    def dlit(x: float) -> str:
-        v = float(x)
-        if v != v:
-            s = "NaN"
-        elif v == float("inf"):
-            s = "Infinity"
-        elif v == float("-inf"):
-            s = "-Infinity"
-        else:
-            s = repr(v)
-        return f"cast('{s}' as double)"
-
-    arr = "array(" + ",".join(dlit(x) for x in centroid) + ")"
+    arr = sql_double_array(centroid)
     return F.expr(
         f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
         " (a, b) -> (a-b)*(a-b)), cast(0.0 as double), (acc, x) -> acc + x)"
@@ -138,7 +125,12 @@ def kmeans_lloyd(
 
 
 def kmeans_lloyd_portable(
-    df: DataFrame, vec_col: str, id_col: str, k: int = 8, iters: int = 3
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """ENGINE-PORTABLE full Lloyd's k-means: ``iters`` complete
     assignment/update rounds whose every step a DuckDB oracle can
@@ -173,12 +165,21 @@ def kmeans_lloyd_portable(
         f"transform(cast({vec_col} as array<double>),"
         " x -> cast(floor(x * 1000000.0 + 0.5) as bigint))"
     )
-    # NULL vectors are quarantined (dropped), matching the LSH
-    # pipeline and the oracle's IS NOT NULL filter — without this a
-    # NULL seed TypeErrors driver-side and a NULL non-seed diverges
-    # from the oracle's ROW_NUMBER-over-NULL-distance row
+    # Vector hygiene, quarantine semantics (matching the LSH pipeline
+    # and the oracle's mirrored filters): drop NULL vectors (a NULL
+    # seed TypeErrors driver-side), vectors with a NULL LANE (Spark's
+    # aggregate NULL-poisons the distance while DuckDB's SUM skips
+    # the lane — silent cross-engine divergence), and, when ``dim``
+    # is given, vectors of any other length (zip_with NULL-pads a
+    # short vector; the oracle's generate_series(1, dim) truncates a
+    # long one).
+    clean = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+    if dim is not None:
+        clean = clean & (F.size(F.col(vec_col)) == dim)
     qdf = (
-        df.where(F.col(vec_col).isNotNull())
+        df.where(clean)
         .select(F.col(id_col), q_expr.alias("_q"))
         .localCheckpoint(eager=True)
     )
@@ -196,7 +197,7 @@ def kmeans_lloyd_portable(
         )
     # centroids: ordered [(cluster_idx, lanes)] — idx is the md5 rank
     centroids = [(i, list(r["_q"])) for i, r in enumerate(seed_rows)]
-    dim = len(centroids[0][1])
+    n_lanes = len(centroids[0][1])
 
     def assigned(cents: list[tuple[int, list[int]]]) -> DataFrame:
         # ONE parsed SQL string per pass, not k*dim F.lit() py4j round
@@ -205,14 +206,14 @@ def kmeans_lloyd_portable(
         # which at 8x64 literals x (iters+1) passes dominated the
         # whole query at bench scale; a single expr parses in ~ms
         def d2(lanes: list[int]) -> str:
-            arr = "array(" + ",".join(f"{v}L" for v in lanes) + ")"
+            arr = sql_long_array(lanes)
             return (
                 f"aggregate(zip_with(_q, {arr}, (a, b) -> (a-b)*(a-b)),"
                 " 0L, (acc, x) -> acc + x)"
             )
 
         dists = "array(" + ",".join(d2(lanes) for _, lanes in cents) + ")"
-        labels = "array(" + ",".join(str(idx) for idx, _ in cents) + ")"
+        labels = sql_int_array(idx for idx, _ in cents)
         # position of the FIRST minimum -> lowest surviving idx wins
         label = F.expr(
             f"element_at({labels},"
@@ -231,10 +232,10 @@ def kmeans_lloyd_portable(
             .collect()
         )
         by_idx: dict[int, list[int]] = {}
-        for r in sums:  # bounded: k*dim rows
-            by_idx.setdefault(int(r["cluster_idx"]), [0] * dim)[int(r["pos"])] = (
-                int(r["s"]) // int(r["n"])  # Python // floors: matches SQL
-            )
+        for r in sums:  # bounded: k*n_lanes rows
+            by_idx.setdefault(int(r["cluster_idx"]), [0] * n_lanes)[
+                int(r["pos"])
+            ] = int(r["s"]) // int(r["n"])  # Python // floors: matches SQL
         centroids = sorted(by_idx.items())
     return assigned(centroids).select(id_col, "cluster_idx")
 
@@ -280,7 +281,7 @@ def assign_clusters_portable(
     # ONE parsed SQL string, not k*dim F.lit() py4j round trips (the
     # bloom lesson; same rewrite as kmeans_lloyd_portable's loop)
     def int_dot(lanes: list[int]) -> str:
-        arr = "array(" + ",".join(f"{v}L" for v in lanes) + ")"
+        arr = sql_long_array(lanes)
         return (
             f"aggregate(zip_with({q}, {arr}, (a, b) -> a * b),"
             " 0L, (acc, x) -> acc + x)"

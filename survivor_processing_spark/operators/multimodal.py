@@ -339,7 +339,10 @@ def wav_info(b: bytes) -> dict | None:
         elif cid == b"data":
             data = (off + 8, min(sz, len(b) - off - 8))
         off += 8 + sz + (sz & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
+    if fmt is None or len(fmt) < 16 or data is None:
+        # len guard: a truncated blob can DECLARE a 16-byte fmt chunk
+        # but carry fewer bytes — the slice clamps silently and
+        # struct.unpack would raise instead of returning None
         return None
     _afmt, _nch, rate, _brate, block, _bits = struct.unpack("<HHIIHH", fmt[:16])
     if rate <= 0 or block <= 0:
@@ -355,18 +358,17 @@ def wav_info(b: bytes) -> dict | None:
 
 def wav_encode(fmt_chunk: bytes, data: bytes) -> bytes:
     """Re-emit a valid WAV around an existing fmt chunk + sample
-    bytes (the slice writer for the real audio frame-sample path)."""
+    bytes (the slice writer for the real audio frame-sample path).
+    Odd-length chunks get the RIFF pad byte — the walker in
+    :func:`wav_info` advances word-aligned, so an unpadded odd chunk
+    would misparse the very blob this function produced."""
     import struct
 
-    body = (
-        b"WAVE"
-        + b"fmt "
-        + struct.pack("<I", len(fmt_chunk))
-        + fmt_chunk
-        + b"data"
-        + struct.pack("<I", len(data))
-        + data
-    )
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_chunk) + chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

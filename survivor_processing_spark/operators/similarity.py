@@ -24,6 +24,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.sql_literals import sql_int_array
+
 
 def _dot(a: str, b: str):
     return F.expr(
@@ -405,9 +407,7 @@ def lsh_portable_pairs(
         # gating config) cost ~2 s of driver time per build and made
         # the query FLAT across 10x data (fixed-cost-bound); a parsed
         # array literal is ~ms (the bloom lesson, SCALE.md r5)
-        return (
-            "array(" + ",".join(str(sign_value(i, seed)) for i in range(dim)) + ")"
-        )
+        return sql_int_array(sign_value(i, seed) for i in range(dim))
 
     proj_aggs = [
         F.expr(

@@ -371,7 +371,11 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             if strict
             else F.col("value") <= F.col("aq")[i]
         )
-        return F.sum(F.when(cmp, 1.0).otherwise(0.0)) / nn
+        # try_divide: an all-NULL-value group has nn = 0, and the
+        # session runs ANSI mode — a bare / would throw
+        # DIVIDE_BY_ZERO instead of reaching the vacuous-truth
+        # coalesce below
+        return F.try_divide(F.sum(F.when(cmp, 1.0).otherwise(0.0)), nn)
 
     ranks = j.groupBy("event_type").agg(
         F.first("approx_users").alias("approx_users"),
@@ -383,7 +387,7 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for strict in (True, False)
         ],
     )
-    slack = F.lit(0.02) + F.lit(1.5) / F.col("n")
+    slack = F.lit(0.02) + F.try_divide(F.lit(1.5), F.col("n"))
 
     def within_rank(name: str, q: float):
         ok = (F.lit(q) >= F.col(f"f{name}_lt") - slack) & (

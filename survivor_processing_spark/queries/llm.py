@@ -427,19 +427,26 @@ def _lloyd_portable_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     numerator is made exactly divisible before the ``/``)."""
     blocks = [
         f"""
-WITH vec_lanes AS (
+WITH clean AS (
+    -- vector hygiene, mirrored from the Spark side: non-NULL,
+    -- no NULL lane, exactly dim lanes
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(embedding) = {dim}
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+vec_lanes AS (
     SELECT e.vec_id, d.i,
            CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
                 AS BIGINT) AS q
-    FROM embeddings e, (SELECT unnest(generate_series(1, {dim})) AS i) d
-    WHERE e.embedding IS NOT NULL
+    FROM clean e, (SELECT unnest(generate_series(1, {dim})) AS i) d
 ),
 cent_0 AS (
     SELECT s.cluster_idx, v.i, v.q AS c
     FROM (SELECT vec_id,
                  ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                      AS cluster_idx
-          FROM embeddings WHERE embedding IS NOT NULL
+          FROM clean
           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}) s
     JOIN vec_lanes v ON v.vec_id = s.vec_id
 )"""
@@ -503,7 +510,7 @@ def kmeans_lloyd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import kmeans_lloyd_portable as _lloyd
 
     e = load_table(spark, sf_dir, "embeddings")
-    return _lloyd(e, "embedding", "vec_id", k=8, iters=3)
+    return _lloyd(e, "embedding", "vec_id", k=8, iters=3, dim=64)
 
 
 @register(

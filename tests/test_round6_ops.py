@@ -55,10 +55,18 @@ def test_lloyd_portable_separates_planted_blobs(spark):
 def test_lloyd_portable_empty_and_null_vectors(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kmeans_lloyd_portable(empty, "embedding", "vec_id", k=3).count() == 0
-    # NULL vectors are quarantined (dropped), never labeled or seeded
-    rows = [(0, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])]
+    # NULL vectors, NULL-LANE vectors, and (with dim set) ragged
+    # vectors are quarantined — dropped, never labeled or seeded
+    rows = [
+        (0, None),
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [-1.0, 0.0]),
+        (4, [1.0, None]),
+        (5, [1.0, 0.0, 0.0]),
+    ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = kmeans_lloyd_portable(df, "embedding", "vec_id", k=2, iters=1)
+    out = kmeans_lloyd_portable(df, "embedding", "vec_id", k=2, iters=1, dim=2)
     labels = {r["vec_id"]: r["cluster_idx"] for r in out.collect()}
     assert set(labels) == {1, 2, 3}
     assert labels[1] == labels[2] != labels[3]
@@ -112,6 +120,21 @@ def test_wav_info_roundtrip():
     assert info["block"] == 2
     assert info["n_samples"] == 1000
     assert wav_info(b"\x89PNG not a wav") is None
+    # truncated blob DECLARING a 16-byte fmt but carrying fewer bytes
+    # must return None, not raise struct.error
+    trunc = b"RIFF" + (20).to_bytes(4, "little") + b"WAVEfmt " + (
+        16
+    ).to_bytes(4, "little") + b"\x01\x00\x01\x00"
+    assert wav_info(trunc) is None
+
+
+def test_wav_encode_pads_odd_chunks():
+    # an odd-length data chunk gets the RIFF pad byte, so the walker
+    # (which advances word-aligned) re-parses the encoder's output
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)  # 8-bit mono
+    b = wav_encode(fmt, b"\x01\x02\x03")  # 3 samples, odd
+    info = wav_info(b)
+    assert info is not None and info["n_samples"] == 3
 
 
 def test_wav_slice_boundaries_and_reencode():

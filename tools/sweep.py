@@ -12,8 +12,8 @@ registry and exits 1 on any mismatch — that is the guard against the
 r5 failure mode (a query registered after the final regeneration
 shipped a 139/140 sweep, VERDICT r05 "What's wrong" #2 / next-round
 #4).  Run `python tools/sweep.py --check` as the end-of-round
-assertion; regenerate if it fails.  (The generation-time assert is
-kept but is self-referential — it cannot see future registrations.)
+assertion; regenerate if it fails.  (A generation-time self-check
+would be tautological — the sweep iterates the registry itself.)
 
 Usage: python tools/sweep.py [sf01_dir] [sf1_dir] | --check
   SPARK_GRAFT_ROUND stamps the round number into the artifact.
@@ -59,7 +59,6 @@ def main() -> int:
         return check_committed(repo_root)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sps_scaled"
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rnd = int(os.environ.get("SPARK_GRAFT_ROUND", "0") or 0)
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,13 +79,6 @@ def main() -> int:
                 errors.append(f"{name}/{label}: {traceback.format_exc(limit=1)}")
             print(f"{name} {label}: {row[label]}", flush=True)
         results[name] = row
-
-    missing = set(REGISTRY) - set(results)
-    extra = set(results) - set(REGISTRY)
-    assert not missing and not extra, (
-        f"sweep/registry key mismatch: missing={sorted(missing)} "
-        f"extra={sorted(extra)}"
-    )
 
     doc = {
         "metric": "full_registry_single_rep_sweep",
@@ -115,11 +107,11 @@ def main() -> int:
                 1,
             ),
         },
-        "completeness": "asserted: sweep keys == registry keys",
+        "completeness": "verify with tools/sweep.py --check (committed keys vs current registry)",
         "errors": errors,
         "queries": results,
     }
-    out = os.path.join(repo, "SWEEP_SF1.json")
+    out = os.path.join(repo_root, "SWEEP_SF1.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {out}: {len(results)} queries, {len(errors)} errors")
