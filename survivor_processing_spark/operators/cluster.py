@@ -258,8 +258,12 @@ def assign_clusters_portable(
       the first maximum).
 
     Only the k seed vectors cross the driver (bounded k·dim)."""
+    # NULL-vector hygiene (same class as the Lloyd fix): a NULL
+    # embedding whose md5(id) ranks in the top k would TypeError the
+    # seed-lane build driver-side
     rows = (
-        df.select(
+        df.where(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             F.md5(F.col(id_col).cast("string")).alias("_m"),
@@ -288,7 +292,10 @@ def assign_clusters_portable(
         )
 
     dots = "array(" + ",".join(int_dot(lanes) for lanes in seed_lanes) + ")"
-    return df.select(
+    # NULL vectors drop from the labeled output too (the oracle's
+    # lane expansion emits no rows for them — keeping them here would
+    # emit a NULL-label row the oracle doesn't have)
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.expr(f"cast(array_position({dots}, array_max({dots})) - 1 as int)")
         .alias("cluster_idx"),

@@ -203,7 +203,12 @@ def build_ivf_index(
     """
     import numpy as np
 
-    base = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # NULL-vector hygiene: a NULL embedding among the xxhash64-ranked
+    # seeds would fail np.asarray driver-side (same class as the
+    # portable-seed fixes)
+    base = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     seeds = (
         base.select("_v", F.xxhash64("_id").alias("_h"))
         .orderBy("_h")
@@ -248,7 +253,9 @@ def build_ivf_index(
                 new_cent[cid] = vec / n
         cent = new_cent
 
-    assigned = emb.withColumn("cluster_id", assign_udf(cent)(F.col(vec_col)))
+    assigned = emb.where(F.col(vec_col).isNotNull()).withColumn(
+        "cluster_id", assign_udf(cent)(F.col(vec_col))
+    )
     return [(i, cent[i]) for i in range(len(cent))], assigned
 
 

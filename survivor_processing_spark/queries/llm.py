@@ -384,7 +384,7 @@ WITH seeds AS (
     SELECT embedding,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                AS cluster_idx
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
 ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 seed_lanes AS (
@@ -397,6 +397,7 @@ seed_lanes AS (
            CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
                 AS BIGINT) AS q
     FROM embeddings e, dims d
+    WHERE e.embedding IS NOT NULL
 ), dots AS (
     SELECT v.vec_id, s.cluster_idx, CAST(SUM(v.q * s.sq) AS BIGINT) AS dot
     FROM vec_lanes v JOIN seed_lanes s ON s.i = v.i
