@@ -213,6 +213,87 @@ def test_sketch_gate_all_true(spark, sf_dir):
         assert r.p90_within_tol and r.p99_within_tol
 
 
+# --- bounded-cache view lifecycle (ADVICE r05 fix) --------------------------
+
+
+def test_cache_bounded_drops_superseded_view(spark):
+    from survivor_processing_spark.operators.dedup import cache_bounded
+
+    v1, v2 = "_t_view_lifecycle_1", "_t_view_lifecycle_2"
+    a = spark.range(0, 5)
+    a.createOrReplaceTempView(v1)
+    cache_bounded("_t_view_key", a, view=v1)
+    assert spark.catalog.tableExists(v1)
+    b = spark.range(0, 7)
+    b.createOrReplaceTempView(v2)
+    cache_bounded("_t_view_key", b, view=v2)
+    # the superseded view is gone from the catalog; the new one lives
+    assert not spark.catalog.tableExists(v1)
+    assert spark.catalog.tableExists(v2)
+    b.unpersist()
+    spark.catalog.dropTempView(v2)
+
+
+def test_bloom_subquery_view_evicted_on_rebuild(spark):
+    from survivor_processing_spark.operators.bloom import bloom_filter_subquery
+
+    keys = spark.range(0, 50).selectExpr("cast(id as string) AS k")
+    before = {t.name for t in spark.catalog.listTables()}
+    bloom_filter_subquery(keys, "k", num_bits=1 << 14)
+    mid = {t.name for t in spark.catalog.listTables()} - before
+    bloom_filter_subquery(keys, "k", num_bits=1 << 14)
+    after = {t.name for t in spark.catalog.listTables()} - before
+    # each build registers exactly one view and evicts the previous
+    # one: the catalog never accumulates bloom views across builds
+    assert len(mid) == 1 and len(after) == 1 and mid != after
+
+
+# --- bench prior-round guards (ADVICE r05 + r6 review) ----------------------
+
+
+def test_bench_prior_guards(tmp_path, monkeypatch):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # same-round artifact must not be its own prior
+    monkeypatch.setattr(
+        bench.os, "listdir", lambda _: ["BENCH_r05.json", "BENCH_r06.json"]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "6")
+    real_open = open
+
+    def fake_doc(path, *a, **kw):
+        if "BENCH_r" in str(path):
+            import io
+
+            return io.StringIO(
+                json.dumps({"queries": {"q": 2.0}, "sf": 0.1})
+            )
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", fake_doc)
+    out = bench._prior_common({"q": 1.0}, 0.1)
+    assert out is not None and out["prior_round"] == 5
+
+    # stretch: a prior from a different fixture dir is rejected
+    monkeypatch.setattr("builtins.open", real_open)
+    stretch_doc = {
+        "round": 5,
+        "sf_dir": "/some/other/fixture",
+        "queries": {"q": 2.0},
+    }
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda p, *a, **kw: __import__("io").StringIO(json.dumps(stretch_doc))
+        if "BENCH_STRETCH" in str(p)
+        else real_open(p, *a, **kw),
+    )
+    assert bench._prior_stretch({"q": 1.0}) is None
+
+
 # --- quarantine MERGE replay ------------------------------------------------
 
 
