@@ -245,9 +245,10 @@ def assign_clusters_portable(
 ) -> DataFrame:
     """ENGINE-PORTABLE nearest-seed assignment — the argmax half of a
     Lloyd iteration, built so a DuckDB oracle can replay it bit-for-
-    bit and hash-gate the clustering machinery (full Lloyd stays
-    rows-only: float centroid MEANS are not portable, exact integer
-    DOTS are):
+    bit and hash-gate the clustering machinery (float centroid MEANS
+    are not portable, exact integer DOTS are; since r6 the FULL loop
+    is gated too via :func:`kmeans_lloyd_portable`'s floor-division
+    means):
 
     - seeds are the k vectors with the smallest md5 of their id
       string (portable ordering; no RNG, no engine-private hash);

@@ -376,9 +376,9 @@ def embedding_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "smallest md5(id), similarity is the exact INTEGER-LANE dot "
     "product (floor(x*1e6+0.5) int64 sums — the argmax cannot flip "
     "on an ulp), ties break to the lowest seed rank.  Hash-gates the "
-    "clustering/IVF assignment machinery; full Lloyd stays "
-    "rows-only (q:kmeans_clusters) because float centroid MEANS are "
-    "not engine-portable",
+    "clustering/IVF assignment machinery; since r6 the FULL Lloyd "
+    "loop is gated too (q:kmeans_lloyd_portable, floor-division "
+    "means), with the float variant (q:kmeans_clusters) rows-only",
     oracle="""
 WITH seeds AS (
     SELECT embedding,

@@ -256,8 +256,10 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression against broadcast centroid literals, the update is "
     "posexplode + hash agg; only k×dim doubles touch the driver.  "
     "Iterative and engine-specific in fp tie behavior -> rows-only "
-    "driver check; tests/test_cluster.py pins planted-cluster "
-    "recovery exactly",
+    "driver check; tests pin planted-cluster recovery exactly, and "
+    "since r6 the FULL iterative path is hash-gated by its "
+    "integer-arithmetic twin q:kmeans_lloyd_portable (mechanically "
+    "generated per-iteration oracle, property-tested bit-equal)",
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
