@@ -1,0 +1,172 @@
+"""One-shot deep fuzz of the engine-portable gates vs their DuckDB
+oracles — the reproducible form of the SCALE.md round-6 fuzz claim.
+
+Covers three portable families on randomized inputs beyond the
+committed hypothesis tests' budget:
+- full-Lloyd k-means: random (n, dim, k, iters) with planted
+  duplicates and zero vectors (tie stress);
+- capped hyperplane LSH: random 64-dim corpora with planted scaled
+  near-dups, replayed through the REGISTERED oracle SQL;
+- portable SimHash: synthetic word corpora with planted one-word
+  edits, replayed through the registered oracle.
+
+Usage: python tools/fuzz_portables.py [seed] [n_trials_per_family]
+Exits 1 on any cross-engine mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from survivor_processing_spark import get_spark  # noqa: E402
+from survivor_processing_spark.operators.cluster import (  # noqa: E402
+    kmeans_lloyd_portable,
+)
+from survivor_processing_spark.operators.similarity import (  # noqa: E402
+    lsh_portable_pairs,
+)
+from survivor_processing_spark.queries import REGISTRY  # noqa: E402
+from survivor_processing_spark.queries.llm import (  # noqa: E402
+    _lloyd_portable_oracle,
+)
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi", "rho",
+]
+
+
+def fuzz_lloyd(spark, rng, trials: int) -> int:
+    fails = 0
+    for _ in range(trials):
+        n, dim = rng.randint(3, 30), rng.randint(2, 8)
+        k, iters = min(rng.randint(2, 5), n), rng.randint(1, 3)
+        vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+        if n > 4:  # tie stress: exact duplicate + zero vector
+            vecs[1] = list(vecs[0])
+            vecs[2] = [0.0] * dim
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: r["cluster_idx"]
+            for r in kmeans_lloyd_portable(
+                df, "embedding", "vec_id", k=k, iters=iters
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame({"vec_id": range(n), "embedding": vecs}),
+        )
+        want = dict(
+            con.execute(
+                _lloyd_portable_oracle(k=k, iters=iters, dim=dim)
+            ).fetchall()
+        )
+        if got != want:
+            fails += 1
+            print(f"LLOYD MISMATCH n={n} dim={dim} k={k} iters={iters}")
+    return fails
+
+
+def fuzz_lsh(spark, rng, trials: int) -> int:
+    oracle = REGISTRY["embedding_lsh_portable_pairs"].oracle
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(5, 40)
+        vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(n)]
+        for j in range(min(3, n - 1)):  # scaled copies -> cosine 1.0
+            vecs[j + 1] = [x * rng.uniform(0.5, 2.0) for x in vecs[0]]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            map(tuple, lsh_portable_pairs(df, 0.5, 4, 16, max_bucket=64).collect())
+        )
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame({"vec_id": range(n), "embedding": vecs}),
+        )
+        want = sorted(map(tuple, con.execute(oracle).fetchall()))
+        if got != want:
+            fails += 1
+            print(f"LSH MISMATCH n={n} got={len(got)} want={len(want)}")
+    return fails
+
+
+def fuzz_simhash(spark, rng, trials: int) -> int:
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(4, 25)
+        docs = [
+            " ".join(rng.choice(WORDS) for _ in range(rng.randint(3, 30)))
+            for _ in range(n)
+        ]
+        if n > 3:  # planted near-dups: identical + one-word edit
+            docs[1] = docs[0]
+            w = docs[0].split()
+            w[0] = "OMEGA"
+            docs[2] = " ".join(w)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": docs,
+                "source": ["s"] * n,
+                "lang": ["en"] * n,
+                "n_chars": [len(d) for d in docs],
+            }
+        )
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = sorted(
+            map(tuple, REGISTRY["simhash_portable_pairs"].fn(spark, d).collect())
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(REGISTRY["simhash_portable_pairs"].oracle).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print(f"SIMHASH MISMATCH n={n} got={len(got)} want={len(want)}")
+    return fails
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    rng = random.Random(seed)
+    spark = get_spark("fuzz-portables")
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = 0
+    for name, fn in (
+        ("lloyd", fuzz_lloyd),
+        ("lsh", fuzz_lsh),
+        ("simhash", fuzz_simhash),
+    ):
+        f = fn(spark, rng, trials)
+        fails += f
+        print(f"{name}: {trials - f}/{trials} clean")
+    print(f"total mismatches: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
