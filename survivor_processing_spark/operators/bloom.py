@@ -167,7 +167,11 @@ def bloom_filter_subquery(
     # leaks forever.  Registration second means the view always
     # exists by the time any later build's eviction drops it —
     # catalog entries no longer accumulate across rounds/bench reps
-    # (ADVICE r05).
+    # (ADVICE r05).  The drop itself is deferred one generation by
+    # cache_bounded (ADVICE r06): the returned expression must be
+    # applied to a DataFrame before the SECOND subsequent
+    # bloom_filter_subquery call, or analysis fails with
+    # TABLE_OR_VIEW_NOT_FOUND; a single outstanding build is safe.
     dense.createOrReplaceTempView(view)
     dense = cache_bounded("bloom_dense_words", dense, view=view)
     return F.expr(f"(SELECT arr FROM {view})")

@@ -169,15 +169,36 @@ def kmeans_lloyd_portable(
     # and the oracle's mirrored filters): drop NULL vectors (a NULL
     # seed TypeErrors driver-side), vectors with a NULL LANE (Spark's
     # aggregate NULL-poisons the distance while DuckDB's SUM skips
-    # the lane — silent cross-engine divergence), and, when ``dim``
-    # is given, vectors of any other length (zip_with NULL-pads a
-    # short vector; the oracle's generate_series(1, dim) truncates a
-    # long one).
+    # the lane — silent cross-engine divergence), and vectors of any
+    # other length than ``dim`` (zip_with NULL-pads a short vector so
+    # every distance — and the label — goes NULL; a long vector
+    # overruns the [0]*n_lanes sum list driver-side; the oracle's
+    # generate_series(1, dim) truncates).  When ``dim`` is None it is
+    # DERIVED from the md5-smallest clean vector (the first seed) so
+    # the size filter applies unconditionally — ragged input with
+    # dim=None crashed here before (ADVICE r06).
     clean = F.col(vec_col).isNotNull() & ~F.exists(
         F.col(vec_col), lambda x: x.isNull()
     )
-    if dim is not None:
-        clean = clean & (F.size(F.col(vec_col)) == dim)
+    if dim is None:
+        probe = (
+            df.where(clean)
+            .select(
+                F.size(F.col(vec_col)).alias("_d"),
+                F.md5(F.col(id_col).cast("string")).alias("_m"),
+            )
+            .orderBy("_m")
+            .limit(1)
+            .collect()
+        )
+        if not probe:  # empty input: empty labeled output, same schema
+            return df.sparkSession.createDataFrame(
+                [],
+                f"{id_col} {df.schema[id_col].dataType.simpleString()},"
+                " cluster_idx int",
+            )
+        dim = int(probe[0]["_d"])
+    clean = clean & (F.size(F.col(vec_col)) == dim)
     qdf = (
         df.where(clean)
         .select(F.col(id_col), q_expr.alias("_q"))

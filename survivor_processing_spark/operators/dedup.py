@@ -45,40 +45,49 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
 
 _BOUNDED_CACHE: dict[str, tuple[DataFrame, str | None]] = {}
+# views evicted from _BOUNDED_CACHE wait here one generation before
+# the catalog drop actually happens (see CONTRACT below)
+_BOUNDED_DROP_QUEUE: dict[str, tuple[DataFrame, str]] = {}
 _BOUNDED_LOCK = __import__("threading").Lock()
 
 
 def cache_bounded(key: str, df: DataFrame, view: str | None = None) -> DataFrame:
     """``df.cache()`` with a one-entry-per-key lifecycle: caching a
-    new DataFrame under ``key`` unpersists the previous one (and
-    drops its temp ``view`` if one was registered — uuid-named views
-    would otherwise accumulate in the catalog across 50-query rounds
-    and pin superseded DataFrames, ADVICE r05).  Query builders that
-    cache an intermediate (signature tables, dense filter rows) get
-    re-invoked every driver round and bench rep — an unbounded
-    ``.cache()`` per build accumulates dead session-lived copies;
-    this caps residency at one live copy per call site.
+    new DataFrame under ``key`` unpersists the previous one
+    immediately (superseded state recomputes lazily — safe, just
+    slow) and drops its temp ``view`` ONE GENERATION LATE — uuid-named
+    views would otherwise accumulate in the catalog across 50-query
+    rounds and pin superseded DataFrames (ADVICE r05), but an EAGER
+    drop broke a caller that builds two filtered queries before
+    executing either: the first query's scalar subquery resolves its
+    view at analysis time, so dropping on the very next build turned
+    "slow recompute" into a hard TABLE_OR_VIEW_NOT_FOUND (ADVICE
+    r06).  Deferring the drop by one eviction restores the soft
+    failure mode: the view of build N survives until build N+2.
 
-    CONTRACT: one live instance per call-site key.  Every builder
-    here creates its intermediate, and the enclosing query consumes
-    it before the same call site builds again — two simultaneously
-    live filters at one key would make the superseded one recompute
-    per probe execution (safe but slow; Spark recomputes unpersisted
-    lineage lazily).  The registry swap is lock-guarded, so
-    concurrent builds at worst evict each other, never corrupt the
-    map."""
+    CONTRACT: one live (cached) instance per call-site key, and any
+    expression referencing a superseded build's view must be analyzed
+    (applied to a DataFrame) before the SECOND subsequent build at
+    the same call site.  Query builders here consume their
+    intermediate within the same query build, so driver rounds and
+    bench reps stay comfortably inside that window.  The registry
+    swap is lock-guarded, so concurrent builds at worst evict each
+    other, never corrupt the map."""
     df = df.cache()
     with _BOUNDED_LOCK:
         prev = _BOUNDED_CACHE.get(key)
         _BOUNDED_CACHE[key] = (df, view)
+        stale = _BOUNDED_DROP_QUEUE.pop(key, None)
+        if prev is not None and prev[1] is not None:
+            _BOUNDED_DROP_QUEUE[key] = (prev[0], prev[1])
     if prev is not None:
-        prev_df, prev_view = prev
-        prev_df.unpersist()
-        if prev_view is not None:
-            try:
-                prev_df.sparkSession.catalog.dropTempView(prev_view)
-            except Exception:
-                pass  # session gone / view already dropped
+        prev[0].unpersist()
+    if stale is not None:
+        stale_df, stale_view = stale
+        try:
+            stale_df.sparkSession.catalog.dropTempView(stale_view)
+        except Exception:
+            pass  # session gone / view already dropped
     return df
 
 

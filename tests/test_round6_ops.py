@@ -219,7 +219,11 @@ def test_sketch_gate_all_true(spark, sf_dir):
 def test_cache_bounded_drops_superseded_view(spark):
     from survivor_processing_spark.operators.dedup import cache_bounded
 
-    v1, v2 = "_t_view_lifecycle_1", "_t_view_lifecycle_2"
+    v1, v2, v3 = (
+        "_t_view_lifecycle_1",
+        "_t_view_lifecycle_2",
+        "_t_view_lifecycle_3",
+    )
     a = spark.range(0, 5)
     a.createOrReplaceTempView(v1)
     cache_bounded("_t_view_key", a, view=v1)
@@ -227,11 +231,22 @@ def test_cache_bounded_drops_superseded_view(spark):
     b = spark.range(0, 7)
     b.createOrReplaceTempView(v2)
     cache_bounded("_t_view_key", b, view=v2)
-    # the superseded view is gone from the catalog; the new one lives
+    # the superseded view survives ONE more build (deferred drop,
+    # ADVICE r06 — an eager drop hard-broke a caller with one
+    # outstanding un-analyzed filter expression) ...
+    assert spark.catalog.tableExists(v1)
+    assert spark.catalog.tableExists(v2)
+    c = spark.range(0, 9)
+    c.createOrReplaceTempView(v3)
+    cache_bounded("_t_view_key", c, view=v3)
+    # ... and is gone at the build after that: residency is bounded
+    # at two views per key, never accumulating
     assert not spark.catalog.tableExists(v1)
     assert spark.catalog.tableExists(v2)
-    b.unpersist()
+    assert spark.catalog.tableExists(v3)
+    c.unpersist()
     spark.catalog.dropTempView(v2)
+    spark.catalog.dropTempView(v3)
 
 
 def test_bloom_subquery_view_evicted_on_rebuild(spark):
@@ -242,10 +257,15 @@ def test_bloom_subquery_view_evicted_on_rebuild(spark):
     bloom_filter_subquery(keys, "k", num_bits=1 << 14)
     mid = {t.name for t in spark.catalog.listTables()} - before
     bloom_filter_subquery(keys, "k", num_bits=1 << 14)
-    after = {t.name for t in spark.catalog.listTables()} - before
-    # each build registers exactly one view and evicts the previous
-    # one: the catalog never accumulates bloom views across builds
-    assert len(mid) == 1 and len(after) == 1 and mid != after
+    two = {t.name for t in spark.catalog.listTables()} - before
+    bloom_filter_subquery(keys, "k", num_bits=1 << 14)
+    three = {t.name for t in spark.catalog.listTables()} - before
+    # residency is bounded at TWO views (current + one deferred for
+    # the outstanding-build window, ADVICE r06); the catalog never
+    # accumulates bloom views across builds, and the oldest view is
+    # dropped two builds after it was superseded
+    assert len(mid) == 1 and len(two) == 2 and len(three) == 2
+    assert mid < two and not (mid & three)
 
 
 # --- bench prior-round guards (ADVICE r05 + r6 review) ----------------------

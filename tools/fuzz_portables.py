@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
 import sys
 import tempfile
 
@@ -128,13 +129,21 @@ def fuzz_simhash(spark, rng, trials: int) -> int:
                 "n_chars": [len(d) for d in docs],
             }
         )
+        # per-trial fixture dir removed in finally — mkdtemp without
+        # cleanup leaked trials×parquet dirs per fuzz run (ADVICE r06)
         d = tempfile.mkdtemp()
-        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-            os.path.join(d, "documents.parquet")
-        )
-        got = sorted(
-            map(tuple, REGISTRY["simhash_portable_pairs"].fn(spark, d).collect())
-        )
+        try:
+            spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    REGISTRY["simhash_portable_pairs"].fn(spark, d).collect(),
+                )
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
         con = duckdb.connect()
         con.register("documents", pdf)
         want = sorted(
