@@ -28,6 +28,7 @@ from ..operators.multimodal import decode_media, frame_sample, text_as_media
 from ..operators.similarity import (
     all_pairs_above,
     brute_force_topk,
+    ivf_recall_bound,
     ivf_topk,
     lsh_pairs_above,
 )
@@ -149,15 +150,67 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketing — the filter EQUALS the pigeonhole guarantee (a 16-bit "
     "chunk must agree for d<=3), so recall is exact, buckets stay cool "
     "(65536 values/chunk), and hot buckets are capped at "
-    "max_posting=1000.  Deeper recall (hamming<=7) is the tested "
-    "n_chunks=8 mode at ~28x the candidate volume; beyond that, "
-    "MinHash-LSH.  (Signature values are engine-hash-specific → "
-    "rows-only check.)",
+    "max_posting=1000.  Signature values are engine-hash-specific "
+    "(xxhash64), so the gate is PLANTED RECALL (VERDICT r06 #3 — the "
+    "rows-only registration recorded nothing): the query unions the "
+    "corpus with deterministic copies of the 50 md5-smallest docs — "
+    "one identical (signature-equal, MUST be recovered: exercises "
+    "bucketing, posting cap, popcount verify end to end) and one "
+    "with a prepended word (a real near-dup; measured recall 36-42 "
+    "of 50 at the gate scales, floored at half) — and emits the "
+    "recall contract as booleans the oracle asserts, plus n_planted, "
+    "which the oracle computes itself by replaying the planting "
+    "arithmetic.  Semantics of the signature pipeline stay hash-green "
+    "via the portable twin q:simhash_portable_pairs",
+    oracle="""
+SELECT CAST(LEAST(50, (SELECT COUNT(*) FROM documents)) AS BIGINT)
+           AS n_planted,
+       TRUE AS exact_recall_total,
+       TRUE AS edited_recall_above_half
+""",
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(
-        d, "text", "doc_id", max_hamming=3, max_posting=1000, n_chunks=4
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        d.withColumn("_m", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("_m")
+        .limit(50)
+        .drop("_m")
+    )
+    exact = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    edited = base.select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.lit("zzyzx "), F.col("text")).alias("text"),
+    )
+    aug = d.unionByName(exact).unionByName(edited)
+    pairs = simhash_near_pairs(
+        aug, "text", "doc_id", max_hamming=3, max_posting=1000, n_chunks=4
+    ).select("id1", "id2")
+    tp_exact = base.select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + F.lit(10_000_000)).alias("id2"),
+    )
+    tp_edit = base.select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + F.lit(20_000_000)).alias("id2"),
+    )
+    n_pl = base.agg(F.count(F.lit(1)).alias("np"))
+    hit_e = tp_exact.join(pairs, ["id1", "id2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("he")
+    )
+    hit_d = tp_edit.join(pairs, ["id1", "id2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hd")
+    )
+    return (
+        n_pl.crossJoin(hit_e)
+        .crossJoin(hit_d)
+        .select(
+            F.col("np").cast("long").alias("n_planted"),
+            (F.col("he") == F.col("np")).alias("exact_recall_total"),
+            (F.col("hd") * 2 >= F.col("np")).alias("edited_recall_above_half"),
+        )
     )
 
 
@@ -282,20 +335,81 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_pairs",
-    doc="hyperplane-LSH bucketed near-dup pairs, exact-cosine verified "
-    "(approximate recall by construction → rows-only check)",
+    doc="hyperplane-LSH bucketed near-dup pairs, exact-cosine "
+    "verified.  4 planes x 16 tables: recall-first banding for the "
+    "0.5 threshold; LSH's payoff starts when n^2 is unaffordable "
+    "(the 100 TB case).  Plane signs are engine-hash-specific "
+    "(xxhash64), so the gate is PLANTED RECALL (VERDICT r06 #3): the "
+    "query unions the corpus with deterministic copies of the 50 "
+    "md5-smallest vec_ids — one identical (signature-equal in every "
+    "table, MUST be recovered: exercises banding, bucket join, "
+    "verify) and one with lane 0 nudged +0.01 (cosine ~0.9999, a "
+    "true near-dup crossing table boundaries; measured 50/50 at both "
+    "gate scales, floored at 80%) — and emits the recall contract as "
+    "booleans the oracle asserts, plus n_planted, which the oracle "
+    "computes by replaying the planting arithmetic.  The signature "
+    "machinery itself stays hash-green via the portable twin "
+    "q:embedding_lsh_portable_pairs",
+    oracle="""
+SELECT CAST(LEAST(50, (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
+           AS n_planted,
+       TRUE AS exact_recall_total,
+       TRUE AS perturbed_recall_above_80pct
+""",
 )
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    # 4 planes x 16 tables: recall ~0.97 at cosine 0.5 — the planted
-    # near-dups in this corpus sit right at the 0.5 threshold (max
-    # observed 0.60), so the banding must be recall-first.  At this
-    # test scale (2k vectors) the candidate set is then close to n^2
-    # and LSH cannot beat the brute-force path; its payoff starts
-    # when n^2 is unaffordable (the 100 TB case) and the threshold
-    # targets true near-dups (>=0.8), where more planes cut
-    # candidates ~100x at recall ~1.
-    return lsh_pairs_above(e, threshold=0.5, n_planes=4, n_tables=16)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    base = (
+        e.withColumn("_m", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_m")
+        .limit(50)
+        .drop("_m")
+    )
+    exact = base.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    pert = base.select(
+        (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " (x, i) -> CASE WHEN i = 0 THEN x + 0.01d ELSE x END)"
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(exact).unionByName(pert)
+    pairs = lsh_pairs_above(
+        aug, threshold=0.5, n_planes=4, n_tables=16
+    ).select("id1", "id2")
+    tp_exact = base.select(
+        F.col("vec_id").alias("id1"),
+        (F.col("vec_id") + F.lit(10_000_000)).alias("id2"),
+    )
+    tp_pert = base.select(
+        F.col("vec_id").alias("id1"),
+        (F.col("vec_id") + F.lit(20_000_000)).alias("id2"),
+    )
+    n_pl = base.agg(F.count(F.lit(1)).alias("np"))
+    hit_e = tp_exact.join(pairs, ["id1", "id2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("he")
+    )
+    hit_p = tp_pert.join(pairs, ["id1", "id2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hp")
+    )
+    return (
+        n_pl.crossJoin(hit_e)
+        .crossJoin(hit_p)
+        .select(
+            F.col("np").cast("long").alias("n_planted"),
+            (F.col("he") == F.col("np")).alias("exact_recall_total"),
+            (F.col("hp") * 5 >= F.col("np") * 4).alias(
+                "perturbed_recall_above_80pct"
+            ),
+        )
+    )
 
 
 @register(
@@ -691,6 +805,36 @@ def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk(
         e, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=16
+    )
+
+
+@register(
+    "ivf_recall_bound",
+    doc="the IVF-Flat accuracy CONTRACT as a checkable row (queued in "
+    "ROTATION_r06.md; the same error-bound technique that turned the "
+    "sketch row hash-green in r6): run the approximate n_probe=4 IVF "
+    "top-10 AND the exact brute-force top-10 in one pipeline over the "
+    "SAME config q:ivf_topk ships, semi-join the id sets, and emit "
+    "(k, recall >= ceil(0.5*k)) — ANN result SETS are never "
+    "bit-comparable across engines, their recall floor is.  Both arms "
+    "share the corpus scan; the join is k-vs-k row counts, "
+    "driver-free and output-bounded.  operators/similarity.py:295",
+    oracle="""
+SELECT 10 AS k, TRUE AS recall_above_floor
+""",
+)
+def ivf_recall_bound_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    return ivf_recall_bound(
+        e,
+        [float(x) for x in qvec],
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+        min_recall=0.5,
     )
 
 

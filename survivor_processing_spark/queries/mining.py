@@ -248,24 +248,92 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- clustering: deterministic Lloyd's k-means (rows-only) -------------------
 
 
+def _labeling_inertia(assigned: DataFrame, label_col: str) -> DataFrame:
+    """One-row sum of squared L2 distances from each vector to the
+    float MEAN of its assigned cluster — the quality functional Lloyd
+    descends.  posexplode + two hash aggs; nothing driver-side."""
+    means = (
+        assigned.select(
+            label_col,
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy(label_col, "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    pts = assigned.select(
+        label_col,
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return pts.join(means, [label_col, "pos"]).agg(
+        F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias(
+            "inertia"
+        )
+    )
+
+
 @register(
     "kmeans_clusters",
-    doc="k-means over the embeddings table (operators/cluster.py): "
-    "deterministic farthest-point init, 3 Lloyd iterations, each "
-    "a single distributed pass — assignment is a codegen'd JVM "
-    "expression against broadcast centroid literals, the update is "
-    "posexplode + hash agg; only k×dim doubles touch the driver.  "
-    "Iterative and engine-specific in fp tie behavior -> rows-only "
-    "driver check; tests pin planted-cluster recovery exactly, and "
-    "since r6 the FULL iterative path is hash-gated by its "
-    "integer-arithmetic twin q:kmeans_lloyd_portable (mechanically "
-    "generated per-iteration oracle, property-tested bit-equal)",
+    doc="float Lloyd k-means (operators/cluster.py kmeans_lloyd: "
+    "deterministic farthest-point init, 3 iterations, assignment a "
+    "codegen'd JVM expression over broadcast centroid literals) as an "
+    "ERROR-BOUND GATE (VERDICT r06 #2 — its rows-only registration "
+    "recorded nothing): fp centroid means are engine-specific, so "
+    "the contract is emitted as oracle-checkable facts instead — "
+    "n_points (every clean vector labeled, count the oracle computes "
+    "itself), all_labeled, and inertia parity within 5% against the "
+    "hash-green integer-arithmetic twin q:kmeans_lloyd_portable, "
+    "both inertias measured in the SAME float space (measured ratio "
+    "1.0014-1.0017 at both gate scales; both runs are Lloyd descents "
+    "of the same functional, so parity is the convergence claim).  "
+    "The cluster-size histogram shape stays unit-tested "
+    "(tests/test_operators.py planted-cluster recovery)",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings
+             WHERE embedding IS NOT NULL
+               AND len(embedding) = 64
+               AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+           AS BIGINT) AS n_points,
+       TRUE AS all_labeled,
+       TRUE AS inertia_within_5pct
+""",
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import kmeans_lloyd_portable
+
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=3)
+    clean = emb.where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
+    ).select("vec_id", "embedding")
+    f_lab = kmeans_lloyd(clean, "embedding", "vec_id", k=8, iters=3)
+    p_lab = kmeans_lloyd_portable(
+        emb, "embedding", "vec_id", k=8, iters=3, dim=64
+    ).join(clean, "vec_id")
+    i_f = _labeling_inertia(f_lab, "cluster").select(
+        F.col("inertia").alias("i_f")
+    )
+    i_p = _labeling_inertia(p_lab, "cluster_idx").select(
+        F.col("inertia").alias("i_p")
+    )
+    counts = clean.agg(
+        F.count(F.lit(1)).alias("n_all"),
+    ).crossJoin(
+        f_lab.where(F.col("cluster").isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_lab")
+        )
+    )
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count("*").alias("n_points"))
-        .orderBy("cluster")
+        counts.crossJoin(i_f)
+        .crossJoin(i_p)
+        .select(
+            F.col("n_all").cast("long").alias("n_points"),
+            (F.col("n_lab") == F.col("n_all")).alias("all_labeled"),
+            (
+                F.greatest("i_f", "i_p")
+                <= F.least("i_f", "i_p") * F.lit(1.05)
+            ).alias("inertia_within_5pct"),
+        )
     )

@@ -72,8 +72,23 @@ def test_grouped_agg_partial_map_side(spark):
     assert "partial_sum" in plan
 
 
+def _simhash_pairs_plan(spark) -> str:
+    # the q:simhash_near_pairs registration is now the planted-recall
+    # GATE (r7) whose plan adds the planting union + semi-joins; the
+    # scan/aggregation properties being pinned here belong to the
+    # OPERATOR, so audit it directly over the raw corpus
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, SF, "documents")
+    df = simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3, max_posting=1000, n_chunks=4
+    )
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_simhash_partial_aggregation_no_python_hot_path(spark):
-    plan = plan_of(spark, "simhash_near_pairs")
+    plan = _simhash_pairs_plan(spark)
     assert "partial_sum" in plan  # 64 vote sums combine map-side
     # signature + bucketing + verify are all JVM expressions
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -107,7 +122,7 @@ def test_lsh_candidates_are_join_free_posting_lists(spark):
 
 
 def test_simhash_pairs_join_free_single_scan(spark):
-    plan = plan_of(spark, "simhash_near_pairs")
+    plan = _simhash_pairs_plan(spark)
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
 

@@ -108,3 +108,46 @@ def test_bloom_two_outstanding_builds_analyze(spark):
     q2 = probe.where(might_contain(b2, F.col("k"), num_bits=1 << 10))
     n1, n2 = q1.count(), q2.count()
     assert n1 >= 10 and n2 >= 5  # no false negatives, both executed
+
+
+# --- the r7 gate conversions (VERDICT r06 #1/#2) ----------------------------
+
+
+def _one_row(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_ivf_recall_bound_gate(spark, sf_dir):
+    from survivor_processing_spark.queries import REGISTRY
+
+    r = _one_row(REGISTRY["ivf_recall_bound"].fn(spark, sf_dir))
+    assert r["k"] == 10 and r["recall_above_floor"] is True
+
+
+def test_kmeans_clusters_gate(spark, sf_dir):
+    from survivor_processing_spark.queries import REGISTRY
+
+    r = _one_row(REGISTRY["kmeans_clusters"].fn(spark, sf_dir))
+    assert r["n_points"] > 0
+    assert r["all_labeled"] is True
+    assert r["inertia_within_5pct"] is True
+
+
+def test_simhash_planted_recall_gate(spark, sf_dir):
+    from survivor_processing_spark.queries import REGISTRY
+
+    r = _one_row(REGISTRY["simhash_near_pairs"].fn(spark, sf_dir))
+    assert r["n_planted"] == 50
+    assert r["exact_recall_total"] is True
+    assert r["edited_recall_above_half"] is True
+
+
+def test_embedding_lsh_planted_recall_gate(spark, sf_dir):
+    from survivor_processing_spark.queries import REGISTRY
+
+    r = _one_row(REGISTRY["embedding_lsh_pairs"].fn(spark, sf_dir))
+    assert r["n_planted"] == 50
+    assert r["exact_recall_total"] is True
+    assert r["perturbed_recall_above_80pct"] is True
