@@ -299,6 +299,234 @@ def synth_gif(width: int, height: int) -> bytes:
     )
 
 
+# --- GIF frame codec (stdlib, real) ------------------------------------------
+#
+# The r7 step of shrinking the "video decode needs ffmpeg" env limit
+# to real codecs only (r5: PNG via zlib, r6: WAV via RIFF walk): GIF
+# is the one animation container fully decodable with pure stdlib
+# arithmetic.  The LZW here is the real variable-width GIF dialect —
+# code width grows with the table (encoder one emission later than
+# the decoder, the classic early-change off-by-one), CLEAR resets,
+# 12-bit cap with a frozen table — not a literals-only toy, so the
+# decoder accepts third-party GIF streams and the round-trip test can
+# drive the growth path.
+
+
+def _lzw_encode(pixels: bytes, mcs: int = 8) -> bytes:
+    """GIF-dialect LZW: LSB-first variable-width codes starting at
+    mcs+1 bits; emits CLEAR up front, freezes the table at 4096."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, mcs + 1
+    out = bytearray()
+    acc = acc_bits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += w
+        while acc_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            acc_bits -= 8
+
+    emit(clear, width)
+    w_seq = b""
+    for px in bytes(pixels):
+        wk = w_seq + bytes([px])
+        if wk in table:
+            w_seq = wk
+            continue
+        emit(table[w_seq], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # encoder grows ONE emission after the decoder's table
+            # hits 2^width (the decoder grows before READING the
+            # first code that could need the extra bit)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w_seq = bytes([px])
+    if w_seq:
+        emit(table[w_seq], width)
+    emit(end, width)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_encode`; accepts any conformant GIF
+    LZW stream (KwKwK case, width growth, CLEAR, frozen table)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    buf = int.from_bytes(data, "little")
+    total = len(data) * 8
+    pos = 0
+    out = bytearray()
+
+    def reset() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], mcs + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while pos + width <= total:
+        code = (buf >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW: literal expected after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("corrupt LZW: code beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder the 4-pass GIF interlace row sequence to scanline
+    order."""
+    rows = [b""] * h
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            rows[y] = idx[src * w : (src + 1) * w]
+            src += 1
+    return b"".join(rows)
+
+
+def gif_frames(b: bytes) -> dict | None:
+    """Full stdlib GIF parse: header + logical-screen descriptor,
+    global/local color tables, extension-block skip, per-frame LZW
+    decode (+ deinterlace).  Returns ``{"width", "height", "palette":
+    bytes, "frames": [(left, top, w, h, index_bytes)]}`` with one
+    entry per image block, pixels as palette-index bytes in scanline
+    order — or None when the blob is not a parseable GIF."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    import struct
+
+    sw, sh = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    off = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = b[off : off + 3 * n]
+        off += 3 * n
+    frames: list[tuple[int, int, int, int, bytes]] = []
+    try:
+        while off < len(b):
+            block = b[off]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                off += 2
+                while b[off] != 0:
+                    off += 1 + b[off]
+                off += 1
+                continue
+            if block != 0x2C:
+                return None  # unknown block type: refuse, don't guess
+            left, top, fw, fh = struct.unpack("<HHHH", b[off + 1 : off + 9])
+            iflags = b[off + 9]
+            off += 10
+            if iflags & 0x80:  # local color table
+                off += 3 * (2 << (iflags & 0x07))
+            mcs = b[off]
+            off += 1
+            data = bytearray()
+            while b[off] != 0:
+                sz = b[off]
+                data += b[off + 1 : off + 1 + sz]
+                off += 1 + sz
+            off += 1
+            idx = _lzw_decode(bytes(data), mcs)[: fw * fh]
+            if len(idx) < fw * fh:
+                raise ValueError("short frame")
+            if iflags & 0x40:
+                idx = _deinterlace(idx, fw, fh)
+            frames.append((left, top, fw, fh, idx))
+    except (IndexError, ValueError):
+        return None
+    return {"width": sw, "height": sh, "palette": palette, "frames": frames}
+
+
+def gif_encode_frames(
+    width: int, height: int, frames: list[bytes], palette: bytes | None = None
+) -> bytes:
+    """Emit a multi-frame GIF89a: 256-entry global color table
+    (default: color i = (i, 2i%256, 3i%256)), one image block per
+    frame (full-screen, non-interlaced), real LZW image data in
+    255-byte sub-blocks.  Each ``frames[k]`` is width*height palette
+    indices."""
+    import struct
+
+    if palette is None:
+        palette = bytes(
+            v for i in range(256) for v in (i, (2 * i) % 256, (3 * i) % 256)
+        )
+    # GCT size field is log2(entries)-1; pad the palette up to the
+    # declared power-of-two entry count so the parse offsets agree
+    pbits = 0
+    while (2 << pbits) * 3 < len(palette) and pbits < 7:
+        pbits += 1
+    palette = palette.ljust((2 << pbits) * 3, b"\x00")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | 0x70 | pbits, 0, 0))
+    out += palette
+    for idx in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(8)  # LZW min code size
+        data = _lzw_encode(idx, 8)
+        for i in range(0, len(data), 255):
+            blockb = data[i : i + 255]
+            out.append(len(blockb))
+            out += blockb
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_slice_frames(
+    b: bytes, every_s: float
+) -> list[tuple[int, float, bytes]] | None:
+    """Split a multi-frame GIF into standalone single-frame GIFs —
+    the animation counterpart of :func:`wav_slice_frames`: frame k
+    becomes its own valid GIF (same palette, frame-sized screen) at
+    ts = k*every_s (GIF87a carries no per-frame delay; the sampler's
+    cadence is the caller's ``every_s``, matching the WAV contract).
+    Returns None when the blob is not a parseable GIF (a valid GIF
+    with zero image blocks is [], NOT None — the distinction drives
+    frame_sample's real-codec dispatch)."""
+    doc = gif_frames(b)
+    if doc is None:
+        return None
+    out = []
+    for k, (_l, _t, fw, fh, idx) in enumerate(doc["frames"]):
+        pal = doc["palette"] or None
+        out.append(
+            (k, k * every_s, gif_encode_frames(fw, fh, [idx], palette=pal))
+        )
+    return out
+
+
 def synth_jpeg(width: int, height: int) -> bytes:
     """Minimal JPEG segment stream: SOI + JFIF APP0 + SOF0 carrying
     the frame dimensions + EOI."""
@@ -622,15 +850,17 @@ def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> Dat
     1→N emit through mapInPandas, SURVEY §2 M3).  Frames at t = 0,
     every_s, 2*every_s, … while t < media_meta.duration_s.
 
-    Real mode (``fake=False``) slices WAV AUDIO natively: each frame
-    is the [t, t+every_s) sample segment re-encoded as a standalone
-    valid WAV (stdlib RIFF walk + slice, :func:`wav_slice_frames` —
-    the audio counterpart of the stdlib PNG resize path).  VIDEO
-    decoding genuinely needs ffmpeg, so a non-WAV blob in real mode
+    Real mode (``fake=False``) decodes natively where stdlib
+    arithmetic suffices: WAV audio is sliced into [t, t+every_s)
+    sample segments, each re-encoded as a standalone valid WAV
+    (:func:`wav_slice_frames`, r6); animated GIF is split into
+    standalone single-frame GIFs through the full stdlib parse + LZW
+    decode (:func:`gif_slice_frames`, r7).  True video codecs (mp4
+    et al.) genuinely need ffmpeg, so any other blob in real mode
     raises NotImplementedError; the fake codec derives each frame's
     bytes deterministically from (digest of the blob, frame_idx), so
     row multiplicity, ordering, and batch shape stay testable for
-    video too."""
+    those too."""
     if not fake:
 
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -638,13 +868,18 @@ def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> Dat
                 rows = []
                 for asset_id, blob in zip(pdf["asset_id"], pdf["media"]):
                     b = bytes(blob) if blob is not None else b""
-                    if wav_info(b) is None:
-                        raise NotImplementedError(
-                            "real frame sampling decodes WAV audio only; "
-                            "video needs ffmpeg (absent here) — pass "
-                            "fake=True for the deterministic stub sampler"
-                        )
-                    for idx, ts, seg in wav_slice_frames(b, every_s):
+                    if wav_info(b) is not None:
+                        frames = wav_slice_frames(b, every_s)
+                    else:
+                        frames = gif_slice_frames(b, every_s)
+                        if frames is None:
+                            raise NotImplementedError(
+                                "real frame sampling decodes WAV audio and "
+                                "GIF animation only; other video needs "
+                                "ffmpeg (absent here) — pass fake=True for "
+                                "the deterministic stub sampler"
+                            )
+                    for idx, ts, seg in frames:
                         rows.append((asset_id, idx, ts, seg))
                 yield pd.DataFrame(
                     rows, columns=["asset_id", "frame_idx", "ts_s", "frame"]

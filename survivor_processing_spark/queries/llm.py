@@ -1257,6 +1257,107 @@ def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_frames",
+    doc="REAL distributed animation frame-sampling, no codec libs "
+    "(r7; shrinks the ffmpeg env limit to true video codecs only — "
+    "PNG r5, WAV r6, GIF now): synthesize a doc-dependent "
+    "multi-frame GIF89a per document (w = id%5+3, h = id%4+2, "
+    "n_frames = id%3+1, pixel index(f, j) = (id*7 + f*13 + j) % 256) "
+    "through the real stdlib encoder (variable-width GIF LZW, "
+    "256-entry global color table), split it with frame_sample real "
+    "mode (full GIF parse + LZW decode, each frame re-encoded as a "
+    "standalone valid GIF), then re-parse every emitted frame and "
+    "sum its decoded palette indices.  The oracle replays synthesis "
+    "+ slicing in closed form — a wrong LZW width change, sub-block "
+    "boundary, or re-encode corrupts index_sum, so this hash-gates "
+    "the animation path end to end.  operators/multimodal.py "
+    "gif_frames/gif_encode_frames; round-trip + growth-path "
+    "properties in tests/test_round7_ops.py",
+    oracle="""
+WITH docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           doc_id % 5 + 3 AS w,
+           doc_id % 4 + 2 AS h,
+           doc_id % 3 + 1 AS nf
+    FROM documents
+),
+frames AS (
+    SELECT asset_id, w, h, f.f AS frame_idx
+    FROM docs, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+)
+SELECT fr.asset_id,
+       CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+       CAST(fr.w AS INTEGER) AS width,
+       CAST(fr.h AS INTEGER) AS height,
+       CAST(fr.w * fr.h AS INTEGER) AS n_pixels,
+       CAST(SUM((fr.asset_id * 7 + fr.frame_idx * 13 + j.j) % 256)
+            AS BIGINT) AS index_sum
+FROM frames fr,
+     LATERAL (SELECT unnest(generate_series(0, fr.w * fr.h - 1)) AS j) j
+GROUP BY fr.asset_id, fr.frame_idx, fr.w, fr.h
+""",
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, gif_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from ..operators.multimodal import gif_encode_frames
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, nf = i % 5 + 3, i % 4 + 2, i % 3 + 1
+                frames = [
+                    (
+                        (i * 7 + f * 13 + np.arange(w * h, dtype=np.int64))
+                        % 256
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(nf)
+                ]
+                rows.append((i, gif_encode_frames(w, h, frames), None))
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
+
+    def checksum(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for asset_id, frame_idx, blob in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                doc = gif_frames(bytes(blob))
+                _l, _t, fw, fh, idx = doc["frames"][0]
+                s = int(
+                    np.frombuffer(idx, dtype=np.uint8).sum(dtype=np.int64)
+                )
+                rows.append((asset_id, frame_idx, fw, fh, len(idx), s))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "width", "height",
+                    "n_pixels", "index_sum",
+                ],
+            )
+
+    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    frames = frame_sample(media, every_s=1.0, fake=False)
+    return frames.mapInPandas(
+        checksum,
+        schema="asset_id long, frame_idx int, width int, height int, "
+        "n_pixels int, index_sum long",
+    )
+
+
+@register(
     "doc_length_quantiles",
     doc="beyond-reference: per-source document-length distribution "
     "(exact continuous percentiles) — the corpus-profiling step before "

@@ -151,3 +151,112 @@ def test_embedding_lsh_planted_recall_gate(spark, sf_dir):
     assert r["n_planted"] == 50
     assert r["exact_recall_total"] is True
     assert r["perturbed_recall_above_80pct"] is True
+
+
+# --- stdlib GIF frame codec (r7: the animation real-codec path) --------------
+
+
+def test_gif_lzw_roundtrip_drives_growth_and_kwkwk():
+    import random
+
+    from survivor_processing_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(20260814)
+    for _ in range(40):
+        n = rng.randint(0, 4000)
+        style = rng.random()
+        if style < 0.34:
+            px = bytes(rng.randrange(256) for _ in range(n))
+        elif style < 0.67:
+            # tiny alphabet: table grows deep -> width-change path
+            px = bytes(rng.randrange(4) for _ in range(n))
+        else:
+            # periodic runs -> the KwKwK special case
+            unit = bytes(rng.randrange(256) for _ in range(rng.randint(1, 5)))
+            px = (unit * (n // max(len(unit), 1) + 1))[:n]
+        assert _lzw_decode(_lzw_encode(px, 8), 8) == px
+    # the encoder really compresses (literals-only toys cannot): a
+    # 4000-byte run must come out far below 4000 code bytes
+    assert len(_lzw_encode(b"\x07" * 4000, 8)) < 400
+
+
+def test_gif_multiframe_roundtrip_and_slicing():
+    import random
+
+    from survivor_processing_spark.operators.multimodal import (
+        gif_encode_frames,
+        gif_frames,
+        gif_slice_frames,
+        parse_media_header,
+    )
+
+    rng = random.Random(7)
+    w, h, nf = 6, 4, 3
+    frames = [bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(nf)]
+    g = gif_encode_frames(w, h, frames)
+    doc = gif_frames(g)
+    assert doc["width"] == w and doc["height"] == h
+    assert [f[4] for f in doc["frames"]] == frames
+    sliced = gif_slice_frames(g, 0.5)
+    assert [(i, t) for i, t, _ in sliced] == [(0, 0.0), (1, 0.5), (2, 1.0)]
+    for k, (_i, _t, blob) in enumerate(sliced):
+        mime, mw, mh, _ = parse_media_header(blob)
+        assert mime == "image/gif" and (mw, mh) == (w, h)
+        assert gif_frames(blob)["frames"][0][4] == frames[k]
+
+
+def test_gif_dispatch_edges():
+    from survivor_processing_spark.operators.multimodal import (
+        gif_frames,
+        gif_slice_frames,
+        synth_gif,
+    )
+
+    # header-only valid GIF: zero frames, NOT unparseable
+    assert gif_frames(synth_gif(3, 2))["frames"] == []
+    assert gif_slice_frames(synth_gif(3, 2), 1.0) == []
+    # junk: None -> frame_sample real mode raises NotImplementedError
+    assert gif_slice_frames(b"\x89PNG not a gif", 1.0) is None
+
+
+def test_gif_deinterlace_roundtrip():
+    from survivor_processing_spark.operators.multimodal import _deinterlace
+
+    # build the interlaced row order for h=10, then check the
+    # deinterlacer restores scanline order
+    h, w = 10, 3
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    interlaced = b"".join(bytes([y]) * w for y in order)
+    out = _deinterlace(interlaced, w, h)
+    assert out == b"".join(bytes([y]) * w for y in range(h))
+
+
+def test_frame_sample_real_mode_rejects_unknown_codec(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from survivor_processing_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(1, b"\x00\x00\x00\x18ftypmp42 fake mp4", None)],
+                columns=["asset_id", "media", "media_meta"],
+            )
+
+    media = spark.createDataFrame([(1,)], "doc_id long").mapInPandas(
+        synth, schema=MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        frame_sample(media, every_s=1.0, fake=False).collect()
