@@ -36,79 +36,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-6 window (executes VERDICT r05 "Next round" #1; cohort
-# computed by tools/staleness.py, not asserted by hand): (a) the
-# three queries whose GATING CODE changed this round — the sketch
-# error-bound gate (now hash-green), the capped portable-LSH config
-# (subquadratic at sf1), and the scale-true filesync (sink
-# round-trip, no driver collect); (b) the three queries NEW this
-# round (kmeans_lloyd_portable — full-Lloyd hash gate,
-# multimodal_wav_slice — real stdlib audio slicing,
-# entity_quarantine_roundtrip — D9 residue through the B1 merge
-# sink); (c) doc_fingerprint (r02-latest, the query the r5 rollup
-# miscounted) plus the ENTIRE 43-query r03-latest cohort.  That is
-# exactly 50; after this round tools/staleness.py must show nothing
-# older than r04-latest.  (Two queries changed NON-semantically and
-# cede their slots to the stale cohort, both with fresh r05 rows:
-# bloom_prefilter_join's cache-eviction lifecycle — covered by
-# tests/test_round5_ops.py — and cluster_assign_portable, whose
-# literal construction was rewritten from per-element lit() to one
-# parsed SQL string; its output re-verified hash-identical against
-# the unchanged oracle via tools/check_correctness.py this round.)
+# Round-7 window (executes VERDICT r06 "Next round" #1 and #2;
+# cohort computed by tools/staleness.py, not asserted by hand —
+# accounting in ROTATION_r07.md): (a) the three queries whose GATING
+# CODE changed this round, the former no-signal rows converted to
+# oracle-checkable gates — kmeans_clusters (inertia parity vs the
+# hash-green portable twin), simhash_near_pairs and
+# embedding_lsh_pairs (planted-recall contracts); (b) the two
+# queries NEW this round — ivf_recall_bound (the queued recall-floor
+# gate for the IVF family, ROTATION_r06.md) and multimodal_gif_frames
+# (real stdlib GIF frame codec); (c) ivf_topk, whose family gate
+# changed (the new recall bound adjudicates what its partial row
+# cannot) and which is otherwise next-oldest (r05); (d) the
+# remaining 44 queries of the 46-query r04-latest cohort (the two
+# others are already in (a)).  3 + 2 + 1 + 44 = 50 exactly; after
+# this round tools/staleness.py must show nothing older than
+# r05-latest.
 _PRIORITY = [
-    # (a) gating code changed in r06
-    "sketch_distinct_quantiles",
-    "embedding_lsh_portable_pairs",
-    "filesync_modified_since",
-    # (b) new in r06
-    "kmeans_lloyd_portable",
-    "multimodal_wav_slice",
-    "entity_quarantine_roundtrip",
-    # (c) the r02 straggler + the whole r03-latest cohort (43)
-    "doc_fingerprint",
-    "bucketed_join_colocated",
-    "cdc_apply_changelog",
-    "cohort_retention",
-    "corpus_curation_pipeline",
-    "csv_scan_typed",
-    "cube_agg",
-    "cumulative_window_sums",
-    "domain_rebalance_sample",
-    "dq_constraint_audit",
-    "embedding_dim_stats",
-    "embedding_quantize_int8",
-    "event_transition_matrix",
-    "export_balanced_shards",
-    "funnel_stage_counts",
-    "gap_fill_forward_fill",
-    "grouping_sets_agg",
-    "incremental_agg_merge",
-    "jsonl_scan",
+    # (a) gating code changed in r07 (no-signal rows -> gates)
     "kmeans_clusters",
-    "minhash_lsh_pairs",
-    "mode_median_per_group",
-    "near_dup_keep_best",
-    "ntile_decile_stats",
-    "orc_roundtrip_scan",
-    "partition_pruned_scan",
-    "pivot_event_type_wide",
-    "quality_model_score",
-    "range_join_binned",
-    "safe_math_try_ops",
-    "schema_evolution_scan",
-    "skew_salted_join_agg",
-    "stream_static_enrich_join",
-    "stream_stream_interval_join",
-    "streaming_dedup_within_watermark",
-    "streaming_foreachbatch_merge",
-    "streaming_incremental_agg",
-    "streaming_session_windows",
-    "streaming_windowed_counts",
-    "tfidf_top_terms",
-    "value_histogram_equiwidth",
-    "variant_props_agg",
-    "vocab_top_terms",
-    "zorder_morton_keys",
+    "simhash_near_pairs",
+    "embedding_lsh_pairs",
+    # (b) new in r07
+    "ivf_recall_bound",
+    "multimodal_gif_frames",
+    # (c) family-gate change + next-oldest (r05, hash-partial)
+    "ivf_topk",
+    # (d) the rest of the r04-latest cohort (44)
+    "anti_join_new_entities",
+    "array_numbered_columns",
+    "asof_join_broadcast_dim",
+    "asof_join_forward_keyed",
+    "asof_join_keyed",
+    "asof_join_nearest_broadcast",
+    "broadcast_lookup_join",
+    "containment_join_nullout",
+    "cosine_topk",
+    "date_parse_epoch",
+    "date_window_predicate",
+    "derivation_chain",
+    "embedding_near_dup_pairs",
+    "entity_resolution_cascade",
+    "exact_dedup_docs",
+    "explode_distinct_union",
+    "explode_map_of_arrays",
+    "flagship_contestant_stats",
+    "fuzzy_name_match",
+    "fuzzy_name_match_dist2",
+    "geo_mean_udaf",
+    "grouped_sum_all_measures",
+    "id_minting_sequential",
+    "interval_merge_islands",
+    "json_extract_payload",
+    "merge_upsert_idempotent",
+    "multimodal_decode_features",
+    "multimodal_header_parse",
+    "multiway_left_join",
+    "near_dup_components",
+    "ngram_jaccard_pairs",
+    "null_normalize_unit_scale",
+    "rollup_multilevel_agg",
+    "scd2_order_history",
+    "schema_sync_project",
+    "session_window_agg",
+    "sliding_range_window",
+    "string_funcs_merge_key",
+    "text_quality_scores",
+    "to_json_roundtrip",
+    "token_budget_mix",
+    "unpivot_measures",
+    "weighted_sample_aes",
+    "window_rank_placement",
 ]
 
 
