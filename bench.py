@@ -68,6 +68,10 @@ HEADLINE = [
     # round 6
     "kmeans_lloyd_portable",
     "multimodal_wav_slice",
+    # round 7
+    "ivf_recall_bound",
+    "kmeans_clusters",
+    "multimodal_gif_frames",
 ]
 
 
@@ -201,6 +205,59 @@ def _prior_stretch(queries: dict[str, float]) -> dict | None:
         return None
 
 
+def _stretch_incremental(spark, sf_dir: str) -> dict:
+    """The 100 TB rolling-crawl shape, measured not asserted
+    (VERDICT r06 #5): build + persist the corpus LSH band index and
+    shingle table ONCE, then probe it with two successive "crawl
+    batches" — the per-batch cost the steady-state pipeline pays.
+    Index residency is what makes probe cost batch-bound; without it
+    every batch re-signs the corpus (the index_build number is that
+    avoided cost)."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_match_against_corpus,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    idx = lsh_band_index(
+        minhash_signatures(corpus, "text", "doc_id", 64, 3), 16, 4
+    ).withColumnRenamed("doc_id", "corpus_id").persist()
+    sh_c = (
+        shingle_table(corpus, "text", "doc_id", 3)
+        .select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh2"))
+        .persist()
+    )
+    _execute(idx)
+    _execute(sh_c)
+    out["index_build_sec"] = round(time.perf_counter() - t0, 3)
+    for i, m in ((1, 0), (2, 10)):
+        batch = d.filter(F.col("doc_id") % 20 == m)
+        t0 = time.perf_counter()
+        _execute(
+            minhash_match_against_corpus(
+                batch,
+                corpus,
+                "text",
+                "doc_id",
+                threshold=0.5,
+                corpus_index=idx,
+                corpus_shingles=sh_c,
+            )
+        )
+        out[f"probe{i}_sec"] = round(time.perf_counter() - t0, 3)
+    idx.unpersist()
+    sh_c.unpersist()
+    return out
+
+
 def main() -> None:
     stretch = "--stretch" in sys.argv
     if stretch:
@@ -242,6 +299,11 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "prior_common": (
             _prior_stretch(queries) if stretch else _prior_common(queries, sf)
+        ),
+        **(
+            {"incremental_index": _stretch_incremental(spark, sf_dir)}
+            if stretch
+            else {}
         ),
     }
     rnd = os.environ.get("SPARK_GRAFT_ROUND")

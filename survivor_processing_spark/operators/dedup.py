@@ -354,6 +354,8 @@ def minhash_match_against_corpus(
     bands: int = 16,
     rows: int = 4,
     shingle_n: int = 3,
+    corpus_index: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (asymmetric) near-dup detection: which NEW
     documents duplicate something already in the corpus?  The
@@ -366,13 +368,25 @@ def minhash_match_against_corpus(
     only matching index partitions are read); distinct candidate
     pairs; exact Jaccard verify via two id joins.  Cost scales with
     the BATCH and its collisions, never with corpus size.  Recall is
-    the LSH banding curve, same as :func:`minhash_dedup_pairs`."""
+    the LSH banding curve, same as :func:`minhash_dedup_pairs`.
+
+    ``corpus_index`` / ``corpus_shingles`` make the index-at-rest
+    story literal (r7, VERDICT r06 #5): pass a previously built
+    (and persisted/bucketed) :func:`lsh_band_index` result with
+    ``doc_id`` renamed to ``corpus_id`` — and the matching shingle
+    table ``(corpus_id, sh2)`` — and the corpus is neither re-signed
+    nor re-shingled per batch; the stretch bench times exactly this
+    build-once-probe-often split."""
     new_sigs = minhash_signatures(new_df, text_col, id_col, k, shingle_n)
-    corpus_idx = lsh_band_index(
-        minhash_signatures(corpus_df, text_col, id_col, k, shingle_n),
-        bands,
-        rows,
-    ).withColumnRenamed("doc_id", "corpus_id")
+    corpus_idx = (
+        corpus_index
+        if corpus_index is not None
+        else lsh_band_index(
+            minhash_signatures(corpus_df, text_col, id_col, k, shingle_n),
+            bands,
+            rows,
+        ).withColumnRenamed("doc_id", "corpus_id")
+    )
     new_idx = lsh_band_index(new_sigs, bands, rows).withColumnRenamed(
         "doc_id", "new_id"
     )
@@ -384,8 +398,12 @@ def minhash_match_against_corpus(
     sh_new = shingle_table(new_df, text_col, id_col, shingle_n).select(
         F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh1")
     )
-    sh_corpus = shingle_table(corpus_df, text_col, id_col, shingle_n).select(
-        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh2")
+    sh_corpus = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else shingle_table(corpus_df, text_col, id_col, shingle_n).select(
+            F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh2")
+        )
     )
     return (
         cands.join(sh_new, "new_id")

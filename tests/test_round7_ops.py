@@ -260,3 +260,52 @@ def test_frame_sample_real_mode_rejects_unknown_codec(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         frame_sample(media, every_s=1.0, fake=False).collect()
+
+
+# --- index-at-rest probe path (VERDICT r06 #5) -------------------------------
+
+
+def test_incremental_dedup_prebuilt_index_identical(spark, sf_dir):
+    import pyspark.sql.functions as F2
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_match_against_corpus,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F2.col("doc_id") % 10 == 0)
+    corpus = d.filter(F2.col("doc_id") % 10 != 0)
+    default = sorted(
+        map(
+            tuple,
+            minhash_match_against_corpus(new, corpus, "text", "doc_id")
+            .select("new_id", "corpus_id")
+            .collect(),
+        )
+    )
+    idx = lsh_band_index(
+        minhash_signatures(corpus, "text", "doc_id", 64, 3), 16, 4
+    ).withColumnRenamed("doc_id", "corpus_id")
+    sh_c = shingle_table(corpus, "text", "doc_id", 3).select(
+        F2.col("doc_id").alias("corpus_id"), F2.col("shingles").alias("sh2")
+    )
+    prebuilt = sorted(
+        map(
+            tuple,
+            minhash_match_against_corpus(
+                new,
+                corpus,
+                "text",
+                "doc_id",
+                corpus_index=idx,
+                corpus_shingles=sh_c,
+            )
+            .select("new_id", "corpus_id")
+            .collect(),
+        )
+    )
+    assert prebuilt == default
