@@ -309,3 +309,51 @@ def test_incremental_dedup_prebuilt_index_identical(spark, sf_dir):
         )
     )
     assert prebuilt == default
+
+
+# --- doclint (VERDICT r06 #3) ------------------------------------------------
+
+
+def test_doclint_catches_drift_and_passes_truth(tmp_path, monkeypatch):
+    import json as _json
+
+    import tools.doclint as doclint
+
+    art = tmp_path / "FAKE_BENCH.json"
+    art.write_text(_json.dumps({"value": 465.1, "queries": {"a": 1.5, "b": 2.5}}))
+    monkeypatch.setattr(doclint, "REPO", str(tmp_path))
+
+    good = tmp_path / "good.md"
+    good.write_text(
+        "## Round 9\n\nFAKE_BENCH.json total 465.1 s over 2 queries "
+        "(sum 4.0 s).\n"
+    )
+    assert doclint.lint_file(str(good), None) == []
+
+    # the r5/r6 drift class: a number the artifact does not contain
+    bad = tmp_path / "bad.md"
+    bad.write_text("## Round 9\n\nFAKE_BENCH.json total 478.0 s.\n")
+    errs = doclint.lint_file(str(bad), None)
+    assert len(errs) == 1 and "478.0" in errs[0]
+
+    # rounded quote of a more precise value passes
+    rounded = tmp_path / "rounded.md"
+    rounded.write_text("## Round 9\n\nFAKE_BENCH.json total 465 s.\n")
+    assert doclint.lint_file(str(rounded), None) == []
+
+    # doclint:off opts a paragraph out
+    off = tmp_path / "off.md"
+    off.write_text(
+        "## Round 9\n\nFAKE_BENCH.json was 478.0 s last round "
+        "(historical — doclint:off).\n"
+    )
+    assert doclint.lint_file(str(off), None) == []
+
+    # --since scoping: non-matching sections are not linted
+    scoped = tmp_path / "scoped.md"
+    scoped.write_text(
+        "## Round 8\n\nFAKE_BENCH.json total 478.0 s.\n\n"
+        "## Round 9\n\nFAKE_BENCH.json total 465.1 s.\n"
+    )
+    assert doclint.lint_file(str(scoped), r"Round 9") == []
+    assert len(doclint.lint_file(str(scoped), r"Round 8")) == 1
