@@ -165,7 +165,17 @@ def merge_upsert_delta(
 
     Requires delta-spark (``delta_available()``); exercised by a
     skip-marked test so the cluster path has CI shape even where the
-    jars are absent."""
+    jars are absent.  Cluster setup (the day-one one-liner, SCALE.md
+    env-limits): ``pip install delta-spark`` and build the session
+    with::
+
+        SparkSession.builder
+          .config("spark.jars.packages", "io.delta:delta-spark_2.13:4.0.0")
+          .config("spark.sql.extensions",
+                  "io.delta.sql.DeltaSparkSessionExtension")
+          .config("spark.sql.catalog.spark_catalog",
+                  "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+    """
     if not delta_available():
         raise ModuleNotFoundError(
             "delta-spark not installed; use merge_upsert (parquet "

@@ -107,6 +107,86 @@ def fuzz_lsh(spark, rng, trials: int) -> int:
     return fails
 
 
+def _run_registered(spark, name: str, table: str, pdf: pd.DataFrame):
+    """Run REGISTRY[name] over a throwaway parquet fixture dir
+    holding ``pdf`` as ``table``, and its oracle over the same frame
+    in DuckDB; returns (spark_rows, oracle_rows) sorted.  The
+    fixture dir is removed in finally (ADVICE r06)."""
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            os.path.join(d, f"{table}.parquet")
+        )
+        got = sorted(map(tuple, REGISTRY[name].fn(spark, d).collect()))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    con = duckdb.connect()
+    con.register(table, pdf)
+    want = sorted(map(tuple, con.execute(REGISTRY[name].oracle).fetchall()))
+    return got, want
+
+
+def fuzz_cluster_assign(spark, rng, trials: int) -> int:
+    """q:cluster_assign_portable (VERDICT r06 #8): random 64-dim
+    corpora incl. planted exact-duplicate vectors (argmax tie goes to
+    the lowest seed rank in BOTH engines) and NULL vectors (filtered
+    on both sides), replayed through the REGISTERED oracle SQL."""
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(2, 30)
+        vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(n)]
+        if n > 4:
+            vecs[2] = list(vecs[0])  # duplicate -> equal dots -> tiebreak
+            vecs[3] = None  # NULL vector: quarantined, not crashed
+        pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs})
+        got, want = _run_registered(spark, "cluster_assign_portable",
+                                    "embeddings", pdf)
+        if got != want:
+            fails += 1
+            print(f"CLUSTER-ASSIGN MISMATCH n={n} got={len(got)} "
+                  f"want={len(want)}")
+    return fails
+
+
+def fuzz_paragraph_dedup(spark, rng, trials: int) -> int:
+    """q:paragraph_dedup (VERDICT r06 #8): synthetic corpora whose
+    ' the ' occurrences derive paragraph breaks, with planted
+    cross-document duplicate paragraphs — global keep-first must
+    agree with the oracle's window replay, including reassembly
+    order and the all-paragraphs-duplicated empty-text case."""
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(2, 12)
+
+        def para(rng=rng):
+            return " ".join(
+                rng.choice(WORDS) for _ in range(rng.randint(1, 6))
+            )
+
+        docs = [
+            " the ".join(para() for _ in range(rng.randint(1, 5)))
+            for _ in range(n)
+        ]
+        if n > 2:
+            docs[1] = docs[0]  # full duplicate doc -> empty dedup text
+        if n > 3:  # shared boilerplate paragraph spliced mid-doc
+            docs[3] = docs[3] + " the " + docs[0].split(" the ")[0]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": docs,
+                "source": ["s"] * n,
+                "lang": ["en"] * n,
+                "n_chars": [len(t) for t in docs],
+            }
+        )
+        got, want = _run_registered(spark, "paragraph_dedup", "documents", pdf)
+        if got != want:
+            fails += 1
+            print(f"PARAGRAPH MISMATCH n={n} got={len(got)} want={len(want)}")
+    return fails
+
+
 def fuzz_simhash(spark, rng, trials: int) -> int:
     fails = 0
     for _ in range(trials):
@@ -169,6 +249,8 @@ def main() -> int:
         ("lloyd", fuzz_lloyd),
         ("lsh", fuzz_lsh),
         ("simhash", fuzz_simhash),
+        ("cluster_assign", fuzz_cluster_assign),
+        ("paragraph", fuzz_paragraph_dedup),
     ):
         f = fn(spark, rng, trials)
         fails += f
