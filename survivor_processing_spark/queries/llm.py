@@ -484,6 +484,123 @@ def embedding_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_portable",
+    doc="ENGINE-PORTABLE SemDeDup (Abbas et al. 2023, public "
+    "method): coarse-cluster the embeddings to the 8 md5-smallest "
+    "seeds (exact integer squared-L2 argmin, the hash-green Lloyd "
+    "assignment rule), then inside each cluster drop every vector "
+    "with a lower-(md5,id)-ranked neighbor at cosine >= 0.9 — the "
+    "semantic-redundancy pruning a training pipeline runs where "
+    "lexical MinHash/SimHash cannot see the duplication.  The "
+    "cosine test is sqrt-free integer arithmetic "
+    "(100*dot^2 >= 81*|a|^2*|b|^2 on floor(x*1e3+0.5) int64 lanes "
+    "— the 1e3 grid keeps den*dot^2 inside int64; 1e6 would "
+    "overflow the squared-squared term) and clusters are capped at "
+    "the 128 (md5,id)-smallest members before pairing (the "
+    "oracle-replayed truncation from the capped-LSH fix, r6), so "
+    "candidates are bounded by k*cap^2, never sum-of-cluster^2.  "
+    "The synthetic corpus has no natural cosine>=0.9 structure "
+    "(max pairwise 0.51 at sf0.01), so the gate PLANTS semantic "
+    "duplicates the way the simhash/LSH recall gates do: every "
+    "vec_id%10=3 row gains a copy at id+10000000 scaled by 0.999 "
+    "in exact double arithmetic both engines replay bit-for-bit.  "
+    "Output = removed rows with their kept twin (ints only)",
+    oracle="""
+WITH aug AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000000,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.999)
+    FROM embeddings WHERE vec_id % 10 = 3
+),
+clean AS (
+    SELECT vec_id, embedding FROM aug
+    WHERE embedding IS NOT NULL
+      AND len(embedding) = 64
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+lanes AS (
+    SELECT e.vec_id, d.i,
+           CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000.0 + 0.5)
+                AS BIGINT) AS q
+    FROM clean e, (SELECT unnest(generate_series(1, 64)) AS i) d
+),
+vecs AS (
+    SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS m,
+           CAST(SUM(q * q) AS BIGINT) AS n2
+    FROM lanes GROUP BY vec_id
+),
+seed_lanes AS (
+    SELECT s.cluster_idx, l.i, l.q
+    FROM (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY m, vec_id) - 1 AS cluster_idx
+          FROM vecs ORDER BY m, vec_id LIMIT 8) s
+    JOIN lanes l ON l.vec_id = s.vec_id
+),
+d2 AS (
+    SELECT l.vec_id, c.cluster_idx,
+           SUM((l.q - c.q) * (l.q - c.q)) AS d2
+    FROM lanes l JOIN seed_lanes c ON c.i = l.i
+    GROUP BY l.vec_id, c.cluster_idx
+),
+assign AS (
+    SELECT vec_id, cluster_idx FROM (
+        SELECT vec_id, cluster_idx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster_idx ASC) AS r
+        FROM d2) WHERE r = 1
+),
+capped AS (
+    SELECT vec_id, cluster_idx, m, n2 FROM (
+        SELECT a.vec_id, a.cluster_idx, v.m, v.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.cluster_idx
+                                  ORDER BY v.m, a.vec_id) AS r
+        FROM assign a JOIN vecs v ON v.vec_id = a.vec_id)
+    WHERE r <= 128
+),
+dups AS (
+    SELECT x.cluster_idx, x.vec_id AS ida, x.m AS ma,
+           y.vec_id AS idb, dot
+    FROM (
+        SELECT x.cluster_idx, x.vec_id, y_id,
+               CAST(SUM(la.q * lb.q) AS BIGINT) AS dot
+        FROM (SELECT cluster_idx, vec_id FROM capped) x
+        JOIN (SELECT cluster_idx, vec_id AS y_id FROM capped) y
+          ON y.cluster_idx = x.cluster_idx
+        JOIN lanes la ON la.vec_id = x.vec_id
+        JOIN lanes lb ON lb.vec_id = y_id AND lb.i = la.i
+        GROUP BY x.cluster_idx, x.vec_id, y_id
+    ) d(cluster_idx, x_id, y_id, dot)
+    JOIN capped x ON x.vec_id = d.x_id AND x.cluster_idx = d.cluster_idx
+    JOIN capped y ON y.vec_id = d.y_id AND y.cluster_idx = d.cluster_idx
+    WHERE (x.m < y.m OR (x.m = y.m AND x.vec_id < y.vec_id))
+      AND dot > 0 AND 100 * dot * dot >= 81 * x.n2 * y.n2
+)
+SELECT idb AS vec_id, CAST(cluster_idx AS INTEGER) AS cluster_idx,
+       ida AS dup_of
+FROM (SELECT idb, cluster_idx, ida,
+             ROW_NUMBER() OVER (PARTITION BY idb
+                                ORDER BY ma, ida) AS r
+      FROM dups)
+WHERE r = 1
+""",
+)
+def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_portable as _semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = e.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), x -> x * 0.999D)"
+        ).alias("embedding"),
+    )
+    return _semdedup(base.unionByName(planted), k=8, max_cluster=128, dim=64)
+
+
+@register(
     "cluster_assign_portable",
     doc="ENGINE-PORTABLE nearest-seed cluster assignment (the argmax "
     "half of a Lloyd iteration): seeds are the 8 vectors with the "
