@@ -579,3 +579,43 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(cents) / 100.0).alias("urgent_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "compaction_plan_binpack",
+    doc="lakehouse small-files maintenance (Delta OPTIMIZE / Iceberg "
+    "rewriteDataFiles shape): plan the compaction of a file manifest "
+    "into ~target-size output files — per partition key, order files "
+    "(size DESC, id ASC) and cut bins where the running sum crosses "
+    "target multiples, bin = cum_before div target in EXACT integer "
+    "arithmetic (portable: DuckDB // agrees on the non-negative "
+    "sums).  The planner touches only the manifest (metadata-scale "
+    "at 100 TB); the rewrite is a repartition-by-(partition, bin) "
+    "write, the layout move q:export_balanced_shards executes.  "
+    "Manifest here: one row per document, size = n_chars, partition "
+    "= lang, target 4000",
+    oracle="""
+WITH plan AS (
+    SELECT lang, doc_id, n_chars,
+           (SUM(n_chars) OVER w - n_chars) // 4000 AS bin
+    FROM documents
+    WHERE n_chars IS NOT NULL
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(MAX(n_chars) AS BIGINT) AS max_file_bytes
+FROM plan GROUP BY lang, bin
+""",
+)
+def compaction_plan_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import compaction_plan, compaction_summary
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = compaction_plan(
+        d, size_col="n_chars", id_col="doc_id", target_bytes=4000,
+        part_cols=("lang",),
+    )
+    return compaction_summary(plan, size_col="n_chars", part_cols=("lang",))
