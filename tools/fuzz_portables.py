@@ -187,6 +187,31 @@ def fuzz_paragraph_dedup(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_semantic_dedup(spark, rng, trials: int) -> int:
+    """q:semantic_dedup_portable (new in r7): random 64-dim corpora
+    with planted exact duplicates, NULL and ragged vectors — the
+    registered query additionally plants its own 0.999-scaled copies
+    of every vec_id%10=3 row, so the fuzz drives seed selection,
+    integer argmin assignment, the per-cluster cap, and the sqrt-free
+    cosine test through the REGISTERED oracle end to end."""
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(3, 40)
+        vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(n)]
+        if n > 5:
+            vecs[2] = list(vecs[0])  # exact dup -> cos 1, md5 keeper rule
+            vecs[4] = None  # NULL vector: quarantined both sides
+            vecs[5] = vecs[5][:32]  # ragged: quarantined both sides
+        pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs})
+        got, want = _run_registered(
+            spark, "semantic_dedup_portable", "embeddings", pdf
+        )
+        if got != want:
+            fails += 1
+            print(f"SEMDEDUP MISMATCH n={n} got={len(got)} want={len(want)}")
+    return fails
+
+
 def fuzz_simhash(spark, rng, trials: int) -> int:
     fails = 0
     for _ in range(trials):
@@ -251,6 +276,7 @@ def main() -> int:
         ("simhash", fuzz_simhash),
         ("cluster_assign", fuzz_cluster_assign),
         ("paragraph", fuzz_paragraph_dedup),
+        ("semantic_dedup", fuzz_semantic_dedup),
     ):
         f = fn(spark, rng, trials)
         fails += f
