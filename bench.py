@@ -72,6 +72,8 @@ HEADLINE = [
     "ivf_recall_bound",
     "kmeans_clusters",
     "multimodal_gif_frames",
+    "semantic_dedup_portable",
+    "compaction_plan_binpack",
 ]
 
 

@@ -409,6 +409,41 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitters_mg",
+    doc="exact phi-heavy-hitters (phi=1/100) over the document token "
+    "stream via distributed Misra-Gries: each partition's MG summary "
+    "(m=k counters, Arrow-batched value_counts updates) emits only "
+    "its surviving candidate KEYS — provably a superset of every key "
+    "with global count > n/k (Misra-Gries 1982 undercount bound + "
+    "averaging; mergeability per Agarwal et al. PODS 2012) — then "
+    "ONE exact count pass restricted to the broadcast candidate set. "
+    " Output is EXACT (keys with count*k > total, exact counts), so "
+    "unlike the HLL/GK contract gate (q:sketch_distinct_quantiles) "
+    "this sketch family hash-gates on full values.  The 100 TB win: "
+    "the full-vocabulary shuffle of a plain groupBy-count collapses "
+    "to candidates (<= m x n_partitions keys)",
+    oracle="""
+WITH toks AS (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g'), ' '))
+        AS term
+    FROM documents
+)
+SELECT term, COUNT(*) AS n_occurrences
+FROM toks GROUP BY term
+HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM toks)
+""",
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens_expr
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr("text")).alias("term"))
+    return heavy_hitters_exact(toks, "term", k=100)
+
+
 # --- sinks/scans: hive-partitioned write + partition-pruned read ------------
 
 
