@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_gif_frames",
     "semantic_dedup_portable",
     "compaction_plan_binpack",
+    "heavy_hitters_mg",
 ]
 
 
