@@ -527,6 +527,162 @@ def gif_slice_frames(
     return out
 
 
+def apng_frames(b: bytes) -> dict | None:
+    """Full stdlib APNG parse (PNG spec third edition §4.10, public):
+    chunk walk with CRC validation, IHDR geometry, acTL animation
+    control, fcTL frame controls, and each frame's own complete zlib
+    stream from IDAT (first frame, when an fcTL precedes it) or
+    fdAT chunks.  Returns ``{"width", "height", "bitdepth",
+    "colortype", "frames": [(x, y, w, h, delay_s, zdata)]}`` — or,
+    for a plain still PNG (no acTL), a single full-canvas frame with
+    delay 0.0 (a still is a 1-frame animation, the same contract a
+    single-image GIF gets).  None when the blob is not a parseable
+    PNG or the APNG sequence numbers are broken."""
+    import struct
+    import zlib
+
+    if len(b) < 8 or b[:8] != _PNG_MAGIC:
+        return None
+    off = 8
+    ihdr = None
+    actl_frames = None
+    frames: list[list] = []  # [x, y, w, h, delay_s, bytearray]
+    default_idat = bytearray()
+    idat_is_frame0 = False
+    next_seq = 0
+    try:
+        while off + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[off : off + 4])
+            typ = b[off + 4 : off + 8]
+            data = b[off + 8 : off + 8 + ln]
+            (crc,) = struct.unpack(">I", b[off + 8 + ln : off + 12 + ln])
+            if len(data) != ln or zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return None
+            off += 12 + ln
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if comp or filt or inter:  # interlaced APNG: refuse
+                    return None
+                ihdr = (w, h, depth, ctype)
+            elif typ == b"acTL":
+                actl_frames = struct.unpack(">II", data)[0]
+            elif typ == b"fcTL":
+                seq, fw, fh, x, y, dnum, dden = struct.unpack(
+                    ">IIIIIHH", data[:24]
+                )
+                if seq != next_seq:
+                    return None
+                next_seq += 1
+                delay = dnum / (dden if dden else 100)
+                frames.append([x, y, fw, fh, delay, bytearray()])
+                if not default_idat:
+                    idat_is_frame0 = True
+            elif typ == b"IDAT":
+                if idat_is_frame0 and frames:
+                    frames[-1][5] += data
+                else:
+                    default_idat += data
+            elif typ == b"fdAT":
+                (seq,) = struct.unpack(">I", data[:4])
+                if seq != next_seq or not frames:
+                    return None
+                next_seq += 1
+                frames[-1][5] += data[4:]
+            elif typ == b"IEND":
+                break
+    except struct.error:
+        return None
+    if ihdr is None:
+        return None
+    w, h, depth, ctype = ihdr
+    if actl_frames is None:
+        # still PNG: one full-canvas frame from the plain IDAT stream
+        if not default_idat:
+            return None
+        frames = [[0, 0, w, h, 0.0, default_idat]]
+    else:
+        if actl_frames != len(frames) or any(not f[5] for f in frames):
+            return None
+    return {
+        "width": w,
+        "height": h,
+        "bitdepth": depth,
+        "colortype": ctype,
+        "frames": [
+            (x, y, fw, fh, d, bytes(z)) for x, y, fw, fh, d, z in frames
+        ],
+    }
+
+
+def apng_slice_frames(
+    b: bytes, every_s: float
+) -> list[tuple[int, float, bytes]] | None:
+    """Split an APNG into standalone single-frame PNGs — the PNG
+    counterpart of :func:`gif_slice_frames`.  Each APNG frame
+    carries its OWN complete zlib stream over its region's filtered
+    scanlines (spec §4.10.6), so frame k re-wraps as
+    IHDR(region geometry) + IDAT(stream) + IEND with no pixel
+    re-encode; ts is the CUMULATIVE fcTL delay (APNG, unlike GIF87a,
+    carries real timing — delay_den 0 means 1/100 s per spec), and
+    ``every_s`` is only the still-PNG/zero-delay fallback cadence.
+    Returns None when the blob is not a parseable PNG."""
+    import struct
+
+    doc = apng_frames(b)
+    if doc is None:
+        return None
+    out = []
+    t = 0.0
+    for k, (_x, _y, fw, fh, delay, zdata) in enumerate(doc["frames"]):
+        ihdr = struct.pack(
+            ">IIBBBBB", fw, fh, doc["bitdepth"], doc["colortype"], 0, 0, 0
+        )
+        png = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zdata)
+            + _png_chunk(b"IEND", b"")
+        )
+        out.append((k, t, png))
+        t += delay if delay > 0 else every_s
+    return out
+
+
+def synth_apng(width: int, height: int, n_frames: int) -> bytes:
+    """A fully valid 8-bit grayscale APNG (CRCs, acTL/fcTL/fdAT
+    sequence numbers, one zlib stream per frame) — frame k's pixel
+    (x, y) holds ``(31 * k + x + y) % 256``, so tests get a
+    closed-form per-frame pixel sum.  Frame delays are k/10 s."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    out = bytearray(_PNG_MAGIC + _png_chunk(b"IHDR", ihdr))
+    out += _png_chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    seq = 0
+    for k in range(n_frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, k, 10, 0, 0
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        scan = b"".join(
+            b"\x00"
+            + bytes((31 * k + x + y) % 256 for x in range(width))
+            for y in range(height)
+        )
+        z = zlib.compress(scan)
+        if k == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def synth_jpeg(width: int, height: int) -> bytes:
     """Minimal JPEG segment stream: SOI + JFIF APP0 + SOF0 carrying
     the frame dimensions + EOI."""
@@ -873,11 +1029,14 @@ def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> Dat
                     else:
                         frames = gif_slice_frames(b, every_s)
                         if frames is None:
+                            frames = apng_slice_frames(b, every_s)
+                        if frames is None:
                             raise NotImplementedError(
-                                "real frame sampling decodes WAV audio and "
-                                "GIF animation only; other video needs "
-                                "ffmpeg (absent here) — pass fake=True for "
-                                "the deterministic stub sampler"
+                                "real frame sampling decodes WAV audio, GIF "
+                                "animation, and (A)PNG only; other video "
+                                "needs ffmpeg (absent here) — pass "
+                                "fake=True for the deterministic stub "
+                                "sampler"
                             )
                     for idx, ts, seg in frames:
                         rows.append((asset_id, idx, ts, seg))
