@@ -1,0 +1,250 @@
+"""Distributed BPE tokenizer training — iterative pair-count +
+merge over a word-frequency table.
+
+Tokenizer training is the step of an LLM data pipeline that runs
+BEFORE tokenization: learn the merge table from the corpus itself
+(Sennrich et al., "Neural Machine Translation of Rare Words with
+Subword Units", ACL 2016 — the public BPE-for-NLP paper).  The
+reference pipeline has no tokenizer stage (its corpus ops stop at
+string normalization, e.g. create_dict_based_df-style mappings);
+this operator is part of the training-data extension family
+alongside token counting (q:token_budget_mix) and sequence packing
+(q:pack_sequences).
+
+Scale shape (the classic trick that makes corpus-scale BPE cheap):
+train on the WORD-FREQUENCY table, not the raw corpus.
+
+1. one corpus pass: ``split`` + ``explode`` + ``groupBy(word)`` —
+   a single shuffle with map-side combine; the result is
+   vocabulary-sized (≪ corpus, even at 100 TB it is millions of
+   distinct words, not billions of documents);
+2. each of the ``n_merges`` iterations touches ONLY that table:
+   adjacent-pair extraction is a JVM ``zip_with``/``slice``
+   expression, the count is one vocabulary-bounded shuffle, and
+   exactly ONE row (the argmax pair) crosses to the driver per
+   iteration — driver traffic is ``n_merges`` rows total;
+3. the winning pair is applied as one parsed ``replace`` expression
+   chain with the pair embedded as a string literal (the py4j
+   literal lesson: never per-element ``lit()``), so merge
+   application is whole-stage-codegen'd JVM work;
+4. the working set is pinned with ``localCheckpoint`` per iteration
+   to truncate the growing lineage (single-JVM test scale; on a
+   real cluster persist(MEMORY_AND_DISK) + unpersist of the
+   previous iteration is the right call — same note as
+   operators/cluster.py Lloyd).
+
+Merge application semantics: a merge of pair (l, r) rewrites the
+space-delimited symbol string by ``replace(seq, ' l r ', ' lr ')``
+repeated ``fixpoint_passes`` times.  Single-pass ``replace`` is
+non-overlapping left-to-right, and adjacent occurrences share their
+boundary space, so one pass can miss every other occurrence; a
+replacement can never CREATE a new occurrence of the same pattern
+(l||r cannot equal l or r), so occurrences strictly decrease and
+``max_word_len // 2`` passes guarantee the fixpoint.  The fixpoint
+equals canonical greedy left-to-right BPE merging (including the
+self-overlap chain 'a a a' -> 'aa a').
+
+Determinism / portability (cross-engine hash-gate ready):
+tie-breaks are total (count DESC, lhs ASC, rhs ASC), symbols are
+restricted to ``^[a-z]+$`` so embedding them in SQL literals is
+injection-safe, and ``bpe_portable_oracle`` mechanically GENERATES
+the equivalent DuckDB SQL from the same loop parameters — one CTE
+block per iteration, the same technique as
+queries/llm.py:_lloyd_portable_oracle — so the oracle cannot drift
+from the code.  Registration is queued (r7 registration freeze,
+ROTATION_r07.md); until then tests/test_bpe.py pins Spark == DuckDB
+on fixed and randomized corpora.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_SYMBOL_RE = re.compile(r"^[a-z]+$")
+
+# adjacent-pair extraction from the space-joined symbol string, all
+# JVM-side: toks[0:n-1] zipped with toks[1:n] (empty when n == 1)
+_PAIRS_EXPR = (
+    "zip_with("
+    " slice(split(trim(seq), ' '), 1, size(split(trim(seq), ' ')) - 1),"
+    " slice(split(trim(seq), ' '), 2, size(split(trim(seq), ' ')) - 1),"
+    " (a, b) -> struct(a AS lhs, b AS rhs))"
+)
+
+
+def _merge_expr(lhs: str, rhs: str, passes: int) -> str:
+    """One parsed SQL expression applying the (lhs, rhs) merge to
+    ``seq`` with ``passes`` fixpoint passes (see module doc)."""
+    if not (_SYMBOL_RE.match(lhs) and _SYMBOL_RE.match(rhs)):
+        raise ValueError(f"non-[a-z] BPE symbol: {lhs!r}, {rhs!r}")
+    expr = "seq"
+    for _ in range(passes):
+        expr = f"replace({expr}, ' {lhs} {rhs} ', ' {lhs}{rhs} ')"
+    return expr
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 16,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus -> (word, freq): the one corpus-sized pass.
+
+    ``max_vocab`` keeps the top-V words by (freq DESC, word ASC) —
+    a deterministic, engine-portable cap that bounds every later
+    iteration at tokenizer-training time (standard practice when
+    the tail of the vocabulary cannot affect the first merges)."""
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(
+            (F.length("word") >= 1)
+            & (F.length("word") <= max_word_len)
+            & F.col("word").rlike("^[a-z]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_vocab is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("freq"), F.asc("word"))
+        words = (
+            words.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_vocab)
+            .drop("rn")
+        )
+    return words
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab: int | None = None,
+    fixpoint_passes: int | None = None,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from ``df[text_col]``.
+
+    Returns a ``merge_rank int, lhs string, rhs string,
+    pair_count bigint`` DataFrame — the merge table, in learning
+    order.  Stops early (fewer rows) only if the vocabulary runs
+    out of adjacent pairs, which no realistic corpus does at the
+    gate configs."""
+    passes = (
+        fixpoint_passes if fixpoint_passes is not None else max_word_len // 2
+    )
+    spark = df.sparkSession
+    vocab = word_frequencies(
+        df, text_col=text_col, max_word_len=max_word_len, max_vocab=max_vocab
+    ).withColumn(
+        "seq",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+    ).select("freq", "seq")
+
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(n_merges):
+        vocab = vocab.localCheckpoint()
+        best = (
+            vocab.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        merges.append((t, lhs, rhs, int(cnt)))
+        vocab = vocab.withColumn("seq", F.expr(_merge_expr(lhs, rhs, passes)))
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_portable_oracle(
+    n_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab: int | None = None,
+    fixpoint_passes: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Mechanically generate the DuckDB SQL that replays
+    :func:`bpe_train` — one (pairs, best, apply) CTE block per
+    iteration from the SAME parameters, so SQL cannot drift from
+    the Spark loop."""
+    passes = (
+        fixpoint_passes if fixpoint_passes is not None else max_word_len // 2
+    )
+    vocab_filter = ""
+    if max_vocab is not None:
+        vocab_filter = f"""
+words AS (
+    SELECT word, freq FROM words_all
+    ORDER BY freq DESC, word ASC
+    LIMIT {int(max_vocab)}
+),"""
+    parts = [
+        f"""WITH words_all AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(lower({text_col}), '\\s+'))
+                 AS word
+          FROM {table}) t
+    WHERE length(word) BETWEEN 1 AND {int(max_word_len)}
+      AND regexp_matches(word, '^[a-z]+$')
+    GROUP BY word
+),{vocab_filter if max_vocab is not None else ''}
+v0 AS (
+    SELECT freq,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+    FROM {'words' if max_vocab is not None else 'words_all'}
+)"""
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f""",
+p{t} AS (
+    SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM (SELECT freq, string_split(trim(seq), ' ') AS toks FROM v{t}) s,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+    GROUP BY 1, 2
+),
+b{t} AS (
+    SELECT lhs, rhs, pair_count
+    FROM p{t}
+    ORDER BY pair_count DESC, lhs ASC, rhs ASC
+    LIMIT 1
+)"""
+        )
+        rep = "seq"
+        for _ in range(passes):
+            rep = (
+                f"replace({rep}, ' ' || b.lhs || ' ' || b.rhs || ' ',"
+                f" ' ' || b.lhs || b.rhs || ' ')"
+            )
+        parts.append(
+            f""",
+v{t + 1} AS (
+    SELECT v.freq, {rep} AS seq
+    FROM v{t} v CROSS JOIN b{t} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS merge_rank, lhs, rhs, pair_count"
+        f" FROM b{t}"
+        for t in range(n_merges)
+    )
+    parts.append(f"\n{union}\nORDER BY merge_rank")
+    return "".join(parts)
