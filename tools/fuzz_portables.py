@@ -1,14 +1,18 @@
 """One-shot deep fuzz of the engine-portable gates vs their DuckDB
 oracles — the reproducible form of the SCALE.md round-6 fuzz claim.
 
-Covers three portable families on randomized inputs beyond the
+Covers the portable families on randomized inputs beyond the
 committed hypothesis tests' budget:
 - full-Lloyd k-means: random (n, dim, k, iters) with planted
   duplicates and zero vectors (tie stress);
 - capped hyperplane LSH: random 64-dim corpora with planted scaled
   near-dups, replayed through the REGISTERED oracle SQL;
 - portable SimHash: synthetic word corpora with planted one-word
-  edits, replayed through the registered oracle.
+  edits, replayed through the registered oracle;
+- nearest-seed cluster assignment and paragraph dedup (r7, VERDICT
+  r06 #8), SemDeDup semantic dedup (r7);
+- BPE tokenizer training and integer-lane PageRank (r7, unit-gated
+  queued-r9 operators — generated-oracle replay).
 
 Usage: python tools/fuzz_portables.py [seed] [n_trials_per_family]
 Exits 1 on any cross-engine mismatch.
@@ -212,6 +216,86 @@ def fuzz_semantic_dedup(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_bpe(spark, rng, trials: int) -> int:
+    """operators/bpe.py (unit-gated, queued r9): random corpora over
+    tiny alphabets (pair-count ties everywhere), words up to the
+    max_word_len boundary, self-overlap chains ('aaaa'), and a
+    random max_vocab cap — Spark loop vs the generated DuckDB CTE
+    oracle."""
+    from survivor_processing_spark.operators.bpe import (
+        bpe_portable_oracle,
+        bpe_train,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        alphabet = "ab" if rng.random() < 0.3 else "abcde"
+        vocab = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+            for _ in range(rng.randint(4, 40))
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(rng.randint(2, 60))
+        ]
+        kw = {"n_merges": rng.randint(1, 8)}
+        if rng.random() < 0.4:
+            kw["max_vocab"] = rng.randint(2, 12)
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_train(df, **kw).orderBy("merge_rank").collect()
+        ]
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"text": texts}))
+        want = [
+            (int(a), b, c, int(d))
+            for a, b, c, d in con.execute(
+                bpe_portable_oracle(**kw)
+            ).fetchall()
+        ]
+        if got != want:
+            fails += 1
+            print(f"BPE MISMATCH kw={kw} got={got[:3]} want={want[:3]}")
+    return fails
+
+
+def fuzz_pagerank(spark, rng, trials: int) -> int:
+    """operators/pagerank.py (unit-gated, queued r9): random digraphs
+    with self-loops, parallel edges, dangling nodes, and disconnected
+    components — integer-lane iteration vs the generated oracle."""
+    from survivor_processing_spark.operators.pagerank import (
+        pagerank_portable,
+        pagerank_portable_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 5 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        iters = rng.randint(1, 6)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_portable(df, n_iters=iters).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "edges",
+            pd.DataFrame(edges, columns=["src", "dst"]).astype("int64"),
+        )
+        want = dict(
+            con.execute(pagerank_portable_oracle(iters)).fetchall()
+        )
+        if got != want:
+            fails += 1
+            print(f"PAGERANK MISMATCH n={n} m={m} iters={iters}")
+    return fails
+
+
 def fuzz_simhash(spark, rng, trials: int) -> int:
     fails = 0
     for _ in range(trials):
@@ -277,6 +361,8 @@ def main() -> int:
         ("cluster_assign", fuzz_cluster_assign),
         ("paragraph", fuzz_paragraph_dedup),
         ("semantic_dedup", fuzz_semantic_dedup),
+        ("bpe", fuzz_bpe),
+        ("pagerank", fuzz_pagerank),
     ):
         f = fn(spark, rng, trials)
         fails += f
