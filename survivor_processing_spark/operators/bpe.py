@@ -172,21 +172,149 @@ def bpe_train(
     )
 
 
-def bpe_portable_oracle(
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    encode_max_len: int = 32,
+) -> DataFrame:
+    """Apply a trained merge table to the corpus and count tokens per
+    document: ``doc_id, n_tokens, n_words, n_oov_words``.
+
+    The scale trick mirrors training: encode each DISTINCT word once
+    (vocabulary-sized work), then join the per-word token count back
+    to the per-document word counts — the corpus-sized side never
+    runs a merge.  The encoded vocabulary is broadcast (millions of
+    (word, int) rows ≈ tens of MB at 100 TB corpus scale; drop the
+    hint and let AQE decide if a pathological vocabulary outgrows
+    that).
+
+    Encoding semantics: a word is ELIGIBLE if it matches ``^[a-z]+$``
+    and is at most ``encode_max_len`` chars (unlike training's
+    ``max_word_len``, which bounds iteration cost, this bound exists
+    only to fix the replace-to-fixpoint pass count
+    ``encode_max_len // 2`` — see the module doc's occurrence
+    argument).  Eligible words are char-split and every merge is
+    applied in rank order, each to fixpoint.  Every other word
+    (digits, punctuation, over-long) counts as ONE out-of-vocabulary
+    token — the byte-fallback analog, kept at 1 so ``n_tokens`` is a
+    budget, not an estimate, and flagged in ``n_oov_words``.
+    Documents with no words (empty text) come back with zeros.
+
+    ``merges`` may be the :func:`bpe_train` output DataFrame or a
+    pre-collected ``[(lhs, rhs), ...]`` in rank order; the table is
+    n_merges-bounded so collecting it is driver-safe.  The whole
+    merge chain is built as ONE parsed SQL expression (the py4j
+    literal lesson), symbols validated ``^[a-z]+$`` so embedding
+    them is injection-safe."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    passes = max(1, encode_max_len // 2)
+    chain = "seq"
+    for lhs, rhs in merges:
+        if not (_SYMBOL_RE.match(lhs) and _SYMBOL_RE.match(rhs)):
+            raise ValueError(f"non-[a-z] BPE symbol: {lhs!r}, {rhs!r}")
+        for _ in range(passes):
+            chain = f"replace({chain}, ' {lhs} {rhs} ', ' {lhs}{rhs} ')"
+
+    dw = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    eligible = (
+        dw.select("word")
+        .distinct()
+        .filter(
+            F.col("word").rlike("^[a-z]+$")
+            & (F.length("word") <= encode_max_len)
+        )
+    )
+    encoded = (
+        eligible.withColumn(
+            "seq",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+        .withColumn(
+            "n_tok",
+            F.expr(f"size(split(trim({chain}), ' '))").cast("long"),
+        )
+        .select("word", "n_tok")
+    )
+    agg = (
+        dw.join(F.broadcast(encoded), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("n_tok"), F.lit(1))
+            ).alias("n_tokens"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(
+                F.when(F.col("n_tok").isNull(), F.col("cnt")).otherwise(0)
+            ).alias("n_oov_words"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_oov_words", F.lit(0)).alias("n_oov_words"),
+        )
+    )
+
+
+def bpe_token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     n_merges: int = 8,
     max_word_len: int = 16,
     max_vocab: int | None = None,
-    fixpoint_passes: int | None = None,
-    table: str = "documents",
-    text_col: str = "text",
-) -> str:
-    """Mechanically generate the DuckDB SQL that replays
-    :func:`bpe_train` — one (pairs, best, apply) CTE block per
-    iteration from the SAME parameters, so SQL cannot drift from
-    the Spark loop."""
-    passes = (
-        fixpoint_passes if fixpoint_passes is not None else max_word_len // 2
+    encode_max_len: int = 32,
+) -> DataFrame:
+    """Train-then-encode composition: learn ``n_merges`` merges from
+    the corpus, then tokenize it — the registered-query shape (the
+    token-budget accounting a training-data pipeline runs after
+    tokenizer training).  See :func:`bpe_encode_counts`."""
+    merges = bpe_train(
+        df,
+        text_col=text_col,
+        n_merges=n_merges,
+        max_word_len=max_word_len,
+        max_vocab=max_vocab,
     )
+    return bpe_encode_counts(
+        df,
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        encode_max_len=encode_max_len,
+    )
+
+
+def _train_ctes(
+    n_merges: int,
+    max_word_len: int,
+    max_vocab: int | None,
+    passes: int,
+    table: str,
+    text_col: str,
+) -> str:
+    """The shared training CTE chain (words_all .. v{n_merges} with
+    one (p, b, v) block per iteration), used by both oracles."""
     vocab_filter = ""
     if max_vocab is not None:
         vocab_filter = f"""
@@ -241,10 +369,113 @@ v{t + 1} AS (
     FROM v{t} v CROSS JOIN b{t} b
 )"""
         )
+    return "".join(parts)
+
+
+def bpe_portable_oracle(
+    n_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab: int | None = None,
+    fixpoint_passes: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Mechanically generate the DuckDB SQL that replays
+    :func:`bpe_train` — one (pairs, best, apply) CTE block per
+    iteration from the SAME parameters, so SQL cannot drift from
+    the Spark loop."""
+    passes = (
+        fixpoint_passes if fixpoint_passes is not None else max_word_len // 2
+    )
+    ctes = _train_ctes(
+        n_merges, max_word_len, max_vocab, passes, table, text_col
+    )
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS INTEGER) AS merge_rank, lhs, rhs, pair_count"
         f" FROM b{t}"
         for t in range(n_merges)
     )
-    parts.append(f"\n{union}\nORDER BY merge_rank")
+    return f"{ctes}\n{union}\nORDER BY merge_rank"
+
+
+def bpe_token_budget_oracle(
+    n_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab: int | None = None,
+    fixpoint_passes: int | None = None,
+    encode_max_len: int = 32,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`bpe_token_budget` — the training CTE chain followed by
+    one guarded encode CTE per merge.  The encode CTEs LEFT JOIN
+    their b{t} ``ON TRUE`` (not CROSS JOIN) so an early-stopped
+    training run (no pairs left) leaves the sequence unchanged, the
+    way the Spark chain simply omits missing merges."""
+    passes = (
+        fixpoint_passes if fixpoint_passes is not None else max_word_len // 2
+    )
+    enc_passes = max(1, encode_max_len // 2)
+    parts = [
+        _train_ctes(
+            n_merges, max_word_len, max_vocab, passes, table, text_col
+        )
+    ]
+    parts.append(
+        f""",
+dw AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(lower({text_col}), '\\s+'))
+                     AS word
+          FROM {table}) t
+    WHERE length(word) >= 1
+    GROUP BY doc_id, word
+),
+e0 AS (
+    SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+    FROM (SELECT DISTINCT word FROM dw
+          WHERE regexp_matches(word, '^[a-z]+$')
+            AND length(word) <= {int(encode_max_len)})
+)"""
+    )
+    for t in range(n_merges):
+        rep = "e.seq"
+        for _ in range(enc_passes):
+            rep = (
+                f"replace({rep}, ' ' || b.lhs || ' ' || b.rhs || ' ',"
+                f" ' ' || b.lhs || b.rhs || ' ')"
+            )
+        parts.append(
+            f""",
+e{t + 1} AS (
+    SELECT e.word,
+           CASE WHEN b.lhs IS NULL THEN e.seq ELSE {rep} END AS seq
+    FROM e{t} e LEFT JOIN b{t} b ON TRUE
+)"""
+        )
+    parts.append(
+        f""",
+wtok AS (
+    SELECT word,
+           CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tok
+    FROM e{n_merges}
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(cnt * COALESCE(w.n_tok, 1)) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN w.n_tok IS NULL THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_oov_words
+    FROM dw d LEFT JOIN wtok w USING (word)
+    GROUP BY doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_oov_words, 0) AS n_oov_words
+FROM {table} d LEFT JOIN agg a ON a.doc_id = d.{id_col}"""
+    )
     return "".join(parts)

@@ -154,3 +154,107 @@ def test_bpe_cross_engine_randomized(spark, seed):
     want = _duck_merges(texts, n_merges=5)
     assert got == want
     assert got == _reference_bpe(texts, n_merges=5)
+
+
+# ---- encode / token budget ----------------------------------------
+
+from survivor_processing_spark.operators.bpe import (  # noqa: E402
+    bpe_encode_counts,
+    bpe_token_budget,
+    bpe_token_budget_oracle,
+)
+
+
+def _spark_budget(spark, texts, **kw):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    return sorted(
+        (r["doc_id"], r["n_tokens"], r["n_words"], r["n_oov_words"])
+        for r in bpe_token_budget(df, **kw).collect()
+    )
+
+
+def _duck_budget(texts, **kw):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    return sorted(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in con.execute(
+            bpe_token_budget_oracle(**kw)
+        ).fetchall()
+    )
+
+
+def test_encode_hand_checkable(spark):
+    # merges a+t, h+e, t+he (from the shared corpus): 'the' is one
+    # token, 'cat' two, '123'/'!!' are 1-token OOV, empty doc zeros
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat 123 !!",
+        "",
+    ]
+    got = _spark_budget(spark, texts, n_merges=3)
+    assert got == [(0, 10, 6, 0), (1, 8, 5, 0), (2, 5, 4, 2), (3, 0, 0, 0)]
+    assert got == _duck_budget(texts, n_merges=3)
+
+
+def test_encode_merges_list_and_overlong_oov(spark):
+    df = spark.createDataFrame(
+        [(0, "abab abab xyz " + "a" * 40)], "doc_id long, text string"
+    )
+    rows = bpe_encode_counts(
+        df, [("a", "b"), ("ab", "ab")], encode_max_len=32
+    ).collect()
+    # abab -> 1 token (two chained merges), xyz -> 3, 40-char word OOV
+    assert [
+        (r["n_tokens"], r["n_words"], r["n_oov_words"]) for r in rows
+    ] == [(1 + 1 + 3 + 1, 4, 1)]
+
+
+def test_encode_early_stop_guard(spark):
+    # training finds zero pairs -> encode must leave words char-split
+    # (the oracle's LEFT JOIN .. ON TRUE guard vs Spark's omitted
+    # merges)
+    texts = ["a b c a b", "c a"]
+    got = _spark_budget(spark, texts, n_merges=3)
+    assert got == _duck_budget(texts, n_merges=3)
+    assert got[0][1] == 5  # every 1-char word is 1 token
+
+
+def test_encode_cross_engine_random(spark):
+    rng = random.Random(41)
+    vocab = ["low", "lower", "lowest", "new", "newest", "ab", "a1b", "!!"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20)))
+        for _ in range(30)
+    ]
+    for kw in ({"n_merges": 4}, {"n_merges": 2, "max_vocab": 4}):
+        assert _spark_budget(spark, texts, **kw) == _duck_budget(
+            texts, **kw
+        ), kw
+
+
+def test_encode_cross_engine_sf0001(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_words"], r["n_oov_words"])
+        for r in bpe_token_budget(docs, n_merges=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in con.execute(
+            bpe_token_budget_oracle(n_merges=5)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
