@@ -114,6 +114,56 @@ def pq_train_encode(
         )
         .localCheckpoint(eager=True)
     )
+    cents = _fit(qdf, id_col, m, k, iters, sub)
+    if cents is None:
+        return df.sparkSession.createDataFrame([], empty_schema)
+
+    codes = "array(" + ",".join(
+        _label_sql(cents, sp, sub) for sp in range(m)
+    ) + ")"
+    recon = " + ".join(
+        f"array_min({_dists_sql(cents, sp, sub)})" for sp in range(m)
+    )
+    return qdf.select(
+        F.col(id_col),
+        F.expr(codes).cast("array<int>").alias("codes"),
+        F.expr(recon).cast("bigint").alias("recon_err"),
+    )
+
+
+def _dists_sql(
+    cents: dict[int, list[tuple[int, list[int]]]], sp: int, sub: int
+) -> str:
+    # ONE parsed SQL string per subspace (the py4j literal lesson) —
+    # k arrays of sub longs inside a single expr
+    off = sp * sub + 1
+
+    def d2(lanes: list[int]) -> str:
+        arr = sql_long_array(lanes)
+        return (
+            f"aggregate(zip_with(slice(_q, {off}, {sub}), {arr},"
+            " (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
+        )
+
+    return "array(" + ",".join(d2(lanes) for _, lanes in cents[sp]) + ")"
+
+
+def _label_sql(
+    cents: dict[int, list[tuple[int, list[int]]]], sp: int, sub: int
+) -> str:
+    labels = sql_int_array(idx for idx, _ in cents[sp])
+    d = _dists_sql(cents, sp, sub)
+    return (
+        f"element_at({labels},"
+        f" cast(array_position({d}, array_min({d})) as int))"
+    )
+
+
+def _fit(
+    qdf: DataFrame, id_col: str, m: int, k: int, iters: int, sub: int
+) -> dict[int, list[tuple[int, list[int]]]] | None:
+    """The shared training loop over a prepped (id, _q) frame;
+    returns the per-subspace codebooks (None on empty input)."""
     seed_rows = (
         qdf.select("_q", F.md5(F.col(id_col).cast("string")).alias("_m"))
         .orderBy("_m")
@@ -121,7 +171,7 @@ def pq_train_encode(
         .collect()
     )
     if not seed_rows:
-        return df.sparkSession.createDataFrame([], empty_schema)
+        return None
     # per-subspace centroid sets: {sp: [(cluster_idx, sub lanes)]}
     cents: dict[int, list[tuple[int, list[int]]]] = {
         sp: [
@@ -131,29 +181,8 @@ def pq_train_encode(
         for sp in range(m)
     }
 
-    def dists_sql(sp: int) -> str:
-        # ONE parsed SQL string per subspace (the py4j literal
-        # lesson) — k arrays of sub longs inside a single expr
-        off = sp * sub + 1
-
-        def d2(lanes: list[int]) -> str:
-            arr = sql_long_array(lanes)
-            return (
-                f"aggregate(zip_with(slice(_q, {off}, {sub}), {arr},"
-                " (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
-            )
-
-        return (
-            "array(" + ",".join(d2(lanes) for _, lanes in cents[sp]) + ")"
-        )
-
     def label_sql(sp: int) -> str:
-        labels = sql_int_array(idx for idx, _ in cents[sp])
-        d = dists_sql(sp)
-        return (
-            f"element_at({labels},"
-            f" cast(array_position({d}, array_min({d})) as int))"
-        )
+        return _label_sql(cents, sp, sub)
 
     for _ in range(iters):
         # one job: every subspace's argmin labels + exploded lanes;
@@ -190,30 +219,20 @@ def pq_train_encode(
         }
         if any(not cents[sp] for sp in range(m)):  # pragma: no cover
             raise RuntimeError("every subspace lost all clusters")
-
-    codes = "array(" + ",".join(label_sql(sp) for sp in range(m)) + ")"
-    recon = " + ".join(f"array_min({dists_sql(sp)})" for sp in range(m))
-    return qdf.select(
-        F.col(id_col),
-        F.expr(codes).cast("array<int>").alias("codes"),
-        F.expr(recon).cast("bigint").alias("recon_err"),
-    )
+    return cents
 
 
-def pq_portable_oracle(
-    m: int = 4,
-    k: int = 8,
-    iters: int = 2,
-    dim: int = 64,
-    table: str = "embeddings",
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _oracle_ctes(
+    m: int,
+    k: int,
+    iters: int,
+    dim: int,
+    table: str,
+    vec_col: str,
+    id_col: str,
 ) -> str:
-    """Mechanically generate the DuckDB SQL replaying
-    :func:`pq_train_encode` — the gated-Lloyd CTE chain with
-    ``(i-1)//{sub}`` as the subspace key, one (dist, assign, cent)
-    block per iteration, then the code-list + reconstruction-error
-    select.  Output: ``id, codes, recon_err``."""
+    """Shared DuckDB CTE chain (clean .. final_assign) replaying the
+    training loop — used by both oracles."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
@@ -280,12 +299,172 @@ final_assign AS (
                ROW_NUMBER() OVER (PARTITION BY vid, sp
                                   ORDER BY d2 ASC, cluster_idx ASC) AS r
         FROM dist_{iters}) WHERE r = 1
-)
-SELECT vid AS {id_col},
-       list(CAST(cluster_idx AS INTEGER) ORDER BY sp) AS codes,
-       CAST(SUM(d2) AS BIGINT) AS recon_err
-FROM final_assign
-GROUP BY vid
-"""
+)"""
     )
     return "".join(blocks)
+
+
+def pq_portable_oracle(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`pq_train_encode` — the gated-Lloyd CTE chain with
+    ``(i-1)//{sub}`` as the subspace key, one (dist, assign, cent)
+    block per iteration, then the code-list + reconstruction-error
+    select.  Output: ``id, codes, recon_err``."""
+    ctes = _oracle_ctes(m, k, iters, dim, table, vec_col, id_col)
+    return (
+        f"{ctes}\n"
+        f"SELECT vid AS {id_col},\n"
+        "       list(CAST(cluster_idx AS INTEGER) ORDER BY sp) AS codes,\n"
+        "       CAST(SUM(d2) AS BIGINT) AS recon_err\n"
+        "FROM final_assign\n"
+        "GROUP BY vid"
+    )
+
+
+def quantize_query(query: list[float]) -> list[int]:
+    """The shared 1e-6 fixed-point quantization of a query vector —
+    computed ONCE driver-side and injected into both engines, so the
+    ADC gate cannot hinge on a float rounding difference."""
+    import math
+
+    if any(x is None for x in query):
+        raise ValueError("query vector has a NULL lane")
+    return [int(math.floor(float(x) * 1e6 + 0.5)) for x in query]
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list[float],
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance top-k: train the PQ codebooks, encode the
+    corpus, and rank it against ``query`` by the ADC approximation —
+    the query-time half of an IVF-PQ index (Jégou et al. 2011 §IV:
+    the query stays unquantized; each subspace contributes the exact
+    distance from the query's sub-vector to the ASSIGNED centroid).
+    Returns the ``topk`` rows of ``id_col, codes array<int>,
+    adc_dist bigint`` ordered by (adc_dist ASC, id ASC).
+
+    The scan is one JVM expression pass: the m ADC lookup tables are
+    k integers each, computed driver-side from the trained codebooks
+    and the quantized query (exact integer arithmetic shared with the
+    oracle), embedded as one parsed literal per subspace, and indexed
+    by the same argmin that picks the code — then a TakeOrdered
+    top-k, never a full sort.  At 100 TB this is the RAM-resident
+    re-rank stage: 4 bytes/vector of codes + a 32-entry table beat
+    re-reading 256-byte float vectors by two orders of magnitude of
+    memory bandwidth."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    dim = len(query)
+    if dim % m != 0:
+        raise ValueError(f"len(query)={dim} not divisible by m={m}")
+    sub = dim // m
+    qlanes = quantize_query(query)
+    clean = (
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & (F.size(F.col(vec_col)) == dim)
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    qdf = (
+        df.where(clean)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(cast({vec_col} as array<double>),"
+                f" x -> cast(floor(x * {_SCALE_SQL} + 0.5) as bigint))"
+            ).alias("_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = _fit(qdf, id_col, m, k, iters, sub)
+    if cents is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, codes array<int>, adc_dist bigint"
+        )
+
+    def adc_sql(sp: int) -> str:
+        qs = qlanes[sp * sub : (sp + 1) * sub]
+        tbl = sql_long_array(
+            sum((a - b) * (a - b) for a, b in zip(qs, lanes))
+            for _, lanes in cents[sp]
+        )
+        d = _dists_sql(cents, sp, sub)
+        return (
+            f"element_at({tbl},"
+            f" cast(array_position({d}, array_min({d})) as int))"
+        )
+
+    codes = "array(" + ",".join(
+        _label_sql(cents, sp, sub) for sp in range(m)
+    ) + ")"
+    adc = " + ".join(adc_sql(sp) for sp in range(m))
+    return (
+        qdf.select(
+            F.col(id_col),
+            F.expr(codes).cast("array<int>").alias("codes"),
+            F.expr(adc).cast("bigint").alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+
+
+def pq_adc_topk_oracle(
+    query: list[float],
+    topk: int = 10,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`pq_adc_topk` — the shared training CTEs, the quantized
+    query as a VALUES lane table (the SAME integers the Spark side
+    embeds), ADC per (subspace, centroid) from cent_{iters}, and the
+    (adc ASC, id ASC) top-k."""
+    dim = len(query)
+    if dim % m != 0:
+        raise ValueError(f"len(query)={dim} not divisible by m={m}")
+    sub = dim // m
+    qlanes = quantize_query(query)
+    ctes = _oracle_ctes(m, k, iters, dim, table, vec_col, id_col)
+    vals = ", ".join(f"({i + 1}, {q})" for i, q in enumerate(qlanes))
+    return f"""{ctes},
+qlanes AS (
+    SELECT i, (i - 1) // {sub} AS sp, CAST(q AS BIGINT) AS q
+    FROM (VALUES {vals}) t(i, q)
+),
+adc AS (
+    SELECT c.sp, c.cluster_idx, SUM((l.q - c.c) * (l.q - c.c)) AS d2
+    FROM cent_{iters} c JOIN qlanes l ON l.i = c.i
+    GROUP BY c.sp, c.cluster_idx
+),
+ranked AS (
+    SELECT a.vid,
+           list(CAST(a.cluster_idx AS INTEGER) ORDER BY a.sp) AS codes,
+           CAST(SUM(t.d2) AS BIGINT) AS adc_dist
+    FROM final_assign a
+    JOIN adc t ON t.sp = a.sp AND t.cluster_idx = a.cluster_idx
+    GROUP BY a.vid
+)
+SELECT vid AS {id_col}, codes, adc_dist
+FROM ranked
+ORDER BY adc_dist ASC, vid ASC
+LIMIT {int(topk)}"""

@@ -228,3 +228,86 @@ def test_pq_validation(spark):
         [], "vec_id long, embedding array<double>"
     )
     assert pq_train_encode(empty, m=2, k=2).count() == 0
+
+
+# ---- ADC top-k ------------------------------------------------------
+
+from survivor_processing_spark.operators.pq import (  # noqa: E402
+    pq_adc_topk,
+    pq_adc_topk_oracle,
+)
+
+
+def _spark_adc(spark, vectors, query, **kw):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    return [
+        (r["vec_id"], list(r["codes"]), r["adc_dist"])
+        for r in pq_adc_topk(df, query, **kw).collect()
+    ]
+
+
+def _duck_adc(vectors, query, **kw):
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": list(vectors), "embedding": list(vectors.values())}
+        ),
+    )
+    return [
+        (int(i), [int(c) for c in codes], int(d))
+        for i, codes, d in con.execute(
+            pq_adc_topk_oracle(query, **kw)
+        ).fetchall()
+    ]
+
+
+def test_adc_cross_engine_and_self_hit(spark):
+    rng = random.Random(31)
+    vecs = _rand_vectors(rng, 50, 12)
+    query = list(vecs[7])  # plant the query itself in the corpus
+    got = _spark_adc(spark, vecs, query, topk=5, m=3, k=4, iters=2)
+    want = _duck_adc(vecs, query, topk=5, m=3, k=4, iters=2)
+    assert got == want
+    # ADC lower bound: for the planted copy adc == recon_err (same
+    # assigned centroids, query == vector) and no vector can score
+    # below it (adc_w >= sum of per-subspace minima = adc_self), so
+    # the top distance equals it — other vectors sharing all three
+    # codes tie and may outrank id 7 on the id tiebreak
+    enc = _spark_pq(spark, vecs, m=3, k=4, iters=2)
+    assert got[0][2] == enc[7][1]
+    hit = [r for r in got if r[0] == 7]
+    assert not hit or hit[0][2] == enc[7][1]
+
+
+def test_adc_orders_by_distance_then_id(spark):
+    rng = random.Random(13)
+    vecs = _rand_vectors(rng, 30, 8)
+    vecs[200] = list(vecs[3])  # duplicate -> identical adc, id ties
+    query = list(vecs[3])
+    got = _spark_adc(spark, vecs, query, topk=31, m=2, k=3, iters=1)
+    want = _duck_adc(vecs, query, topk=31, m=2, k=3, iters=1)
+    assert got == want
+    dists = [d for _, _, d in got]
+    assert dists == sorted(dists)
+    # within a distance tie, ids ascend (total order both engines)
+    for (i1, _, d1), (i2, _, d2) in zip(got, got[1:]):
+        assert d1 < d2 or i1 < i2
+    # the duplicate pair ties exactly, at the global minimum
+    by_id = {i: d for i, _, d in got}
+    assert by_id[3] == by_id[200] == got[0][2]
+
+
+def test_adc_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, [1.0] * 7, m=2)
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, [1.0] * 8, m=2, topk=0)
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, [1.0, None] * 4, m=2)
