@@ -12,7 +12,10 @@ committed hypothesis tests' budget:
 - nearest-seed cluster assignment and paragraph dedup (r7, VERDICT
   r06 #8), SemDeDup semantic dedup (r7);
 - BPE tokenizer training and integer-lane PageRank (r7, unit-gated
-  queued-r9 operators — generated-oracle replay).
+  queued-r9 operators — generated-oracle replay);
+- substring-span dedup (+ cleaned text), BPE encode/token budgets,
+  and product quantization incl. ADC top-k (r7, unit-gated queued
+  operators — generated-oracle replay).
 
 Usage: python tools/fuzz_portables.py [seed] [n_trials_per_family]
 Exits 1 on any cross-engine mismatch.
@@ -347,6 +350,203 @@ def fuzz_simhash(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_substring(spark, rng, trials: int) -> int:
+    """operators/substring.py (unit-gated, queued): random corpora
+    with planted shared boilerplate, within-doc repeats, short docs,
+    and random (n, min_count) — spans AND cleaned text vs the
+    generated oracles."""
+    from survivor_processing_spark.operators.substring import (
+        substring_clean_oracle,
+        substring_dedup_clean,
+        substring_dedup_spans,
+        substring_spans_oracle,
+    )
+
+    fails = 0
+    vocab = [f"w{i}" for i in range(25)]
+    for _ in range(trials):
+        n = rng.randint(2, 6)
+        min_count = rng.choice([2, 2, 3])
+        boiler = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(n, 3 * n))
+        )
+        texts = {}
+        for d in range(rng.randint(5, 30)):
+            words = [
+                rng.choice(vocab) for _ in range(rng.randint(0, 35))
+            ]
+            if rng.random() < 0.5:
+                ins = rng.randint(0, len(words))
+                words[ins:ins] = boiler.split()
+            if rng.random() < 0.15 and words:  # within-doc repeat
+                words = words + words
+            texts[d] = " ".join(words)
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got_s = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in substring_dedup_spans(
+                df, n=n, min_count=min_count
+            ).collect()
+        )
+        got_c = sorted(
+            (r["doc_id"], r["clean_text"], r["n_removed_tokens"])
+            for r in substring_dedup_clean(
+                df, n=n, min_count=min_count
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want_s = sorted(
+            (int(a), int(b), int(c))
+            for a, b, c, _ in con.execute(
+                substring_spans_oracle(n=n, min_count=min_count)
+            ).fetchall()
+        )
+        want_c = sorted(
+            (int(a), b, int(d))
+            for a, b, _, d in con.execute(
+                substring_clean_oracle(n=n, min_count=min_count)
+            ).fetchall()
+        )
+        if got_s != want_s or got_c != want_c:
+            fails += 1
+            print(f"SUBSTRING MISMATCH n={n} mc={min_count}")
+    return fails
+
+
+def fuzz_bpe_encode(spark, rng, trials: int) -> int:
+    """operators/bpe.py token budgets (unit-gated, queued): random
+    corpora mixing alpha/OOV/empty docs with random (n_merges,
+    max_vocab, encode_max_len) — Spark train+encode vs the guarded
+    generated oracle (early-stop corpora included)."""
+    from survivor_processing_spark.operators.bpe import (
+        bpe_token_budget,
+        bpe_token_budget_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        alpha = "abcd"
+        vocab = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(3, 20))
+        ] + ["x9!", "42", ""]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+            for _ in range(rng.randint(2, 40))
+        ]
+        kw = {
+            "n_merges": rng.randint(1, 6),
+            "encode_max_len": rng.choice([8, 32]),
+        }
+        if rng.random() < 0.3:
+            kw["max_vocab"] = rng.randint(2, 10)
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["n_words"], r["n_oov_words"])
+            for r in bpe_token_budget(df, **kw).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        want = sorted(
+            (int(a), int(b), int(c), int(d))
+            for a, b, c, d in con.execute(
+                bpe_token_budget_oracle(**kw)
+            ).fetchall()
+        )
+        if got != want:
+            fails += 1
+            print(f"BPE-ENCODE MISMATCH kw={kw}")
+    return fails
+
+
+def fuzz_pq(spark, rng, trials: int) -> int:
+    """operators/pq.py (unit-gated, queued): random (n, m, k, iters,
+    dim) with planted duplicates, zero vectors, and hygiene poison
+    (NULL vector / NULL lane / ragged) — codes+recon AND the ADC
+    top-k (query = a perturbed corpus vector) vs the generated
+    oracles."""
+    from survivor_processing_spark.operators.pq import (
+        pq_adc_topk,
+        pq_adc_topk_oracle,
+        pq_portable_oracle,
+        pq_train_encode,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        m = rng.choice([2, 3, 4])
+        sub = rng.randint(2, 5)
+        dim = m * sub
+        n, k, iters = rng.randint(6, 40), rng.randint(2, 6), rng.randint(1, 3)
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)
+        }
+        vecs[1] = list(vecs[0])  # duplicate
+        vecs[2] = [0.0] * dim  # zero vector
+        rows = [(i, v) for i, v in vecs.items()] + [
+            (900, None),
+            (901, [1.0] * (dim + 1)),
+            (902, [0.5] * (dim - 1) + [None]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        query = [
+            x + rng.uniform(-0.05, 0.05) for x in vecs[rng.randrange(n)]
+        ]
+        got_e = sorted(
+            (r["vec_id"], tuple(r["codes"]), r["recon_err"])
+            for r in pq_train_encode(
+                df, m=m, k=k, iters=iters, dim=dim
+            ).collect()
+        )
+        got_a = [
+            (r["vec_id"], tuple(r["codes"]), r["adc_dist"])
+            for r in pq_adc_topk(
+                df, query, topk=5, m=m, k=k, iters=iters
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame(
+                {
+                    "vec_id": [r[0] for r in rows],
+                    "embedding": [r[1] for r in rows],
+                }
+            ),
+        )
+        want_e = sorted(
+            (int(i), tuple(int(c) for c in codes), int(e))
+            for i, codes, e in con.execute(
+                pq_portable_oracle(m=m, k=k, iters=iters, dim=dim)
+            ).fetchall()
+        )
+        want_a = [
+            (int(i), tuple(int(c) for c in codes), int(d))
+            for i, codes, d in con.execute(
+                pq_adc_topk_oracle(query, topk=5, m=m, k=k, iters=iters)
+            ).fetchall()
+        ]
+        if got_e != want_e or got_a != want_a:
+            fails += 1
+            print(f"PQ MISMATCH m={m} k={k} iters={iters} dim={dim}")
+    return fails
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -363,6 +563,9 @@ def main() -> int:
         ("semantic_dedup", fuzz_semantic_dedup),
         ("bpe", fuzz_bpe),
         ("pagerank", fuzz_pagerank),
+        ("substring", fuzz_substring),
+        ("bpe_encode", fuzz_bpe_encode),
+        ("pq", fuzz_pq),
     ):
         f = fn(spark, rng, trials)
         fails += f
