@@ -273,3 +273,100 @@ def weighted_sample_k(
         salt_on=[id_col],
     )
     return out.drop("_aes_key")
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    weights: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """EXACT-proportion train/val/test assignment per stratum — the
+    controlled sibling of the hash split (q:dataset_split_hash): a
+    hash split's per-stratum proportions drift by O(1/sqrt(n)) and a
+    10-doc language can land 0 validation docs, while a dataset card
+    promising "80/10/10 per language" needs the counts exact.
+
+    Rows are ranked inside each stratum by (md5(id), id) — a
+    deterministic, engine-portable shuffle — and split at exact
+    integer cut points: rank r goes to the FIRST split j with
+    ``r * W_total <= n * cum_W_j`` (all bigint arithmetic, no
+    floats), so split sizes are floor(n * w/W) with the leftover
+    fractional rows flowing to the later splits in ``weights``
+    order, and the union is always the whole stratum.  Adds a
+    ``split`` column; ``weights`` defaults to
+    [(train, 8), (val, 1), (test, 1)].
+
+    One window shuffle on the strata. A pretraining-scale stratum
+    (one language = billions of rows) makes per-stratum ROW_NUMBER a
+    hot single task — exactness fundamentally needs a per-stratum
+    total order, so at 100 TB either (a) sub-stratify by a
+    hash-prefix byte (256 sub-strata per language, each exactly
+    split — proportions exact per sub-stratum, hence per stratum)
+    or (b) fall back to the map-only hash split where O(1/sqrt(n))
+    drift is acceptable.  Small/medium strata (domains, sources,
+    label classes) run as-is."""
+    if weights is None:
+        weights = [("train", 8), ("val", 1), ("test", 1)]
+    if not weights or any(w <= 0 or int(w) != w for _, w in weights):
+        raise ValueError(f"weights must be positive ints: {weights}")
+    total = sum(w for _, w in weights)
+    w_strata = Window.partitionBy(*strata_cols)
+    rank = F.row_number().over(
+        w_strata.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    n = F.count(F.lit(1)).over(w_strata)
+    expr = None
+    cum = 0
+    for name, w in weights[:-1]:
+        cum += w
+        cond = rank.cast("bigint") * total <= n.cast("bigint") * cum
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def stratified_exact_split_oracle(
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    weights: list[tuple[str, int]] | None = None,
+    table: str = "documents",
+    agg: str = "COUNT(*) AS n_docs",
+) -> str:
+    """Mechanically generate the DuckDB replay of
+    :func:`stratified_exact_split`, aggregated per (strata, split)
+    with ``agg`` (exact counts are the property the gate checks)."""
+    if weights is None:
+        weights = [("train", 8), ("val", 1), ("test", 1)]
+    total = sum(w for _, w in weights)
+    strata = ", ".join(strata_cols)
+    cases, cum = [], 0
+    for name, w in weights[:-1]:
+        cum += w
+        cases.append(
+            f"WHEN r * {total} <= n * {cum} THEN '{name}'"
+        )
+    case = (
+        "CASE " + " ".join(cases) + f" ELSE '{weights[-1][0]}' END"
+        if cases
+        else f"'{weights[-1][0]}'"
+    )
+    return f"""
+WITH ranked AS (
+    SELECT {strata}, {id_col},
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {strata}
+               ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+           ) AS BIGINT) AS r,
+           CAST(COUNT(*) OVER (PARTITION BY {strata}) AS BIGINT) AS n
+    FROM {table}
+)
+SELECT {strata}, {case} AS split, {agg}
+FROM ranked
+GROUP BY {strata}, split
+"""
