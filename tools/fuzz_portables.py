@@ -547,6 +547,106 @@ def fuzz_pq(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_bfs(spark, rng, trials: int) -> int:
+    """operators/bfs.py (unit-gated, queued): random digraphs with
+    self-loops, parallel edges, unreachable components, and random
+    source sets/horizons — frontier BFS vs the generated per-hop
+    oracle."""
+    from survivor_processing_spark.operators.bfs import (
+        bfs_levels,
+        bfs_levels_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        n = rng.randint(3, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 4 * n))
+        ]
+        sources = rng.sample(range(n), rng.randint(1, min(4, n)))
+        iters = rng.randint(0, 6)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(df, sources, n_iters=iters).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "edges",
+            pd.DataFrame(edges, columns=["src", "dst"]).astype("int64"),
+        )
+        want = dict(
+            con.execute(bfs_levels_oracle(sources, iters)).fetchall()
+        )
+        if got != want:
+            fails += 1
+            print(f"BFS MISMATCH n={n} sources={sources} iters={iters}")
+    return fails
+
+
+def fuzz_stratified_split(spark, rng, trials: int) -> int:
+    """operators/curation.py stratified_exact_split (unit-gated,
+    queued): random strata distributions (incl. 1-row and hot
+    strata) and random weight vectors — per-(stratum, split) counts
+    vs the generated oracle plus the exact floor-count property."""
+    from survivor_processing_spark.operators.curation import (
+        stratified_exact_split,
+        stratified_exact_split_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        langs = [f"l{i}" for i in range(rng.randint(1, 6))]
+        rows = [
+            (i, rng.choice(langs)) for i in range(rng.randint(1, 300))
+        ]
+        n_splits = rng.randint(1, 4)
+        weights = [
+            (f"s{j}", rng.randint(1, 9)) for j in range(n_splits)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        import pyspark.sql.functions as F
+
+        got = sorted(
+            (r["lang"], r["split"], r["n_docs"])
+            for r in stratified_exact_split(
+                df, ["lang"], "doc_id", weights=weights
+            )
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"))
+            .collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "lang"])
+        )
+        want = sorted(
+            (a, b, int(c))
+            for a, b, c in con.execute(
+                stratified_exact_split_oracle(["lang"], weights=weights)
+            ).fetchall()
+        )
+        total = sum(w for _, w in weights)
+        per_lang: dict[str, dict[str, int]] = {}
+        for lang, split, c in got:
+            per_lang.setdefault(lang, {})[split] = c
+        exact_ok = True
+        for lang, counts in per_lang.items():
+            nn = sum(counts.values())
+            cum, prev = 0, 0
+            for name, w in weights[:-1]:
+                cum += w
+                cut = nn * cum // total
+                if counts.get(name, 0) != cut - prev:
+                    exact_ok = False
+                prev = cut
+        if got != want or not exact_ok:
+            fails += 1
+            print(f"SPLIT MISMATCH weights={weights}")
+    return fails
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -566,6 +666,8 @@ def main() -> int:
         ("substring", fuzz_substring),
         ("bpe_encode", fuzz_bpe_encode),
         ("pq", fuzz_pq),
+        ("bfs", fuzz_bfs),
+        ("stratified_split", fuzz_stratified_split),
     ):
         f = fn(spark, rng, trials)
         fails += f
