@@ -370,3 +370,112 @@ SELECT {strata}, {case} AS split, {agg}
 FROM ranked
 GROUP BY {strata}, split
 """
+
+
+def ngram_coverage_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_ref_count: int = 2,
+) -> DataFrame:
+    """Corpus-distribution quality signal: what fraction of a
+    document's word ``n``-grams occur at least ``min_ref_count``
+    times corpus-wide?  The model-free form of the CCNet/KenLM
+    perplexity filter — a document whose bigrams the corpus has
+    never seen twice is gibberish, OCR noise, or severely
+    out-of-distribution, and no rule-based score
+    (q:text_quality_scores) or intra-document repetition metric
+    (q:repetition_stats) detects that.  Exact integer outputs
+    (``n_grams``, ``n_covered``) so the score is engine-portable;
+    divide downstream for the ratio.
+
+    Plan shape: one explode pass builds the positional-free gram
+    multiset; the reference count is a map-side-combined
+    ``groupBy(gram)`` (vocabulary²-bounded output, heavy repetition
+    shrinks the shuffle); coverage is a left join back on the gram
+    and one per-document count — the same
+    grams / count / join-back skeleton as substring dedup, sharing
+    its scale argument.  Documents shorter than ``n`` words emit
+    zeros (strict n-grams, dedup.ngrams_from_words semantics)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_ref_count < 1:
+        raise ValueError(
+            f"min_ref_count must be >= 1, got {min_ref_count}"
+        )
+    from .dedup import ngrams_from_words, tokens_expr
+
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_expr(text_col).alias("words"),
+        )
+        .select(
+            "doc_id",
+            F.explode(ngrams_from_words("words", n)).alias("gram"),
+        )
+    )
+    known = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_rc"))
+        .filter(F.col("_rc") >= min_ref_count)
+        .select("gram", F.lit(1).alias("_known"))
+    )
+    per_doc = (
+        grams.join(known, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_known").alias("n_covered"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_covered", F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+
+
+def ngram_coverage_oracle(
+    n: int = 2,
+    min_ref_count: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mechanically generate the DuckDB replay of
+    :func:`ngram_coverage_score` from the same parameters."""
+    return f"""
+WITH w AS (
+    SELECT {id_col} AS doc_id,
+           string_split(regexp_replace(lower(trim({text_col})),
+                                       '\\s+', ' ', 'g'), ' ') AS words
+    FROM {table}
+), g AS (
+    SELECT doc_id, array_to_string(words[i:i+{n - 1}], ' ') AS gram
+    FROM w, LATERAL (
+        SELECT unnest(generate_series(1, len(words) - {n - 1})) AS i
+    )
+    WHERE len(words) >= {n}
+), known AS (
+    SELECT gram FROM g GROUP BY gram
+    HAVING COUNT(*) >= {int(min_ref_count)}
+), per_doc AS (
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(k.gram) AS BIGINT) AS n_covered
+    FROM g LEFT JOIN known k ON k.gram = g.gram
+    GROUP BY g.doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_covered, 0) AS n_covered
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
+"""
