@@ -647,6 +647,57 @@ def fuzz_stratified_split(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_ngram_coverage(spark, rng, trials: int) -> int:
+    """operators/curation.py ngram_coverage_score (unit-gated,
+    queued): random corpora with planted gibberish and heavy
+    repetition, random (n, min_ref_count) — counts vs the generated
+    oracle."""
+    from survivor_processing_spark.operators.curation import (
+        ngram_coverage_oracle,
+        ngram_coverage_score,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        vocab = [f"v{i}" for i in range(rng.randint(5, 20))]
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 30))
+            )
+            for d in range(rng.randint(3, 40))
+        }
+        if rng.random() < 0.5:  # planted unique-gibberish doc
+            texts[500] = " ".join(f"zz{i}" for i in range(8))
+        kw = {
+            "n": rng.randint(1, 4),
+            "min_ref_count": rng.randint(1, 4),
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_covered"])
+            for r in ngram_coverage_score(df, **kw).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want = {
+            int(i): (int(g), int(c))
+            for i, g, c in con.execute(
+                ngram_coverage_oracle(**kw)
+            ).fetchall()
+        }
+        if got != want:
+            fails += 1
+            print(f"COVERAGE MISMATCH kw={kw}")
+    return fails
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -668,6 +719,7 @@ def main() -> int:
         ("pq", fuzz_pq),
         ("bfs", fuzz_bfs),
         ("stratified_split", fuzz_stratified_split),
+        ("ngram_coverage", fuzz_ngram_coverage),
     ):
         f = fn(spark, rng, trials)
         fails += f
