@@ -1,0 +1,155 @@
+"""Exact-rational grouped OLS: closed-form equality on known lines,
+rational-vs-float agreement with a pure-Python fit, degenerate
+groups, NULL hygiene, and cross-engine equality (Spark == generated
+DuckDB oracle) on random and sf0.001-events inputs."""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import duckdb
+import pandas as pd
+import pytest
+
+from survivor_processing_spark.operators.regression import (
+    ols_trend_exact,
+    ols_trend_oracle,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spark_fit(spark, rows, scale=1000):
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    return {
+        r["g"]: (
+            r["n_points"],
+            r["slope_num"],
+            r["slope_den"],
+            r["icept_num"],
+            r["icept_den"],
+        )
+        for r in ols_trend_exact(df, ["g"], "x", "y", scale).collect()
+    }
+
+
+def _duck_fit(rows, scale=1000):
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows, columns=["g", "x", "y"]))
+    return {
+        g: tuple(int(v) for v in rest)
+        for g, *rest in con.execute(
+            ols_trend_oracle(["g"], "x", "y", scale)
+        ).fetchall()
+    }
+
+
+def test_perfect_line_recovered(spark):
+    # y = 2x + 3 exactly on the grid
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    got = _spark_fit(spark, rows)
+    n, sn, sd, inum, iden = got["a"]
+    assert n == 10
+    assert Fraction(sn, sd) == 2
+    # intercept is 3 on the RAW scale: the rational is in grid units,
+    # and slope is unit-free while intercept carries one grid factor
+    assert Fraction(inum, iden) == 3 * 1000
+    assert got == _duck_fit(rows)
+
+
+def test_matches_float_least_squares(spark):
+    rng = random.Random(11)
+    rows = [
+        ("g1", rng.uniform(-5, 5), rng.uniform(-5, 5)) for _ in range(40)
+    ] + [("g2", rng.uniform(0, 9), rng.uniform(0, 9)) for _ in range(25)]
+    got = _spark_fit(spark, rows)
+    assert got == _duck_fit(rows)
+    for g in ("g1", "g2"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        _, sn, sd, inum, iden = got[g]
+        assert abs(sn / sd - slope) < 5e-3  # 1e-3 grid rounding
+        icept = (sy - slope * sx) / n
+        assert abs(inum / iden / 1000 - icept) < 5e-3
+
+
+def test_degenerate_groups(spark):
+    rows = [
+        ("one_point", 1.0, 5.0),
+        ("same_x", 2.0, 1.0),
+        ("same_x", 2.0, 9.0),
+    ]
+    got = _spark_fit(spark, rows)
+    assert got == _duck_fit(rows)
+    assert got["one_point"][1:3] == (0, 0)  # 0/0 slope, deterministic
+    assert got["same_x"][1:3] == (0, 0)
+
+
+def test_null_hygiene(spark):
+    rows = [
+        ("a", 1.0, 1.0),
+        ("a", 2.0, None),
+        ("a", None, 3.0),
+        ("a", 3.0, 3.0),
+    ]
+    got = _spark_fit(spark, rows)
+    assert got == _duck_fit(rows)
+    assert got["a"][0] == 2  # only the two complete points count
+
+
+def test_cross_engine_random_scales(spark):
+    rng = random.Random(43)
+    for scale in (1, 100, 1000):
+        rows = [
+            (f"g{rng.randint(0, 3)}", rng.uniform(-9, 9), rng.uniform(-9, 9))
+            for _ in range(120)
+        ]
+        assert _spark_fit(spark, rows, scale) == _duck_fit(rows, scale), scale
+
+
+def test_cross_engine_sf0001_events(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # scale=10 keeps the intercept numerator (which squares the
+    # moment envelope) inside int64 for ~200-row groups of |y|<=330
+    df = ev.selectExpr(
+        "event_type AS g",
+        "cast(user_id % 100 as double) AS x",
+        "value AS y",
+    )
+    got = {
+        r["g"]: (
+            r["n_points"],
+            r["slope_num"],
+            r["slope_den"],
+            r["icept_num"],
+            r["icept_den"],
+        )
+        for r in ols_trend_exact(df, ["g"], "x", "y", scale=10).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_type AS g,"
+        " CAST(user_id % 100 AS DOUBLE) AS x, value AS y"
+        f" FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = {
+        g: tuple(int(v) for v in rest)
+        for g, *rest in con.execute(
+            ols_trend_oracle(["g"], "x", "y", scale=10)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", 1.0, 1.0)], "g string, x double, y double")
+    with pytest.raises(ValueError):
+        ols_trend_exact(df, [], "x", "y")
+    with pytest.raises(ValueError):
+        ols_trend_exact(df, ["g"], "x", "y", scale=0)
