@@ -698,6 +698,62 @@ def fuzz_ngram_coverage(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_ols(spark, rng, trials: int) -> int:
+    """operators/regression.py ols_trend_exact (unit-gated, queued):
+    random grouped point clouds with planted perfect lines,
+    degenerate single-point/constant-x groups, NULLs, and random
+    scales — rational outputs vs the generated oracle."""
+    from survivor_processing_spark.operators.regression import (
+        ols_trend_exact,
+        ols_trend_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        scale = rng.choice([1, 10, 100, 1000])
+        rows = []
+        for g in range(rng.randint(1, 5)):
+            kind = rng.random()
+            npts = rng.randint(1, 60)
+            if kind < 0.2:  # perfect line
+                a, b = rng.randint(-3, 3), rng.randint(-5, 5)
+                rows += [
+                    (f"g{g}", float(x), float(a * x + b))
+                    for x in range(npts)
+                ]
+            elif kind < 0.3:  # constant x (degenerate)
+                rows += [
+                    (f"g{g}", 2.0, rng.uniform(-5, 5))
+                    for _ in range(npts)
+                ]
+            else:
+                rows += [
+                    (f"g{g}", rng.uniform(-8, 8), rng.uniform(-8, 8))
+                    for _ in range(npts)
+                ]
+        if rng.random() < 0.4:
+            rows.append(("g0", None, 1.0))
+            rows.append(("g0", 1.0, None))
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = sorted(
+            map(tuple, ols_trend_exact(df, ["g"], "x", "y", scale).collect())
+        )
+        con = duckdb.connect()
+        con.register(
+            "events", pd.DataFrame(rows, columns=["g", "x", "y"])
+        )
+        want = sorted(
+            (g, *(int(v) for v in rest))
+            for g, *rest in con.execute(
+                ols_trend_oracle(["g"], "x", "y", scale)
+            ).fetchall()
+        )
+        if got != want:
+            fails += 1
+            print(f"OLS MISMATCH scale={scale} n={len(rows)}")
+    return fails
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -720,6 +776,7 @@ def main() -> int:
         ("bfs", fuzz_bfs),
         ("stratified_split", fuzz_stratified_split),
         ("ngram_coverage", fuzz_ngram_coverage),
+        ("ols", fuzz_ols),
     ):
         f = fn(spark, rng, trials)
         fails += f
