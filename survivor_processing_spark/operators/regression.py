@@ -56,8 +56,18 @@ def ols_trend_exact(
 ) -> DataFrame:
     """Per-group OLS fit of ``y ~ x`` on the 1/scale fixed-point
     grid: returns group cols + ``n_points, slope_num, slope_den,
-    icept_num, icept_den`` (all bigint, exact).  Rows with a NULL in
-    either column are dropped (mirrored by the oracle)."""
+    icept_num, icept_den, syy_c`` (all bigint, exact).  ``syy_c`` is
+    the centered second moment n·Σy²−(Σy)², completing the trio
+    (slope_num = n·Σxy−ΣxΣy, slope_den = n·Σx²−(Σx)²) from which
+    the coefficient of determination — the trend-STRENGTH number
+    that separates real drift from noise — follows downstream as
+    ``R² = slope_num² / (slope_den · syy_c)``, still an exact
+    rational (``Fraction`` it).  The square is deliberately NOT
+    taken in-engine: it would double the int64 envelope's exponent
+    and overflow on inputs the linear moments handle fine.  Rows
+    with a NULL in either column are dropped (mirrored by the
+    oracle); a constant-y group has ``syy_c = 0`` (R² degenerates
+    0/0 like a constant-x one)."""
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
     if not group_cols:
@@ -70,12 +80,16 @@ def ols_trend_exact(
         F.sum(qy).alias("_sy"),
         F.sum(qx * qy).alias("_sxy"),
         F.sum(qx * qx).alias("_sxx"),
+        F.sum(qy * qy).alias("_syy"),
     )
     slope_num = (
         F.col("n_points") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     )
     slope_den = (
         F.col("n_points") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    syy_c = (
+        F.col("n_points") * F.col("_syy") - F.col("_sy") * F.col("_sy")
     )
     return moments.select(
         *group_cols,
@@ -86,6 +100,7 @@ def ols_trend_exact(
         .cast("bigint")
         .alias("icept_num"),
         (F.col("n_points") * slope_den).cast("bigint").alias("icept_den"),
+        syy_c.cast("bigint").alias("syy_c"),
     )
 
 
@@ -114,7 +129,8 @@ WITH q AS (
            CAST(SUM(qx) AS BIGINT) AS sx,
            CAST(SUM(qy) AS BIGINT) AS sy,
            CAST(SUM(qx * qy) AS BIGINT) AS sxy,
-           CAST(SUM(qx * qx) AS BIGINT) AS sxx
+           CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+           CAST(SUM(qy * qy) AS BIGINT) AS syy
     FROM q GROUP BY {g}
 )
 SELECT {g}, n_points,
@@ -123,6 +139,7 @@ SELECT {g}, n_points,
        CAST(sy * (n_points * sxx - sx * sx)
             - (n_points * sxy - sx * sy) * sx AS BIGINT) AS icept_num,
        CAST(n_points * (n_points * sxx - sx * sx) AS BIGINT)
-           AS icept_den
+           AS icept_den,
+       CAST(n_points * syy - sy * sy AS BIGINT) AS syy_c
 FROM m
 """
