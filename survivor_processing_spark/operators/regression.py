@@ -19,20 +19,28 @@ closed-form OLS solution is an exact RATIONAL:
 
     slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
     intercept = (Σy·slope_den − slope_num·Σx) / (n·slope_den)
+    R²        = slope_num² / (slope_den · syy_c)
 
-emitted as (numerator, denominator) bigint pairs — bit-identical in
-any engine; divide downstream for floats.  A degenerate group (one
-point, or all x equal) yields denominator 0 with numerator 0 —
-deterministic, not NULL-poisoned.
+The slope ships as a bigint (num, den) pair — bit-identical in any
+engine; intercept and R² are computed DOWNSTREAM from the emitted
+raw/centered moments with ``fractions.Fraction`` (still exact),
+never in-engine: each extra int64 product multiplies the overflow
+envelope, and both the intercept product (n³ growth) and the R²
+square (doubled exponent) blew int64 on group sizes whose linear
+moments were fine — ANSI mode catches it loudly, but the right fix
+is emitting moments, not products.  A degenerate group (one point,
+or all x equal) yields slope 0/0 — deterministic, not
+NULL-poisoned.
 
-Overflow envelope (document, don't guess): |num| ≤ 2·n²·(scale·X)·
-(scale·Y) for value bounds X, Y.  The default scale 1000 holds
-|x|,|y| ≤ 1e3 exactly on the grid and keeps n ≤ ~5e4 rows/group
-inside int64 for the slope moments; the intercept numerator squares
-the envelope, so for big groups either lower ``scale`` or pre-
-aggregate x-duplicates.  At 100 TB the plan is one map-side-combined
-hash aggregate — moments are Spark's own partial-agg shape, no
-window, no sort.
+Overflow envelope for what IS computed in-engine (document, don't
+guess): |slope_num| ≤ 2·n²·(scale·X)·(scale·Y) for value bounds
+X, Y.  The default scale 1000 holds |x|,|y| ≤ 1e3 exactly on the
+grid and keeps n ≤ ~5e4 rows/group inside int64; for bigger groups
+lower ``scale`` or pre-aggregate x-duplicates.  At 100 TB the plan
+is one map-side-combined hash aggregate — moments are Spark's own
+partial-agg shape, no window, no sort — and the emitted moments are
+MERGEABLE state (operators/partial_agg.py philosophy): shard fits
+re-combine by adding moments.
 """
 
 from __future__ import annotations
@@ -55,19 +63,24 @@ def ols_trend_exact(
     scale: int = 1000,
 ) -> DataFrame:
     """Per-group OLS fit of ``y ~ x`` on the 1/scale fixed-point
-    grid: returns group cols + ``n_points, slope_num, slope_den,
-    icept_num, icept_den, syy_c`` (all bigint, exact).  ``syy_c`` is
-    the centered second moment n·Σy²−(Σy)², completing the trio
-    (slope_num = n·Σxy−ΣxΣy, slope_den = n·Σx²−(Σx)²) from which
-    the coefficient of determination — the trend-STRENGTH number
-    that separates real drift from noise — follows downstream as
-    ``R² = slope_num² / (slope_den · syy_c)``, still an exact
-    rational (``Fraction`` it).  The square is deliberately NOT
-    taken in-engine: it would double the int64 envelope's exponent
-    and overflow on inputs the linear moments handle fine.  Rows
-    with a NULL in either column are dropped (mirrored by the
-    oracle); a constant-y group has ``syy_c = 0`` (R² degenerates
-    0/0 like a constant-x one)."""
+    grid: returns group cols + ``n_points, sx, sy, slope_num,
+    slope_den, syy_c`` (all bigint, exact).
+
+    The slope ships as a rational (``slope_num = n·Σxy−ΣxΣy``,
+    ``slope_den = n·Σx²−(Σx)²``); everything NEEDING a higher-degree
+    product ships as raw moments instead, computed downstream in
+    arbitrary precision (``Fraction``), because each extra in-engine
+    multiplication multiplies the int64 envelope:
+
+    - intercept = (sy·slope_den − slope_num·sx) / (n·slope_den) —
+      the product form overflowed at sf0.1 group sizes (n³ growth)
+      while the moments themselves were nowhere near the limit;
+    - R² = slope_num² / (slope_den·syy_c) with ``syy_c`` =
+      n·Σy²−(Σy)² — same story, squaring doubles the exponent.
+
+    Rows with a NULL in either column are dropped (mirrored by the
+    oracle).  Degenerate groups stay deterministic: constant x →
+    slope 0/0; constant y → ``syy_c`` 0 (R² 0/0)."""
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
     if not group_cols:
@@ -94,12 +107,10 @@ def ols_trend_exact(
     return moments.select(
         *group_cols,
         "n_points",
+        F.col("_sx").cast("bigint").alias("sx"),
+        F.col("_sy").cast("bigint").alias("sy"),
         slope_num.cast("bigint").alias("slope_num"),
         slope_den.cast("bigint").alias("slope_den"),
-        (F.col("_sy") * slope_den - slope_num * F.col("_sx"))
-        .cast("bigint")
-        .alias("icept_num"),
-        (F.col("n_points") * slope_den).cast("bigint").alias("icept_den"),
         syy_c.cast("bigint").alias("syy_c"),
     )
 
@@ -133,13 +144,9 @@ WITH q AS (
            CAST(SUM(qy * qy) AS BIGINT) AS syy
     FROM q GROUP BY {g}
 )
-SELECT {g}, n_points,
+SELECT {g}, n_points, sx, sy,
        CAST(n_points * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n_points * sxx - sx * sx AS BIGINT) AS slope_den,
-       CAST(sy * (n_points * sxx - sx * sx)
-            - (n_points * sxy - sx * sy) * sx AS BIGINT) AS icept_num,
-       CAST(n_points * (n_points * sxx - sx * sx) AS BIGINT)
-           AS icept_den,
        CAST(n_points * syy - sy * sy AS BIGINT) AS syy_c
 FROM m
 """

@@ -25,10 +25,10 @@ def _spark_fit(spark, rows, scale=1000):
     return {
         r["g"]: (
             r["n_points"],
+            r["sx"],
+            r["sy"],
             r["slope_num"],
             r["slope_den"],
-            r["icept_num"],
-            r["icept_den"],
             r["syy_c"],
         )
         for r in ols_trend_exact(df, ["g"], "x", "y", scale).collect()
@@ -50,12 +50,14 @@ def test_perfect_line_recovered(spark):
     # y = 2x + 3 exactly on the grid
     rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
     got = _spark_fit(spark, rows)
-    n, sn, sd, inum, iden, syy = got["a"]
+    n, gsx, gsy, sn, sd, syy = got["a"]
     assert n == 10
     assert Fraction(sn, sd) == 2
-    # intercept is 3 on the RAW scale: the rational is in grid units,
-    # and slope is unit-free while intercept carries one grid factor
-    assert Fraction(inum, iden) == 3 * 1000
+    # intercept from the moments, exactly: 3 on the RAW scale (the
+    # rational is in grid units; slope is unit-free, the intercept
+    # carries one grid factor)
+    icept = (Fraction(gsy) * sd - Fraction(sn) * gsx) / (n * sd)
+    assert icept == 3 * 1000
     # a perfect line: R^2 = sn^2/(sd*syy) exactly 1
     assert Fraction(sn, 1) ** 2 == Fraction(sd) * syy
     assert got == _duck_fit(rows)
@@ -77,10 +79,13 @@ def test_matches_float_least_squares(spark):
         sxx = sum(x * x for x, _ in pts)
         syy = sum(y * y for _, y in pts)
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        _, sn, sd, inum, iden, syyc = got[g]
+        _, gsx, gsy, sn, sd, syyc = got[g]
         assert abs(sn / sd - slope) < 5e-3  # 1e-3 grid rounding
         icept = (sy - slope * sx) / n
-        assert abs(inum / iden / 1000 - icept) < 5e-3
+        got_icept = float(
+            (Fraction(gsy) * sd - Fraction(sn) * gsx) / (n * sd)
+        )
+        assert abs(got_icept / 1000 - icept) < 5e-3
         r2 = (n * sxy - sx * sy) ** 2 / (
             (n * sxx - sx * sx) * (n * syy - sy * sy)
         )
@@ -98,10 +103,10 @@ def test_degenerate_groups(spark):
     ]
     got = _spark_fit(spark, rows)
     assert got == _duck_fit(rows)
-    assert got["one_point"][1:3] == (0, 0)  # 0/0 slope, deterministic
-    assert got["same_x"][1:3] == (0, 0)
+    assert got["one_point"][3:5] == (0, 0)  # 0/0 slope, deterministic
+    assert got["same_x"][3:5] == (0, 0)
     assert got["same_y"][5] == 0  # constant y: syy_c 0, R^2 0/0
-    assert got["same_y"][1] == 0  # flat line: slope numerator 0
+    assert got["same_y"][3] == 0  # flat line: slope numerator 0
 
 
 def test_null_hygiene(spark):
@@ -138,10 +143,10 @@ def test_cross_engine_sf0001_events(spark):
     got = {
         r["g"]: (
             r["n_points"],
+            r["sx"],
+            r["sy"],
             r["slope_num"],
             r["slope_den"],
-            r["icept_num"],
-            r["icept_den"],
             r["syy_c"],
         )
         for r in ols_trend_exact(df, ["g"], "x", "y", scale=10).collect()
