@@ -46,12 +46,23 @@ def assign_clusters(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """Adds ``cluster``: argmin over the centroid list (k small —
-    the distance array is a codegen'd expression, no UDF)."""
+    the distance array is a JVM expression, no UDF).
+
+    The distance array is materialized as a REAL COLUMN in its own
+    Project so the k aggregate-lambda distances evaluate ONCE per
+    row — the argmin references the array twice, and higher-order-
+    function lambdas are interpreted, so textual inlining re-runs
+    every distance per reference (measured ~3-10× on the portable
+    siblings; CollapseProject keeps the projection separate because
+    the alias is non-cheap and multiply-referenced)."""
     dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    staged = df.withColumn("_dists", dists)
     # array_position returns the FIRST index of the min → lowest
     # cluster id wins ties deterministically
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn("cluster", cluster)
+    cluster = (
+        F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1
+    ).cast("int")
+    return staged.withColumn("cluster", cluster).drop("_dists")
 
 
 def update_centroids(
@@ -235,12 +246,21 @@ def kmeans_lloyd_portable(
 
         dists = "array(" + ",".join(d2(lanes) for _, lanes in cents) + ")"
         labels = sql_int_array(idx for idx, _ in cents)
+        # the distance array materializes as its own column so the k
+        # interpreted aggregate-lambdas run ONCE per row; the argmin
+        # references it twice, and textual inlining re-evaluates the
+        # whole array per reference (~1.2x on this query at sf0.1 —
+        # k=8 here; the m*k-expression PQ siblings measured ~10x —
+        # hash-identical output either way)
+        staged = qdf.select(
+            F.col(id_col), "_q", F.expr(dists).alias("_dists")
+        )
         # position of the FIRST minimum -> lowest surviving idx wins
         label = F.expr(
             f"element_at({labels},"
-            f" cast(array_position({dists}, array_min({dists})) as int))"
+            " cast(array_position(_dists, array_min(_dists)) as int))"
         )
-        return qdf.select(
+        return staged.select(
             F.col(id_col), label.cast("int").alias("cluster_idx"), "_q"
         )
 
@@ -316,10 +336,17 @@ def assign_clusters_portable(
     dots = "array(" + ",".join(int_dot(lanes) for lanes in seed_lanes) + ")"
     # NULL vectors drop from the labeled output too (the oracle's
     # lane expansion emits no rows for them — keeping them here would
-    # emit a NULL-label row the oracle doesn't have)
-    return df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.expr(f"cast(array_position({dots}, array_max({dots})) - 1 as int)")
-        .alias("cluster_idx"),
-        F.expr(f"array_max({dots})").alias("best_dot"),
+    # emit a NULL-label row the oracle doesn't have).  The dot array
+    # materializes as its own column: it is referenced three times
+    # (argmax position + max twice), and inlining re-evaluates all k
+    # interpreted aggregate-lambdas per reference.
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.expr(dots).alias("_dots"))
+        .select(
+            F.col(id_col),
+            F.expr("cast(array_position(_dots, array_max(_dots)) - 1 as int)")
+            .alias("cluster_idx"),
+            F.expr("array_max(_dots)").alias("best_dot"),
+        )
     )

@@ -119,12 +119,10 @@ def pq_train_encode(
         return df.sparkSession.createDataFrame([], empty_schema)
 
     codes = "array(" + ",".join(
-        _label_sql(cents, sp, sub) for sp in range(m)
+        _label_from_col(cents, sp) for sp in range(m)
     ) + ")"
-    recon = " + ".join(
-        f"array_min({_dists_sql(cents, sp, sub)})" for sp in range(m)
-    )
-    return qdf.select(
+    recon = " + ".join(f"array_min(_d{sp})" for sp in range(m))
+    return _with_dist_cols(qdf, cents, m, sub, id_col).select(
         F.col(id_col),
         F.expr(codes).cast("array<int>").alias("codes"),
         F.expr(recon).cast("bigint").alias("recon_err"),
@@ -148,14 +146,38 @@ def _dists_sql(
     return "array(" + ",".join(d2(lanes) for _, lanes in cents[sp]) + ")"
 
 
-def _label_sql(
-    cents: dict[int, list[tuple[int, list[int]]]], sp: int, sub: int
+def _with_dist_cols(
+    df: DataFrame,
+    cents: dict[int, list[tuple[int, list[int]]]],
+    m: int,
+    sub: int,
+    *keep: str,
+) -> DataFrame:
+    """Project the m distance arrays as REAL COLUMNS (`_d{sp}`) in a
+    separate Project so each (subspace, centroid) aggregate runs
+    ONCE per row.  Embedding the array expression at its use sites
+    re-evaluates it per reference (argmin needs it twice, recon a
+    third time), and higher-order-function lambdas are interpreted,
+    not codegen'd — the textual-inline form measured ~3× slower at
+    bench scale.  CollapseProject keeps this projection separate
+    because the alias is non-cheap and referenced more than once
+    (same Catalyst contract dedup.shingles_from_words relies on)."""
+    cols = [F.col(c) for c in keep] + [F.col("_q")] + [
+        F.expr(_dists_sql(cents, sp, sub)).alias(f"_d{sp}")
+        for sp in range(m)
+    ]
+    return df.select(*cols)
+
+
+def _label_from_col(
+    cents: dict[int, list[tuple[int, list[int]]]], sp: int
 ) -> str:
+    """Argmin label over the materialized `_d{sp}` column (ties to
+    the lowest surviving cluster idx)."""
     labels = sql_int_array(idx for idx, _ in cents[sp])
-    d = _dists_sql(cents, sp, sub)
     return (
         f"element_at({labels},"
-        f" cast(array_position({d}, array_min({d})) as int))"
+        f" cast(array_position(_d{sp}, array_min(_d{sp})) as int))"
     )
 
 
@@ -181,15 +203,15 @@ def _fit(
         for sp in range(m)
     }
 
-    def label_sql(sp: int) -> str:
-        return _label_sql(cents, sp, sub)
-
     for _ in range(iters):
         # one job: every subspace's argmin labels + exploded lanes;
         # one shuffle: (subspace, cluster, lane) partial sums
-        labs = "array(" + ",".join(label_sql(sp) for sp in range(m)) + ")"
+        labs = "array(" + ",".join(
+            _label_from_col(cents, sp) for sp in range(m)
+        ) + ")"
         sums = (
-            qdf.select(
+            _with_dist_cols(qdf, cents, m, sub)
+            .select(
                 F.expr(labs).alias("_labs"),
                 F.posexplode("_q").alias("pos", "x"),
             )
@@ -403,18 +425,18 @@ def pq_adc_topk(
             sum((a - b) * (a - b) for a, b in zip(qs, lanes))
             for _, lanes in cents[sp]
         )
-        d = _dists_sql(cents, sp, sub)
         return (
             f"element_at({tbl},"
-            f" cast(array_position({d}, array_min({d})) as int))"
+            f" cast(array_position(_d{sp}, array_min(_d{sp})) as int))"
         )
 
     codes = "array(" + ",".join(
-        _label_sql(cents, sp, sub) for sp in range(m)
+        _label_from_col(cents, sp) for sp in range(m)
     ) + ")"
     adc = " + ".join(adc_sql(sp) for sp in range(m))
     return (
-        qdf.select(
+        _with_dist_cols(qdf, cents, m, sub, id_col)
+        .select(
             F.col(id_col),
             F.expr(codes).cast("array<int>").alias("codes"),
             F.expr(adc).cast("bigint").alias("adc_dist"),

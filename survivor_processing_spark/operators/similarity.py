@@ -662,10 +662,14 @@ def semantic_dedup_portable(
         " (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
         for r in seed_rows
     ) + ")"
+    # the distance array materializes as its own column so the k
+    # interpreted aggregate-lambdas run once per row (the argmin
+    # references it twice; inlining re-evaluates the whole array per
+    # reference — the cluster.py/pq.py lesson, hash-identical output)
     label = F.expr(
-        f"cast(array_position({dists}, array_min({dists})) as int) - 1"
+        "cast(array_position(_dists, array_min(_dists)) as int) - 1"
     )
-    assigned = qdf.select(
+    assigned = qdf.withColumn("_dists", F.expr(dists)).select(
         F.col(id_col), "_m", "_q", "_n2", label.alias("cluster_idx")
     )
     w = Window.partitionBy("cluster_idx").orderBy("_m", id_col)

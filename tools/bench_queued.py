@@ -1,0 +1,108 @@
+"""Wall-clock the QUEUED (unit-gated, unregistered) operators at
+bench scales — the registered registry has SWEEP_SF1.json and
+bench.py; this closes the scale-evidence gap for operators waiting
+on a rotation slot, so their first registration lands with measured
+(not asserted) scaling behavior.
+
+Usage: python tools/bench_queued.py [sf_dir ...]
+Prints one JSON line: {"sf_dirs": {dir: {op: sec}}, "round": N}.
+Single rep, cold plan per operator (coverage numbers, not best-of-N;
+compare within a run, not across hosts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from survivor_processing_spark import get_spark  # noqa: E402
+
+
+def _execute(df) -> int:
+    return df._jdf.queryExecution().toRdd().count()
+
+
+def _ops(spark, sf_dir):
+    from survivor_processing_spark.operators.bfs import bfs_levels
+    from survivor_processing_spark.operators.bpe import bpe_token_budget
+    from survivor_processing_spark.operators.curation import (
+        ngram_coverage_score,
+        stratified_exact_split,
+    )
+    from survivor_processing_spark.operators.pagerank import pagerank_portable
+    from survivor_processing_spark.operators.pq import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+    from survivor_processing_spark.operators.regression import ols_trend_exact
+    from survivor_processing_spark.operators.substring import (
+        substring_dedup_clean,
+        substring_dedup_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = orders.selectExpr("o_custkey AS src", "o_orderkey % 100000 AS dst")
+    seeds = [r["src"] for r in edges.select("src").limit(5).collect()]
+    return {
+        "substring_spans": lambda: substring_dedup_spans(docs, n=8),
+        "substring_clean": lambda: substring_dedup_clean(docs, n=8),
+        "bpe_token_budget": lambda: bpe_token_budget(docs, n_merges=8),
+        "pq_train_encode": lambda: pq_train_encode(
+            emb, m=4, k=8, iters=2, dim=64
+        ),
+        "pq_adc_topk": lambda: pq_adc_topk(
+            emb, [0.1] * 64, topk=10, m=4, k=8, iters=2
+        ),
+        "pagerank": lambda: pagerank_portable(edges, n_iters=3),
+        "bfs_levels": lambda: bfs_levels(edges, seeds, n_iters=3),
+        "stratified_split": lambda: stratified_exact_split(
+            docs, ["lang", "source"], "doc_id"
+        ),
+        "ngram_coverage": lambda: ngram_coverage_score(docs, n=2),
+        "ols_trend": lambda: ols_trend_exact(
+            events.selectExpr(
+                "event_type AS g",
+                "cast(user_id % 100 as double) AS x",
+                "value AS y",
+            ),
+            ["g"],
+            "x",
+            "y",
+            scale=10,
+        ),
+    }
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = get_spark("bench-queued")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict[str, float]] = {}
+    for d in sf_dirs:
+        out[d] = {}
+        for name, build in _ops(spark, d).items():
+            t0 = time.perf_counter()
+            _execute(build())
+            out[d][name] = round(time.perf_counter() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "queued_operators_single_rep",
+                "sf_dirs": out,
+                "round": int(os.environ.get("SPARK_GRAFT_ROUND", 0)),
+                "loadavg": list(os.getloadavg()),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -2,20 +2,23 @@
 oracles — the reproducible form of the SCALE.md round-6 fuzz claim.
 
 Covers the portable families on randomized inputs beyond the
-committed hypothesis tests' budget:
+committed hypothesis tests' budget — registered gates replay their
+REGISTERED oracle SQL, queued (unit-gated) operators replay their
+mechanically generated oracles:
 - full-Lloyd k-means: random (n, dim, k, iters) with planted
   duplicates and zero vectors (tie stress);
 - capped hyperplane LSH: random 64-dim corpora with planted scaled
-  near-dups, replayed through the REGISTERED oracle SQL;
+  near-dups;
 - portable SimHash: synthetic word corpora with planted one-word
-  edits, replayed through the registered oracle;
-- nearest-seed cluster assignment and paragraph dedup (r7, VERDICT
-  r06 #8), SemDeDup semantic dedup (r7);
-- BPE tokenizer training and integer-lane PageRank (r7, unit-gated
-  queued-r9 operators — generated-oracle replay);
-- substring-span dedup (+ cleaned text), BPE encode/token budgets,
-  and product quantization incl. ADC top-k (r7, unit-gated queued
-  operators — generated-oracle replay).
+  edits;
+- nearest-seed cluster assignment, paragraph dedup, SemDeDup
+  semantic dedup;
+- BPE tokenizer training and encode/token budgets, integer-lane
+  PageRank, multi-source BFS;
+- substring-span dedup (+ cleaned text), product quantization incl.
+  ADC top-k;
+- exact stratified splits, corpus n-gram coverage scoring, and
+  exact-rational grouped OLS.
 
 Usage: python tools/fuzz_portables.py [seed] [n_trials_per_family]
 Exits 1 on any cross-engine mismatch.
