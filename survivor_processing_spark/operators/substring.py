@@ -19,9 +19,12 @@ newline-delimited special case only.
 Spark-first shape — the distributed-SQL equivalent of the paper's
 suffix array:
 
-1. one corpus pass builds the positional n-gram table: ``split`` +
-   one ``transform(sequence(...))`` + ``explode`` — all JVM codegen,
-   one row per token position, the token-count-linear table a suffix
+1. one corpus pass builds the positional n-gram table: ``split``,
+   ``explode(sequence(...))`` of the position index only, then a
+   row-level ``md5(concat_ws(slice(...)))`` — the hash runs in
+   whole-stage codegen, NOT inside an interpreted ``transform``
+   lambda (that variant measured ~20x slower on the gram pass); one
+   row per token position, the token-count-linear table a suffix
    array would index;
 2. duplicated grams are found with ``groupBy(gram_hash).count()`` —
    map-side partial aggregation collapses the heavy-duplication case
@@ -70,7 +73,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .dedup import tokens_expr
+from .dedup import spread, tokens_expr
 
 _TOKENIZE_SQL = (
     "string_split(regexp_replace(lower(trim({text_col})), "
@@ -96,22 +99,30 @@ def duplicate_ngram_occurrences(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("words")
+    )
+    docs = spread(docs)
+    # Explode ONLY the position sequence, then hash at row level: the
+    # per-gram slice/concat/md5 runs in whole-stage codegen instead of
+    # inside an interpreted transform() lambda (~20x on the gram pass;
+    # the [[interpreted-hof-lesson]] applied to explode-producing HOFs).
     grams = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            tokens_expr(text_col).alias("words"),
+        docs.filter(F.expr(f"size(words) >= {n}"))
+        .select(
+            "doc_id",
+            "words",
+            F.expr(f"explode(sequence(1, size(words) - {n - 1}))").alias(
+                "pos"
+            ),
         )
         .select(
             "doc_id",
-            F.expr(
-                f"if(size(words) < {n}, array(),"
-                f" transform(sequence(1, size(words) - {n - 1}),"
-                f"   i -> struct(i as pos,"
-                f"     md5(concat_ws(' ', slice(words, i, {n}))) as gh)))"
-            ).alias("gs"),
+            "pos",
+            F.md5(F.expr(f"concat_ws(' ', slice(words, pos, {n}))")).alias(
+                "gh"
+            ),
         )
-        .select("doc_id", F.explode("gs").alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     )
     dup_hashes = (
         grams.groupBy("gh")
@@ -194,8 +205,10 @@ def substring_dedup_clean(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("spans")
     )
-    words = df.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("words")
+    words = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("words")
+        )
     )
     joined = words.join(per_doc, "doc_id", "left")
     kept = F.expr(
