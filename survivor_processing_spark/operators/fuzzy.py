@@ -89,10 +89,14 @@ def fuzzy_join(
         # (pairs may share no single-deletion variant), so reject
         # instead of returning an incomplete answer
         raise ValueError(f"fuzzy_join supports max_dist in (1, 2), got {max_dist}")
-    lv = left.withColumn(
+    # spread() first: a single-row-group parquet side would otherwise
+    # run its whole variant explode on one core (see dedup.spread).
+    from .dedup import spread
+
+    lv = spread(left).withColumn(
         "_var", F.explode(deletion_variants(left_col, max_dist))
     )
-    rv = right.withColumn(
+    rv = spread(right).withColumn(
         "_var", F.explode(deletion_variants(right_col, max_dist))
     )
     cand = lv.join(rv, "_var").drop("_var")
