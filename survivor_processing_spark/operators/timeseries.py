@@ -109,3 +109,116 @@ def merge_intervals(
         F.max(end_col).alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     ).drop("_island")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str,
+    yq_col: str,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in an integer-lane series —
+    the resample companion to :func:`resample_daily_ffill` for
+    measurements where carrying the last value forward is a lie
+    (sensor readings, prices, rates).
+
+    Exactness contract: ``t_col`` (BIGINT, unique per key) and
+    ``yq_col`` (BIGINT lanes — quantize floats upstream with one
+    deterministic cast) are integers, so the interpolated value at t
+    between known points (t0,y0) and (t1,y1) is the EXACT rational
+
+        num = y0·(t1−t0) + (y1−y0)·(t−t0),   den = t1−t0
+
+    emitted as two BIGINT lanes (downstream divides, rounds, or
+    merges exactly — the q:ols_trend_exact convention).  Known rows
+    pass through as num=y, den=1; leading/trailing NULLs (no
+    bracketing neighbor) stay NULL on both lanes.
+
+    Scale shape: two incremental windows (last-non-null back,
+    first-non-null forward) on ONE partitioning by key — a single
+    shuffle; each key's series is independent.  Overflow headroom:
+    |y|·gap must stay under 2⁶³ — at 10⁹ lanes and day-second gaps
+    (~10⁵) that is 10¹⁴, four decades of margin.
+
+    Returns ``keys, t_col, yq_col, y_num, y_den, was_interpolated``.
+    """
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(t_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    y = F.col(yq_col)
+    t_known = F.when(y.isNotNull(), F.col(t_col))
+    with_nb = df.select(
+        *keys,
+        t_col,
+        yq_col,
+        F.last(y, ignorenulls=True).over(w_back).alias("_y0"),
+        F.last(t_known, ignorenulls=True).over(w_back).alias("_t0"),
+        F.first(y, ignorenulls=True).over(w_fwd).alias("_y1"),
+        F.first(t_known, ignorenulls=True).over(w_fwd).alias("_t1"),
+    )
+    gap = F.col("_t1") - F.col("_t0")
+    num = F.col("_y0") * gap + (F.col("_y1") - F.col("_y0")) * (
+        F.col(t_col) - F.col("_t0")
+    )
+    interp_ok = y.isNull() & F.col("_y0").isNotNull() & F.col("_y1").isNotNull()
+    return with_nb.select(
+        *keys,
+        t_col,
+        yq_col,
+        F.when(y.isNotNull(), y)
+        .when(interp_ok, num)
+        .alias("y_num"),
+        F.when(y.isNotNull(), F.lit(1).cast("long"))
+        .when(interp_ok, gap.cast("long"))
+        .alias("y_den"),
+        interp_ok.alias("was_interpolated"),
+    )
+
+
+def interpolate_linear_oracle(
+    keys: list[str],
+    t_col: str,
+    yq_col: str,
+    source_sql: str,
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`interpolate_linear` over ``source_sql`` (a subquery
+    producing the same ``keys + [t_col, yq_col]`` columns)."""
+    part = ", ".join(keys)
+    ks = ", ".join(keys)
+    return f"""WITH src AS ({source_sql}), nb AS (
+    SELECT {ks}, {t_col}, {yq_col},
+           last_value({yq_col} IGNORE NULLS) OVER (
+               PARTITION BY {part} ORDER BY {t_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+           last_value(CASE WHEN {yq_col} IS NOT NULL THEN {t_col} END
+                      IGNORE NULLS) OVER (
+               PARTITION BY {part} ORDER BY {t_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+           first_value({yq_col} IGNORE NULLS) OVER (
+               PARTITION BY {part} ORDER BY {t_col}
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1,
+           first_value(CASE WHEN {yq_col} IS NOT NULL THEN {t_col} END
+                       IGNORE NULLS) OVER (
+               PARTITION BY {part} ORDER BY {t_col}
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+    FROM src
+)
+SELECT {ks}, {t_col}, {yq_col},
+       CAST(CASE WHEN {yq_col} IS NOT NULL THEN {yq_col}
+                 WHEN y0 IS NOT NULL AND y1 IS NOT NULL
+                 THEN y0 * (t1 - t0) + (y1 - y0) * ({t_col} - t0)
+            END AS BIGINT) AS y_num,
+       CAST(CASE WHEN {yq_col} IS NOT NULL THEN 1
+                 WHEN y0 IS NOT NULL AND y1 IS NOT NULL THEN t1 - t0
+            END AS BIGINT) AS y_den,
+       ({yq_col} IS NULL AND y0 IS NOT NULL AND y1 IS NOT NULL)
+           AS was_interpolated
+FROM nb"""
