@@ -479,3 +479,142 @@ SELECT d.{id_col} AS doc_id,
        COALESCE(p.n_covered, 0) AS n_covered
 FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
 """
+
+
+def winsorize_group_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: tuple[int, int] = (5, 100),
+    p_hi: tuple[int, int] = (95, 100),
+) -> DataFrame:
+    """Winsorized robust statistics per group — the outlier-clipping
+    quality signal (a handful of 10 MB documents or pathological
+    token counts should not own a domain's mean in a mixture
+    planner).  NULL values are excluded before ranking.
+
+    Exactness: percentiles are rational (num, den) pairs evaluated
+    with the nearest-rank definition in pure BIGINT arithmetic —
+    idx = max(1, ceil(p·n)) = (p_num·n + p_den − 1) DIV p_den — on
+    integer-lane values (quantize floats upstream with one
+    deterministic cast), so bounds, clip counts, and the winsorized
+    sum are exact and engine-portable; tie order between equal
+    values cannot change any output (the idx-th smallest VALUE of a
+    multiset is tie-invariant).
+
+    Scale shape: ONE shuffle on ``group_cols`` — the ranking window,
+    the full-frame bound extraction, and the final aggregate all
+    share the same partitioning, and each group is independent.  A
+    pretraining-scale group (billions of rows) makes the per-group
+    total order a hot task — same fundamental bound as
+    :func:`stratified_exact_split`, same escape hatches (hash-prefix
+    sub-grouping with per-sub-group clipping, or an approximate
+    sketch bound via q:sketch_distinct_quantiles' family when
+    exactness is negotiable).
+
+    Returns ``group_cols, n, lo_q, hi_q, n_clipped_lo,
+    n_clipped_hi, wsum`` (all BIGINT).
+    """
+    for name, (pn, pd_) in (("p_lo", p_lo), ("p_hi", p_hi)):
+        if pd_ <= 0 or pn < 0 or pn > pd_:
+            raise ValueError(f"{name} must satisfy 0 <= num/den <= 1: {pn}/{pd_}")
+    if p_lo[0] * p_hi[1] > p_hi[0] * p_lo[1]:
+        raise ValueError(f"p_lo must be <= p_hi: {p_lo} > {p_hi}")
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull())
+    w_order = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_full = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(w_order)
+    n = F.count(F.lit(1)).over(w_full)
+    # `div` is true integer division (Spark's `/` is double and
+    # would break exactness on large groups)
+    idx = lambda pn, pd_: F.greatest(  # noqa: E731
+        F.lit(1).cast("bigint"),
+        F.expr(f"(cast({pn} as bigint) * _n + {pd_ - 1}) div {pd_}"),
+    )
+    flagged = rows.select(
+        *group_cols,
+        v.alias("_v"),
+        rn.alias("_rn"),
+        n.alias("_n"),
+    ).select(
+        *group_cols,
+        "_v",
+        "_rn",
+        "_n",
+        idx(*p_lo).alias("_ilo"),
+        idx(*p_hi).alias("_ihi"),
+    )
+    bounded = flagged.select(
+        *group_cols,
+        "_v",
+        "_n",
+        F.max(F.when(F.col("_rn") == F.col("_ilo"), F.col("_v"))).over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_lo"),
+        F.max(F.when(F.col("_rn") == F.col("_ihi"), F.col("_v"))).over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_hi"),
+    )
+    clipped = F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_v")))
+    return bounded.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_lo").alias("lo_q"),
+        F.min("_hi").alias("hi_q"),
+        F.sum((F.col("_v") < F.col("_lo")).cast("bigint")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("_v") > F.col("_hi")).cast("bigint")).alias(
+            "n_clipped_hi"
+        ),
+        F.sum(clipped).alias("wsum"),
+    )
+
+
+def winsorize_oracle(
+    group_cols: list[str],
+    value_col: str,
+    source_sql: str,
+    p_lo: tuple[int, int] = (5, 100),
+    p_hi: tuple[int, int] = (95, 100),
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`winsorize_group_stats` over ``source_sql`` (a subquery
+    producing ``group_cols + [value_col]``)."""
+    g = ", ".join(group_cols)
+    pln, pld = p_lo
+    phn, phd = p_hi
+    return f"""WITH src AS ({source_sql}), ranked AS (
+    SELECT {g}, {value_col} AS v,
+           ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {value_col}) AS rn,
+           COUNT(*) OVER (PARTITION BY {g}) AS n
+    FROM src WHERE {value_col} IS NOT NULL
+), flagged AS (
+    SELECT {g}, v, n,
+           GREATEST(1, ({pln} * n + {pld - 1}) // {pld}) AS ilo,
+           GREATEST(1, ({phn} * n + {phd - 1}) // {phd}) AS ihi,
+           rn
+    FROM ranked
+), bounded AS (
+    SELECT {g}, v, n,
+           MAX(CASE WHEN rn = ilo THEN v END) OVER (PARTITION BY {g}) AS lo,
+           MAX(CASE WHEN rn = ihi THEN v END) OVER (PARTITION BY {g}) AS hi
+    FROM flagged
+)
+SELECT {g},
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(lo) AS BIGINT) AS lo_q,
+       CAST(MIN(hi) AS BIGINT) AS hi_q,
+       CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       CAST(SUM(GREATEST(lo, LEAST(hi, v))) AS BIGINT) AS wsum
+FROM bounded
+GROUP BY {g}"""
