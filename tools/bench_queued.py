@@ -38,10 +38,20 @@ def _ops(spark, sf_dir):
         pq_adc_topk,
         pq_train_encode,
     )
+    from survivor_processing_spark.operators.curation import (
+        winsorize_group_stats,
+    )
     from survivor_processing_spark.operators.regression import ols_trend_exact
+    from survivor_processing_spark.operators.retrieval import (
+        bm25_doc_term_scores,
+        inverted_postings,
+    )
     from survivor_processing_spark.operators.substring import (
         substring_dedup_clean,
         substring_dedup_spans,
+    )
+    from survivor_processing_spark.operators.timeseries import (
+        interpolate_linear,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -66,6 +76,28 @@ def _ops(spark, sf_dir):
             docs, ["lang", "source"], "doc_id"
         ),
         "ngram_coverage": lambda: ngram_coverage_score(docs, n=2),
+        "inverted_postings": lambda: inverted_postings(
+            docs, min_df=2, max_df=2000
+        ),
+        "bm25_scores": lambda: bm25_doc_term_scores(docs),
+        "interpolate": lambda: interpolate_linear(
+            orders.selectExpr(
+                "o_custkey AS k",
+                "o_orderkey AS t",
+                "if(o_orderkey % 3 = 0, NULL,"
+                " cast(o_totalprice * 100 as bigint)) AS yq",
+            ),
+            ["k"],
+            "t",
+            "yq",
+        ),
+        "winsorize": lambda: winsorize_group_stats(
+            events.selectExpr(
+                "event_type AS g", "cast(value * 1000 as bigint) AS v"
+            ),
+            ["g"],
+            "v",
+        ),
         "ols_trend": lambda: ols_trend_exact(
             events.selectExpr(
                 "event_type AS g",

@@ -18,7 +18,9 @@ mechanically generated oracles:
 - substring-span dedup (+ cleaned text), product quantization incl.
   ADC top-k;
 - exact stratified splits, corpus n-gram coverage scoring, and
-  exact-rational grouped OLS.
+  exact-rational grouped OLS;
+- inverted postings + BM25 doc-term weights, exact-rational linear
+  interpolation, and exact winsorized group stats.
 
 Usage: python tools/fuzz_portables.py [seed] [n_trials_per_family]
 Exits 1 on any cross-engine mismatch.
@@ -757,6 +759,183 @@ def fuzz_ols(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_retrieval(spark, rng, trials: int) -> int:
+    """operators/retrieval.py inverted_postings + bm25_doc_term_scores
+    (unit-gated, queued): random corpora with stopword-class hot
+    tokens, empty docs, and random min_df/max_df cuts and k1/b
+    rationals — posting strings and exact/float score columns vs the
+    generated oracles."""
+    from survivor_processing_spark.operators.retrieval import (
+        bm25_doc_term_scores,
+        bm25_scores_oracle,
+        inverted_postings,
+        inverted_postings_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        vocab = [f"t{i}" for i in range(rng.randint(3, 15))]
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 25))
+            )
+            for d in range(rng.randint(2, 30))
+        }
+        if rng.random() < 0.5:  # stopword-class token in every doc
+            texts = {d: (t + " hot") if t else "hot" for d, t in texts.items()}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        kw = {"min_df": rng.randint(1, 3)}
+        if rng.random() < 0.5:
+            kw["max_df"] = rng.randint(kw["min_df"], 25)
+        got = sorted(map(tuple, inverted_postings(df, **kw).collect()))
+        want = sorted(
+            map(tuple, con.execute(inverted_postings_oracle(**kw)).fetchall())
+        )
+        if got != want:
+            fails += 1
+            print(f"POSTINGS MISMATCH kw={kw}")
+            continue
+        bkw = {
+            "k1_num": rng.randint(1, 4),
+            "k1_den": rng.randint(1, 4),
+            "b_num": rng.randint(0, 2),
+            "top_terms": rng.randint(1, 5),
+        }
+        bkw["b_den"] = rng.randint(max(1, bkw["b_num"]), 4)
+        got = sorted(map(tuple, bm25_doc_term_scores(df, **bkw).collect()))
+        want = sorted(
+            map(tuple, con.execute(bm25_scores_oracle(**bkw)).fetchall())
+        )
+        if got != want:
+            fails += 1
+            print(f"BM25 MISMATCH kw={bkw}")
+    return fails
+
+
+def fuzz_interpolate(spark, rng, trials: int) -> int:
+    """operators/timeseries.py interpolate_linear (unit-gated,
+    queued): random multi-key integer series with NULL runs,
+    leading/trailing NULLs, all-NULL keys, and negative values —
+    rational lanes vs the generated oracle."""
+    from survivor_processing_spark.operators.timeseries import (
+        interpolate_linear,
+        interpolate_linear_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        rows = []
+        for k in range(rng.randint(1, 6)):
+            ts = sorted(rng.sample(range(0, 400), rng.randint(0, 20)))
+            null_p = rng.choice([0.2, 0.5, 0.9, 1.0])
+            for t in ts:
+                y = (
+                    None
+                    if rng.random() < null_p
+                    else rng.randint(-500, 500)
+                )
+                rows.append((f"k{k}", t, y))
+        if not rows:
+            rows = [("k0", 0, 1)]
+        got = sorted(
+            map(
+                tuple,
+                interpolate_linear(
+                    spark.createDataFrame(rows, "k string, t long, yq long"),
+                    ["k"],
+                    "t",
+                    "yq",
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        values = ", ".join(
+            f"('{k}', {t}, {'NULL' if y is None else y})" for k, t, y in rows
+        )
+        src = f"SELECT * FROM (VALUES {values}) AS v(k, t, yq)"
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    interpolate_linear_oracle(["k"], "t", "yq", src)
+                ).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print("INTERPOLATE MISMATCH")
+    return fails
+
+
+def fuzz_winsorize(spark, rng, trials: int) -> int:
+    """operators/curation.py winsorize_group_stats (unit-gated,
+    queued): random groups with heavy ties, NULLs, 1-row groups, and
+    random rational percentiles — bounds/clip counts/winsorized sums
+    vs the generated oracle."""
+    from survivor_processing_spark.operators.curation import (
+        winsorize_group_stats,
+        winsorize_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        rows = []
+        for g in range(rng.randint(1, 5)):
+            vals = rng.randint(1, 60)
+            tie_pool = list(range(-5, 6)) if rng.random() < 0.5 else None
+            for _ in range(vals):
+                if rng.random() < 0.1:
+                    v = None
+                elif tie_pool is not None:
+                    v = rng.choice(tie_pool)
+                else:
+                    v = rng.randint(-10**6, 10**6)
+                rows.append((f"g{g}", v))
+            rows.append((f"g{g}", 0))  # ensure non-empty after NULL cut
+        lo_d = rng.randint(1, 20)
+        lo_n = rng.randint(0, lo_d)
+        hi_d = rng.randint(1, 20)
+        hi_n = rng.randint(0, hi_d)
+        if lo_n * hi_d > hi_n * lo_d:
+            lo_n, lo_d, hi_n, hi_d = hi_n, hi_d, lo_n, lo_d
+        kw = {"p_lo": (lo_n, lo_d), "p_hi": (hi_n, hi_d)}
+        got = sorted(
+            map(
+                tuple,
+                winsorize_group_stats(
+                    spark.createDataFrame(rows, "g string, v long"),
+                    ["g"],
+                    "v",
+                    **kw,
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        values = ", ".join(
+            f"('{g}', {'NULL' if v is None else v})" for g, v in rows
+        )
+        src = f"SELECT * FROM (VALUES {values}) AS t(g, v)"
+        want = sorted(
+            map(
+                tuple,
+                con.execute(winsorize_oracle(["g"], "v", src, **kw)).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print(f"WINSORIZE MISMATCH kw={kw}")
+    return fails
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -780,6 +959,9 @@ def main() -> int:
         ("stratified_split", fuzz_stratified_split),
         ("ngram_coverage", fuzz_ngram_coverage),
         ("ols", fuzz_ols),
+        ("retrieval", fuzz_retrieval),
+        ("interpolate", fuzz_interpolate),
+        ("winsorize", fuzz_winsorize),
     ):
         f = fn(spark, rng, trials)
         fails += f
