@@ -20,7 +20,8 @@ mechanically generated oracles:
 - exact stratified splits, corpus n-gram coverage scoring, and
   exact-rational grouped OLS;
 - inverted postings + BM25 doc-term weights, exact-rational linear
-  interpolation, and exact winsorized group stats.
+  interpolation, exact winsorized group stats, and Arrow-batched
+  Unicode NFC normalization.
 
 Usage: python tools/fuzz_portables.py [seed] [n_trials_per_family]
 Exits 1 on any cross-engine mismatch.
@@ -936,6 +937,55 @@ def fuzz_winsorize(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_textnorm(spark, rng, trials: int) -> int:
+    """operators/textnorm.py nfc_normalize_text (unit-gated, queued):
+    random combining-mark soups over latin/greek/hangul bases with
+    NULL and empty docs — pandas NFC vs DuckDB nfc_normalize."""
+    from survivor_processing_spark.operators.textnorm import (
+        nfc_normalize_oracle,
+        nfc_normalize_text,
+    )
+
+    bases = "aeiouAEIOU\u1100\u1161\uac00\u03b1\u03b2\u03b3"
+    marks = ["\u0300", "\u0301", "\u0308", "\u030a", "\u0327", ""]
+    fails = 0
+    for _ in range(trials):
+        texts = {}
+        for i in range(rng.randint(2, 25)):
+            r = rng.random()
+            if r < 0.1:
+                texts[i] = None
+            elif r < 0.2:
+                texts[i] = ""
+            else:
+                texts[i] = "".join(
+                    rng.choice(bases) + rng.choice(marks)
+                    for _ in range(rng.randint(1, 30))
+                )
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = sorted(
+            map(tuple, nfc_normalize_text(df).collect()),
+            key=lambda r: r[0],
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want = sorted(
+            map(tuple, con.execute(nfc_normalize_oracle()).fetchall()),
+            key=lambda r: r[0],
+        )
+        if got != want:
+            fails += 1
+            print("TEXTNORM MISMATCH")
+    return fails
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -962,6 +1012,7 @@ def main() -> int:
         ("retrieval", fuzz_retrieval),
         ("interpolate", fuzz_interpolate),
         ("winsorize", fuzz_winsorize),
+        ("textnorm", fuzz_textnorm),
     ):
         f = fn(spark, rng, trials)
         fails += f
