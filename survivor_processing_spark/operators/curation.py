@@ -618,3 +618,210 @@ SELECT {g},
        CAST(SUM(GREATEST(lo, LEAST(hi, v))) AS BIGINT) AS wsum
 FROM bounded
 GROUP BY {g}"""
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    c: tuple[int, int] = (3, 1),
+) -> DataFrame:
+    """Median-absolute-deviation outlier statistics per group — the
+    robust sibling of :func:`winsorize_group_stats` for heavy-tailed
+    quality signals (token counts, fetch latencies, per-domain doc
+    lengths), where mean±k·stddev is itself dragged by the outliers
+    it should catch.  NULL values are excluded before ranking.
+
+    Exactness: the median is the nearest-rank LOWER median — the
+    idx-th smallest value with ``idx = (n+1) DIV 2`` — and the MAD
+    is the same rank statistic over ``|v − med|``; the outlier test
+    is the cross-multiplied ``d·c_den > c_num·mad`` (strict), so the
+    whole computation is BIGINT adds/compares, engine-portable, and
+    tie-invariant (the idx-th smallest VALUE of a multiset does not
+    depend on tie order).  ``mad = 0`` (over half the group at one
+    value) degenerates to flagging every ``d > 0`` — the standard
+    convention.
+
+    Scale shape: ONE shuffle on ``group_cols`` — both ranking
+    windows and the final aggregate share the hash partitioning
+    (Catalyst reuses the exchange; the second window adds a sort,
+    not a shuffle).  Same hot-group bound and escape hatches as
+    :func:`winsorize_group_stats`.
+
+    Returns ``group_cols, n, med, mad, n_outliers, isum`` — ``isum``
+    the sum of inlier values (0 when every row is an outlier).
+    """
+    cn, cd = c
+    if cd <= 0 or cn < 0:
+        raise ValueError(f"c must satisfy num >= 0, den > 0: {c}")
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull())
+    w_v = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_full = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rows.select(
+        *group_cols,
+        v.alias("_v"),
+        F.row_number().over(w_v).alias("_rn"),
+        F.count(F.lit(1)).over(w_full).alias("_n"),
+    ).select(
+        *group_cols,
+        "_v",
+        "_rn",
+        "_n",
+        F.expr("(_n + 1) div 2").alias("_imed"),
+    )
+    with_med = ranked.select(
+        *group_cols,
+        "_v",
+        "_n",
+        F.max(F.when(F.col("_rn") == F.col("_imed"), F.col("_v")))
+        .over(w_full)
+        .alias("_med"),
+    ).select(
+        *group_cols,
+        "_v",
+        "_n",
+        "_med",
+        F.abs(F.col("_v") - F.col("_med")).alias("_d"),
+    )
+    w_d = Window.partitionBy(*group_cols).orderBy("_d")
+    with_mad = with_med.select(
+        *group_cols,
+        "_v",
+        "_med",
+        "_d",
+        F.max(
+            F.when(
+                F.row_number().over(w_d) == F.expr("(_n + 1) div 2"),
+                F.col("_d"),
+            )
+        )
+        .over(w_full)
+        .alias("_mad"),
+    )
+    is_out = F.expr(f"_d * {int(cd)} > {int(cn)} * _mad")
+    return with_mad.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_med").alias("med"),
+        F.min("_mad").alias("mad"),
+        F.sum(is_out.cast("bigint")).alias("n_outliers"),
+        F.coalesce(
+            F.sum(F.when(~is_out, F.col("_v"))), F.lit(0).cast("bigint")
+        ).alias("isum"),
+    )
+
+
+def mad_outlier_oracle(
+    group_cols: list[str],
+    value_col: str,
+    source_sql: str,
+    c: tuple[int, int] = (3, 1),
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`mad_outlier_stats` over ``source_sql`` (a subquery
+    producing ``group_cols + [value_col]``)."""
+    g = ", ".join(group_cols)
+    cn, cd = c
+    return f"""WITH src AS ({source_sql}), ranked AS (
+    SELECT {g}, {value_col} AS v,
+           ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {value_col}) AS rn,
+           COUNT(*) OVER (PARTITION BY {g}) AS n
+    FROM src WHERE {value_col} IS NOT NULL
+), with_med AS (
+    SELECT {g}, v, n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+               OVER (PARTITION BY {g}) AS med
+    FROM ranked
+), devs AS (
+    SELECT {g}, v, n, med, ABS(v - med) AS d,
+           ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY ABS(v - med)) AS rnd
+    FROM with_med
+), with_mad AS (
+    SELECT {g}, v, med, d,
+           MAX(CASE WHEN rnd = (n + 1) // 2 THEN d END)
+               OVER (PARTITION BY {g}) AS mad
+    FROM devs
+)
+SELECT {g},
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(med) AS BIGINT) AS med,
+       CAST(MIN(mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN d * {int(cd)} > {int(cn)} * mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COALESCE(SUM(CASE WHEN NOT (d * {int(cd)} > {int(cn)} * mad)
+                     THEN v END), 0) AS BIGINT) AS isum
+FROM with_mad
+GROUP BY {g}"""
+
+
+def k_anonymity_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Row-level k-anonymity suppression: keep only rows whose
+    quasi-identifier combination (``quasi_cols``) appears in at
+    least ``k`` rows — the release-gate a training-data pipeline
+    applies before publishing user-derived tables (a unique
+    (zip, age, source) combination re-identifies; a k-sized crowd
+    does not).  Complements the pattern-based PII redaction family
+    (q:pii_redact): redaction hides VALUES, suppression hides
+    MEMBERSHIP.
+
+    Scale shape: ONE shuffle on the quasi-identifier key (a window
+    COUNT over it), filter, done — no second pass, no driver
+    traffic; suppression is exact, not sampled.  Skewed
+    quasi-groups are harmless (the window only counts).
+
+    Returns the input rows (original schema) that survive.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("_qn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_qn") >= k)
+        .drop("_qn")
+    )
+
+
+def k_anonymity_stats(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Release-audit summary for :func:`k_anonymity_suppress`: ONE
+    row — ``n_groups, n_groups_suppressed, n_rows_kept,
+    n_rows_suppressed`` (all BIGINT).  Same single shuffle, then an
+    aggregate over the group-sized table."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    kept = F.col("_n") >= k
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((~kept).cast("bigint")).alias("n_groups_suppressed"),
+        F.sum(F.when(kept, F.col("_n")).otherwise(F.lit(0))).alias(
+            "n_rows_kept"
+        ),
+        F.sum(F.when(~kept, F.col("_n")).otherwise(F.lit(0))).alias(
+            "n_rows_suppressed"
+        ),
+    )
+
+
+def k_anonymity_oracle(
+    quasi_cols: list[str], k: int, source_sql: str
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`k_anonymity_stats` over ``source_sql``."""
+    g = ", ".join(quasi_cols)
+    return f"""WITH src AS ({source_sql}), groups AS (
+    SELECT {g}, COUNT(*) AS n FROM src GROUP BY {g}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {int(k)} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_suppressed,
+       CAST(SUM(CASE WHEN n >= {int(k)} THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_kept,
+       CAST(SUM(CASE WHEN n < {int(k)} THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_suppressed
+FROM groups"""

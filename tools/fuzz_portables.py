@@ -986,9 +986,236 @@ def fuzz_textnorm(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_collocation(spark, rng, trials: int) -> int:
+    """operators/collocation.py dice_collocations (unit-gated,
+    queued): random short-vocab corpora with punctuation, case, and
+    empty docs — Spark vs the generated DuckDB oracle."""
+    from survivor_processing_spark.operators.collocation import (
+        dice_collocations,
+        dice_collocations_oracle,
+    )
+
+    vocab = ["ab", "cd", "ef", "gh", "i9", "J0", "k"]
+    fails = 0
+    for _ in range(trials):
+        texts = [
+            " ".join(
+                rng.choice(vocab) + rng.choice(["", ",", ".", "!"])
+                for _ in range(rng.randrange(0, 15))
+            )
+            for _ in range(rng.randrange(1, 20))
+        ]
+        kw = dict(
+            min_count=rng.choice([1, 2, 3]),
+            scale=rng.choice([1, 1000, 10**9]),
+        )
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = sorted(map(tuple, dice_collocations(df, **kw).collect()))
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame({"text": texts}))
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    dice_collocations_oracle("SELECT text FROM docs", **kw)
+                ).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print("COLLOCATION MISMATCH", kw)
+    return fails
+
+
+def fuzz_mad(spark, rng, trials: int) -> int:
+    """operators/curation.py mad_outlier_stats (unit-gated, queued):
+    random tie-heavy groups with NULLs and negative values — Spark
+    vs the generated DuckDB oracle."""
+    from survivor_processing_spark.operators.curation import (
+        mad_outlier_oracle,
+        mad_outlier_stats,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        rows = [
+            (
+                rng.choice(["a", "b", "c", "d"]),
+                rng.choice([None] + list(range(-30, 31)) + [0, 0, 5, 5]),
+            )
+            for _ in range(rng.randrange(1, 80))
+        ]
+        c = rng.choice([(3, 1), (5, 2), (0, 1), (1, 3)])
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = sorted(
+            map(tuple, mad_outlier_stats(df, ["g"], "v", c=c).collect())
+        )
+        con = duckdb.connect()
+        con.register(
+            "src_t",
+            pd.DataFrame(rows, columns=["g", "v"]).astype({"v": "Int64"}),
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    mad_outlier_oracle(
+                        ["g"], "v", "SELECT g, v FROM src_t", c=c
+                    )
+                ).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print("MAD MISMATCH", c)
+    return fails
+
+
+def fuzz_funnel(spark, rng, trials: int) -> int:
+    """operators/funnel.py funnel_steps (unit-gated, queued): random
+    event logs with heavy timestamp ties — Spark vs the generated
+    DuckDB CTE chain."""
+    from survivor_processing_spark.operators.funnel import (
+        funnel_oracle,
+        funnel_steps,
+    )
+
+    types = ["view", "click", "buy", "other"]
+    steps = [
+        ("view", "event_type = 'view'"),
+        ("click", "event_type = 'click'"),
+        ("buy", "event_type = 'buy'"),
+    ]
+    fails = 0
+    for _ in range(trials):
+        rows = [
+            (
+                rng.randrange(1, 10),
+                rng.randrange(0, 25),
+                rng.choice(types),
+            )
+            for _ in range(rng.randrange(1, 120))
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+        got = sorted(
+            map(tuple, funnel_steps(df, "user_id", "ts", steps).collect())
+        )
+        con = duckdb.connect()
+        con.register(
+            "ev", pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    funnel_oracle(
+                        "user_id", "ts", steps, "SELECT * FROM ev"
+                    )
+                ).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print("FUNNEL MISMATCH")
+    return fails
+
+
+def fuzz_kanon(spark, rng, trials: int) -> int:
+    """operators/curation.py k_anonymity_stats (unit-gated, queued):
+    random quasi-identifier tables — Spark vs the generated oracle,
+    plus the row-level/summary consistency invariant."""
+    from survivor_processing_spark.operators.curation import (
+        k_anonymity_oracle,
+        k_anonymity_stats,
+        k_anonymity_suppress,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        rows = [
+            (rng.choice(["x", "y", "z"]), rng.randrange(1, 5), f"p{i}")
+            for i in range(rng.randrange(1, 60))
+        ]
+        k = rng.choice([1, 2, 3, 4, 8])
+        df = spark.createDataFrame(rows, "zipc string, age long, payload string")
+        got = tuple(k_anonymity_stats(df, ["zipc", "age"], k).collect()[0])
+        con = duckdb.connect()
+        con.register(
+            "src_t", pd.DataFrame(rows, columns=["zipc", "age", "payload"])
+        )
+        want = con.execute(
+            k_anonymity_oracle(["zipc", "age"], k, "SELECT * FROM src_t")
+        ).fetchall()[0]
+        kept = k_anonymity_suppress(df, ["zipc", "age"], k).count()
+        if got != want or got[2] != kept or got[2] + got[3] != len(rows):
+            fails += 1
+            print("KANON MISMATCH", k)
+    return fails
+
+
+def fuzz_urlnorm(spark, rng, trials: int) -> int:
+    """operators/urlnorm.py url_canonicalize (unit-gated, queued):
+    adversarial fragment-soup URLs (metachars, stray separators,
+    NULLs) — the Spark expression vs the DuckDB expression, both
+    emitted by the same generator."""
+    from survivor_processing_spark.operators.urlnorm import (
+        url_canonicalize,
+        url_canonicalize_oracle,
+    )
+
+    frags = [
+        "http://", "HTTPS://", "fTp://", "a.COM", "B.org", ":80",
+        ":443", ":8080", "/p", "/P/", "//", "?", "a=1", "&&", "&",
+        "utm_a=2", "ref=3", "fbclid=9", "#f#g", "=", "x y", "  ", ".",
+    ]
+    fails = 0
+    for _ in range(trials):
+        urls = {}
+        for i in range(rng.randrange(2, 30)):
+            urls[i] = (
+                None
+                if rng.random() < 0.08
+                else "".join(
+                    rng.choice(frags) for _ in range(rng.randrange(1, 9))
+                )
+            )
+        df = spark.createDataFrame(
+            list(urls.items()), "id long, url string"
+        )
+        got = sorted(
+            (r["id"], r["url_canon"])
+            for r in url_canonicalize(df).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "src_t",
+            pd.DataFrame({"id": list(urls), "url": list(urls.values())}),
+        )
+        want = sorted(
+            (r[0], r[2])
+            for r in con.execute(
+                url_canonicalize_oracle("SELECT * FROM src_t")
+            ).fetchall()
+        )
+        if got != want:
+            fails += 1
+            print("URLNORM MISMATCH")
+    return fails
+
+
 def main() -> int:
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260814
-    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
+    # NOTE with --only, skipped families still advance nothing — the
+    # rng is shared, so a filtered run is NOT the same stream as the
+    # corresponding slice of a full run; quote the filter used.
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    seed = int(args[0]) if len(args) > 0 else 20260814
+    trials = int(args[1]) if len(args) > 1 else 10
     rng = random.Random(seed)
     spark = get_spark("fuzz-portables")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1013,7 +1240,14 @@ def main() -> int:
         ("interpolate", fuzz_interpolate),
         ("winsorize", fuzz_winsorize),
         ("textnorm", fuzz_textnorm),
+        ("collocation", fuzz_collocation),
+        ("mad", fuzz_mad),
+        ("funnel", fuzz_funnel),
+        ("kanon", fuzz_kanon),
+        ("urlnorm", fuzz_urlnorm),
     ):
+        if only is not None and name not in only:
+            continue
         f = fn(spark, rng, trials)
         fails += f
         print(f"{name}: {trials - f}/{trials} clean")
