@@ -1427,7 +1427,16 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import MEDIA_SCHEMA, gif_frames
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the codec stages are CPU-bound Python over tiny input bytes, so
+    # the scan's byte-based split count (ONE partition for the whole
+    # sf1 doc-id column) is the wrong parallelism — spread explicitly
+    # to the cores before the first mapInPandas (measured 38 s -> ~3 s
+    # at sf1; hash-identical output)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         import numpy as np
