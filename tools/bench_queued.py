@@ -50,9 +50,21 @@ def _ops(spark, sf_dir):
         substring_dedup_clean,
         substring_dedup_spans,
     )
+    from survivor_processing_spark.operators.collocation import (
+        dice_collocations,
+    )
+    from survivor_processing_spark.operators.curation import (
+        k_anonymity_stats,
+        mad_outlier_stats,
+    )
+    from survivor_processing_spark.operators.funnel import funnel_steps
+    from survivor_processing_spark.operators.textnorm import (
+        nfc_normalize_text,
+    )
     from survivor_processing_spark.operators.timeseries import (
         interpolate_linear,
     )
+    from survivor_processing_spark.operators.urlnorm import url_canonicalize
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -98,6 +110,38 @@ def _ops(spark, sf_dir):
             ["g"],
             "v",
         ),
+        "collocations": lambda: dice_collocations(docs, min_count=2),
+        "mad_outliers": lambda: mad_outlier_stats(
+            events.selectExpr(
+                "event_type AS g", "cast(value * 1000 as bigint) AS v"
+            ),
+            ["g"],
+            "v",
+        ),
+        "k_anonymity": lambda: k_anonymity_stats(
+            orders.selectExpr(
+                "o_orderpriority AS p", "o_custkey % 500 AS c"
+            ),
+            ["p", "c"],
+            3,
+        ),
+        "funnel_steps": lambda: funnel_steps(
+            events,
+            "user_id",
+            "ts",
+            [
+                ("view", "event_type = 'view'"),
+                ("click", "event_type = 'click'"),
+                ("purchase", "event_type = 'purchase'"),
+            ],
+        ),
+        "url_canonicalize": lambda: url_canonicalize(
+            docs.selectExpr(
+                "concat('HTTP://', source, '.com:80/', doc_id % 50,"
+                " '/?utm_source=x&b=', doc_id % 7, '#f') AS url"
+            )
+        ),
+        "nfc_normalize": lambda: nfc_normalize_text(docs),
         "ols_trend": lambda: ols_trend_exact(
             events.selectExpr(
                 "event_type AS g",
