@@ -137,3 +137,117 @@ SELECT b.w1, b.w2, b.c_ab,
 FROM big b
 JOIN uni ua ON b.w1 = ua.w
 JOIN uni ub ON b.w2 = ub.w"""
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document fluency score from the corpus's own bigram
+    statistics — the language-model quality proxy of the public
+    pretraining-curation recipes (word salad scores low because its
+    adjacent pairs are rare GIVEN their prefix; fluent text repeats
+    the corpus's conditional structure).  No trained model, no logs:
+    the per-bigram signal is the conditional-probability integer lane
+
+        lane(a, b) = (scale · c_ab) DIV c_a      ∈ [0, scale]
+
+    and the document score is the mean lane over its bigrams,
+
+        fluency_lane = sum(lane) DIV n_bigrams
+
+    both pure BIGINT (staged divisions replayed verbatim by the
+    generated oracle, so cross-engine bit-equality holds by
+    construction).  Overflow: scale·c_ab < 2^63 needs c_ab <
+    9.2·10^12 at the default scale — beyond any realistic single
+    bigram count; the guard documents rather than scans.
+
+    Scale shape: tokenize once; corpus bigram/unigram counts are the
+    same two vocab-sized grouped counts as :func:`dice_collocations`;
+    the one corpus-sized join (doc-bigrams ⋈ bigram-lane table)
+    shuffles on (w1, w2) — the lane table is far smaller than the
+    corpus and AQE broadcasts it when it fits.  Docs with < 2 tokens
+    have no bigrams and are absent from the output (score undefined).
+
+    Returns ``id_col, n_bigrams, fluency_lane`` (BIGINT).
+    """
+    if not (0 < scale <= 1_000_000_000):
+        raise ValueError(f"scale must be in (0, 1e9]: {scale}")
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+        ).alias("_t"),
+    )
+    doc_bigrams = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+                )
+            ).alias("_p"),
+        )
+        .select(id_col, "_p.w1", "_p.w2")
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    lanes = (
+        doc_bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"({int(scale)} * c_ab) DIV c_a").alias("_lane"),
+        )
+    )
+    return (
+        doc_bigrams.join(lanes, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(_lane) DIV count(1)").alias("fluency_lane"),
+        )
+    )
+
+
+def bigram_fluency_oracle(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`bigram_fluency` over ``source_sql`` (a subquery producing
+    ``id_col, text_col``)."""
+    return f"""WITH src AS ({source_sql}), toks AS (
+    SELECT {id_col} AS id,
+           regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS t
+    FROM src
+), doc_bigrams AS (
+    SELECT id, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT id, t, UNNEST(range(1, len(t))) AS i FROM toks
+          WHERE len(t) >= 2)
+), uni AS (
+    SELECT w1, COUNT(*) AS c_a
+    FROM (SELECT UNNEST(t) AS w1 FROM toks)
+    GROUP BY w1
+), lanes AS (
+    SELECT b.w1, b.w2, ({int(scale)} * COUNT(*)) // ANY_VALUE(u.c_a) AS lane
+    FROM doc_bigrams b JOIN uni u ON b.w1 = u.w1
+    GROUP BY b.w1, b.w2
+)
+SELECT db.id AS {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(l.lane) // COUNT(*) AS BIGINT) AS fluency_lane
+FROM doc_bigrams db
+JOIN lanes l ON db.w1 = l.w1 AND db.w2 = l.w2
+GROUP BY db.id"""

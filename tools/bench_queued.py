@@ -51,7 +51,14 @@ def _ops(spark, sf_dir):
         substring_dedup_spans,
     )
     from survivor_processing_spark.operators.collocation import (
+        bigram_fluency,
         dice_collocations,
+    )
+    from survivor_processing_spark.operators.crawlplan import (
+        crawl_schedule_summary,
+    )
+    from survivor_processing_spark.operators.fingerprint import (
+        content_fingerprint,
     )
     from survivor_processing_spark.operators.curation import (
         k_anonymity_stats,
@@ -142,6 +149,17 @@ def _ops(spark, sf_dir):
             )
         ),
         "nfc_normalize": lambda: nfc_normalize_text(docs),
+        "bigram_fluency": lambda: bigram_fluency(docs),
+        "content_fingerprint": lambda: content_fingerprint(
+            orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
+        ),
+        "crawl_schedule": lambda: crawl_schedule_summary(
+            docs.selectExpr(
+                "concat('h', doc_id % 97, '.com') AS host",
+                "concat('/', doc_id) AS url",
+            ),
+            per_slot=4,
+        ),
         "ols_trend": lambda: ols_trend_exact(
             events.selectExpr(
                 "event_type AS g",

@@ -1203,6 +1203,134 @@ def fuzz_urlnorm(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_fingerprint(spark, rng, trials: int) -> int:
+    """operators/fingerprint.py content_fingerprint (unit-gated,
+    queued): random NULL-heavy tables — Spark vs the generated
+    oracle, plus the order/partitioning-invariance property."""
+    from survivor_processing_spark.operators.fingerprint import (
+        content_fingerprint,
+        content_fingerprint_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        rows = [
+            (
+                rng.randrange(-1000, 1000),
+                rng.choice([None, "", "x", "yy", "a b", "0"]),
+            )
+            for _ in range(rng.randrange(0, 120))
+        ]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got = tuple(content_fingerprint(df, ["k", "s"]).collect()[0])
+        shuf = tuple(
+            content_fingerprint(
+                df.repartition(rng.choice([1, 5, 32])), ["k", "s"]
+            )
+            .collect()[0]
+        )
+        con = duckdb.connect()
+        con.register(
+            "src_t",
+            pd.DataFrame(rows, columns=["k", "s"]).astype({"k": "int64"}),
+        )
+        want = con.execute(
+            content_fingerprint_oracle(["k", "s"], "SELECT * FROM src_t")
+        ).fetchall()[0]
+        if got != want or got != shuf:
+            fails += 1
+            print("FINGERPRINT MISMATCH")
+    return fails
+
+
+def fuzz_crawlplan(spark, rng, trials: int) -> int:
+    """operators/crawlplan.py crawl_schedule_summary (unit-gated,
+    queued): random skewed frontiers — summary vs the generated
+    oracle, plus the per-host wave bound on the row-level form."""
+    from collections import Counter
+
+    from survivor_processing_spark.operators.crawlplan import (
+        crawl_schedule_oracle,
+        crawl_schedule_slots,
+        crawl_schedule_summary,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        rows = list(
+            {
+                (
+                    f"h{rng.randrange(1, rng.choice([2, 4, 9]))}",
+                    f"u{rng.randrange(200)}",
+                )
+                for _ in range(rng.randrange(1, 150))
+            }
+        )
+        per_slot = rng.choice([1, 2, 3, 8])
+        df = spark.createDataFrame(rows, "host string, url string")
+        got = sorted(
+            map(
+                tuple,
+                crawl_schedule_summary(df, per_slot=per_slot).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.register("src_t", pd.DataFrame(rows, columns=["host", "url"]))
+        want = sorted(
+            con.execute(
+                crawl_schedule_oracle(
+                    "SELECT * FROM src_t", per_slot=per_slot
+                )
+            ).fetchall()
+        )
+        sched = crawl_schedule_slots(df, per_slot=per_slot).collect()
+        bound = Counter((r["host"], r["slot"]) for r in sched)
+        if got != want or (bound and max(bound.values()) > per_slot):
+            fails += 1
+            print("CRAWLPLAN MISMATCH", per_slot)
+    return fails
+
+
+def fuzz_bigram_fluency(spark, rng, trials: int) -> int:
+    """operators/collocation.py bigram_fluency (unit-gated, queued):
+    random short-vocab corpora — Spark vs the generated oracle."""
+    from survivor_processing_spark.operators.collocation import (
+        bigram_fluency,
+        bigram_fluency_oracle,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd", "e1", "f"]
+    fails = 0
+    for _ in range(trials):
+        rows = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab) + rng.choice(["", ".", ","])
+                    for _ in range(rng.randrange(0, 14))
+                ),
+            )
+            for i in range(rng.randrange(1, 18))
+        ]
+        kw = dict(scale=rng.choice([1000, 1_000_000]))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(map(tuple, bigram_fluency(df, **kw).collect()))
+        con = duckdb.connect()
+        con.register("src_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    bigram_fluency_oracle("SELECT * FROM src_t", **kw)
+                ).fetchall(),
+            )
+        )
+        if got != want:
+            fails += 1
+            print("BIGRAM_FLUENCY MISMATCH", kw)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1245,6 +1373,9 @@ def main() -> int:
         ("funnel", fuzz_funnel),
         ("kanon", fuzz_kanon),
         ("urlnorm", fuzz_urlnorm),
+        ("fingerprint", fuzz_fingerprint),
+        ("crawlplan", fuzz_crawlplan),
+        ("bigram_fluency", fuzz_bigram_fluency),
     ):
         if only is not None and name not in only:
             continue
