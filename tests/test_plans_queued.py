@@ -117,3 +117,128 @@ def test_exact_split_windows_share_one_exchange(spark):
     assert plan.count("Exchange") == 1
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_collocation_mapside_combine_no_python(spark):
+    from survivor_processing_spark.operators.collocation import (
+        dice_collocations,
+    )
+
+    plan = _plan(dice_collocations(_docs(spark), min_count=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    # both grouped counts partial-aggregate before their exchanges
+    assert "partial_count" in plan
+
+
+def test_bigram_fluency_no_python_no_cartesian(spark):
+    from survivor_processing_spark.operators.collocation import (
+        bigram_fluency,
+    )
+
+    plan = _plan(bigram_fluency(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    assert "partial_count" in plan
+
+
+def test_mad_windows_and_agg_share_one_group_exchange(spark):
+    from survivor_processing_spark.operators.curation import (
+        mad_outlier_stats,
+    )
+
+    df = mad_outlier_stats(
+        _docs(spark).selectExpr("lang AS g", "n_chars AS v"), ["g"], "v"
+    )
+    plan = _plan(df)
+    # the v-ranking window, the d-ranking window, and the final
+    # aggregate all hash-partition by the group: one exchange feeds
+    # the chain (the second window adds a Sort, never a shuffle)
+    assert plan.count("Exchange") == 1
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_k_anonymity_single_window_exchange(spark):
+    from survivor_processing_spark.operators.curation import (
+        k_anonymity_suppress,
+    )
+
+    df = k_anonymity_suppress(
+        _docs(spark), ["lang", "source"], 2
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_urlnorm_is_pure_projection(spark):
+    from survivor_processing_spark.operators.urlnorm import url_canonicalize
+
+    df = url_canonicalize(
+        _docs(spark).selectExpr("concat('http://a.com/', doc_id) AS url")
+    )
+    plan = _plan(df)
+    # per-row JVM projection: NOTHING may shuffle and no Python runs
+    # (the query-param filter/sort lambdas are CodegenFallback, so no
+    # WholeStageCodegen span — still a single interpreted-safe
+    # Project, which is the property that matters at scale)
+    assert "Exchange" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    assert plan.startswith("Project") or "Project" in plan.split("\n")[0]
+
+
+def test_fingerprint_partial_aggregates_no_hash_exchange(spark):
+    from survivor_processing_spark.operators.fingerprint import (
+        content_fingerprint,
+    )
+
+    plan = _plan(content_fingerprint(_docs(spark), ["doc_id", "lang"]))
+    # the only exchange is the final 1-row reduce — never a
+    # hash-partitioned shuffle of the data
+    assert "Exchange hashpartitioning" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_crawlplan_single_ranking_exchange(spark):
+    from survivor_processing_spark.operators.crawlplan import (
+        crawl_schedule_slots,
+    )
+
+    df = crawl_schedule_slots(
+        _docs(spark).selectExpr(
+            "source AS host", "cast(doc_id as string) AS url"
+        )
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_funnel_no_cartesian_no_python(spark):
+    from survivor_processing_spark.operators.funnel import funnel_steps
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "click")],
+        "user_id long, ts long, event_type string",
+    )
+    plan = _plan(
+        funnel_steps(
+            ev,
+            "user_id",
+            "ts",
+            [("view", "event_type = 'view'"), ("click", "event_type = 'click'")],
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_NODES:
+        assert node not in plan
