@@ -242,3 +242,95 @@ def test_funnel_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_pagerank_iteration_mapside_no_cartesian(spark):
+    from survivor_processing_spark.operators.pagerank import (
+        pagerank_portable,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    plan = _plan(pagerank_portable(edges, n_iters=2))
+    assert "CartesianProduct" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    # contribs combine map-side before the dst shuffle
+    assert "partial_sum" in plan
+
+
+def test_ols_single_hash_aggregate(spark):
+    from survivor_processing_spark.operators.regression import (
+        ols_trend_exact,
+    )
+
+    df = _docs(spark).selectExpr(
+        "lang AS g", "cast(doc_id % 50 as double) AS x", "cast(n_chars as double) AS y"
+    )
+    plan = _plan(ols_trend_exact(df, ["g"], "x", "y", scale=10))
+    # five moments in ONE map-side-combined hash aggregate: a single
+    # group exchange, no window, no join
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_inverted_postings_mapside_no_python(spark):
+    from survivor_processing_spark.operators.retrieval import (
+        inverted_postings,
+    )
+
+    plan = _plan(inverted_postings(_docs(spark), min_df=2, max_df=1000))
+    assert "CartesianProduct" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    assert "partial_count" in plan
+
+
+def test_bm25_no_nest_loop_no_python(spark):
+    from survivor_processing_spark.operators.retrieval import (
+        bm25_doc_term_scores,
+    )
+
+    plan = _plan(bm25_doc_term_scores(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    # the ONE nested-loop join allowed is the deliberate 1-row
+    # broadcast of the corpus totals (crossJoin(broadcast(totals)) —
+    # the correct plan for a scalar join at any scale); a second one
+    # would be a regression
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_interpolate_windows_share_key_exchange(spark):
+    from survivor_processing_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = _docs(spark).selectExpr(
+        "lang AS k",
+        "doc_id AS t",
+        "if(doc_id % 3 = 0, NULL, n_chars) AS yq",
+    )
+    plan = _plan(interpolate_linear(df, ["k"], "t", "yq"))
+    # the bracketing ignore-nulls windows all partition by the key:
+    # one exchange, no join
+    assert plan.count("Exchange") == 1
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_nfc_is_one_arrow_projection(spark):
+    from survivor_processing_spark.operators.textnorm import (
+        nfc_normalize_text,
+    )
+
+    plan = _plan(nfc_normalize_text(_docs(spark)))
+    # the documented legitimate Python case: exactly ONE Arrow-batched
+    # eval node, and NOTHING shuffles around it
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
+    assert "Exchange" not in plan

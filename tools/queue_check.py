@@ -1,0 +1,120 @@
+"""Registration-queue integrity check — computed, not asserted (the
+staleness.py discipline applied to the unit-gated operator queue).
+
+ROTATION_r07.md promises every queued operator ships a generated
+oracle, cross-engine tests, a fuzz family, a BENCH_QUEUED row, and
+(since late r7) a physical-plan audit, so that registering it later
+is "writing the @register block, nothing more".  This tool makes the
+promise checkable: the queue manifest lives HERE as data, and the
+round checklist runs `python tools/queue_check.py` (exit 1 on any
+missing artifact) instead of trusting the rotation prose.
+
+Checks per queued operator:
+  1. the operator function imports;
+  2. its oracle generator imports (None = documented exemption,
+     printed);
+  3. its test file exists under tests/;
+  4. its fuzz family is registered in tools/fuzz_portables.py;
+  5. its bench key appears in BENCH_QUEUED.json under BOTH sf dirs;
+  6. tests/test_plans_queued.py references the operator (plan audit).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OPS = "survivor_processing_spark.operators"
+
+# (operator, oracle, module, test file, fuzz family, bench key)
+# oracle None = documented exemption; bench None = covered by a
+# sibling's bench row (stated in the notes column of ROTATION_r07.md)
+QUEUE = [
+    ("bpe_train", "bpe_portable_oracle", f"{OPS}.bpe", "test_bpe.py", "bpe", "bpe_token_budget"),
+    ("pagerank_portable", "pagerank_portable_oracle", f"{OPS}.pagerank", "test_pagerank.py", "pagerank", "pagerank"),
+    ("substring_dedup_spans", "substring_spans_oracle", f"{OPS}.substring", "test_substring.py", "substring", "substring_spans"),
+    ("substring_dedup_clean", "substring_clean_oracle", f"{OPS}.substring", "test_substring.py", "substring", "substring_clean"),
+    ("bpe_token_budget", "bpe_token_budget_oracle", f"{OPS}.bpe", "test_bpe.py", "bpe_encode", "bpe_token_budget"),
+    ("pq_train_encode", "pq_portable_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_train_encode"),
+    ("pq_adc_topk", "pq_adc_topk_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_adc_topk"),
+    ("bfs_levels", "bfs_levels_oracle", f"{OPS}.bfs", "test_bfs.py", "bfs", "bfs_levels"),
+    ("stratified_exact_split", "stratified_exact_split_oracle", f"{OPS}.curation", "test_stratified_split.py", "stratified_split", "stratified_split"),
+    ("ngram_coverage_score", "ngram_coverage_oracle", f"{OPS}.curation", "test_ngram_coverage.py", "ngram_coverage", "ngram_coverage"),
+    ("ols_trend_exact", "ols_trend_oracle", f"{OPS}.regression", "test_regression.py", "ols", "ols_trend"),
+    ("inverted_postings", "inverted_postings_oracle", f"{OPS}.retrieval", "test_retrieval.py", "retrieval", "inverted_postings"),
+    ("bm25_doc_term_scores", "bm25_scores_oracle", f"{OPS}.retrieval", "test_retrieval.py", "retrieval", "bm25_scores"),
+    ("interpolate_linear", "interpolate_linear_oracle", f"{OPS}.timeseries", "test_interpolate.py", "interpolate", "interpolate"),
+    ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
+    ("nfc_normalize_text", "nfc_normalize_oracle", f"{OPS}.textnorm", "test_textnorm.py", "textnorm", "nfc_normalize"),
+    ("dice_collocations", "dice_collocations_oracle", f"{OPS}.collocation", "test_collocation.py", "collocation", "collocations"),
+    ("bigram_fluency", "bigram_fluency_oracle", f"{OPS}.collocation", "test_bigram_fluency.py", "bigram_fluency", "bigram_fluency"),
+    ("mad_outlier_stats", "mad_outlier_oracle", f"{OPS}.curation", "test_mad_outliers.py", "mad", "mad_outliers"),
+    ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
+    ("url_canonicalize", "url_canonicalize_oracle", f"{OPS}.urlnorm", "test_urlnorm.py", "urlnorm", "url_canonicalize"),
+    ("content_fingerprint", "content_fingerprint_oracle", f"{OPS}.fingerprint", "test_fingerprint.py", "fingerprint", "content_fingerprint"),
+    ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
+    # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
+    ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
+    # apng: a bytes-level codec (not a DataFrame op — no plan to
+    # audit); gated through the registered multimodal queries'
+    # dispatch, whose plans tests/test_plans.py covers
+    ("apng_frames", None, f"{OPS}.multimodal", "test_apng.py", None, None),
+]
+
+PLAN_AUDIT_EXEMPT = {"apng_frames"}
+
+
+def main() -> int:
+    with open(os.path.join(REPO, "BENCH_QUEUED.json")) as f:
+        bench = json.load(f)["sf_dirs"]
+    with open(os.path.join(REPO, "tools", "fuzz_portables.py")) as f:
+        fuzz_src = f.read()
+    with open(
+        os.path.join(REPO, "tests", "test_plans_queued.py")
+    ) as f:
+        plans_src = f.read()
+
+    bad = 0
+    for fn, oracle, module, test, fam, bkey in QUEUE:
+        probs = []
+        try:
+            mod = importlib.import_module(module)
+            if not callable(getattr(mod, fn, None)):
+                probs.append(f"operator {fn} missing in {module}")
+            if oracle is not None and not callable(
+                getattr(mod, oracle, None)
+            ):
+                probs.append(f"oracle {oracle} missing in {module}")
+        except ImportError as exc:
+            probs.append(f"import failed: {exc}")
+        if not os.path.exists(os.path.join(REPO, "tests", test)):
+            probs.append(f"test file tests/{test} missing")
+        if fam is not None and f'("{fam}", fuzz_' not in fuzz_src:
+            probs.append(f"fuzz family {fam!r} not in dispatcher")
+        if bkey is not None:
+            for d, rows in bench.items():
+                if bkey not in rows:
+                    probs.append(f"bench key {bkey!r} missing for {d}")
+        if (
+            fn not in PLAN_AUDIT_EXEMPT
+            and module.rsplit(".", 1)[-1] not in plans_src
+            and fn not in plans_src
+        ):
+            probs.append("no plan audit reference in test_plans_queued.py")
+        if probs:
+            bad += 1
+            print(f"INCOMPLETE {fn}:")
+            for p in probs:
+                print(f"  - {p}")
+    n = len(QUEUE)
+    print(f"queue_check: {n - bad}/{n} complete")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
