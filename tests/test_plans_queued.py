@@ -334,3 +334,21 @@ def test_nfc_is_one_arrow_projection(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time
     assert "Exchange" not in plan
+
+
+def test_triangles_no_cartesian_mapside_no_python(spark):
+    from survivor_processing_spark.operators.graphstats import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    plan = _plan(triangle_counts(edges))
+    # the wedge and closing joins are equi-joins — a nested loop here
+    # would be the Θ(deg²) blowup the degree ordering exists to avoid
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    assert "partial_count" in plan

@@ -65,6 +65,9 @@ def _ops(spark, sf_dir):
         mad_outlier_stats,
     )
     from survivor_processing_spark.operators.funnel import funnel_steps
+    from survivor_processing_spark.operators.graphstats import (
+        triangle_counts,
+    )
     from survivor_processing_spark.operators.textnorm import (
         nfc_normalize_text,
     )
@@ -150,6 +153,7 @@ def _ops(spark, sf_dir):
         ),
         "nfc_normalize": lambda: nfc_normalize_text(docs),
         "bigram_fluency": lambda: bigram_fluency(docs),
+        "triangle_counts": lambda: triangle_counts(edges),
         "content_fingerprint": lambda: content_fingerprint(
             orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
         ),

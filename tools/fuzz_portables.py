@@ -1331,6 +1331,57 @@ def fuzz_bigram_fluency(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_graphstats(spark, rng, trials: int) -> int:
+    """operators/graphstats.py triangle_counts (unit-gated, queued):
+    random multigraphs with self-loops and flips — Spark vs the
+    generated oracle vs a brute-force itertools reference."""
+    import itertools
+
+    from survivor_processing_spark.operators.graphstats import (
+        triangle_counts,
+        triangle_counts_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        n = rng.randrange(3, 18)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(2, 60))
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(map(tuple, triangle_counts(df).collect()))
+        con = duckdb.connect()
+        con.register("src_t", pd.DataFrame(edges, columns=["src", "dst"]))
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    triangle_counts_oracle("SELECT * FROM src_t")
+                ).fetchall(),
+            )
+        )
+        es = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+        adj: dict[int, set[int]] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = {m: 0 for m in adj}
+        for u, v, w in itertools.combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+        brute = sorted(
+            (m, len(adj[m]), tri[m], len(adj[m]) * (len(adj[m]) - 1) // 2)
+            for m in adj
+        )
+        if got != want or got != brute:
+            fails += 1
+            print("GRAPHSTATS MISMATCH")
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1376,6 +1427,7 @@ def main() -> int:
         ("fingerprint", fuzz_fingerprint),
         ("crawlplan", fuzz_crawlplan),
         ("bigram_fluency", fuzz_bigram_fluency),
+        ("graphstats", fuzz_graphstats),
     ):
         if only is not None and name not in only:
             continue
