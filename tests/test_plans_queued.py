@@ -352,3 +352,18 @@ def test_triangles_no_cartesian_mapside_no_python(spark):
     for node in PY_NODES:
         assert node not in plan
     assert "partial_count" in plan
+
+
+def test_rendezvous_is_pure_projection(spark):
+    from survivor_processing_spark.operators.sharding import (
+        rendezvous_assign,
+    )
+
+    df = rendezvous_assign(
+        _docs(spark).select("doc_id"), "doc_id", ["s-a", "s-b", "s-c"]
+    )
+    plan = _plan(df)
+    # routing must compose into a scan: no shuffle, no Python
+    assert "Exchange" not in plan
+    for node in PY_NODES:
+        assert node not in plan

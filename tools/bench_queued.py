@@ -68,6 +68,9 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.graphstats import (
         triangle_counts,
     )
+    from survivor_processing_spark.operators.sharding import (
+        rendezvous_summary,
+    )
     from survivor_processing_spark.operators.textnorm import (
         nfc_normalize_text,
     )
@@ -154,6 +157,9 @@ def _ops(spark, sf_dir):
         "nfc_normalize": lambda: nfc_normalize_text(docs),
         "bigram_fluency": lambda: bigram_fluency(docs),
         "triangle_counts": lambda: triangle_counts(edges),
+        "rendezvous": lambda: rendezvous_summary(
+            docs.select("doc_id"), "doc_id", [f"s-{i}" for i in range(16)]
+        ),
         "content_fingerprint": lambda: content_fingerprint(
             orders, ["o_orderkey", "o_custkey", "o_orderstatus"]
         ),

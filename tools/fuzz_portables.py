@@ -1382,6 +1382,53 @@ def fuzz_graphstats(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_sharding(spark, rng, trials: int) -> int:
+    """operators/sharding.py rendezvous (unit-gated, queued): random
+    key counts and shard sets — cross-engine summary equality plus
+    the exact minimal-disruption invariant on a shard add."""
+    from survivor_processing_spark.operators.sharding import (
+        rendezvous_assign,
+        rendezvous_oracle,
+        rendezvous_summary,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        n = rng.randrange(20, 300)
+        k = rng.randrange(2, 7)
+        shards = [f"s{rng.randrange(1000)}-{i}" for i in range(k)]
+        new = f"s{rng.randrange(1000)}-new"
+        df = spark.range(n).withColumnRenamed("id", "k")
+        got = sorted(
+            map(tuple, rendezvous_summary(df, "k", shards).collect())
+        )
+        con = duckdb.connect()
+        want = sorted(
+            con.execute(
+                rendezvous_oracle(
+                    f"SELECT range AS k FROM range({n})", "k", shards
+                )
+            ).fetchall()
+        )
+        before = {
+            r["k"]: r["shard"]
+            for r in rendezvous_assign(df, "k", shards).collect()
+        }
+        after = {
+            r["k"]: r["shard"]
+            for r in rendezvous_assign(df, "k", shards + [new]).collect()
+        }
+        disrupted_ok = all(
+            after[key] == new
+            for key in before
+            if before[key] != after[key]
+        )
+        if got != want or not disrupted_ok or sum(c for _, c in got) != n:
+            fails += 1
+            print("SHARDING MISMATCH", k)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1428,6 +1475,7 @@ def main() -> int:
         ("crawlplan", fuzz_crawlplan),
         ("bigram_fluency", fuzz_bigram_fluency),
         ("graphstats", fuzz_graphstats),
+        ("sharding", fuzz_sharding),
     ):
         if only is not None and name not in only:
             continue
