@@ -1147,7 +1147,14 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound Python codec over a tiny id column: spread to the
+    # cores before the first mapInPandas (the sf1 doc table is one
+    # parquet split — the GIF-query lesson, hash-identical output)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -1207,7 +1214,14 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_media_nn,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound Python codec over a tiny id column: spread to the
+    # cores before the first mapInPandas (the sf1 doc table is one
+    # parquet split — the GIF-query lesson, hash-identical output)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -1325,7 +1339,14 @@ def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import MEDIA_SCHEMA, wav_info
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound Python codec over a tiny id column: spread to the
+    # cores before the first mapInPandas (the sf1 doc table is one
+    # parquet split — the GIF-query lesson, hash-identical output)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         import struct as _s
