@@ -62,6 +62,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # cedes its window slot to the committed cohort; next due by
 # staleness order.
 _PRIORITY = [
+    # Slot-cede note (late r07, per the window contract): three
+    # OUT-of-window queries got a hash-identical perf rewrite —
+    # multimodal_header_parse / multimodal_resize_pipeline /
+    # multimodal_wav_slice gained a repartition ahead of their Python
+    # codec stages (no semantic change; re-verified hash-green at
+    # sf0.01 AND sf0.1 after the edit) — so they cede their slots to
+    # the committed cohort below.  kmeans_clusters also changed
+    # (incremental farthest-point init, picks verified md5-identical
+    # at sf0.1 and sf1) but already holds slot 1.
     # (a) gating code changed in r07 (no-signal rows -> gates)
     "kmeans_clusters",
     "simhash_near_pairs",
