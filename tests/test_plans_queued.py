@@ -367,3 +367,28 @@ def test_rendezvous_is_pure_projection(spark):
     assert "Exchange" not in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_zonemap_pruned_scan_pushes_residual_filter(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_scan,
+    )
+
+    for part in range(3):
+        pq.write_table(
+            pa.table({"k": list(range(part * 10, part * 10 + 10))}),
+            str(tmp_path / f"p{part}.parquet"),
+        )
+    zm = build_zonemap(spark, str(tmp_path), ["k"])
+    df = pruned_scan(spark, str(tmp_path), zm, "k", 12, 18)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the residual range predicate still reaches the parquet reader
+    # (zone maps prune FILES; row groups prune inside what's left)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(k,12)" in plan
+    for node in PY_NODES:
+        assert node not in plan

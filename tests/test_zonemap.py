@@ -1,0 +1,125 @@
+"""Zone-map file skipping: the manifest matches an independent
+footer reader (DuckDB parquet_metadata oracle) on single- and
+multi-row-group files including numeric-vs-lexical ordering traps
+("9" vs "10"), pruning never changes results (pruned scan ≡ full
+scan + filter) while provably skipping files, NULL-stat files are
+never skipped, and randomized range probes hold the contract."""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from survivor_processing_spark.operators.zonemap import (
+    build_zonemap,
+    prune_files,
+    pruned_scan,
+    zonemap_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def ranged_dir(spark):
+    """Four range-partitioned files over k=0..399 (k DIV 100)."""
+    d = tempfile.mkdtemp()
+    try:
+        for part in range(4):
+            tbl = pa.table(
+                {
+                    "k": list(range(part * 100, part * 100 + 100)),
+                    "s": [f"v{i}" for i in range(100)],
+                }
+            )
+            pq.write_table(tbl, os.path.join(d, f"part-{part}.parquet"))
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _oracle_rows(path, cols):
+    con = duckdb.connect()
+    return sorted(map(tuple, con.execute(zonemap_oracle(path, cols)).fetchall()))
+
+
+def test_manifest_matches_duckdb(spark, ranged_dir):
+    zm = build_zonemap(spark, ranged_dir, ["k", "s"])
+    assert sorted(map(tuple, zm.collect())) == _oracle_rows(
+        ranged_dir, ["k", "s"]
+    )
+
+
+def test_multi_row_group_numeric_ordering(spark):
+    # values chosen so lexical min/max ("10" < "9") disagree with
+    # numeric across TWO row groups — both engines must pick 9/1000
+    d = tempfile.mkdtemp()
+    try:
+        tbl = pa.table({"k": [10, 1000, 9, 500]})
+        pq.write_table(
+            tbl, os.path.join(d, "rg.parquet"), row_group_size=2
+        )
+        zm = build_zonemap(spark, d, ["k"])
+        rows = sorted(map(tuple, zm.collect()))
+        assert rows == [("rg.parquet", "k", 4, "9", "1000")]
+        assert rows == _oracle_rows(d, ["k"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prune_skips_and_preserves_results(spark, ranged_dir):
+    zm = build_zonemap(spark, ranged_dir, ["k"])
+    kept = prune_files(zm, "k", 150, 249)
+    assert kept == ["part-1.parquet", "part-2.parquet"]  # 2 of 4 skipped
+    got = sorted(
+        r["k"]
+        for r in pruned_scan(spark, ranged_dir, zm, "k", 150, 249).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in spark.read.parquet(ranged_dir)
+        .filter("k BETWEEN 150 AND 249")
+        .collect()
+    )
+    assert got == want == list(range(150, 250))
+
+
+def test_empty_range_returns_empty(spark, ranged_dir):
+    zm = build_zonemap(spark, ranged_dir, ["k"])
+    assert prune_files(zm, "k", 5000, 6000) == []
+    assert pruned_scan(spark, ranged_dir, zm, "k", 5000, 6000).count() == 0
+
+
+def test_null_stats_never_skipped(spark, ranged_dir):
+    zm = build_zonemap(spark, ranged_dir, ["k"]).withColumn(
+        "vmin",
+        F.expr("CASE WHEN file = 'part-3.parquet' THEN NULL ELSE vmin END"),
+    )
+    kept = prune_files(zm, "k", 0, 50)
+    assert "part-3.parquet" in kept  # blind file must survive
+
+
+def test_randomized_range_contract(spark, ranged_dir):
+    rng = random.Random(20260815)
+    zm = build_zonemap(spark, ranged_dir, ["k"])
+    full = spark.read.parquet(ranged_dir)
+    for _ in range(5):
+        lo = rng.randrange(-50, 450)
+        hi = lo + rng.randrange(0, 200)
+        got = sorted(
+            r["k"]
+            for r in pruned_scan(
+                spark, ranged_dir, zm, "k", lo, hi
+            ).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in full.filter(f"k BETWEEN {lo} AND {hi}").collect()
+        )
+        assert got == want, (lo, hi)

@@ -71,6 +71,7 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.sharding import (
         rendezvous_summary,
     )
+    from survivor_processing_spark.operators.zonemap import build_zonemap
     from survivor_processing_spark.operators.textnorm import (
         nfc_normalize_text,
     )
@@ -157,6 +158,9 @@ def _ops(spark, sf_dir):
         "nfc_normalize": lambda: nfc_normalize_text(docs),
         "bigram_fluency": lambda: bigram_fluency(docs),
         "triangle_counts": lambda: triangle_counts(edges),
+        "zonemap_build": lambda: build_zonemap(
+            spark, f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]
+        ),
         "rendezvous": lambda: rendezvous_summary(
             docs.select("doc_id"), "doc_id", [f"s-{i}" for i in range(16)]
         ),

@@ -1429,6 +1429,61 @@ def fuzz_sharding(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_zonemap(spark, rng, trials: int) -> int:
+    """operators/zonemap.py (unit-gated, queued): random file layouts
+    and row-group sizes — manifest == DuckDB parquet_metadata oracle,
+    and every random range probe satisfies pruned ≡ full+filter."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_scan,
+        zonemap_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        d = tempfile.mkdtemp()
+        try:
+            n_files = rng.randrange(1, 5)
+            all_k = []
+            for i in range(n_files):
+                ks = [
+                    rng.randrange(-1000, 1000)
+                    for _ in range(rng.randrange(1, 40))
+                ]
+                all_k.extend(ks)
+                pq.write_table(
+                    pa.table({"k": ks}),
+                    os.path.join(d, f"f{i}.parquet"),
+                    row_group_size=rng.choice([2, 7, 1000]),
+                )
+            zm = build_zonemap(spark, d, ["k"])
+            got = sorted(map(tuple, zm.collect()))
+            con = duckdb.connect()
+            want = sorted(
+                map(tuple, con.execute(zonemap_oracle(d, ["k"])).fetchall())
+            )
+            lo = rng.randrange(-1100, 1100)
+            hi = lo + rng.randrange(0, 800)
+            pruned = sorted(
+                r["k"]
+                for r in pruned_scan(spark, d, zm, "k", lo, hi).collect()
+            )
+            ref = sorted(x for x in all_k if lo <= x <= hi)
+            if got != want or pruned != ref:
+                fails += 1
+                print("ZONEMAP MISMATCH", lo, hi)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1476,6 +1531,7 @@ def main() -> int:
         ("bigram_fluency", fuzz_bigram_fluency),
         ("graphstats", fuzz_graphstats),
         ("sharding", fuzz_sharding),
+        ("zonemap", fuzz_zonemap),
     ):
         if only is not None and name not in only:
             continue

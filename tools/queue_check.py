@@ -60,6 +60,7 @@ QUEUE = [
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
     ("triangle_counts", "triangle_counts_oracle", f"{OPS}.graphstats", "test_graphstats.py", "graphstats", "triangle_counts"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
+    ("build_zonemap", "zonemap_oracle", f"{OPS}.zonemap", "test_zonemap.py", "zonemap", "zonemap_build"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng: a bytes-level codec (not a DataFrame op — no plan to
