@@ -19,21 +19,30 @@ DataFrame any query can join or filter.
 
 Mechanics: the builder reads ONLY parquet footers (pyarrow, no data
 pages) — cost is one footer per file, manifest size is
-files × columns rows.  Column min/max are kept as STRINGS exactly
-as typed values print (bit-faithful for ints/strings; fine for the
-pruning use because the PRUNE comparisons happen after casting back
-to the queried column's type).  The generated DuckDB oracle rebuilds
-the same manifest from ``parquet_metadata()`` — a true cross-engine
-check that our footer walk agrees with an independent reader.
+files × columns rows.  Row-group min/max are merged IN THE COLUMN'S
+PHYSICAL TYPE (pyarrow statistics are typed, so an int column merges
+numerically and a string column merges bytewise by construction) and
+stringified only at the end; each manifest row records which
+ordering (``ord``: numeric / bytewise / temporal / other) built the
+envelope, and :func:`prune_files` refuses a ``cast`` whose
+comparison semantics disagree with it — so a string column holding
+numeric-looking values can never produce an envelope that is
+bytewise-narrower than its data (the round-7 ADVICE finding).  The
+generated DuckDB oracle rebuilds the same manifest from
+``parquet_metadata()`` branching on the SAME physical type — a true
+cross-engine check that our footer walk agrees with an independent
+reader.
 
 Correctness contract (tested, not asserted): for any range
 predicate, scanning the pruned file subset ≡ scanning every file
 with the predicate — zone-map pruning may only skip files the
-predicate provably cannot match (NULL-stat files are never skipped).
+predicate provably cannot match (NULL-stat files are never skipped,
+and an ordering-mismatched prune raises instead of guessing).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 import pyspark.sql.functions as F
@@ -50,12 +59,34 @@ def _list_parquet(path: str) -> list[str]:
     )
 
 
+def _ord_of(v) -> str:
+    """Which total order the typed stat value lives in.  bool checked
+    before int (bool is an int subclass but prints True/False)."""
+    if isinstance(v, bool):
+        return "other"
+    if isinstance(v, (int, float)):
+        return "numeric"
+    if isinstance(v, str):
+        return "bytewise"
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return "temporal"
+    return "other"
+
+
 def build_zonemap(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
     """One manifest row per (file, column): ``file, col, n_rows,
-    vmin, vmax`` with min/max as strings (NULL when the footer
-    carries no stats).  Footer-only reads; file-count-sized output.
+    vmin, vmax, ord`` with min/max as strings (NULL when the footer
+    carries no stats) and ``ord`` recording the ordering the envelope
+    was merged under.  Footer-only reads; file-count-sized output.
+
+    Row-group stats are merged as the TYPED values pyarrow returns —
+    int columns merge numerically, string columns bytewise, timestamp
+    columns chronologically — and stringified only once at the end,
+    so the envelope is always a valid bound in the column's own
+    order (a numeric merge of string stats '9'/'10' can no longer
+    produce a bytewise-narrower envelope).
 
     On a real cluster with millions of files, run this builder AS a
     Spark job over the file list (mapInPandas over a file-name
@@ -71,8 +102,8 @@ def build_zonemap(
         for c in cols:
             if c not in names:
                 raise ValueError(f"column {c!r} not in {f}")
-            vmin: str | None = None
-            vmax: str | None = None
+            vmin = None  # typed (int/str/datetime/...), not string
+            vmax = None
             n = 0
             ok = True
             for rg in range(md.num_row_groups):
@@ -82,24 +113,42 @@ def build_zonemap(
                 if st is None or not st.has_min_max:
                     ok = False
                     continue
-                mn, mx = str(st.min), str(st.max)
-                vmin = mn if vmin is None or _lt(mn, vmin) else vmin
-                vmax = mx if vmax is None or _lt(vmax, mx) else vmax
+                mn, mx = st.min, st.max
+                vmin = mn if vmin is None or mn < vmin else vmin
+                vmax = mx if vmax is None or vmax < mx else vmax
             if not ok:
                 vmin = vmax = None  # partial stats: never prune on them
-            rows.append((os.path.basename(f), c, n, vmin, vmax))
+            rows.append(
+                (
+                    os.path.basename(f),
+                    c,
+                    n,
+                    None if vmin is None else str(vmin),
+                    None if vmax is None else str(vmax),
+                    None if vmin is None else _ord_of(vmin),
+                )
+            )
     return spark.createDataFrame(
-        rows, "file string, col string, n_rows long, vmin string, vmax string"
+        rows,
+        "file string, col string, n_rows long, "
+        "vmin string, vmax string, ord string",
     )
 
 
-def _lt(a: str, b: str) -> bool:
-    """Numeric-aware string compare for footer stats (ints/floats
-    compare numerically, everything else bytewise)."""
-    try:
-        return float(a) < float(b)
-    except ValueError:
-        return a < b
+_CAST_ORD = {
+    "tinyint": "numeric",
+    "smallint": "numeric",
+    "int": "numeric",
+    "integer": "numeric",
+    "bigint": "numeric",
+    "long": "numeric",
+    "float": "numeric",
+    "double": "numeric",
+    "string": "bytewise",
+    "varchar": "bytewise",
+    "date": "temporal",
+    "timestamp": "temporal",
+}
 
 
 def prune_files(
@@ -107,8 +156,28 @@ def prune_files(
 ) -> list[str]:
     """Files whose [vmin, vmax] envelope intersects [lo, hi] on
     ``col`` (cast to ``cast`` for the comparison), plus every file
-    with NULL stats (never skip blind).  Manifest-sized collect."""
+    with NULL stats (never skip blind).  Manifest-sized collects.
+
+    Raises ``ValueError`` when ``cast``'s comparison semantics
+    disagree with the ordering the envelope was built under (e.g.
+    cast='string' against a numeric envelope) — a mismatched prune
+    could skip files that match, so it is an error, never a guess."""
+    required = _CAST_ORD.get(cast.lower().split("(")[0])
+    if required is None:
+        raise ValueError(f"unsupported prune cast {cast!r}")
     zm = zonemap.filter(F.col("col") == col)
+    mismatched = (
+        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
+        .select("file", "ord")
+        .limit(1)
+        .collect()
+    )
+    if mismatched:
+        raise ValueError(
+            f"zone-map ordering mismatch on {col!r}: envelope built "
+            f"{mismatched[0]['ord']}, prune cast {cast!r} compares "
+            f"{required} (file {mismatched[0]['file']})"
+        )
     keep = zm.filter(
         F.col("vmin").isNull()
         | (
@@ -150,28 +219,54 @@ def pruned_scan(
 
 def zonemap_oracle(path: str, cols: list[str]) -> str:
     """DuckDB SQL rebuilding :func:`build_zonemap` from
-    ``parquet_metadata()`` — an independent footer reader agreeing
-    with the pyarrow walk.  (DuckDB prints timestamp stats with a
-    time part; the builder's str() does too, so the strings match
-    for int/string/timestamp columns.)"""
+    ``parquet_metadata()`` joined to ``parquet_schema()`` — an
+    independent footer reader agreeing with the pyarrow walk.  The
+    ordering branch is decided by the column's PHYSICAL/LOGICAL type
+    (exactly as the builder's typed merge does), never by whether a
+    stat value happens to parse as a number — so a string column
+    holding '9'/'10' merges bytewise on both engines.  (DuckDB prints
+    timestamp stats in the same fixed 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+    shape as Python's ``str(datetime)``, and that shape sorts
+    lexically in chronological order, so temporal envelopes MIN/MAX
+    on the rendered strings.)"""
     in_list = ", ".join(f"'{c}'" for c in cols)
     glob = path if path.endswith(".parquet") else f"{path}/*.parquet"
-    # the builder's _lt orders numerically when the stats parse as
-    # numbers, bytewise otherwise — replay that: a column's stats are
-    # homogeneous (one physical type), so the branch is per-column
-    return f"""SELECT regexp_extract(file_name, '[^/]+$') AS file,
+    return f"""WITH typed AS (
+  SELECT m.file_name, m.path_in_schema, m.num_values,
+         m.stats_min_value, m.stats_max_value,
+         CASE
+           WHEN s.converted_type LIKE 'TIMESTAMP%'
+                OR s.converted_type = 'DATE'
+                OR s.logical_type LIKE 'Timestamp%'
+                OR s.logical_type LIKE 'Date%'
+             THEN 'temporal'
+           WHEN m.type IN ('INT32', 'INT64', 'FLOAT', 'DOUBLE')
+             THEN 'numeric'
+           WHEN m.type = 'BYTE_ARRAY'
+                AND (s.converted_type = 'UTF8'
+                     OR s.logical_type LIKE 'String%')
+             THEN 'bytewise'
+           ELSE 'other'
+         END AS ord
+  FROM parquet_metadata('{glob}') m
+  JOIN parquet_schema('{glob}') s
+    ON s.file_name = m.file_name AND s.name = m.path_in_schema
+  WHERE m.path_in_schema IN ({in_list})
+)
+SELECT regexp_extract(file_name, '[^/]+$') AS file,
        path_in_schema AS col,
        CAST(SUM(num_values) AS BIGINT) AS n_rows,
        CASE WHEN COUNT(*) <> COUNT(stats_min_value) THEN NULL
-            WHEN COUNT(*) = COUNT(TRY_CAST(stats_min_value AS DOUBLE))
+            WHEN ord = 'numeric'
             THEN ARG_MIN(stats_min_value,
                          TRY_CAST(stats_min_value AS DOUBLE))
             ELSE MIN(stats_min_value) END AS vmin,
        CASE WHEN COUNT(*) <> COUNT(stats_max_value) THEN NULL
-            WHEN COUNT(*) = COUNT(TRY_CAST(stats_max_value AS DOUBLE))
+            WHEN ord = 'numeric'
             THEN ARG_MAX(stats_max_value,
                          TRY_CAST(stats_max_value AS DOUBLE))
-            ELSE MAX(stats_max_value) END AS vmax
-FROM parquet_metadata('{glob}')
-WHERE path_in_schema IN ({in_list})
-GROUP BY file_name, path_in_schema"""
+            ELSE MAX(stats_max_value) END AS vmax,
+       CASE WHEN COUNT(*) <> COUNT(stats_min_value) THEN NULL
+            ELSE ord END AS ord
+FROM typed
+GROUP BY file_name, path_in_schema, ord"""

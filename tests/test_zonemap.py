@@ -67,10 +67,46 @@ def test_multi_row_group_numeric_ordering(spark):
         )
         zm = build_zonemap(spark, d, ["k"])
         rows = sorted(map(tuple, zm.collect()))
-        assert rows == [("rg.parquet", "k", 4, "9", "1000")]
+        assert rows == [("rg.parquet", "k", 4, "9", "1000", "numeric")]
         assert rows == _oracle_rows(d, ["k"])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multi_row_group_string_ordering(spark):
+    # the r7 ADVICE trap: a STRING column holding numeric-looking
+    # values across two row groups must merge BYTEWISE ('10' is the
+    # byte-min, '9' the byte-max) on both engines; a numeric merge
+    # would produce vmin='9'/vmax='1000' — bytewise-narrower than the
+    # data and able to skip matching files
+    d = tempfile.mkdtemp()
+    try:
+        tbl = pa.table({"s": ["10", "1000", "9", "500"]})
+        pq.write_table(
+            tbl, os.path.join(d, "rg.parquet"), row_group_size=2
+        )
+        zm = build_zonemap(spark, d, ["s"])
+        rows = sorted(map(tuple, zm.collect()))
+        assert rows == [("rg.parquet", "s", 4, "10", "9", "bytewise")]
+        assert rows == _oracle_rows(d, ["s"])
+        # a bytewise probe covering '500' must keep the file
+        assert prune_files(zm, "s", "500", "501", cast="string") == [
+            "rg.parquet"
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prune_cast_ordering_mismatch_raises(spark, ranged_dir):
+    # pruning a bytewise envelope with a numeric cast (or vice versa)
+    # could skip matching files — it must raise, never guess
+    zm = build_zonemap(spark, ranged_dir, ["k", "s"])
+    with pytest.raises(ValueError, match="ordering mismatch"):
+        prune_files(zm, "s", 4, 6, cast="bigint")
+    with pytest.raises(ValueError, match="ordering mismatch"):
+        prune_files(zm, "k", "4", "6", cast="string")
+    with pytest.raises(ValueError, match="unsupported prune cast"):
+        prune_files(zm, "k", 4, 6, cast="binary")
 
 
 def test_prune_skips_and_preserves_results(spark, ranged_dir):

@@ -1452,22 +1452,30 @@ def fuzz_zonemap(spark, rng, trials: int) -> int:
         try:
             n_files = rng.randrange(1, 5)
             all_k = []
+            all_s = []
             for i in range(n_files):
                 ks = [
                     rng.randrange(-1000, 1000)
                     for _ in range(rng.randrange(1, 40))
                 ]
+                # numeric-looking STRINGS: bytewise ordering must win
+                # on both engines (the r7 ADVICE trap)
+                ss = [str(rng.randrange(0, 2000)) for _ in ks]
                 all_k.extend(ks)
+                all_s.extend(ss)
                 pq.write_table(
-                    pa.table({"k": ks}),
+                    pa.table({"k": ks, "s": ss}),
                     os.path.join(d, f"f{i}.parquet"),
                     row_group_size=rng.choice([2, 7, 1000]),
                 )
-            zm = build_zonemap(spark, d, ["k"])
+            zm = build_zonemap(spark, d, ["k", "s"])
             got = sorted(map(tuple, zm.collect()))
             con = duckdb.connect()
             want = sorted(
-                map(tuple, con.execute(zonemap_oracle(d, ["k"])).fetchall())
+                map(
+                    tuple,
+                    con.execute(zonemap_oracle(d, ["k", "s"])).fetchall(),
+                )
             )
             lo = rng.randrange(-1100, 1100)
             hi = lo + rng.randrange(0, 800)
@@ -1476,9 +1484,18 @@ def fuzz_zonemap(spark, rng, trials: int) -> int:
                 for r in pruned_scan(spark, d, zm, "k", lo, hi).collect()
             )
             ref = sorted(x for x in all_k if lo <= x <= hi)
-            if got != want or pruned != ref:
+            slo = str(rng.randrange(0, 2000))
+            shi = max(slo, str(rng.randrange(0, 2000)))
+            pruned_s = sorted(
+                r["s"]
+                for r in pruned_scan(
+                    spark, d, zm, "s", slo, shi, cast="string"
+                ).collect()
+            )
+            ref_s = sorted(x for x in all_s if slo <= x <= shi)
+            if got != want or pruned != ref or pruned_s != ref_s:
                 fails += 1
-                print("ZONEMAP MISMATCH", lo, hi)
+                print("ZONEMAP MISMATCH", lo, hi, slo, shi)
         finally:
             shutil.rmtree(d, ignore_errors=True)
     return fails
