@@ -533,11 +533,15 @@ def apng_frames(b: bytes) -> dict | None:
     control, fcTL frame controls, and each frame's own complete zlib
     stream from IDAT (first frame, when an fcTL precedes it) or
     fdAT chunks.  Returns ``{"width", "height", "bitdepth",
-    "colortype", "frames": [(x, y, w, h, delay_s, zdata)]}`` — or,
-    for a plain still PNG (no acTL), a single full-canvas frame with
-    delay 0.0 (a still is a 1-frame animation, the same contract a
-    single-image GIF gets).  None when the blob is not a parseable
-    PNG or the APNG sequence numbers are broken."""
+    "colortype", "plte", "trns", "frames":
+    [(x, y, w, h, delay_s, zdata)]}`` — or, for a plain still PNG
+    (no acTL), a single full-canvas frame with delay 0.0 (a still is
+    a 1-frame animation, the same contract a single-image GIF gets).
+    PLTE/tRNS are carried verbatim (None when absent) so palette
+    frames can be re-wrapped as decodable PNGs; a color-type-3 blob
+    with no PLTE is invalid per spec §11.2.3 and returns None.  None
+    when the blob is not a parseable PNG or the APNG sequence
+    numbers are broken."""
     import struct
     import zlib
 
@@ -546,6 +550,8 @@ def apng_frames(b: bytes) -> dict | None:
     off = 8
     ihdr = None
     actl_frames = None
+    plte = None
+    trns = None
     frames: list[list] = []  # [x, y, w, h, delay_s, bytearray]
     default_idat = bytearray()
     idat_is_frame0 = False
@@ -568,6 +574,10 @@ def apng_frames(b: bytes) -> dict | None:
                 ihdr = (w, h, depth, ctype)
             elif typ == b"acTL":
                 actl_frames = struct.unpack(">II", data)[0]
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"tRNS":
+                trns = data
             elif typ == b"fcTL":
                 seq, fw, fh, x, y, dnum, dden = struct.unpack(
                     ">IIIIIHH", data[:24]
@@ -597,6 +607,8 @@ def apng_frames(b: bytes) -> dict | None:
     if ihdr is None:
         return None
     w, h, depth, ctype = ihdr
+    if ctype == 3 and plte is None:  # palette image with no palette
+        return None
     if actl_frames is None:
         # still PNG: one full-canvas frame from the plain IDAT stream
         if not default_idat:
@@ -610,6 +622,8 @@ def apng_frames(b: bytes) -> dict | None:
         "height": h,
         "bitdepth": depth,
         "colortype": ctype,
+        "plte": plte,
+        "trns": trns,
         "frames": [
             (x, y, fw, fh, d, bytes(z)) for x, y, fw, fh, d, z in frames
         ],
@@ -623,16 +637,23 @@ def apng_slice_frames(
     counterpart of :func:`gif_slice_frames`.  Each APNG frame
     carries its OWN complete zlib stream over its region's filtered
     scanlines (spec §4.10.6), so frame k re-wraps as
-    IHDR(region geometry) + IDAT(stream) + IEND with no pixel
-    re-encode; ts is the CUMULATIVE fcTL delay (APNG, unlike GIF87a,
-    carries real timing — delay_den 0 means 1/100 s per spec), and
-    ``every_s`` is only the still-PNG/zero-delay fallback cadence.
-    Returns None when the blob is not a parseable PNG."""
+    IHDR(region geometry) [+ PLTE [+ tRNS]] + IDAT(stream) + IEND
+    with no pixel re-encode — the source's palette chunks are carried
+    into every sliced frame so color-type-3 (and transparent) frames
+    stay decodable; ts is the CUMULATIVE fcTL delay (APNG, unlike
+    GIF87a, carries real timing — delay_den 0 means 1/100 s per
+    spec), and ``every_s`` is only the still-PNG/zero-delay fallback
+    cadence.  Returns None when the blob is not a parseable PNG."""
     import struct
 
     doc = apng_frames(b)
     if doc is None:
         return None
+    shared = b""
+    if doc["plte"] is not None:
+        shared += _png_chunk(b"PLTE", doc["plte"])
+    if doc["trns"] is not None:
+        shared += _png_chunk(b"tRNS", doc["trns"])
     out = []
     t = 0.0
     for k, (_x, _y, fw, fh, delay, zdata) in enumerate(doc["frames"]):
@@ -642,6 +663,7 @@ def apng_slice_frames(
         png = (
             _PNG_MAGIC
             + _png_chunk(b"IHDR", ihdr)
+            + shared
             + _png_chunk(b"IDAT", zdata)
             + _png_chunk(b"IEND", b"")
         )

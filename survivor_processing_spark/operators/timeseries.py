@@ -28,8 +28,11 @@ def resample_daily_ffill(
     """Densify ``daily`` (one row per key per PRESENT day) to one row
     per key per day in [span_lo, span_hi], forward-filling
     ``value_cols`` from each key's last present day.  Adds
-    ``was_gap`` (true for synthesized rows).  Days before a key's
-    first observation stay NULL (nothing to carry)."""
+    ``was_gap`` (true for synthesized rows — derived from a presence
+    marker tagged on the daily side BEFORE the join, so a genuinely
+    present day whose value columns happen to be NULL is still
+    ``was_gap = false``).  Days before a key's first observation stay
+    NULL (nothing to carry)."""
     skeleton = (
         daily.select(*keys)
         .distinct()
@@ -44,7 +47,9 @@ def resample_daily_ffill(
             ).alias(date_col),
         )
     )
-    joined = skeleton.join(daily, keys + [date_col], "left")
+    joined = skeleton.join(
+        daily.withColumn("_present", F.lit(True)), keys + [date_col], "left"
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(date_col)
@@ -53,7 +58,7 @@ def resample_daily_ffill(
     filled = joined.select(
         *keys,
         date_col,
-        F.col(value_cols[0]).isNull().alias("was_gap"),
+        F.col("_present").isNull().alias("was_gap"),
         *[
             F.last(F.col(c), ignorenulls=True).over(w).alias(c)
             for c in value_cols

@@ -50,12 +50,15 @@ WITH daily AS (
                                            INTERVAL 1 DAY)) AS DATE) AS day
     ) d
 ), j AS (
-    SELECT s.user_id, s.day, dv.daily_value
+    -- presence marker, not value-NULLness: a present day whose
+    -- aggregated value is NULL must still read was_gap = false
+    SELECT s.user_id, s.day, dv.daily_value,
+           dv.day IS NULL AS was_gap
     FROM skel s LEFT JOIN daily dv
       ON s.user_id = dv.user_id AND s.day = dv.day
 )
 SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-       daily_value IS NULL AS was_gap,
+       was_gap,
        CAST(LAST_VALUE(daily_value IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

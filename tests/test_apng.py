@@ -55,6 +55,73 @@ def test_still_png_is_one_frame():
     assert (w, h, sum(px)) == (9, 3, 0)  # synth_png is all-zero gray
 
 
+def _synth_palette_apng(w: int, h: int, n_frames: int) -> bytes:
+    """Color-type-3 APNG with a 4-entry PLTE and a tRNS chunk; frame
+    k's pixel (x, y) holds palette index ``(k + x + y) % 4``."""
+    import zlib
+
+    from survivor_processing_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+    )
+
+    plte = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    trns = bytes([255, 128])
+    out = bytearray(
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+    )
+    out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    seq = 0
+    for k in range(n_frames):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, k, 10, 0, 0)
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(
+            b"\x00" + bytes((k + x + y) % 4 for x in range(w))
+            for y in range(h)
+        )
+        z = zlib.compress(raw)
+        if k == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_palette_frames_carry_plte_and_trns():
+    # the r7 ADVICE finding: sliced color-type-3 frames used to drop
+    # PLTE/tRNS, emitting undecodable PNGs
+    b = _synth_palette_apng(6, 4, 3)
+    doc = apng_frames(b)
+    assert doc is not None and doc["colortype"] == 3
+    assert doc["plte"] is not None and doc["trns"] == bytes([255, 128])
+    sliced = apng_slice_frames(b, 1.0)
+    assert len(sliced) == 3
+    for k, _ts, png in sliced:
+        # PLTE must precede IDAT, tRNS must follow PLTE (spec §5.6)
+        assert png.find(b"PLTE") != -1
+        assert png.find(b"PLTE") < png.find(b"tRNS") < png.find(b"IDAT")
+        # each sliced frame round-trips through the parser as a valid
+        # 1-frame still carrying the same palette
+        sub = apng_frames(png)
+        assert sub is not None and len(sub["frames"]) == 1
+        assert sub["plte"] == doc["plte"] and sub["trns"] == doc["trns"]
+
+
+def test_palette_apng_without_plte_refused():
+    b = bytearray(_synth_palette_apng(4, 4, 2))
+    # excise the PLTE chunk entirely (length+type+data+crc = 12+len)
+    i = b.find(b"PLTE") - 4
+    ln = struct.unpack(">I", b[i : i + 4])[0]
+    del b[i : i + 12 + ln]
+    assert apng_frames(bytes(b)) is None
+
+
 def test_non_png_returns_none():
     assert apng_slice_frames(b"GIF89a......", 1.0) is None
     assert apng_slice_frames(synth_gif(4, 4), 1.0) is None

@@ -249,6 +249,33 @@ def test_resample_ffill_semantics(spark):
     assert rows[(2, "2024-01-05")] == (5.0, True)
 
 
+def test_resample_ffill_present_null_value_not_gap(spark):
+    """A genuinely PRESENT day whose value column is NULL must read
+    was_gap = false (the r7 ADVICE finding: deriving was_gap from
+    value-NULLness misflagged it) — and the fill still carries the
+    prior value across it."""
+    from survivor_processing_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (1, "2024-01-02", None),  # present, value NULL
+        ],
+        "k int, day string, v double",
+    ).select("k", F.col("day").cast("date").alias("day"), "v")
+    out = resample_daily_ffill(
+        daily, ["k"], "day", ["v"], "2024-01-01", "2024-01-03"
+    )
+    rows = {
+        str(r["day"]): (r["v"], r["was_gap"]) for r in out.collect()
+    }
+    assert rows["2024-01-01"] == (10.0, False)
+    assert rows["2024-01-02"] == (10.0, False)  # present, not a gap
+    assert rows["2024-01-03"] == (10.0, True)
+
+
 def test_zvalue_matches_python_interleave(spark):
     """The JVM shift/mask fold must equal a reference Python Morton
     encode for arbitrary inputs across the full bit range."""

@@ -64,6 +64,11 @@ def test_rolling_min_by_doc_matches_expression_form(spark):
         (3, "abcdefghij"),
         (4, "the the the the the the the the the"),
         (5, ""),  # empty text
+        # NULL text must SURVIVE with NULL rolling_min in both forms
+        # (Spark's greatest() skips NULLs so the window sequence stays
+        # non-empty; the r7 ADVICE divergence scenario) — and in the
+        # DuckDB oracle, pinned below
+        (6, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for algo in ("md5", "xxhash64"):
@@ -81,6 +86,46 @@ def test_rolling_min_by_doc_matches_expression_form(spark):
             ).collect()
         }
         assert df_form == expr_form
+        # NULL-text row kept in both forms; md5(NULL) is NULL while
+        # xxhash64(NULL) is the seed hash (42) — both self-consistent
+        assert 6 in df_form
+        if algo == "md5":
+            assert df_form[6] is None
+
+
+def test_rolling_min_null_text_matches_duckdb_oracle(spark):
+    """All three computations of the rolling fingerprint — the
+    expression form, the corpus-pass form, and the registered DuckDB
+    oracle shape — must emit a NULL-text document as a surviving row
+    with NULL rolling_min (a dropped row would flip the driver's
+    row-count gate if a NULL text ever entered the corpus)."""
+    import duckdb
+
+    from survivor_processing_spark.functions.textstats import (
+        rolling_min_by_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world text"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["rolling_min"]
+        for r in rolling_min_by_doc(
+            df, "text", "doc_id", window=8, algo="md5"
+        ).collect()
+    }
+    want = dict(
+        duckdb.connect()
+        .execute(
+            """SELECT doc_id, list_min(list_transform(
+                 range(1, greatest(length(text) - 7, 1) + 1),
+                 i -> md5(substring(text, CAST(i AS INTEGER), 8))))
+               FROM (VALUES (1, 'hello world text'), (2, NULL))
+                    t(doc_id, text)"""
+        )
+        .fetchall()
+    )
+    assert got == want and got[2] is None
     carried = {
         r["doc_id"]: r["n_sub"]
         for r in rolling_min_by_doc(
