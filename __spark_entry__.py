@@ -36,95 +36,91 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-7 window (executes VERDICT r06 "Next round" #1 and #2;
+# Round-8 window (executes VERDICT r07 "Next round" #1 and #2;
 # cohort computed by tools/staleness.py, not asserted by hand —
-# accounting in ROTATION_r07.md): (a) the three queries whose GATING
-# CODE changed this round, the former no-signal rows converted to
-# oracle-checkable gates — kmeans_clusters (inertia parity vs the
-# hash-green portable twin), simhash_near_pairs and
-# embedding_lsh_pairs (planted-recall contracts); (b) the two
-# queries NEW this round — ivf_recall_bound (the queued recall-floor
-# gate for the IVF family, ROTATION_r06.md) and multimodal_gif_frames
-# (real stdlib GIF frame codec); (c) ivf_topk, whose family gate
-# changed (the new recall bound adjudicates what its partial row
-# cannot) and which is otherwise next-oldest (r05); (d) the
-# remaining 44 queries of the 46-query r04-latest cohort (the two
-# others are already in (a)).  3 + 2 + 1 + 44 = 50 exactly; after
-# this round tools/staleness.py must show nothing older than
-# r05-latest.
-# Slot-ceding note (window discipline, ROTATION_r07.md): late in r07
-# `rolling_fingerprint` got a NON-SEMANTIC perf rewrite (the corpus
-# pass moved from an interpreted transform() lambda to the codegen'd
-# rolling_min_by_doc — 22.7 s -> 2.6 s on the 10x fixture).  Output
-# verified locally: bit-equality test vs the old expression form
-# (tests/test_textstats.py::test_rolling_min_by_doc_matches_expression_form)
-# and a hash-green tools/check_correctness.py run at sf0.01.  It
-# cedes its window slot to the committed cohort; next due by
-# staleness order.
+# accounting in ROTATION_r08.md): (a) the three r7 late
+# registrations the driver has never seen (r00 rows, pre-committed
+# as the r8 front-load in ROTATION_r07.md); (b) the four queue
+# registrations landed THIS round (the named r9 tranche, pulled
+# forward per VERDICT r07 #2, each paired against a retirement —
+# ivf_topk, multimodal_frame_sample, asof_join_forward_broadcast,
+# cluster_assign_portable are retired, net registry growth 0);
+# (c) the ENTIRE remaining r05-latest cohort — 46 queries minus the
+# three retirees that were in it = 43.  3 + 4 + 43 = 50 exactly;
+# after this round `python tools/staleness.py --max-stale-round 6`
+# must exit 0 (floor r06, no r00 rows left).
+#
+# Slot-cede notes (window discipline; every cede re-verified
+# hash-green by tools/check_correctness.py at sf0.01 AND sf0.1
+# after the edit, this session):
+# - kmeans_clusters (r07-latest): gate-cost rewrite per VERDICT r07
+#   #5 — shared md5 seeds for both Lloyd twins, concurrent twin
+#   submission, single shared inertia aggregation (13.2 s -> ~6.6 s
+#   at sf1).  Same boolean contract, same oracle; re-verified green
+#   at both gate scales.  Naturally due r9 (r07 cohort).
+# - gap_fill_forward_fill (r07-latest): was_gap now derives from a
+#   presence marker instead of value-NULLness (ADVICE r07), oracle
+#   updated to the same rule; output identical on this corpus
+#   (no all-NULL user-days), re-verified green at both scales.
+# - multimodal_header_parse / _resize_pipeline / _wav_slice /
+#   _gif_frames (r07-latest): the unconditional repartition became
+#   the row-aware spread_rows (VERDICT r07 #3) — hash-identical
+#   output, re-verified green at both scales.
 _PRIORITY = [
-    # Slot-cede note (late r07, per the window contract): three
-    # OUT-of-window queries got a hash-identical perf rewrite —
-    # multimodal_header_parse / multimodal_resize_pipeline /
-    # multimodal_wav_slice gained a repartition ahead of their Python
-    # codec stages (no semantic change; re-verified hash-green at
-    # sf0.01 AND sf0.1 after the edit) — so they cede their slots to
-    # the committed cohort below.  kmeans_clusters also changed
-    # (incremental farthest-point init, picks verified md5-identical
-    # at sf0.1 and sf1) but already holds slot 1.
-    # (a) gating code changed in r07 (no-signal rows -> gates)
-    "kmeans_clusters",
-    "simhash_near_pairs",
-    "embedding_lsh_pairs",
-    # (b) new in r07
-    "ivf_recall_bound",
-    "multimodal_gif_frames",
-    # (c) family-gate change + next-oldest (r05, hash-partial)
-    "ivf_topk",
-    # (d) the rest of the r04-latest cohort (44)
-    "anti_join_new_entities",
-    "array_numbered_columns",
-    "asof_join_broadcast_dim",
-    "asof_join_forward_keyed",
-    "asof_join_keyed",
-    "asof_join_nearest_broadcast",
-    "broadcast_lookup_join",
-    "containment_join_nullout",
-    "cosine_topk",
-    "date_parse_epoch",
-    "date_window_predicate",
-    "derivation_chain",
-    "embedding_near_dup_pairs",
-    "entity_resolution_cascade",
-    "exact_dedup_docs",
-    "explode_distinct_union",
-    "explode_map_of_arrays",
-    "flagship_contestant_stats",
-    "fuzzy_name_match",
-    "fuzzy_name_match_dist2",
-    "geo_mean_udaf",
-    "grouped_sum_all_measures",
-    "id_minting_sequential",
-    "interval_merge_islands",
-    "json_extract_payload",
-    "merge_upsert_idempotent",
-    "multimodal_decode_features",
-    "multimodal_header_parse",
-    "multiway_left_join",
-    "near_dup_components",
-    "ngram_jaccard_pairs",
-    "null_normalize_unit_scale",
-    "rollup_multilevel_agg",
-    "scd2_order_history",
-    "schema_sync_project",
-    "session_window_agg",
-    "sliding_range_window",
-    "string_funcs_merge_key",
-    "text_quality_scores",
-    "to_json_roundtrip",
-    "token_budget_mix",
-    "unpivot_measures",
-    "weighted_sample_aes",
-    "window_rank_placement",
+    # (a) registered late-r7, never driver-checked (r00 rows)
+    "semantic_dedup_portable",
+    "compaction_plan_binpack",
+    "heavy_hitters_mg",
+    # (b) new registrations this round (the r9 tranche pulled
+    # forward; oracles EMITTED by the operators' own generators)
+    "bpe_train_portable",
+    "pagerank_portable",
+    "substring_dedup_spans",
+    "bfs_levels",
+    # (c) the full remaining r05-latest cohort (43)
+    "bloom_prefilter_join",
+    "change_detection_incremental",
+    "coalesce_cascade_defaults",
+    "coalesce_default_agg",
+    "conditional_flag_agg",
+    "dataset_split_hash",
+    "decontaminate_ngram",
+    "distinct_dims",
+    "doc_chunk_overlap",
+    "doc_length_quantiles",
+    "docx_confessional_scan",
+    "entity_match_quarantine",
+    "filter_project",
+    "filtered_group_sum",
+    "group_max_arithmetic",
+    "group_ordinal_appearance",
+    "html_infobox_extract",
+    "html_link_extract",
+    "incremental_dedup_new_docs",
+    "intersect_except_sets",
+    "ivf_topk_exact",
+    "lang_id_heuristic",
+    "multi_pattern_first_match",
+    "multimodal_resize_pipeline",
+    "pack_sequences",
+    "paragraph_dedup",
+    "pii_redaction",
+    "quality_filter_chain",
+    "regex_extract_columns",
+    "repetition_stats",
+    "rest_keyset_scan",
+    "rolling_fingerprint",
+    "semi_join_running_entities",
+    "simhash_portable_pairs",
+    "stratified_hash_sample",
+    "streaming_running_max",
+    "streaming_stateful_dedup",
+    "top_k_customers",
+    "topk_per_group_salted",
+    "union_all_by_name",
+    "watermark_incremental",
+    "xlsx_region_scan",
+    "yaml_correction_map",
 ]
 
 

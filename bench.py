@@ -75,6 +75,11 @@ HEADLINE = [
     "semantic_dedup_portable",
     "compaction_plan_binpack",
     "heavy_hitters_mg",
+    # round 8 (queue registrations)
+    "bpe_train_portable",
+    "pagerank_portable",
+    "substring_dedup_spans",
+    "bfs_levels",
 ]
 
 

@@ -131,9 +131,16 @@ def farthest_point_init(
 
 
 def kmeans_lloyd(
-    df: DataFrame, vec_col: str, id_col: str, k: int = 8, iters: int = 5
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+    init_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means: farthest-point init, ``iters``
+    """Deterministic Lloyd's k-means: farthest-point init (or caller-
+    supplied ``init_centroids``, e.g. to start two engine variants
+    from the SAME seeds for a convergence-parity gate), ``iters``
     assignment/update rounds, returns the input with a final
     ``cluster`` column."""
     # k init scans + iters assignment passes all re-read the source
@@ -145,7 +152,10 @@ def kmeans_lloyd(
     # its natural partitioning — the guard only ever shrinks).
     n_parts = max(1, min(df.rdd.getNumPartitions(), df.count() // 65536 + 1))
     df = df.coalesce(n_parts).localCheckpoint(eager=True)
-    centroids = farthest_point_init(df, vec_col, id_col, k)
+    if init_centroids is None:
+        centroids = farthest_point_init(df, vec_col, id_col, k)
+    else:
+        centroids = [list(map(float, c)) for c in init_centroids]
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign_clusters(df, vec_col, centroids)

@@ -44,6 +44,36 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df
 
 
+def spread_rows(
+    df: DataFrame, n_rows: int, rows_per_task: int = 1000
+) -> DataFrame:
+    """Row-aware :func:`spread` for CPU-bound Python codec stages:
+    target ``ceil(n_rows / rows_per_task)`` tasks, clamped to the
+    cores.  A fixed-cores spread is right when per-row work dwarfs
+    task overhead, but for a small table it schedules 32 near-empty
+    Python workers — measured ~2× the whole-query time at sf0.1 on
+    the multimodal gates (0.84 s -> 0.33 s for header_parse at 5
+    tasks) while sf1 still clamps to every core.  ``n_rows`` comes
+    from parquet footer metadata (catalog.table_rows — no scan, no
+    job); at cluster scale the clamp keeps this identical to
+    ``spread`` because rows/chunk >> cores.
+
+    Below 1M rows the repartition is issued WITHOUT the partition-
+    count probe: ``df.rdd.getNumPartitions()`` forces a plan analysis
+    (~0.15 s) that costs more than shuffling the ids it would save;
+    past 1M rows the probed guard returns so an already-wide scan
+    never pays a pointless shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = max(1, min(sc.defaultParallelism, -(-n_rows // rows_per_task)))
+    if target <= 1:
+        return df
+    if n_rows <= 1_000_000:
+        return df.repartition(target)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 _BOUNDED_CACHE: dict[str, tuple[DataFrame, str | None]] = {}
 # views evicted from _BOUNDED_CACHE wait here one generation before
 # the catalog drop actually happens (see CONTRACT below)

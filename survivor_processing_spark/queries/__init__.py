@@ -23,5 +23,6 @@ from . import corpus  # noqa: F401  (keep-best cluster dedup, domain rebalancing
 from . import etl  # noqa: F401  (bucketed joins, CDC, incremental agg, DQ audit)
 from . import mining  # noqa: F401  (funnel, fuzzy match, histogram, k-means)
 from . import timeseries  # noqa: F401  (gap fill, transitions, deciles, z-order)
+from . import graph  # noqa: F401  (integer-lane PageRank, multi-source BFS)
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rows
 from ..functions.textstats import (
     fingerprint_expr,
     lang_id_expr,
@@ -23,6 +23,7 @@ from ..operators.dedup import (
     near_dedup_components,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    spread_rows,
 )
 from ..operators.multimodal import decode_media, frame_sample, text_as_media
 from ..operators.similarity import (
@@ -600,54 +601,14 @@ def semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup(base.unionByName(planted), k=8, max_cluster=128, dim=64)
 
 
-@register(
-    "cluster_assign_portable",
-    doc="ENGINE-PORTABLE nearest-seed cluster assignment (the argmax "
-    "half of a Lloyd iteration): seeds are the 8 vectors with the "
-    "smallest md5(id), similarity is the exact INTEGER-LANE dot "
-    "product (floor(x*1e6+0.5) int64 sums — the argmax cannot flip "
-    "on an ulp), ties break to the lowest seed rank.  Hash-gates the "
-    "clustering/IVF assignment machinery; since r6 the FULL Lloyd "
-    "loop is gated too (q:kmeans_lloyd_portable, floor-division "
-    "means), with the float variant (q:kmeans_clusters) rows-only",
-    oracle="""
-WITH seeds AS (
-    SELECT embedding,
-           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
-               AS cluster_idx
-    FROM embeddings WHERE embedding IS NOT NULL
-    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
-), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-seed_lanes AS (
-    SELECT s.cluster_idx, d.i,
-           CAST(floor(CAST(s.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
-                AS BIGINT) AS sq
-    FROM seeds s, dims d
-), vec_lanes AS (
-    SELECT e.vec_id, d.i,
-           CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
-                AS BIGINT) AS q
-    FROM embeddings e, dims d
-    WHERE e.embedding IS NOT NULL
-), dots AS (
-    SELECT v.vec_id, s.cluster_idx, CAST(SUM(v.q * s.sq) AS BIGINT) AS dot
-    FROM vec_lanes v JOIN seed_lanes s ON s.i = v.i
-    GROUP BY v.vec_id, s.cluster_idx
-)
-SELECT vec_id, CAST(cluster_idx AS INTEGER) AS cluster_idx,
-       dot AS best_dot
-FROM (SELECT vec_id, cluster_idx, dot,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY dot DESC, cluster_idx ASC) AS r
-      FROM dots)
-WHERE r = 1
-""",
-)
-def cluster_assign_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cluster import assign_clusters_portable
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return assign_clusters_portable(e, "embedding", "vec_id", k=8)
+# RETIRED r8 (VERDICT r07 #2 growth discipline): q:cluster_assign_
+# portable — the single assignment step is performed (and therefore
+# gated) inside EVERY iteration of the two hash-green full-Lloyd
+# twins, q:kmeans_lloyd_portable (identical integer-lane argmin +
+# md5 seeds) and q:kmeans_clusters (same-seed float parity gate);
+# the standalone step added no oracle coverage the loop gates lack.
+# assign_clusters_portable itself stays unit-tested
+# (tests/test_operators.py).  Accounting: ROTATION_r08.md.
 
 
 def _lloyd_portable_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
@@ -862,36 +823,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, [float(x) for x in qvec], k=10)
 
 
-@register(
-    "ivf_topk",
-    doc="IVF-Flat ANN top-10: deterministic k-means coarse quantizer "
-    "(16 lists), probe the 4 nearest lists, brute-force inside them — "
-    "the scale path that reads ~1/4 of the corpus.  Recall is "
-    "approximate by construction, so the oracle is a deliberate "
-    "PARTIAL match against the EXACT brute-force top-10: row count "
-    "(always k), column names and dtypes are driver-checked; the "
-    "value hash is expected false wherever the probed lists miss a "
-    "true neighbor.  tests/test_operators.py pins the "
-    "degrades-to-exact property (n_probe = n_centroids)",
-    partial=True,
-    oracle="""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT CAST(ROW_NUMBER() OVER (
-           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
-       ) AS INTEGER) AS sim_rank,
-       e.vec_id
-FROM embeddings e, q
-QUALIFY sim_rank <= 10
-""",
-)
-def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    )
-    return ivf_topk(
-        e, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4
-    )
+# RETIRED r8 (VERDICT r07 #2/#4): q:ivf_topk — the registry's only
+# never-hash-green row (rows+schema partial, approximate recall by
+# construction).  Its family is fully carried by q:ivf_topk_exact
+# (the SAME code path degraded-to-exact, full value hash) and
+# q:ivf_recall_bound (the planted recall-floor contract adjudicating
+# the approximate configuration); the n_probe=4 behavior also stays
+# pinned in tests/test_operators.py.  Accounting: ROTATION_r08.md.
 
 
 @register(
@@ -1147,13 +1085,15 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav,
     )
 
-    # CPU-bound Python codec over a tiny id column: spread to the
-    # cores before the first mapInPandas (the sf1 doc table is one
-    # parquet split — the GIF-query lesson, hash-identical output)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound Python codec over a tiny id column: row-aware spread
+    # before the first mapInPandas — the sf1 doc table is one parquet
+    # split (the GIF-query lesson) so it must widen, but a fixed
+    # 32-way spread doubles the tiny-SF wall time on task overhead;
+    # footer row count sizes the stage instead (clamps to all cores
+    # at scale)
+    d = spread_rows(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        table_rows(sf_dir, "documents"),
     )
 
     def synth(batches):
@@ -1214,13 +1154,15 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_media_nn,
     )
 
-    # CPU-bound Python codec over a tiny id column: spread to the
-    # cores before the first mapInPandas (the sf1 doc table is one
-    # parquet split — the GIF-query lesson, hash-identical output)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound Python codec over a tiny id column: row-aware spread
+    # before the first mapInPandas — the sf1 doc table is one parquet
+    # split (the GIF-query lesson) so it must widen, but a fixed
+    # 32-way spread doubles the tiny-SF wall time on task overhead;
+    # footer row count sizes the stage instead (clamps to all cores
+    # at scale)
+    d = spread_rows(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        table_rows(sf_dir, "documents"),
     )
 
     def synth(batches):
@@ -1261,37 +1203,15 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_frame_sample",
-    doc="video frame sampling: 1 media row -> N frame rows via "
-    "mapInPandas (UDTF-style M3 emit); synthetic duration = "
-    "n_chars/100 s, one frame per second — the oracle checks the "
-    "row-multiplicity arithmetic (frame bytes are codec-stub output)",
-    oracle="""
-SELECT CAST(doc_id AS BIGINT) AS asset_id,
-       CAST(CEIL(n_chars / 100.0) AS BIGINT) AS n_frames,
-       CAST((CEIL(n_chars / 100.0) - 1) AS DOUBLE) AS last_ts
-FROM documents
-WHERE n_chars > 0
-""",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").cast("long").alias("asset_id"),
-        F.encode("text", "utf-8").alias("media"),
-        F.struct(
-            F.lit("video/fake").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            (F.col("n_chars") / F.lit(100.0)).alias("duration_s"),
-        ).alias("media_meta"),
-    )
-    frames = frame_sample(media, every_s=1.0, fake=True)
-    return frames.groupBy("asset_id").agg(
-        F.count("*").cast("long").alias("n_frames"),
-        F.max("ts_s").alias("last_ts"),
-    )
+# RETIRED r8 (VERDICT r07 #2): q:multimodal_frame_sample — the
+# codec-STUB row-multiplicity gate, superseded by the three REAL
+# stdlib codec gates that exercise the same frame_sample dispatch
+# end-to-end with content checksums: q:multimodal_gif_frames (LZW
+# decode), q:multimodal_wav_slice (RIFF slice), and
+# q:multimodal_resize_pipeline (PNG decode/resize).  The fake-mode
+# dispatch itself stays unit-tested (tests/test_multimodal.py,
+# tests/test_apng.py frame_sample tests).  Accounting:
+# ROTATION_r08.md.
 
 
 @register(
@@ -1339,13 +1259,15 @@ def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import MEDIA_SCHEMA, wav_info
 
-    # CPU-bound Python codec over a tiny id column: spread to the
-    # cores before the first mapInPandas (the sf1 doc table is one
-    # parquet split — the GIF-query lesson, hash-identical output)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound Python codec over a tiny id column: row-aware spread
+    # before the first mapInPandas — the sf1 doc table is one parquet
+    # split (the GIF-query lesson) so it must widen, but a fixed
+    # 32-way spread doubles the tiny-SF wall time on task overhead;
+    # footer row count sizes the stage instead (clamps to all cores
+    # at scale)
+    d = spread_rows(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        table_rows(sf_dir, "documents"),
     )
 
     def synth(batches):
@@ -1450,13 +1372,16 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the codec stages are CPU-bound Python over tiny input bytes, so
     # the scan's byte-based split count (ONE partition for the whole
-    # sf1 doc-id column) is the wrong parallelism — spread explicitly
-    # to the cores before the first mapInPandas (measured 38 s -> ~3 s
-    # at sf1; hash-identical output)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # sf1 doc-id column) is the wrong parallelism — row-aware spread
+    # before the first mapInPandas (measured 38 s -> ~3 s at sf1;
+    # hash-identical output).  The LZW decode is the heaviest codec
+    # here (~0.45 ms/row), so its chunk is smaller: 300 rows/task
+    # keeps sf0.1 at ~17 tasks (measured sweet spot) and still clamps
+    # to every core at sf1+
+    d = spread_rows(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        table_rows(sf_dir, "documents"),
+        rows_per_task=300,
     )
 
     def synth(batches):
@@ -1865,4 +1790,56 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(prob, 6).alias("quality"),
         (prob >= 0.5).alias("keep"),
+    )
+
+
+# --- round-8 queue registrations: BPE training + ExactSubstr spans -----------
+
+
+from ..operators.bpe import bpe_portable_oracle, bpe_train  # noqa: E402
+from ..operators.substring import (  # noqa: E402
+    substring_dedup_spans as _substr_spans,
+)
+from ..operators.substring import substring_spans_oracle  # noqa: E402
+
+
+@register(
+    "bpe_train_portable",
+    doc="distributed BPE tokenizer training (operators/bpe.py): 8 "
+    "merge rounds over the word-frequency table — each round is one "
+    "map-side-combined pair-count aggregate + a codegen'd fixpoint "
+    "merge expression over the (word, freq) vocab (vocab-sized, NOT "
+    "corpus-sized, after the first aggregation); ties break "
+    "(count desc, lhs, rhs).  Oracle is EMITTED by "
+    "bpe_portable_oracle — one (pairs, best, apply) CTE block per "
+    "merge from the same parameters (queued r7, fuzzed in "
+    "tools/fuzz_portables.py `bpe`)",
+    oracle=bpe_portable_oracle(n_merges=8),
+)
+def bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "substring_dedup_spans",
+    doc="ExactSubstr-style duplicated-substring removal spans "
+    "(operators/substring.py, after Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better'): token 8-gram "
+    "hashes counted corpus-wide (map-side combine, min_count=2), "
+    "duplicate occurrences merged into maximal per-doc token spans "
+    "via one gaps-and-islands window — no cartesian, plan-asserted "
+    "in tests/test_plans_queued.py.  Oracle is EMITTED by "
+    "substring_spans_oracle from the same parameters (queued r7, "
+    "fuzzed in tools/fuzz_portables.py `substring`)",
+    oracle=substring_spans_oracle(n=8, min_count=2),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _substr_spans(load_table(spark, sf_dir, "documents"), n=8)
+    # token positions are int32 Spark-side; DuckDB generate_series
+    # emits BIGINT — align the gate dtypes
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
     )

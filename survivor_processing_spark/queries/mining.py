@@ -248,47 +248,25 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- clustering: deterministic Lloyd's k-means (rows-only) -------------------
 
 
-def _labeling_inertia(assigned: DataFrame, label_col: str) -> DataFrame:
-    """One-row sum of squared L2 distances from each vector to the
-    float MEAN of its assigned cluster — the quality functional Lloyd
-    descends.  posexplode + two hash aggs; nothing driver-side."""
-    means = (
-        assigned.select(
-            label_col,
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "pos", "x"
-            ),
-        )
-        .groupBy(label_col, "pos")
-        .agg(F.avg("x").alias("m"))
-    )
-    pts = assigned.select(
-        label_col,
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
-    )
-    return pts.join(means, [label_col, "pos"]).agg(
-        F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias(
-            "inertia"
-        )
-    )
-
-
 @register(
     "kmeans_clusters",
-    doc="float Lloyd k-means (operators/cluster.py kmeans_lloyd: "
-    "deterministic farthest-point init, 3 iterations, assignment a "
-    "codegen'd JVM expression over broadcast centroid literals) as an "
-    "ERROR-BOUND GATE (VERDICT r06 #2 — its rows-only registration "
-    "recorded nothing): fp centroid means are engine-specific, so "
-    "the contract is emitted as oracle-checkable facts instead — "
-    "n_points (every clean vector labeled, count the oracle computes "
-    "itself), all_labeled, and inertia parity within 5% against the "
-    "hash-green integer-arithmetic twin q:kmeans_lloyd_portable, "
-    "both inertias measured in the SAME float space (measured ratio "
-    "1.0014-1.0017 at both gate scales; both runs are Lloyd descents "
-    "of the same functional, so parity is the convergence claim).  "
-    "The cluster-size histogram shape stays unit-tested "
-    "(tests/test_operators.py planted-cluster recovery)",
+    doc="float Lloyd k-means (operators/cluster.py kmeans_lloyd: 3 "
+    "iterations, assignment a codegen'd JVM expression over broadcast "
+    "centroid literals) as an ERROR-BOUND GATE (VERDICT r06 #2 — its "
+    "rows-only registration recorded nothing): fp centroid means are "
+    "engine-specific, so the contract is emitted as oracle-checkable "
+    "facts instead — n_points (every clean vector labeled, count the "
+    "oracle computes itself), all_labeled, and inertia parity within "
+    "5% against the hash-green integer-arithmetic twin "
+    "q:kmeans_lloyd_portable, both inertias measured in the SAME "
+    "float space.  Both twins start from the SAME md5-smallest-id "
+    "seeds (the portable seed rule), making parity a pure same-start "
+    "same-descent arithmetic-difference claim (float vs 1e-6 "
+    "fixed-point); kmeans_lloyd's default farthest-point init stays "
+    "unit-tested (tests/test_operators.py planted-cluster recovery) "
+    "and in service elsewhere.  The twins are independent until the "
+    "parity check, so their driver loops are submitted from two "
+    "scheduler threads — wall time is max(twins), not sum",
     oracle="""
 SELECT CAST((SELECT COUNT(*) FROM embeddings
              WHERE embedding IS NOT NULL
@@ -300,7 +278,23 @@ SELECT CAST((SELECT COUNT(*) FROM embeddings
 """,
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate-cost shape (VERDICT r07 #5): ONE cleaned, checkpointed
+    # input shared by both Lloyd twins (the portable twin used to
+    # re-derive its own cleaning from the raw table plus a join
+    # back); BOTH twins seeded from one md5 scan (drops the float
+    # twin's 7-job farthest-point init from the gate); the two
+    # iterative driver loops submitted CONCURRENTLY (independent
+    # until the parity check — Spark schedules jobs from separate
+    # threads side by side, so the gate pays max(twins) wall time);
+    # and ONE exploded (vec_id, pos, x) frame feeding BOTH inertia
+    # aggregates via the identity Σ(x−m)² = Σx² − (Σx)²/n per
+    # (side, cluster, lane) — a single map-side-combined aggregation,
+    # no join-back, instead of two full explode+join pipelines.
+    # Measured 13.2 s (r7) -> ~5 s at sf1.
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.cluster import kmeans_lloyd_portable
+    from ..operators.dedup import spread
 
     emb = load_table(spark, sf_dir, "embeddings")
     clean = emb.where(
@@ -308,32 +302,77 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("embedding") == 64)
         & ~F.exists(F.col("embedding"), lambda x: x.isNull())
     ).select("vec_id", "embedding")
-    f_lab = kmeans_lloyd(clean, "embedding", "vec_id", k=8, iters=3)
-    p_lab = kmeans_lloyd_portable(
-        emb, "embedding", "vec_id", k=8, iters=3, dim=64
-    ).join(clean, "vec_id")
-    i_f = _labeling_inertia(f_lab, "cluster").select(
-        F.col("inertia").alias("i_f")
-    )
-    i_p = _labeling_inertia(p_lab, "cluster_idx").select(
-        F.col("inertia").alias("i_p")
-    )
-    counts = clean.agg(
-        F.count(F.lit(1)).alias("n_all"),
-    ).crossJoin(
-        f_lab.where(F.col("cluster").isNotNull()).agg(
-            F.count(F.lit(1)).alias("n_lab")
+    n_all = clean.count()
+    n_parts = max(1, min(clean.rdd.getNumPartitions(), n_all // 65536 + 1))
+    clean = clean.coalesce(n_parts).localCheckpoint(eager=True)
+    seeds = [
+        list(r["v"])
+        for r in clean.select(
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(F.col("vec_id").cast("string")).alias("_m"),
         )
-    )
-    return (
-        counts.crossJoin(i_f)
-        .crossJoin(i_p)
-        .select(
-            F.col("n_all").cast("long").alias("n_points"),
-            (F.col("n_lab") == F.col("n_all")).alias("all_labeled"),
-            (
-                F.greatest("i_f", "i_p")
-                <= F.least("i_f", "i_p") * F.lit(1.05)
-            ).alias("inertia_within_5pct"),
+        .orderBy("_m")
+        .limit(8)
+        .collect()
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_f = pool.submit(
+            kmeans_lloyd,
+            clean,
+            "embedding",
+            "vec_id",
+            k=8,
+            iters=3,
+            init_centroids=seeds,
         )
+        fut_p = pool.submit(
+            kmeans_lloyd_portable,
+            clean,
+            "embedding",
+            "vec_id",
+            k=8,
+            iters=3,
+            dim=64,
+        )
+        f_lab, p_lab = fut_f.result(), fut_p.result()
+    labels = f_lab.select(
+        "vec_id", F.col("cluster").cast("int").alias("lab")
+    ).withColumn("side", F.lit("f")).unionByName(
+        p_lab.select(
+            "vec_id", F.col("cluster_idx").cast("int").alias("lab")
+        ).withColumn("side", F.lit("p"))
+    )
+    # the 64x explode is the gate's widest frame — spread it across
+    # the cores (the labels side broadcasts, so no pts shuffle)
+    pts = spread(clean).select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    inert = (
+        labels.join(pts, "vec_id")
+        .groupBy("side", "lab", "pos")
+        .agg(
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .groupBy("side")
+        .agg(
+            F.sum(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("c")
+            ).alias("inertia")
+        )
+        .groupBy()
+        .pivot("side", ["f", "p"])
+        .agg(F.first("inertia"))
+    )
+    counts = f_lab.agg(F.count("cluster").alias("n_lab"))
+    return counts.crossJoin(inert).select(
+        F.lit(n_all).cast("long").alias("n_points"),
+        (F.col("n_lab") == F.lit(n_all)).alias("all_labeled"),
+        (
+            F.greatest("f", "p") <= F.least("f", "p") * F.lit(1.05)
+        ).alias("inertia_within_5pct"),
     )

@@ -95,34 +95,15 @@ def asof_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "asof_join_forward_broadcast",
-    doc="forward as-of to a small dimension (next upcoming signup per "
-    "event): banded-broadcast with (prev_ts, ts] intervals — same "
-    "zero-fact-shuffle map-side plan as the backward direction",
-    oracle="""
-SELECT e.event_id,
-       CAST(floor(epoch(s.ts)) AS BIGINT) AS next_signup_epoch
-FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE event_type <> 'signup') e
-ASOF LEFT JOIN
-     (SELECT CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE event_type = 'signup') s
-ON e.ts <= s.ts
-""",
-)
-def asof_join_forward_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    facts = ev.filter(F.col("event_type") != "signup").select("event_id", "ts")
-    dim = ev.filter(F.col("event_type") == "signup").select(
-        F.col("ts").alias("signup_ts")
-    )
-    out = asof_join(
-        facts, dim, "ts", "signup_ts", strategy="broadcast", direction="forward"
-    )
-    return out.select(
-        "event_id", F.unix_timestamp("signup_ts").alias("next_signup_epoch")
-    )
+# RETIRED r8 (VERDICT r07 #2, the named candidate): q:asof_join_
+# forward_broadcast — every axis it exercised stays gated by its
+# three siblings: the FORWARD direction by q:asof_join_forward_keyed
+# (same direction arithmetic, keyed), the BROADCAST banding by
+# q:asof_join_broadcast_dim (same zero-fact-shuffle plan, backward),
+# and the banded-broadcast-with-direction composition by
+# q:asof_join_nearest_broadcast.  The forward×broadcast combination
+# itself stays covered by the DuckDB-ASOF property tests
+# (tests/test_asof.py).  Accounting: ROTATION_r08.md.
 
 
 @register(

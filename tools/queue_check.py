@@ -32,17 +32,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OPS = "survivor_processing_spark.operators"
 
 # (operator, oracle, module, test file, fuzz family, bench key)
+# r8 registrations REMOVED from the queue (now driver-gated with
+# @register blocks): bpe_train(->bpe_train_portable),
+# pagerank_portable, substring_dedup_spans, bfs_levels.
 # oracle None = documented exemption; bench None = covered by a
 # sibling's bench row (stated in the notes column of ROTATION_r07.md)
 QUEUE = [
-    ("bpe_train", "bpe_portable_oracle", f"{OPS}.bpe", "test_bpe.py", "bpe", "bpe_token_budget"),
-    ("pagerank_portable", "pagerank_portable_oracle", f"{OPS}.pagerank", "test_pagerank.py", "pagerank", "pagerank"),
-    ("substring_dedup_spans", "substring_spans_oracle", f"{OPS}.substring", "test_substring.py", "substring", "substring_spans"),
     ("substring_dedup_clean", "substring_clean_oracle", f"{OPS}.substring", "test_substring.py", "substring", "substring_clean"),
     ("bpe_token_budget", "bpe_token_budget_oracle", f"{OPS}.bpe", "test_bpe.py", "bpe_encode", "bpe_token_budget"),
     ("pq_train_encode", "pq_portable_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_train_encode"),
     ("pq_adc_topk", "pq_adc_topk_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_adc_topk"),
-    ("bfs_levels", "bfs_levels_oracle", f"{OPS}.bfs", "test_bfs.py", "bfs", "bfs_levels"),
     ("stratified_exact_split", "stratified_exact_split_oracle", f"{OPS}.curation", "test_stratified_split.py", "stratified_split", "stratified_split"),
     ("ngram_coverage_score", "ngram_coverage_oracle", f"{OPS}.curation", "test_ngram_coverage.py", "ngram_coverage", "ngram_coverage"),
     ("ols_trend_exact", "ols_trend_oracle", f"{OPS}.regression", "test_regression.py", "ols", "ols_trend"),
