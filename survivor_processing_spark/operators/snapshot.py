@@ -1,0 +1,221 @@
+"""Snapshot log + time-travel reads — the versioned-table layer a
+lakehouse format (Delta/Iceberg transaction log) provides, built as
+a minimal JSON commit log since those packages aren't installable
+here.  Completes the table-format trio with the compaction planner
+(operators/compaction.py — decides new file LAYOUTS) and the zone
+maps (operators/zonemap.py — skips files by stats): the snapshot log
+is WHICH FILES ARE THE TABLE at each version, so a compaction can be
+committed as remove(small files)+add(compacted file) without
+rewriting readers, and any historical version stays queryable.
+
+Mechanics: ``<table>/_sps_log/v{N}.json`` entries hold
+``{"version", "adds": [...], "removes": [...]}`` with file names
+relative to the table directory.  A snapshot at version v = replay
+of entries 1..v (adds ∪, removes ∖) — O(log size) driver work on a
+file-count-bounded log, exactly the zonemap-manifest cost class.
+Commits are two-phase (write tmp, ``os.replace`` — atomic on POSIX)
+and strictly sequential; like Delta's optimistic protocol collapsed
+to the single-writer case, which is what a driver-coordinated Spark
+job is.  At 100 TB none of this changes: the log stays tiny (one
+entry per commit), and the SCAN — the only distributed part —
+schedules exactly the active files, the same pre-plan file pruning
+the zone maps do, composable with them.
+
+Correctness contract (tested + fuzzed): for every version v,
+``read_snapshot(..., v)`` ≡ reading exactly the files a pure-Python
+replay of the log says are active at v; a version that removed
+everything reads as an EMPTY table with the original schema; asking
+for a version the log doesn't have raises.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_sps_log"
+
+
+def _log_path(table_dir: str) -> str:
+    return os.path.join(table_dir, LOG_DIR)
+
+
+def _entry_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_path(table_dir), f"v{version:08d}.json")
+
+
+def log_versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending.  Ignores foreign files."""
+    d = _log_path(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def commit_version(
+    table_dir: str,
+    adds: list[str] | None = None,
+    removes: list[str] | None = None,
+) -> int:
+    """Append the next version to the log; returns its number.
+
+    Two-phase: the entry is written to a tmp name and ``os.replace``d
+    into place, so readers never observe a torn entry.  Strictly
+    sequential single-writer protocol (the Spark-driver case);
+    ``adds``/``removes`` are table-relative file names.  A remove of
+    a file the snapshot doesn't hold, or an add of one it already
+    holds, is rejected — silently tolerating either corrupts every
+    later replay."""
+    adds = list(adds or [])
+    removes = list(removes or [])
+    if not adds and not removes:
+        raise ValueError("empty commit")
+    versions = log_versions(table_dir)
+    active = set(snapshot_files(table_dir)) if versions else set()
+    dup = [a for a in adds if a in active]
+    if dup:
+        raise ValueError(f"add of already-active files: {dup}")
+    missing = [r for r in removes if r not in active]
+    if missing:
+        raise ValueError(f"remove of non-active files: {missing}")
+    v = (versions[-1] + 1) if versions else 1
+    os.makedirs(_log_path(table_dir), exist_ok=True)
+    entry = {"version": v, "adds": sorted(adds), "removes": sorted(removes)}
+    tmp = _entry_path(table_dir, v) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, _entry_path(table_dir, v))
+    return v
+
+
+def _replay(table_dir: str, version: int | None) -> tuple[set[str], int]:
+    versions = log_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshot log under {table_dir!r}")
+    head = versions[-1]
+    v = head if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"version {v} not in log (head {head})")
+    active: set[str] = set()
+    for n in versions:
+        if n > v:
+            break
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        active |= set(e["adds"])
+        active -= set(e["removes"])
+    return active, v
+
+
+def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
+    """Table-relative file names active at ``version`` (default:
+    head), by replaying the log — sorted, so downstream plans are
+    deterministic."""
+    active, _ = _replay(table_dir, version)
+    return sorted(active)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Scan EXACTLY the files of the requested snapshot.
+
+    An all-files-removed version reads as an empty table with the
+    schema of the log's historically-known files (a filter-false
+    scan of one of them — metadata-only, no data pages)."""
+    files = snapshot_files(table_dir, version)
+    if files:
+        return spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in files]
+        )
+    # empty snapshot: recover the schema from ANY file ever logged
+    for n in log_versions(table_dir):
+        with open(_entry_path(table_dir, n)) as f:
+            adds = json.load(f)["adds"]
+        if adds:
+            return (
+                spark.read.parquet(os.path.join(table_dir, adds[0]))
+                .filter(F.lit(False))
+            )
+    raise ValueError(f"log under {table_dir!r} never added a file")
+
+
+def snapshot_history(
+    spark: SparkSession, table_dir: str
+) -> DataFrame:
+    """One row per version: ``version, n_adds, n_removes, n_active``
+    — the DESCRIBE HISTORY shape, log-sized."""
+    rows = []
+    active: set[str] = set()
+    for n in log_versions(table_dir):
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        active |= set(e["adds"])
+        active -= set(e["removes"])
+        rows.append((n, len(e["adds"]), len(e["removes"]), len(active)))
+    return spark.createDataFrame(
+        rows, "version int, n_adds int, n_removes int, n_active int"
+    )
+
+
+def snapshot_summary_oracle(
+    table_dir: str,
+    versions: list[int],
+    agg_col: str,
+) -> str:
+    """DuckDB SQL summarizing each requested snapshot by reading the
+    SAME file lists an independent replay of the log produces:
+    ``version, n_rows, total`` (decimal-summed ``agg_col``).  A wrong
+    replay, add/remove mixup, or torn commit shows up as a row-count
+    or sum mismatch."""
+    parts = []
+    for v in versions:
+        files = snapshot_files(table_dir, v)
+        if files:
+            lst = ", ".join(
+                f"'{os.path.join(table_dir, f)}'" for f in files
+            )
+            src = f"read_parquet([{lst}])"
+            parts.append(
+                f"SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(COALESCE(SUM(CAST({agg_col} AS DECIMAL(18,2))), 0)"
+                f" AS DOUBLE) AS total FROM {src}"
+            )
+        else:
+            parts.append(
+                f"SELECT {v} AS version, CAST(0 AS BIGINT) AS n_rows,"
+                f" CAST(0 AS DOUBLE) AS total"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+def snapshot_summary(
+    spark: SparkSession,
+    table_dir: str,
+    versions: list[int],
+    agg_col: str,
+) -> DataFrame:
+    """Spark side of :func:`snapshot_summary_oracle`: per-version
+    row count + decimal sum over the time-travel scan."""
+    out = None
+    for v in versions:
+        s = read_snapshot(spark, table_dir, v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col(agg_col).cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(v).cast("int").alias("version"), "n_rows", "total")
+        out = s if out is None else out.unionByName(s)
+    return out

@@ -392,3 +392,77 @@ def test_zonemap_pruned_scan_pushes_residual_filter(spark, tmp_path):
     assert "GreaterThanOrEqual(k,12)" in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_snapshot_read_schedules_only_active_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+    )
+
+    for nm in ("a", "b", "c"):
+        pq.write_table(
+            pa.table({"k": [1, 2, 3]}), str(tmp_path / f"{nm}.parquet")
+        )
+    commit_version(str(tmp_path), adds=["a.parquet", "b.parquet"])
+    commit_version(
+        str(tmp_path), adds=["c.parquet"], removes=["a.parquet"]
+    )
+    df = read_snapshot(spark, str(tmp_path), 2).filter("k > 1")
+    # pre-plan file pruning: the scan never lists the removed file
+    files = sorted(f.rsplit("/", 1)[-1] for f in df.inputFiles())
+    assert files == ["b.parquet", "c.parquet"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan  # residual filter still pushes
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_stream_interval_join_is_hash_partitioned_not_cartesian(spark):
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    plan = _plan(
+        stream_interval_join(
+            views,
+            clicks,
+            keys=["user_id"],
+            left_ts="view_ts",
+            right_ts="click_ts",
+            upper="1 hour",
+        )
+    )
+    # the equi-key must drive the join; the interval is a residual
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_sq8_encode_is_shuffle_free_projection(spark):
+    from survivor_processing_spark.operators.quantize import sq8_encode
+
+    df = sq8_encode(_emb(spark), dim=64)
+    plan = _plan(df)
+    # after the dim-sized bounds collect, the encode itself is one
+    # codegen'd projection over the scan: no shuffle, no Python
+    assert "Exchange" not in plan
+    for node in PY_NODES:
+        assert node not in plan

@@ -27,13 +27,11 @@ def _execute(df) -> int:
 
 
 def _ops(spark, sf_dir):
-    from survivor_processing_spark.operators.bfs import bfs_levels
     from survivor_processing_spark.operators.bpe import bpe_token_budget
     from survivor_processing_spark.operators.curation import (
         ngram_coverage_score,
         stratified_exact_split,
     )
-    from survivor_processing_spark.operators.pagerank import pagerank_portable
     from survivor_processing_spark.operators.pq import (
         pq_adc_topk,
         pq_train_encode,
@@ -48,7 +46,6 @@ def _ops(spark, sf_dir):
     )
     from survivor_processing_spark.operators.substring import (
         substring_dedup_clean,
-        substring_dedup_spans,
     )
     from survivor_processing_spark.operators.collocation import (
         bigram_fluency,
@@ -57,6 +54,28 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.crawlplan import (
         crawl_schedule_summary,
     )
+    from survivor_processing_spark.operators.quantize import sq8_summary
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        snapshot_summary,
+    )
+    from survivor_processing_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    def _snapshot_fixture(d_sf=None):
+        # two symlinked "files" over the existing orders parquet + a
+        # two-commit log: v2 = compaction-style swap of f1 for f2
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sps_snap_bench_")
+        src = os.path.abspath(f"{sf_dir}/orders.parquet")
+        os.symlink(src, os.path.join(d, "f1.parquet"))
+        os.symlink(src, os.path.join(d, "f2.parquet"))
+        commit_version(d, adds=["f1.parquet"])
+        commit_version(d, adds=["f2.parquet"], removes=["f1.parquet"])
+        return d
+
     from survivor_processing_spark.operators.fingerprint import (
         content_fingerprint,
     )
@@ -85,9 +104,7 @@ def _ops(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     edges = orders.selectExpr("o_custkey AS src", "o_orderkey % 100000 AS dst")
-    seeds = [r["src"] for r in edges.select("src").limit(5).collect()]
     return {
-        "substring_spans": lambda: substring_dedup_spans(docs, n=8),
         "substring_clean": lambda: substring_dedup_clean(docs, n=8),
         "bpe_token_budget": lambda: bpe_token_budget(docs, n_merges=8),
         "pq_train_encode": lambda: pq_train_encode(
@@ -96,8 +113,6 @@ def _ops(spark, sf_dir):
         "pq_adc_topk": lambda: pq_adc_topk(
             emb, [0.1] * 64, topk=10, m=4, k=8, iters=2
         ),
-        "pagerank": lambda: pagerank_portable(edges, n_iters=3),
-        "bfs_levels": lambda: bfs_levels(edges, seeds, n_iters=3),
         "stratified_split": lambda: stratified_exact_split(
             docs, ["lang", "source"], "doc_id"
         ),
@@ -173,6 +188,22 @@ def _ops(spark, sf_dir):
                 "concat('/', doc_id) AS url",
             ),
             per_slot=4,
+        ),
+        "sq8_summary": lambda: sq8_summary(emb, dim=64),
+        "stream_interval_join": lambda: stream_interval_join(
+            events.selectExpr(
+                "user_id", "event_id AS view_id", "ts AS view_ts"
+            ).filter("view_id % 3 = 0"),
+            events.selectExpr(
+                "user_id", "event_id AS click_id", "ts AS click_ts"
+            ).filter("click_id % 3 = 1"),
+            keys=["user_id"],
+            left_ts="view_ts",
+            right_ts="click_ts",
+            upper="1 hour",
+        ),
+        "snapshot_read": lambda: snapshot_summary(
+            spark, _snapshot_fixture(sf_dir), [1, 2], "o_totalprice"
         ),
         "ols_trend": lambda: ols_trend_exact(
             events.selectExpr(

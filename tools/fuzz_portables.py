@@ -1501,6 +1501,214 @@ def fuzz_zonemap(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_snapshot(spark, rng, trials: int) -> int:
+    """operators/snapshot.py (unit-gated, queued): random commit
+    sequences (adds/removes over random parquet files) — log replay
+    == a pure-Python reference set, and the per-version Spark
+    summary == the DuckDB read of the same replayed file lists."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        snapshot_files,
+        snapshot_summary,
+        snapshot_summary_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        d = _tempfile.mkdtemp()
+        try:
+            n_files = rng.randrange(2, 7)
+            names = []
+            for i in range(n_files):
+                nm = f"f{i}.parquet"
+                ks = [rng.randrange(0, 100) for _ in range(rng.randrange(1, 20))]
+                pq.write_table(
+                    pa.table({"k": ks, "amt": [float(k) for k in ks]}),
+                    _os.path.join(d, nm),
+                )
+                names.append(nm)
+            # random commit sequence with a python reference replay
+            ref_active: set = set()
+            ref_by_version = {}
+            n_commits = rng.randrange(1, 6)
+            for _c in range(n_commits):
+                inactive = [n for n in names if n not in ref_active]
+                adds = rng.sample(
+                    inactive, rng.randrange(0, len(inactive) + 1)
+                )
+                removable = sorted(ref_active)
+                removes = rng.sample(
+                    removable, rng.randrange(0, len(removable) + 1)
+                )
+                if not adds and not removes:
+                    adds = rng.sample(inactive, 1) if inactive else []
+                    removes = (
+                        rng.sample(removable, 1) if not adds else removes
+                    )
+                if not adds and not removes:
+                    continue
+                v = commit_version(d, adds=adds, removes=removes)
+                ref_active |= set(adds)
+                ref_active -= set(removes)
+                ref_by_version[v] = sorted(ref_active)
+            if not ref_by_version:
+                continue
+            ok = all(
+                snapshot_files(d, v) == want
+                for v, want in ref_by_version.items()
+            )
+            versions = sorted(ref_by_version)
+            got = sorted(
+                tuple(r)
+                for r in snapshot_summary(
+                    spark, d, versions, "amt"
+                ).collect()
+            )
+            con = duckdb.connect()
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    snapshot_summary_oracle(d, versions, "amt")
+                ).fetchall()
+            )
+            if not ok or got != want:
+                fails += 1
+                print("SNAPSHOT MISMATCH", versions)
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+    return fails
+
+
+def fuzz_stream_join(spark, rng, trials: int) -> int:
+    """streaming/joins.py (unit-gated, queued): random two-sided
+    event sets — the interval join in static mode == the generated
+    DuckDB oracle (the availableNow replay ≡ static equivalence is
+    pinned separately in tests/test_stream_join.py)."""
+    from survivor_processing_spark.streaming.joins import (
+        stream_interval_join,
+        stream_interval_join_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        n_l = rng.randrange(1, 40)
+        n_r = rng.randrange(1, 40)
+        lrows = [
+            (rng.randrange(0, 5), i, rng.randrange(0, 10000))
+            for i in range(n_l)
+        ]
+        rrows = [
+            (rng.randrange(0, 5), i, rng.randrange(0, 10000))
+            for i in range(n_r)
+        ]
+        upper = rng.choice([60, 600, 3600])
+        left = spark.createDataFrame(
+            lrows, "user_id long, view_id long, sec long"
+        ).selectExpr(
+            "user_id", "view_id", "timestamp_seconds(sec) AS view_ts"
+        )
+        right = spark.createDataFrame(
+            rrows, "user_id long, click_id long, sec long"
+        ).selectExpr(
+            "user_id", "click_id", "timestamp_seconds(sec) AS click_ts"
+        )
+        got = sorted(
+            (r["user_id"], r["view_id"], r["click_id"])
+            for r in stream_interval_join(
+                left,
+                right,
+                keys=["user_id"],
+                left_ts="view_ts",
+                right_ts="click_ts",
+                upper=f"{upper} seconds",
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "lraw", pd.DataFrame(lrows, columns=["user_id", "view_id", "sec"])
+        )
+        con.register(
+            "rraw", pd.DataFrame(rrows, columns=["user_id", "click_id", "sec"])
+        )
+        sql = stream_interval_join_oracle(
+            keys=["user_id"],
+            left_sql=(
+                "SELECT user_id, view_id,"
+                " to_timestamp(sec) AS view_ts FROM lraw"
+            ),
+            right_sql=(
+                "SELECT user_id, click_id,"
+                " to_timestamp(sec) AS click_ts FROM rraw"
+            ),
+            left_ts="view_ts",
+            right_ts="click_ts",
+            upper_s=upper,
+        )
+        wdf = con.execute(sql).fetchdf()
+        want = sorted(
+            (int(u), int(v), int(c))
+            for u, v, c in zip(
+                wdf["user_id"], wdf["view_id"], wdf["click_id"]
+            )
+        )
+        if got != want:
+            fails += 1
+            print("STREAM_JOIN MISMATCH", upper, len(got), len(want))
+    return fails
+
+
+def fuzz_sq8(spark, rng, trials: int) -> int:
+    """operators/quantize.py (unit-gated, queued): random vector
+    tables (incl. constant dims and rail values) — Spark SQ8 summary
+    == DuckDB oracle, and the integer error bound always holds."""
+    from survivor_processing_spark.operators.quantize import (
+        sq8_summary,
+        sq8_summary_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        dim = rng.randrange(2, 9)
+        n = rng.randrange(3, 60)
+        const_dim = rng.randrange(0, dim)
+        vecs = []
+        for i in range(n):
+            v = [rng.uniform(-3, 3) for _ in range(dim)]
+            v[const_dim] = 1.25  # a constant dimension every trial
+            vecs.append((i, v))
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        got = sorted(
+            tuple(r) for r in sq8_summary(df, dim=dim).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame(
+                {"vec_id": [i for i, _ in vecs],
+                 "embedding": [v for _, v in vecs]}
+            ),
+        )
+        want = sorted(
+            (int(a), int(b), int(c), bool(x))
+            for a, b, c, x in con.execute(
+                sq8_summary_oracle(dim=dim)
+            ).fetchall()
+        )
+        if got != want or not all(r[3] for r in got):
+            fails += 1
+            print("SQ8 MISMATCH", dim, n)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1549,6 +1757,9 @@ def main() -> int:
         ("graphstats", fuzz_graphstats),
         ("sharding", fuzz_sharding),
         ("zonemap", fuzz_zonemap),
+        ("snapshot", fuzz_snapshot),
+        ("stream_join", fuzz_stream_join),
+        ("sq8", fuzz_sq8),
     ):
         if only is not None and name not in only:
             continue

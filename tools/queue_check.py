@@ -60,6 +60,10 @@ QUEUE = [
     ("triangle_counts", "triangle_counts_oracle", f"{OPS}.graphstats", "test_graphstats.py", "graphstats", "triangle_counts"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     ("build_zonemap", "zonemap_oracle", f"{OPS}.zonemap", "test_zonemap.py", "zonemap", "zonemap_build"),
+    # queued r8 (net-new ≤ the 4 registered this round — ROTATION_r08.md)
+    ("read_snapshot", "snapshot_summary_oracle", f"{OPS}.snapshot", "test_snapshot.py", "snapshot", "snapshot_read"),
+    ("stream_interval_join", "stream_interval_join_oracle", "survivor_processing_spark.streaming.joins", "test_stream_join.py", "stream_join", "stream_interval_join"),
+    ("sq8_encode", "sq8_summary_oracle", f"{OPS}.quantize", "test_quantize.py", "sq8", "sq8_summary"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng: a bytes-level codec (not a DataFrame op — no plan to
