@@ -727,6 +727,144 @@ def synth_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def _jpeg_sof_size(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first JPEG SOF marker, or None."""
+    import struct
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+def avi_mjpeg_frames(b: bytes) -> dict | None:
+    """Stdlib AVI demux for MJPEG video (Microsoft AVI RIFF form,
+    public spec): chunk walk with even padding, ``avih``/``strh``
+    timing (strh dwRate/dwScale wins; avih µs-per-frame is the
+    fallback), frames from the ``##dc``/``##db`` stream chunks —
+    each of which IS a complete standalone JPEG in MJPEG, so frame
+    EXTRACTION needs no codec at all.  Returns ``{"width",
+    "height", "fps", "frames": [jpeg_bytes, ...]}`` with dimensions
+    from the first frame's SOF marker.  None when the blob is not a
+    parseable AVI or any video chunk is not a JPEG (a compressed
+    codec like h264 — decode remains the documented ffmpeg limit,
+    but MJPEG demux is pure chunk arithmetic)."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    strh_fps = None
+    avih_fps = None
+    frames: list[bytes] = []
+
+    def walk(s: int, e: int) -> None:
+        nonlocal strh_fps, avih_fps
+        i = s
+        while i + 8 <= e:
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            ds, de = i + 8, i + 8 + size
+            if de > e:
+                raise ValueError("torn chunk")
+            if cid == b"LIST":
+                if size < 4:
+                    raise ValueError("torn LIST")
+                walk(ds + 4, de)
+            elif cid == b"strh" and size >= 28 and b[ds : ds + 4] == b"vids":
+                scale, rate = struct.unpack("<II", b[ds + 20 : ds + 28])
+                if scale and rate:
+                    strh_fps = rate / scale
+            elif cid == b"avih" and size >= 4:
+                (usec,) = struct.unpack("<I", b[ds : ds + 4])
+                if usec:
+                    avih_fps = 1_000_000.0 / usec
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(b[ds:de]))
+            i = de + (size & 1)
+
+    try:
+        walk(12, len(b))
+    except (ValueError, struct.error):
+        return None
+    if not frames or any(f[:2] != b"\xff\xd8" for f in frames):
+        return None  # not MJPEG (or a torn stream)
+    dims = _jpeg_sof_size(frames[0])
+    if dims is None:
+        return None
+    return {
+        "width": dims[0],
+        "height": dims[1],
+        "fps": strh_fps or avih_fps,
+        "frames": frames,
+    }
+
+
+def avi_slice_frames(
+    b: bytes, every_s: float
+) -> list[tuple[int, float, bytes]] | None:
+    """Split an MJPEG AVI into its standalone JPEG frames — the
+    video counterpart of :func:`gif_slice_frames` (no re-encode;
+    frame k's bytes leave the container verbatim).  ts is k/fps from
+    the stream header; ``every_s`` is only the no-timing fallback
+    cadence.  None when the blob is not a parseable MJPEG AVI."""
+    doc = avi_mjpeg_frames(b)
+    if doc is None:
+        return None
+    fps = doc["fps"]
+    step = (1.0 / fps) if fps else every_s
+    return [(k, k * step, f) for k, f in enumerate(doc["frames"])]
+
+
+def synth_mjpeg_avi(
+    width: int, height: int, n_frames: int, fps: int = 4
+) -> bytes:
+    """A structurally valid MJPEG AVI (RIFF/hdrl/strl/movi, strh
+    timing, even-padded chunks): frame k is a JPEG segment stream
+    whose COM payload byte i is ``(31*k + i) % 256`` over 64 bytes —
+    a closed-form per-frame checksum for tests/oracles."""
+    import struct
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    jpegs = []
+    base = synth_jpeg(width, height)[:-2]  # strip EOI
+    for k in range(n_frames):
+        payload = bytes((31 * k + i) % 256 for i in range(64))
+        com = b"\xff\xfe" + struct.pack(">H", 2 + len(payload)) + payload
+        jpegs.append(base + com + b"\xff\xd9")
+    avih = struct.pack("<I", 1_000_000 // fps) + bytes(28) + struct.pack(
+        "<II", width, height
+    ) + bytes(16)
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + bytes(12)
+        + struct.pack("<II", 1, fps)
+        + bytes(8)
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_info(b: bytes) -> dict | None:
     """RIFF chunk walk for SLICING (the header parser at
     :func:`parse_media_header` only derives duration): returns fmt
@@ -1033,12 +1171,15 @@ def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> Dat
     sample segments, each re-encoded as a standalone valid WAV
     (:func:`wav_slice_frames`, r6); animated GIF is split into
     standalone single-frame GIFs through the full stdlib parse + LZW
-    decode (:func:`gif_slice_frames`, r7).  True video codecs (mp4
-    et al.) genuinely need ffmpeg, so any other blob in real mode
-    raises NotImplementedError; the fake codec derives each frame's
-    bytes deterministically from (digest of the blob, frame_idx), so
-    row multiplicity, ordering, and batch shape stay testable for
-    those too."""
+    decode (:func:`gif_slice_frames`, r7); (A)PNG frames re-wrap
+    their own zlib streams (:func:`apng_slice_frames`, r7); MJPEG
+    AVI demuxes into its standalone JPEG frames — frame extraction
+    is pure chunk arithmetic (:func:`avi_slice_frames`, r8).
+    Compressed video codecs (h264/mp4 et al.) genuinely need ffmpeg,
+    so any other blob in real mode raises NotImplementedError; the
+    fake codec derives each frame's bytes deterministically from
+    (digest of the blob, frame_idx), so row multiplicity, ordering,
+    and batch shape stay testable for those too."""
     if not fake:
 
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1053,10 +1194,13 @@ def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> Dat
                         if frames is None:
                             frames = apng_slice_frames(b, every_s)
                         if frames is None:
+                            frames = avi_slice_frames(b, every_s)
+                        if frames is None:
                             raise NotImplementedError(
-                                "real frame sampling decodes WAV audio, GIF "
-                                "animation, and (A)PNG only; other video "
-                                "needs ffmpeg (absent here) — pass "
+                                "real frame sampling decodes WAV audio, "
+                                "GIF/(A)PNG animation, and MJPEG AVI "
+                                "containers; compressed video codecs "
+                                "need ffmpeg (absent here) — pass "
                                 "fake=True for the deterministic stub "
                                 "sampler"
                             )

@@ -66,13 +66,14 @@ QUEUE = [
     ("sq8_encode", "sq8_summary_oracle", f"{OPS}.quantize", "test_quantize.py", "sq8", "sq8_summary"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
-    # apng: a bytes-level codec (not a DataFrame op — no plan to
+    # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
     # audit); gated through the registered multimodal queries'
     # dispatch, whose plans tests/test_plans.py covers
     ("apng_frames", None, f"{OPS}.multimodal", "test_apng.py", None, None),
+    ("avi_mjpeg_frames", None, f"{OPS}.multimodal", "test_mjpeg.py", None, None),
 ]
 
-PLAN_AUDIT_EXEMPT = {"apng_frames"}
+PLAN_AUDIT_EXEMPT = {"apng_frames", "avi_mjpeg_frames"}
 
 
 def main() -> int:
