@@ -345,3 +345,31 @@ def test_lloyd_portable_no_cartesian(spark):
     plan = plan_of(spark, "kmeans_lloyd_portable")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_registered_no_cartesian_no_python(spark):
+    """The r8-registered PageRank gate: every iteration must stay an
+    equi-join on src with JVM-only arithmetic."""
+    plan = plan_of(spark, "pagerank_portable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_bfs_registered_no_cartesian_no_python(spark):
+    plan = plan_of(spark, "bfs_levels")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_bpe_train_registered_final_plan_is_tiny(spark):
+    """bpe_train's result is the driver-assembled merge table (k
+    rows) — the registered plan must be a bare scan of that local
+    RDD, with all heavy lifting inside the per-iteration jobs it
+    already ran."""
+    plan = plan_of(spark, "bpe_train_portable")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "Exchange" not in plan
