@@ -52,10 +52,24 @@ def pagerank_portable(
     scale: int = 1_000_000_000,
     src: str = "src",
     dst: str = "dst",
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """Integer-lane PageRank over ``edges[src, dst]`` (bigint node
     ids; parallel edges count once per row).  Returns
-    ``node bigint, rank bigint`` — rank in lanes of ``1/scale``."""
+    ``node bigint, rank bigint`` — rank in lanes of ``1/scale``.
+
+    ``bucket_table`` selects the at-scale fanout layout: the
+    (src, dst, outdeg) table is WRITTEN ONCE bucketed+sorted by src
+    under that name, and every iteration's edge⋈ranks join reads the
+    bucketed scan — Spark's bucketed SMJ then exchanges ONLY the
+    (node-sized) rank side, never the edge table (plan-asserted in
+    tests/test_pagerank.py).  This matters because a checkpointed
+    DataFrame loses its outputPartitioning to the planner: under the
+    default in-memory layout the broadcast regime hides it (tiny
+    rank side ⇒ BHJ, no fanout shuffle), but once ranks exceed the
+    broadcast threshold a plain checkpoint would re-shuffle the
+    EDGE table every iteration — the exact cost bucketing exists to
+    amortize.  The caller owns dropping the table afterwards."""
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
@@ -78,11 +92,22 @@ def pagerank_portable(
         F.count(F.lit(1)).alias("outdeg")
     )
     # src -> (dst, outdeg) joined once; reused every iteration
-    fanout = (
-        e.join(outdeg.withColumnRenamed("node", "src"), on="src", how="inner")
-        .repartition("src")
-        .localCheckpoint()
+    fanout_raw = e.join(
+        outdeg.withColumnRenamed("node", "src"), on="src", how="inner"
     )
+    if bucket_table is not None:
+        spark = edges.sparkSession
+        n_buckets = spark.sparkContext.defaultParallelism
+        (
+            fanout_raw.write.bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(bucket_table)
+        )
+        fanout = spark.table(bucket_table)
+    else:
+        fanout = fanout_raw.repartition("src").localCheckpoint()
 
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     for _ in range(n_iters):

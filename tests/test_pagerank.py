@@ -119,3 +119,55 @@ def test_pagerank_cross_engine_randomized(spark, seed):
     got = _spark_ranks(spark, edges, n_iters=5)
     assert got == _duck_ranks(edges, 5)
     assert got == _reference(edges, 5)
+
+
+def test_bucketed_fanout_matches_default_and_skips_edge_exchange(spark):
+    """The at-scale layout: ranks identical to the in-memory path,
+    and under forced SMJ (the beyond-broadcast regime) the bucketed
+    edge scan joins WITHOUT an Exchange on the edge side — the rank
+    side is the only per-iteration shuffle."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tbl = f"pr_fanout_{uuid.uuid4().hex[:8]}"
+    try:
+        want = sorted(
+            map(tuple, pagerank_portable(df, n_iters=3).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                pagerank_portable(
+                    df, n_iters=3, bucket_table=tbl
+                ).collect(),
+            )
+        )
+        assert got == want
+        # plan shape: bucketed scan ⋈ ranks with NO exchange on the
+        # bucketed side even when broadcast is disabled
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        try:
+            fanout = spark.table(tbl)
+            ranks = df.select(F.col("src").alias("node")).distinct()
+            j = fanout.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            bucketed_side = plan.split("SortMergeJoin", 1)[1]
+            edge_branch, rank_branch = bucketed_side.split("+- ", 1)
+            assert "Exchange" not in edge_branch  # bucketed: none
+            assert "Exchange" in rank_branch  # rank side still pays
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
