@@ -139,11 +139,55 @@ def _run_registered(spark, name: str, table: str, pdf: pd.DataFrame):
     return got, want
 
 
+# the assignment-replay oracle formerly registered as
+# q:cluster_assign_portable (RETIRED r8 — the full-Lloyd twins gate
+# the step inside every iteration); the fuzz family keeps exercising
+# the OPERATOR against the same SQL so retirement loses no coverage
+_CLUSTER_ASSIGN_ORACLE = """
+WITH seeds AS (
+    SELECT embedding,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cluster_idx
+    FROM embeddings WHERE embedding IS NOT NULL
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+seed_lanes AS (
+    SELECT s.cluster_idx, d.i,
+           CAST(floor(CAST(s.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS sq
+    FROM seeds s, dims d
+), vec_lanes AS (
+    SELECT e.vec_id, d.i,
+           CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS q
+    FROM embeddings e, dims d
+    WHERE e.embedding IS NOT NULL
+), dots AS (
+    SELECT v.vec_id, s.cluster_idx, CAST(SUM(v.q * s.sq) AS BIGINT) AS dot
+    FROM vec_lanes v JOIN seed_lanes s ON s.i = v.i
+    GROUP BY v.vec_id, s.cluster_idx
+)
+SELECT vec_id, CAST(cluster_idx AS INTEGER) AS cluster_idx,
+       dot AS best_dot
+FROM (SELECT vec_id, cluster_idx, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cluster_idx ASC) AS r
+      FROM dots)
+WHERE r = 1
+"""
+
+
 def fuzz_cluster_assign(spark, rng, trials: int) -> int:
-    """q:cluster_assign_portable (VERDICT r06 #8): random 64-dim
-    corpora incl. planted exact-duplicate vectors (argmax tie goes to
-    the lowest seed rank in BOTH engines) and NULL vectors (filtered
-    on both sides), replayed through the REGISTERED oracle SQL."""
+    """operators/cluster.py assign_clusters_portable (its registered
+    twin was RETIRED r8 in favor of the full-Lloyd gates): random
+    64-dim corpora incl. planted exact-duplicate vectors (argmax tie
+    goes to the lowest seed rank in BOTH engines) and NULL vectors
+    (filtered on both sides), replayed through the retained oracle
+    SQL above."""
+    from survivor_processing_spark.operators.cluster import (
+        assign_clusters_portable,
+    )
+
     fails = 0
     for _ in range(trials):
         n = rng.randint(2, 30)
@@ -152,8 +196,20 @@ def fuzz_cluster_assign(spark, rng, trials: int) -> int:
             vecs[2] = list(vecs[0])  # duplicate -> equal dots -> tiebreak
             vecs[3] = None  # NULL vector: quarantined, not crashed
         pdf = pd.DataFrame({"vec_id": range(n), "embedding": vecs})
-        got, want = _run_registered(spark, "cluster_assign_portable",
-                                    "embeddings", pdf)
+        df = spark.createDataFrame(pdf)
+        got = sorted(
+            map(
+                tuple,
+                assign_clusters_portable(
+                    df, "embedding", "vec_id", k=8
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        want = sorted(
+            map(tuple, con.execute(_CLUSTER_ASSIGN_ORACLE).fetchall())
+        )
         if got != want:
             fails += 1
             print(f"CLUSTER-ASSIGN MISMATCH n={n} got={len(got)} "
