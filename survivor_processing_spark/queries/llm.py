@@ -840,8 +840,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted list is probed, so the result is bit-identical to exact "
     "brute-force top-10 and the full value-hash oracle applies.  This "
     "hash-gates the IVF machinery itself; the approximate n_probe=4 "
-    "variant stays registered as the rows+schema partial "
-    "(q:ivf_topk).  The degrades-to-exact property is also pinned in "
+    "configuration is adjudicated by q:ivf_recall_bound (its "
+    "partial-row registration was RETIRED r8).  The "
+    "degrades-to-exact property is also pinned in "
     "tests/test_operators.py",
     oracle="""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -869,7 +870,9 @@ def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ROTATION_r06.md; the same error-bound technique that turned the "
     "sketch row hash-green in r6): run the approximate n_probe=4 IVF "
     "top-10 AND the exact brute-force top-10 in one pipeline over the "
-    "SAME config q:ivf_topk ships, semi-join the id sets, and emit "
+    "serving config (n_probe=4 of 16 lists — the partial-row "
+    "q:ivf_topk registration this gate replaced, RETIRED r8), "
+    "semi-join the id sets, and emit "
     "(k, recall >= ceil(0.5*k)) — ANN result SETS are never "
     "bit-comparable across engines, their recall floor is.  Both arms "
     "share the corpus scan; the join is k-vs-k row counts, "
