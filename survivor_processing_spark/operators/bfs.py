@@ -46,25 +46,44 @@ def bfs_levels(
     n_iters: int = 4,
     src: str = "src",
     dst: str = "dst",
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """Shortest hop count from any of ``sources`` along directed
     ``edges[src, dst]``, explored for ``n_iters`` hops.  Returns
     ``node bigint, level int`` for every node reached within the
     horizon (exact shortest distance once ``n_iters`` ≥ the graph
-    diameter)."""
+    diameter).
+
+    ``bucket_table`` selects the at-scale edge layout (same design
+    as ``pagerank_portable``): the canonical edge table is written
+    ONCE bucketed+sorted by src under that name, and every hop's
+    frontier⋈edges join reads the bucketed scan — once a frontier
+    outgrows the broadcast threshold, bucketed SMJ exchanges ONLY
+    the frontier side, never the edges (a checkpointed DataFrame
+    loses its outputPartitioning to the planner, so the in-memory
+    layout only avoids the edge shuffle while the frontier still
+    broadcasts).  The caller owns dropping the table afterwards."""
     if not sources:
         raise ValueError("sources must be non-empty")
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     spark = edges.sparkSession
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        )
-        .repartition("src")
-        .localCheckpoint(eager=True)
+    canonical = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
     )
+    if bucket_table is not None:
+        n_buckets = spark.sparkContext.defaultParallelism
+        (
+            canonical.write.bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(bucket_table)
+        )
+        e = spark.table(bucket_table)
+    else:
+        e = canonical.repartition("src").localCheckpoint(eager=True)
     # source list as ONE parsed literal (the py4j literal lesson)
     seeds = sorted({int(s) for s in sources})
     levels = spark.sql(

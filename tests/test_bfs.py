@@ -121,3 +121,62 @@ def test_bfs_validation(spark):
         bfs_levels(df, [0], n_iters=-1)
     # n_iters=0: sources only
     assert _spark_bfs(spark, [(0, 1)], [0], 0) == {0: 0}
+
+
+def test_bucketed_edges_match_default_and_skip_edge_exchange(spark):
+    """The at-scale layout (mirror of the PageRank design): levels
+    identical to the in-memory path, and under forced SMJ the
+    bucketed edge scan joins WITHOUT an Exchange on the edge side."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tbl = f"bfs_edges_{uuid.uuid4().hex[:8]}"
+    try:
+        want = sorted(
+            map(tuple, bfs_levels(df, [1], n_iters=3).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                bfs_levels(
+                    df, [1], n_iters=3, bucket_table=tbl
+                ).collect(),
+            )
+        )
+        assert got == want
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        try:
+            e = spark.table(tbl)
+            frontier = df.select(F.col("src").alias("node")).distinct()
+            plan_b = (
+                frontier.join(e, frontier.node == e.src)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            # control: the same join against a plain (non-bucketed)
+            # edge frame pays one MORE exchange — the edge side's
+            plan_c = (
+                frontier.join(df, frontier.node == df.src)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Bucketed: true" in plan_b
+            # precise invariant: the edge-side exchange partitions by
+            # src — present in the control, absent when bucketed
+            assert "Exchange hashpartitioning(src" not in plan_b
+            assert "Exchange hashpartitioning(src" in plan_c
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
