@@ -36,19 +36,31 @@ def stream_interval_join(
     upper: str = "1 hour",
     lower: str = "0 seconds",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two (streaming or static) frames on ``keys``
-    with ``right_ts`` in ``[left_ts + lower, left_ts + upper]``.
+    """Join of two (streaming or static) frames on ``keys`` with
+    ``right_ts`` in ``[left_ts + lower, left_ts + upper]``.
 
     Both sides are watermarked on their own timestamp before the
     join (required for state eviction on streams; harmless no-op on
     static frames, so the SAME function is the batch oracle path).
     ``left_ts`` and ``right_ts`` must be distinct names — the output
     keeps both, plus left's columns and right's non-key columns.
-    ``lower``/``upper``/``watermark`` are SQL interval strings."""
+    ``lower``/``upper``/``watermark`` are SQL interval strings.
+
+    ``how``: ``inner`` or ``left_outer``.  The outer form emits an
+    unmatched left row with NULL right columns once the watermark
+    passes its interval's far edge — Spark can only declare "no
+    match will ever come" after that point, which is exactly why
+    outer stream-stream joins REQUIRE the watermark + time bound
+    this wrapper always builds."""
     if left_ts == right_ts:
         raise ValueError(
             "left_ts and right_ts must be distinct column names"
+        )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
         )
     overlap = (set(left.columns) & set(right.columns)) - set(keys)
     if overlap:
@@ -70,7 +82,9 @@ def stream_interval_join(
             f"{right_ts} <= {left_ts} + interval {upper}",
         ]
     )
-    return lw.join(rw, F.expr(cond)).drop(*[f"__r_{k}" for k in keys])
+    return lw.join(rw, F.expr(cond), how).drop(
+        *[f"__r_{k}" for k in keys]
+    )
 
 
 def stream_interval_join_oracle(
@@ -81,6 +95,7 @@ def stream_interval_join_oracle(
     right_ts: str,
     upper_s: int,
     lower_s: int = 0,
+    how: str = "inner",
 ) -> str:
     """DuckDB SQL for the batch-equivalent interval join — with an
     ``availableNow`` replay and a watermark exceeding the fixture's
@@ -88,9 +103,10 @@ def stream_interval_join_oracle(
     ``upper_s``/``lower_s`` are the interval bounds in seconds."""
     on = " AND ".join(f"l.{k} = r.{k}" for k in keys)
     key_cols = ", ".join(f"l.{k} AS {k}" for k in keys)
+    jtype = "JOIN" if how == "inner" else "LEFT JOIN"
     return f"""SELECT {key_cols}, l.* EXCLUDE ({", ".join(keys)}),
        r.* EXCLUDE ({", ".join(keys)})
-FROM ({left_sql}) l JOIN ({right_sql}) r
+FROM ({left_sql}) l {jtype} ({right_sql}) r
   ON {on}
  AND r.{right_ts} >= l.{left_ts} + INTERVAL {lower_s} SECOND
  AND r.{right_ts} <= l.{left_ts} + INTERVAL {upper_s} SECOND"""

@@ -164,3 +164,75 @@ def test_guards(spark):
             left_ts="view_ts",
             right_ts="click_ts",
         )
+
+
+def test_left_outer_matches_duckdb_oracle(spark):
+    """Outer form: unmatched views survive with NULL click columns —
+    equal to the DuckDB LEFT JOIN replay on the same condition."""
+    views, clicks = _sides(spark)
+    out = stream_interval_join(
+        views,
+        clicks,
+        keys=["user_id"],
+        left_ts="view_ts",
+        right_ts="click_ts",
+        upper="5 minutes",
+        how="left_outer",
+    ).select("user_id", "view_id", "click_id")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/events.parquet')"
+    )
+    sql = stream_interval_join_oracle(
+        keys=["user_id"],
+        left_sql=(
+            "SELECT user_id, event_id AS view_id,"
+            " CAST(ts AS TIMESTAMP) AS view_ts"
+            " FROM events WHERE event_type = 'view'"
+        ),
+        right_sql=(
+            "SELECT user_id, event_id AS click_id,"
+            " CAST(ts AS TIMESTAMP) AS click_ts"
+            " FROM events WHERE event_type = 'click'"
+        ),
+        left_ts="view_ts",
+        right_ts="click_ts",
+        upper_s=300,
+        how="left_outer",
+    )
+    wdf = con.execute(sql).fetchdf()
+    import pandas as pd
+
+    want = sorted(
+        (
+            (int(u), int(v), None if pd.isna(c) else int(c))
+            for u, v, c in zip(
+                wdf["user_id"], wdf["view_id"], wdf["click_id"]
+            )
+        ),
+        key=str,
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["view_id"], r["click_id"])
+            for r in out.collect()
+        ),
+        key=str,
+    )
+    assert len(got) >= len(set(r[1] for r in got))  # every view kept
+    assert got == want
+    assert any(c is None for _u, _v, c in got)  # some unmatched rows
+
+
+def test_bad_how_rejected(spark):
+    views, clicks = _sides(spark)
+    with pytest.raises(ValueError, match="inner.*left_outer"):
+        stream_interval_join(
+            views,
+            clicks,
+            keys=["user_id"],
+            left_ts="view_ts",
+            right_ts="click_ts",
+            how="full_outer",
+        )
