@@ -74,7 +74,10 @@ def _ord_of(v) -> str:
 
 
 def build_zonemap(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    files: list[str] | None = None,
 ) -> DataFrame:
     """One manifest row per (file, column): ``file, col, n_rows,
     vmin, vmax, ord`` with min/max as strings (NULL when the footer
@@ -92,11 +95,20 @@ def build_zonemap(
     Spark job over the file list (mapInPandas over a file-name
     DataFrame — same pyarrow call per task); here the driver-side
     loop is file-count-bounded by construction and keeps the module
-    dependency-light."""
+    dependency-light.
+
+    ``files`` scopes the manifest to an explicit list of
+    path-relative file names (a snapshot's active set, say) instead
+    of every ``*.parquet`` in the directory."""
     import pyarrow.parquet as pq
 
+    targets = (
+        [os.path.join(path, f) for f in sorted(files)]
+        if files is not None
+        else _list_parquet(path)
+    )
     rows = []
-    for f in _list_parquet(path):
+    for f in targets:
         md = pq.ParquetFile(f).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for c in cols:

@@ -210,3 +210,120 @@ def _atomic_overwrite(spark: SparkSession, df: DataFrame, target_path: str) -> N
     os.rename(staging, target_path)
     if os.path.isdir(backup):
         shutil.rmtree(backup, ignore_errors=True)
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_col: str,
+    cast: str = "bigint",
+) -> dict:
+    """COPY-ON-WRITE MERGE into a snapshot-logged parquet table —
+    the real lakehouse MERGE shape (Delta/Iceberg merge-on-read's
+    copy-on-write sibling), composed from this repo's own table
+    format: the snapshot log (operators/snapshot.py) says which
+    files ARE the table, the zone maps (operators/zonemap.py) say
+    which of them can possibly hold a source key, and only THOSE
+    files are rewritten.  The atomic-swap ``merge_upsert`` above
+    rewrites the whole table every run; at 100 TB a MERGE that
+    touches 0.1% of keys must touch ~0.1% of files, and this one
+    does — the untouched files survive by NAME in the next snapshot.
+
+    Mechanics:
+    1. footer-only zone maps over the ACTIVE file set (file-count
+       driver work), ordering-guarded exactly like ``prune_files``
+       (a cast whose comparison disagrees with the envelope's
+       recorded ordering raises — never a silent wrong prune);
+    2. affected = files whose [vmin, vmax] envelope contains ANY
+       source key (broadcast join of the file-count-sized manifest
+       against the source keys; NULL-stat files are always
+       affected — never skip blind);
+    3. merged = unmatched rows of the affected files ∪ source
+       (source wins per key; source must be key-unique — reject,
+       don't guess); written as NEW files, never in place;
+    4. one atomic log commit: remove(affected) + add(new files).
+       Readers of the previous snapshot never observe a torn table —
+       scans are log-driven, and the new files are invisible until
+       the commit lands.
+
+    Returns ``{"version", "n_affected", "n_untouched", "adds"}``.
+    Source rows whose keys fall outside every envelope are inserts
+    by the zone-map contract (a file whose envelope excludes the key
+    provably cannot contain it)."""
+    from ..operators.snapshot import commit_version, snapshot_files
+    from ..operators.zonemap import _CAST_ORD, build_zonemap
+
+    required = _CAST_ORD.get(cast.lower().split("(")[0])
+    if required is None:
+        raise ValueError(f"unsupported merge key cast {cast!r}")
+    dup = (
+        source.groupBy(key_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"source is not key-unique on {key_col!r} "
+            f"(e.g. {dup[0][key_col]!r})"
+        )
+    active = snapshot_files(table_dir)
+    zm = build_zonemap(spark, table_dir, [key_col], files=active)
+    mismatched = (
+        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
+        .limit(1)
+        .collect()
+    )
+    if mismatched:
+        raise ValueError(
+            f"zone-map ordering mismatch on {key_col!r}: envelope "
+            f"built {mismatched[0]['ord']}, merge cast {cast!r} "
+            f"compares {required}"
+        )
+    hits = (
+        source.select(F.col(key_col).alias("_k"))
+        .join(
+            F.broadcast(zm),
+            F.col("vmin").isNull()
+            | (
+                (F.expr(f"cast(vmin as {cast})") <= F.col("_k"))
+                & (F.expr(f"cast(vmax as {cast})") >= F.col("_k"))
+            ),
+            "inner",
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    affected = sorted(r["file"] for r in hits)
+    untouched = [f for f in active if f not in set(affected)]
+    if affected:
+        base = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in affected]
+        )
+        keep = base.join(
+            source.select(key_col), on=key_col, how="left_anti"
+        )
+        merged = keep.unionByName(source.select(*base.columns))
+    else:
+        merged = source
+    staging = os.path.join(table_dir, f"_tmp_merge_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(staging)
+    adds = []
+    tag = uuid.uuid4().hex[:8]
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"merge-{tag}-{i:05d}.parquet"
+        os.rename(os.path.join(staging, part), os.path.join(table_dir, name))
+        adds.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    version = commit_version(table_dir, adds=adds, removes=affected)
+    return {
+        "version": version,
+        "n_affected": len(affected),
+        "n_untouched": len(untouched),
+        "adds": adds,
+    }

@@ -142,3 +142,105 @@ def test_summary_matches_duckdb_oracle(spark, table_dir):
     )
     assert got == want
     assert got[2] == (3, 0, 0.0)  # the emptied snapshot
+
+
+# --- copy-on-write MERGE over the snapshot log ------------------------------
+
+
+def _seed_table(spark, d, ranges):
+    """One key-sorted file per range; commit v1 with all of them."""
+    names = []
+    for i, (lo, hi) in enumerate(ranges):
+        nm = f"seed-{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": list(range(lo, hi)),
+                    "amt": [float(x) for x in range(lo, hi)],
+                }
+            ),
+            os.path.join(d, nm),
+        )
+        names.append(nm)
+    commit_version(d, adds=names)
+    return names
+
+
+def test_merge_rewrites_only_intersecting_files(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    names = _seed_table(
+        spark, table_dir, [(0, 100), (100, 200), (200, 300), (300, 400)]
+    )
+    # updates hit only [100, 200); inserts land beyond every envelope
+    src = spark.createDataFrame(
+        [(150, -1.0), (199, -2.0), (999, -3.0)], "k long, amt double"
+    )
+    out = merge_into_snapshot(spark, table_dir, src, "k")
+    assert out["version"] == 2
+    assert out["n_affected"] == 1  # only seed-1
+    assert out["n_untouched"] == 3
+    after = set(snapshot_files(table_dir))
+    # copy-on-write minimality: the three untouched files survive
+    # BY NAME; the affected one is gone
+    assert {"seed-0.parquet", "seed-2.parquet", "seed-3.parquet"} <= after
+    assert "seed-1.parquet" not in after
+    # table semantics: full upsert
+    rows = {
+        r["k"]: r["amt"]
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    assert len(rows) == 401  # 400 seeds + 1 insert
+    assert rows[150] == -1.0 and rows[199] == -2.0 and rows[999] == -3.0
+    assert rows[149] == 149.0  # unmatched row of the rewritten file
+    assert rows[0] == 0.0 and rows[399] == 399.0
+    # time travel still serves the PRE-merge table
+    v1 = {
+        r["k"]: r["amt"]
+        for r in read_snapshot(spark, table_dir, 1).collect()
+    }
+    assert len(v1) == 400 and v1[150] == 150.0 and 999 not in v1
+
+
+def test_merge_insert_only_touches_nothing(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 50), (50, 100)])
+    src = spark.createDataFrame([(5000, 1.0)], "k long, amt double")
+    out = merge_into_snapshot(spark, table_dir, src, "k")
+    assert out["n_affected"] == 0 and out["n_untouched"] == 2
+    assert read_snapshot(spark, table_dir).count() == 101
+
+
+def test_merge_is_idempotent(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 50), (50, 100)])
+    src = spark.createDataFrame(
+        [(10, -1.0), (60, -2.0)], "k long, amt double"
+    )
+    merge_into_snapshot(spark, table_dir, src, "k")
+    first = sorted(
+        map(tuple, read_snapshot(spark, table_dir).collect())
+    )
+    merge_into_snapshot(spark, table_dir, src, "k")
+    second = sorted(
+        map(tuple, read_snapshot(spark, table_dir).collect())
+    )
+    assert first == second
+
+
+def test_merge_guards(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 50)])
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "k long, amt double"
+    )
+    with pytest.raises(ValueError, match="not key-unique"):
+        merge_into_snapshot(spark, table_dir, dup, "k")
+    ok = spark.createDataFrame([(1, 1.0)], "k long, amt double")
+    with pytest.raises(ValueError, match="ordering mismatch"):
+        merge_into_snapshot(spark, table_dir, ok, "k", cast="string")
+    with pytest.raises(ValueError, match="unsupported merge key cast"):
+        merge_into_snapshot(spark, table_dir, ok, "k", cast="binary")
