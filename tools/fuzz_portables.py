@@ -1765,6 +1765,90 @@ def fuzz_sq8(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_cow_merge(spark, rng, trials: int) -> int:
+    """sinks/merge.py merge_into_snapshot (B1 family, r8): random
+    seed layouts + random update/insert batches — the post-merge
+    snapshot equals a pure-Python upsert of the same batches, every
+    pre-merge version stays intact, and copy-on-write minimality
+    holds (a file whose key envelope excludes every source key
+    survives by NAME)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        snapshot_files,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    fails = 0
+    for _ in range(trials):
+        d = _tempfile.mkdtemp()
+        try:
+            # disjoint key-range files (sorted => tight envelopes)
+            n_files = rng.randrange(2, 5)
+            bounds = sorted(rng.sample(range(0, 400), n_files * 2))
+            names, ref = [], {}
+            for i in range(n_files):
+                lo, hi = bounds[2 * i], bounds[2 * i + 1] + 1
+                ks = list(range(lo, hi))
+                for k in ks:
+                    ref[k] = float(k)
+                nm = f"s{i}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {"k": ks, "amt": [float(k) for k in ks]}
+                    ),
+                    _os.path.join(d, nm),
+                )
+                names.append(nm)
+            commit_version(d, adds=names)
+            pre = dict(ref)
+            n_batches = rng.randrange(1, 3)
+            for b in range(n_batches):
+                batch = {
+                    rng.randrange(0, 500): float(rng.randrange(-99, 0))
+                    for _ in range(rng.randrange(1, 12))
+                }
+                src = spark.createDataFrame(
+                    sorted(batch.items()), "k long, amt double"
+                )
+                out = merge_into_snapshot(spark, d, src, "k")
+                ref.update(batch)
+                # minimality: untouched-by-envelope seeds survive
+                still = set(snapshot_files(d))
+                for i in range(n_files):
+                    lo, hi = bounds[2 * i], bounds[2 * i + 1]
+                    if all(not (lo <= k <= hi) for k in batch):
+                        if f"s{i}.parquet" in still or out["version"] < 2:
+                            continue
+                        # the seed may have been rewritten by an
+                        # EARLIER batch; only first-batch seeds are
+                        # name-stable guarantees
+                        if b == 0:
+                            fails += 1
+                            print("COW-MERGE minimality broke", i)
+            got = {
+                r["k"]: r["amt"]
+                for r in read_snapshot(spark, d).collect()
+            }
+            v1 = {
+                r["k"]: r["amt"]
+                for r in read_snapshot(spark, d, 1).collect()
+            }
+            if got != ref or v1 != pre:
+                fails += 1
+                print("COW-MERGE MISMATCH", len(got), len(ref))
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1816,6 +1900,7 @@ def main() -> int:
         ("snapshot", fuzz_snapshot),
         ("stream_join", fuzz_stream_join),
         ("sq8", fuzz_sq8),
+        ("cow_merge", fuzz_cow_merge),
     ):
         if only is not None and name not in only:
             continue
