@@ -219,3 +219,71 @@ def snapshot_summary(
         ).select(F.lit(v).cast("int").alias("version"), "n_rows", "total")
         out = s if out is None else out.unionByName(s)
     return out
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, target_bytes: int
+) -> dict:
+    """Execute an OPTIMIZE pass over the snapshot's ACTIVE files as
+    ONE atomic log commit — the execution half of the compaction
+    planner (operators/compaction.py decides the bins; this rewrites
+    them).  Bins holding a single file are left untouched BY NAME
+    (rewriting a lone file buys nothing and churns the cache); every
+    multi-file bin is read once and rewritten as one file; the
+    commit swaps remove(binned small files) + add(compacted files)
+    atomically, so concurrent readers of the previous snapshot are
+    never torn and time travel keeps serving the pre-compaction
+    layout.  Returns ``{"version", "n_rewritten", "n_kept",
+    "adds"}`` with ``version=None`` when the layout is already
+    optimal (the no-op makes repeated maintenance idempotent)."""
+    import uuid
+
+    from .compaction import compaction_plan
+
+    active = snapshot_files(table_dir)
+    manifest = spark.createDataFrame(
+        [
+            (f, os.path.getsize(os.path.join(table_dir, f)))
+            for f in active
+        ],
+        "file string, bytes long",
+    )
+    plan = compaction_plan(manifest, "bytes", "file", target_bytes)
+    bins: dict[int, list[str]] = {}
+    for r in plan.collect():  # manifest-sized
+        bins.setdefault(int(r["bin"]), []).append(r["file"])
+    adds: list[str] = []
+    removes: list[str] = []
+    tag = uuid.uuid4().hex[:8]
+    for b, fs in sorted(bins.items()):
+        if len(fs) < 2:
+            continue
+        merged = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in sorted(fs)]
+        ).coalesce(1)
+        staging = os.path.join(table_dir, f"_tmp_compact_{tag}_{b}")
+        merged.write.mode("overwrite").parquet(staging)
+        parts = sorted(
+            p for p in os.listdir(staging) if p.endswith(".parquet")
+        )
+        name = f"compact-{tag}-{b:05d}.parquet"
+        os.rename(os.path.join(staging, parts[0]), os.path.join(table_dir, name))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        adds.append(name)
+        removes.extend(sorted(fs))
+    if not removes:
+        return {
+            "version": None,
+            "n_rewritten": 0,
+            "n_kept": len(active),
+            "adds": [],
+        }
+    version = commit_version(table_dir, adds=adds, removes=removes)
+    return {
+        "version": version,
+        "n_rewritten": len(removes),
+        "n_kept": len(active) - len(removes),
+        "adds": adds,
+    }

@@ -244,3 +244,44 @@ def test_merge_guards(spark, table_dir):
         merge_into_snapshot(spark, table_dir, ok, "k", cast="string")
     with pytest.raises(ValueError, match="unsupported merge key cast"):
         merge_into_snapshot(spark, table_dir, ok, "k", cast="binary")
+
+
+# --- OPTIMIZE execution: compaction as an atomic snapshot commit -------------
+
+
+def test_compact_snapshot_merges_small_keeps_large(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        compact_snapshot,
+    )
+
+    # 4 small files + 1 big one; target sized so the smalls bin
+    # together while the big file anchors its own singleton bin
+    for i in range(4):
+        _write(table_dir, f"small-{i}.parquet", [i * 10 + j for j in range(3)])
+    _write(table_dir, "big.parquet", list(range(1000, 1400)))
+    commit_version(
+        table_dir,
+        adds=[f"small-{i}.parquet" for i in range(4)] + ["big.parquet"],
+    )
+    before = sorted(
+        map(tuple, read_snapshot(spark, table_dir).collect())
+    )
+    # target == the big file's size: it fills bin 0 alone, and the
+    # smalls pack together into the next bin
+    big_bytes = os.path.getsize(os.path.join(table_dir, "big.parquet"))
+    out = compact_snapshot(spark, table_dir, target_bytes=big_bytes)
+    assert out["version"] == 2
+    assert out["n_rewritten"] == 4  # the four smalls
+    after_files = snapshot_files(table_dir)
+    assert "big.parquet" in after_files  # singleton bin kept BY NAME
+    assert len(after_files) < 5
+    after = sorted(
+        map(tuple, read_snapshot(spark, table_dir).collect())
+    )
+    assert after == before  # a layout move, never a data change
+    # time travel still serves the fragmented layout
+    assert len(snapshot_files(table_dir, 1)) == 5
+    # maintenance is idempotent: an already-optimal table no-ops
+    again = compact_snapshot(spark, table_dir, target_bytes=big_bytes)
+    assert again["version"] is None and again["n_rewritten"] == 0
+    assert snapshot_files(table_dir) == after_files
