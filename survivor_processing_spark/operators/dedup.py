@@ -374,6 +374,40 @@ def lsh_band_index(
     )
 
 
+def persist_lsh_index(
+    spark,
+    sig_df: DataFrame,
+    table_name: str,
+    bands: int = 16,
+    rows: int = 4,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Materialize the corpus band index ONCE as a bucketed+sorted
+    table on (band_idx, band_hash) — the at-rest layout the
+    :func:`lsh_band_index` docstring promises, now executable.  A
+    bucketed SMJ against it exchanges ONLY the incoming batch's
+    postings, never the corpus index, so steady-state probe cost is
+    batch-bound no matter how large the history grows (the same
+    bucketed-layout design as pagerank/bfs — a checkpointed or
+    re-read index loses its partitioning to the planner; a bucketed
+    table keeps it across sessions AND across probe batches).
+    Returns the bucketed scan with ``doc_id`` renamed to
+    ``corpus_id``, ready to pass as ``corpus_index=`` to
+    :func:`minhash_match_against_corpus` (the rename is a Project
+    alias — output partitioning propagates through it).  The caller
+    owns dropping the table."""
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism
+    (
+        lsh_band_index(sig_df, bands, rows)
+        .write.bucketBy(n_buckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name).withColumnRenamed("doc_id", "corpus_id")
+
+
 def minhash_match_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,

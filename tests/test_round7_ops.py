@@ -357,3 +357,97 @@ def test_doclint_catches_drift_and_passes_truth(tmp_path, monkeypatch):
     )
     assert doclint.lint_file(str(scoped), r"Round 9") == []
     assert len(doclint.lint_file(str(scoped), r"Round 8")) == 1
+
+
+def test_persisted_lsh_index_matches_and_skips_index_exchange(spark):
+    """The at-rest index layout: probes against the bucketed index
+    table return EXACTLY what the in-memory index returns, and under
+    forced SMJ the candidate join exchanges only the batch postings
+    — the corpus index branch has no exchange."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_match_against_corpus,
+        minhash_signatures,
+        persist_lsh_index,
+        shingle_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox jumps over dog number {i} today")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over dog number 7 today"),
+            (101, "completely unrelated text about spark bucketing"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(corpus, "text", "doc_id", k=64)
+    tbl = f"lsh_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        bucketed = persist_lsh_index(spark, sigs, tbl)
+        in_memory = lsh_band_index(sigs).withColumnRenamed(
+            "doc_id", "corpus_id"
+        )
+        kw = dict(
+            text_col="text",
+            id_col="doc_id",
+            threshold=0.5,
+            corpus_shingles=shingle_table(
+                corpus, "text", "doc_id", 3
+            ).select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("shingles").alias("sh2"),
+            ),
+        )
+        want = sorted(
+            map(
+                tuple,
+                minhash_match_against_corpus(
+                    batch, corpus, corpus_index=in_memory, **kw
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                minhash_match_against_corpus(
+                    batch, corpus, corpus_index=bucketed, **kw
+                ).collect(),
+            )
+        )
+        assert got == want
+        assert any(r[0] == 100 for r in got)  # the planted near-dup
+        # plan: the index branch must not re-exchange per probe
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        try:
+            new_idx = lsh_band_index(
+                minhash_signatures(batch, "text", "doc_id", k=64)
+            ).withColumnRenamed("doc_id", "new_id")
+            j = new_idx.join(bucketed, ["band_idx", "band_hash"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            # one exchange total: the batch side's; a control join
+            # against the in-memory index pays two
+            jc = new_idx.join(in_memory, ["band_idx", "band_hash"])
+            cplan = jc._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange hashpartitioning(band_idx") == 1
+            assert cplan.count("Exchange hashpartitioning(band_idx") == 2
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
