@@ -266,6 +266,10 @@ def compact_snapshot(
         parts = sorted(
             p for p in os.listdir(staging) if p.endswith(".parquet")
         )
+        if len(parts) != 1:  # coalesce(1) guarantees this; never
+            raise RuntimeError(  # silently drop a straggler part
+                f"expected one compacted part, got {len(parts)}"
+            )
         name = f"compact-{tag}-{b:05d}.parquet"
         os.rename(os.path.join(staging, parts[0]), os.path.join(table_dir, name))
         import shutil

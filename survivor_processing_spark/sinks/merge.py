@@ -270,6 +270,14 @@ def merge_into_snapshot(
             f"(e.g. {dup[0][key_col]!r})"
         )
     active = snapshot_files(table_dir)
+    if source.limit(1).count() == 0:
+        # an empty batch must be a clean no-op, not an empty commit
+        return {
+            "version": None,
+            "n_affected": 0,
+            "n_untouched": len(active),
+            "adds": [],
+        }
     zm = build_zonemap(spark, table_dir, [key_col], files=active)
     mismatched = (
         zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))

@@ -285,3 +285,13 @@ def test_compact_snapshot_merges_small_keeps_large(spark, table_dir):
     again = compact_snapshot(spark, table_dir, target_bytes=big_bytes)
     assert again["version"] is None and again["n_rewritten"] == 0
     assert snapshot_files(table_dir) == after_files
+
+
+def test_merge_empty_batch_is_noop(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 10)])
+    empty = spark.createDataFrame([], "k long, amt double")
+    out = merge_into_snapshot(spark, table_dir, empty, "k")
+    assert out["version"] is None and out["adds"] == []
+    assert snapshot_files(table_dir) == ["seed-0.parquet"]
