@@ -159,3 +159,57 @@ def test_randomized_range_contract(spark, ranged_dir):
             for r in full.filter(f"k BETWEEN {lo} AND {hi}").collect()
         )
         assert got == want, (lo, hi)
+
+
+def test_zorder_layout_makes_zonemaps_pay_on_both_dims(spark):
+    """The composition the two operators exist for: a z-ordered
+    layout tightens BOTH dimensions' per-file envelopes, so a range
+    probe on EITHER column skips most files — against a random
+    layout the same probe keeps everything.  (Zone maps prune the
+    file LIST; z-order is what makes the list prunable.)"""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.zorder import zorder_write
+
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.xxhash64("id") % 256).alias("a"),
+            (F.xxhash64("id", F.lit(1)) % 256).alias("b"),
+        )
+        .selectExpr("abs(a) AS a", "abs(b) AS b")
+    )
+    d_z = tempfile.mkdtemp()
+    d_r = tempfile.mkdtemp()
+    try:
+        zorder_write(df, d_z, "a", "b", bits=8, n_files=16)
+        df.repartition(16).write.mode("overwrite").parquet(d_r)
+        pruned = {}
+        for d in (d_z, d_r):
+            zm = build_zonemap(spark, d, ["a", "b"])
+            total = len(prune_files(zm, "a", -1, 10**9))
+            kept_a = len(prune_files(zm, "a", 0, 63))
+            kept_b = len(prune_files(zm, "b", 0, 63))
+            pruned[d] = (total, kept_a, kept_b)
+        tz, az, bz = pruned[d_z]
+        tr, ar, br = pruned[d_r]
+        assert ar == tr and br == tr  # random layout: nothing skips
+        assert az <= tz // 2 and bz <= tz // 2  # z-order: both dims
+        # and pruning never changes results, layout notwithstanding
+        zm = build_zonemap(spark, d_z, ["a"])
+        got = sorted(
+            (r["a"], r["b"])
+            for r in pruned_scan(spark, d_z, zm, "a", 0, 63).collect()
+        )
+        want = sorted(
+            (r["a"], r["b"])
+            for r in spark.read.parquet(d_z)
+            .filter("a BETWEEN 0 AND 63")
+            .collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d_z, ignore_errors=True)
+        shutil.rmtree(d_r, ignore_errors=True)
