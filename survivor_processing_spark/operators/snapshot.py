@@ -236,6 +236,7 @@ def compact_snapshot(
     layout.  Returns ``{"version", "n_rewritten", "n_kept",
     "adds"}`` with ``version=None`` when the layout is already
     optimal (the no-op makes repeated maintenance idempotent)."""
+    import shutil
     import uuid
 
     from .compaction import compaction_plan
@@ -272,8 +273,6 @@ def compact_snapshot(
             )
         name = f"compact-{tag}-{b:05d}.parquet"
         os.rename(os.path.join(staging, parts[0]), os.path.join(table_dir, name))
-        import shutil
-
         shutil.rmtree(staging, ignore_errors=True)
         adds.append(name)
         removes.extend(sorted(fs))
