@@ -283,10 +283,45 @@ def compact_snapshot(
             "n_kept": len(active),
             "adds": [],
         }
-    version = commit_version(table_dir, adds=adds, removes=removes)
+    # failed commit ⇒ remove the renamed compacted files (log-driven
+    # readers never saw them; this keeps raw dir consumers and disk
+    # clean too).  Hard crashes are mopped up by vacuum_orphans.
+    try:
+        version = commit_version(table_dir, adds=adds, removes=removes)
+    except BaseException:
+        for name in adds:
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
     return {
         "version": version,
         "n_rewritten": len(removes),
         "n_kept": len(active) - len(removes),
         "adds": adds,
     }
+
+
+def vacuum_orphans(table_dir: str) -> list[str]:
+    """Delete ``*.parquet`` files in ``table_dir`` that NO log entry
+    ever added — data files stranded by a writer that crashed between
+    rename and commit.  Every file any version references (active or
+    historically removed) is untouched, so time travel keeps working
+    for the whole log.  Returns the deleted names, sorted.
+
+    This is the safe half of Delta's VACUUM: it needs no retention
+    window because a never-committed file is unreachable from every
+    version by construction."""
+    ever: set[str] = set()
+    for n in log_versions(table_dir):
+        with open(_entry_path(table_dir, n)) as f:
+            ever |= set(json.load(f)["adds"])
+    if not ever:
+        raise ValueError(f"no snapshot log under {table_dir!r}")
+    gone = []
+    for f in sorted(os.listdir(table_dir)):
+        if f.endswith(".parquet") and f not in ever:
+            os.remove(os.path.join(table_dir, f))
+            gone.append(f)
+    return gone

@@ -50,8 +50,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _list_parquet(path: str) -> list[str]:
+    """Files that ARE the table at ``path``.  When the directory
+    carries a snapshot log (operators/snapshot.py) the listing is
+    LOG-DRIVEN — the log's active set, not a glob — so a data file
+    orphaned by a failed commit (written, never committed) can never
+    leak into a zone map or a pruned scan.  Plain directories glob."""
     if os.path.isfile(path):
         return [path]
+    from .snapshot import LOG_DIR, snapshot_files
+
+    if os.path.isdir(os.path.join(path, LOG_DIR)):
+        return [os.path.join(path, f) for f in snapshot_files(path)]
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -190,12 +199,21 @@ def prune_files(
             f"{mismatched[0]['ord']}, prune cast {cast!r} compares "
             f"{required} (file {mismatched[0]['file']})"
         )
+    # try_cast, and a NULL result KEEPS the file: the ordering guard
+    # above proves comparison semantics agree, but a cast can still
+    # fail on WIDTH (cast='int' against a bigint envelope whose stats
+    # exceed int32) — under ANSI that cast raises mid-job and under
+    # legacy mode it yields NULL, which would make the keep predicate
+    # NULL and silently skip a file that may match.  A stat we cannot
+    # represent in the requested type is treated exactly like a NULL
+    # stat: unprunable, never skipped blind.
+    cmin = F.expr(f"try_cast(vmin as {cast})")
+    cmax = F.expr(f"try_cast(vmax as {cast})")
     keep = zm.filter(
         F.col("vmin").isNull()
-        | (
-            (F.expr(f"cast(vmin as {cast})") <= F.lit(hi))
-            & (F.expr(f"cast(vmax as {cast})") >= F.lit(lo))
-        )
+        | cmin.isNull()
+        | cmax.isNull()
+        | ((cmin <= F.lit(hi)) & (cmax >= F.lit(lo)))
     )
     return sorted(r["file"] for r in keep.select("file").collect())
 

@@ -251,23 +251,37 @@ def merge_into_snapshot(
     Source rows whose keys fall outside every envelope are inserts
     by the zone-map contract (a file whose envelope excludes the key
     provably cannot contain it)."""
-    from ..operators.snapshot import commit_version, snapshot_files
+    from ..operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        snapshot_files,
+    )
     from ..operators.zonemap import _CAST_ORD, build_zonemap
 
     required = _CAST_ORD.get(cast.lower().split("(")[0])
     if required is None:
         raise ValueError(f"unsupported merge key cast {cast!r}")
-    dup = (
+    # one aggregate adjudicates BOTH key contracts: uniqueness, and
+    # no NULL keys.  A NULL key would match no zone-map envelope and
+    # no left_anti row, so the same row re-inserts on every run —
+    # silently breaking the idempotency the upsert promises.  Reject,
+    # don't guess.
+    bad = (
         source.groupBy(key_col)
         .count()
-        .filter(F.col("count") > 1)
+        .filter((F.col("count") > 1) | F.col(key_col).isNull())
         .limit(1)
         .collect()
     )
-    if dup:
+    if bad:
+        if bad[0][key_col] is None:
+            raise ValueError(
+                f"source has NULL merge keys in {key_col!r} — a NULL "
+                "key matches nothing and would re-insert every run"
+            )
         raise ValueError(
             f"source is not key-unique on {key_col!r} "
-            f"(e.g. {dup[0][key_col]!r})"
+            f"(e.g. {bad[0][key_col]!r})"
         )
     active = snapshot_files(table_dir)
     if source.limit(1).count() == 0:
@@ -278,6 +292,27 @@ def merge_into_snapshot(
             "n_untouched": len(active),
             "adds": [],
         }
+    # schema contract, validated ONCE against the table head before
+    # any write: the affected path's unionByName would coerce or fail
+    # late, and the insert-only path previously wrote the source's
+    # own schema verbatim — a source with extra or retyped columns
+    # would mint schema-drifting data files that later scans resolve
+    # from an arbitrary footer.  Reject drift up front.
+    head = read_snapshot(spark, table_dir)
+    src_types = dict(source.dtypes)
+    missing = [c for c, _ in head.dtypes if c not in src_types]
+    if missing:
+        raise ValueError(
+            f"source is missing table columns {missing}"
+        )
+    drift = [
+        (c, src_types[c], t) for c, t in head.dtypes if src_types[c] != t
+    ]
+    if drift:
+        raise ValueError(
+            "source column types drift from the table schema "
+            f"(col, source, table): {drift}"
+        )
     zm = build_zonemap(spark, table_dir, [key_col], files=active)
     mismatched = (
         zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
@@ -290,15 +325,23 @@ def merge_into_snapshot(
             f"built {mismatched[0]['ord']}, merge cast {cast!r} "
             f"compares {required}"
         )
+    # try_cast with NULL-keeps-the-file semantics, mirroring
+    # prune_files: the ordering guard above proves the comparison
+    # CLASS agrees, but a width-losing cast (cast='int' over a bigint
+    # envelope beyond int32) yields NULL — which would make the join
+    # predicate NULL, mark the file unaffected, and INSERT a key the
+    # file already holds.  An uncastable envelope is an affected
+    # envelope; never skip blind.
+    cmin = F.expr(f"try_cast(vmin as {cast})")
+    cmax = F.expr(f"try_cast(vmax as {cast})")
     hits = (
         source.select(F.col(key_col).alias("_k"))
         .join(
             F.broadcast(zm),
             F.col("vmin").isNull()
-            | (
-                (F.expr(f"cast(vmin as {cast})") <= F.col("_k"))
-                & (F.expr(f"cast(vmax as {cast})") >= F.col("_k"))
-            ),
+            | cmin.isNull()
+            | cmax.isNull()
+            | ((cmin <= F.col("_k")) & (cmax >= F.col("_k"))),
             "inner",
         )
         .select("file")
@@ -316,7 +359,10 @@ def merge_into_snapshot(
         )
         merged = keep.unionByName(source.select(*base.columns))
     else:
-        merged = source
+        # insert-only: STILL project onto the table schema — writing
+        # the source verbatim is how extra columns sneak into data
+        # files (the drift guard above already rejected type changes)
+        merged = source.select(*head.columns)
     staging = os.path.join(table_dir, f"_tmp_merge_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").parquet(staging)
     adds = []
@@ -328,7 +374,20 @@ def merge_into_snapshot(
         os.rename(os.path.join(staging, part), os.path.join(table_dir, name))
         adds.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    version = commit_version(table_dir, adds=adds, removes=affected)
+    # a failed commit must not strand the renamed data files: readers
+    # of a snapshot table are log-driven (so orphans were already
+    # invisible to them), but raw directory consumers and disk space
+    # deserve the rollback too.  A hard crash between rename and
+    # commit is mopped up by operators/snapshot.py vacuum_orphans.
+    try:
+        version = commit_version(table_dir, adds=adds, removes=affected)
+    except BaseException:
+        for name in adds:
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
     return {
         "version": version,
         "n_affected": len(affected),

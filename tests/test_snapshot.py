@@ -295,3 +295,94 @@ def test_merge_empty_batch_is_noop(spark, table_dir):
     out = merge_into_snapshot(spark, table_dir, empty, "k")
     assert out["version"] is None and out["adds"] == []
     assert snapshot_files(table_dir) == ["seed-0.parquet"]
+
+
+# --- round-9 ADVICE hardening: key/schema guards, rollback, vacuum ----------
+
+
+def test_merge_rejects_null_keys(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 10)])
+    src = spark.createDataFrame([(None, 1.0), (3, 2.0)], "k long, amt double")
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        merge_into_snapshot(spark, table_dir, src, "k")
+    # nothing was written and no version landed
+    assert log_versions(table_dir) == [1]
+    assert snapshot_files(table_dir) == ["seed-0.parquet"]
+
+
+def test_merge_rejects_schema_drift(spark, table_dir):
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 10)])
+    extra = spark.createDataFrame(
+        [(500, 1.0, "x")], "k long, amt double, junk string"
+    )
+    # extra columns are dropped by the table-schema projection (same
+    # contract as the affected path), never written to data files
+    out = merge_into_snapshot(spark, table_dir, extra, "k")
+    assert out["n_affected"] == 0
+    assert read_snapshot(spark, table_dir).columns == ["k", "amt"]
+    retyped = spark.createDataFrame([(501, 1)], "k long, amt int")
+    with pytest.raises(ValueError, match="drift"):
+        merge_into_snapshot(spark, table_dir, retyped, "k")
+    missing = spark.createDataFrame([(502,)], "k long")
+    with pytest.raises(ValueError, match="missing table columns"):
+        merge_into_snapshot(spark, table_dir, missing, "k")
+
+
+def test_merge_failed_commit_rolls_back_files(spark, table_dir, monkeypatch):
+    import survivor_processing_spark.operators.snapshot as snap
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 50)])
+    before = sorted(os.listdir(table_dir))
+
+    def boom(*a, **k):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(snap, "commit_version", boom)
+    src = spark.createDataFrame([(10, -1.0)], "k long, amt double")
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_into_snapshot(spark, table_dir, src, "k")
+    # the renamed merge-* data files were removed again; the table
+    # directory and the snapshot are exactly as before
+    assert sorted(os.listdir(table_dir)) == before
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert rows[10] == 10.0
+
+
+def test_merge_envelope_width_guard(spark, table_dir):
+    """cast='int' against a bigint envelope beyond int32: the file's
+    envelope is uncastable, so it must count as AFFECTED (update in
+    place), never silently unaffected (duplicate insert)."""
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    big = 1 << 40
+    _write(table_dir, "huge.parquet", [big + i for i in range(5)])
+    commit_version(table_dir, adds=["huge.parquet"])
+    src = spark.createDataFrame([(big, -1.0)], "k long, amt double")
+    out = merge_into_snapshot(spark, table_dir, src, "k", cast="int")
+    assert out["n_affected"] == 1
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert len(rows) == 5  # updated, NOT re-inserted
+    assert rows[big] == -1.0
+
+
+def test_vacuum_orphans_removes_only_uncommitted(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import vacuum_orphans
+
+    _seed_table(spark, table_dir, [(0, 10), (10, 20)])
+    # retire seed-1 (still referenced by v1 -> must survive vacuum)
+    commit_version(table_dir, removes=["seed-1.parquet"])
+    # strand an orphan, as a crash between rename and commit would
+    _write(table_dir, "merge-dead-00000.parquet", [99])
+    gone = vacuum_orphans(table_dir)
+    assert gone == ["merge-dead-00000.parquet"]
+    assert not os.path.exists(
+        os.path.join(table_dir, "merge-dead-00000.parquet")
+    )
+    # time travel intact: v1 still reads the retired file
+    assert read_snapshot(spark, table_dir, 1).count() == 20
+    assert read_snapshot(spark, table_dir).count() == 10

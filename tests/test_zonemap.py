@@ -213,3 +213,60 @@ def test_zorder_layout_makes_zonemaps_pay_on_both_dims(spark):
     finally:
         shutil.rmtree(d_z, ignore_errors=True)
         shutil.rmtree(d_r, ignore_errors=True)
+
+
+# --- round-9 ADVICE hardening: cast-width guard, log-driven listing ---------
+
+
+def test_prune_cast_width_never_skips_blind(spark):
+    """Ordering class agrees (numeric/numeric) but the requested cast
+    is NARROWER than the envelope: try_cast yields NULL and the file
+    must be KEPT — a NULL-casting envelope is as unprunable as a
+    NULL-stat one."""
+    d = tempfile.mkdtemp()
+    try:
+        pq.write_table(
+            pa.table({"k": [5, 6, 7]}), os.path.join(d, "small.parquet")
+        )
+        big = 1 << 40  # far beyond int32
+        pq.write_table(
+            pa.table({"k": [big, big + 1]}), os.path.join(d, "huge.parquet")
+        )
+        zm = build_zonemap(spark, d, ["k"])
+        kept = prune_files(zm, "k", 0, 10, cast="int")
+        # small matches the range; huge is uncastable -> kept, not
+        # silently pruned (it provably can't match, but the cast
+        # can't prove it -- never skip blind)
+        assert kept == ["huge.parquet", "small.parquet"]
+        # the same prune at the right width CAN skip it
+        assert prune_files(zm, "k", 0, 10, cast="bigint") == [
+            "small.parquet"
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_directory_listing_is_log_driven(spark):
+    """A table with a snapshot log lists files FROM the log: a data
+    file stranded by a failed commit never leaks into the manifest
+    or a pruned scan."""
+    from survivor_processing_spark.operators.snapshot import commit_version
+
+    d = tempfile.mkdtemp()
+    try:
+        pq.write_table(
+            pa.table({"k": [1, 2, 3]}), os.path.join(d, "good.parquet")
+        )
+        commit_version(d, adds=["good.parquet"])
+        # orphan: written, never committed
+        pq.write_table(
+            pa.table({"k": [100, 200]}), os.path.join(d, "orphan.parquet")
+        )
+        zm = build_zonemap(spark, d, ["k"])
+        assert [r["file"] for r in zm.collect()] == ["good.parquet"]
+        got = sorted(
+            r["k"] for r in pruned_scan(spark, d, zm, "k", 0, 1000).collect()
+        )
+        assert got == [1, 2, 3]  # orphan rows never surface
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
