@@ -43,7 +43,7 @@ distributed passes.
 ``pq_portable_oracle`` mechanically generates the DuckDB replay from
 the same parameters — one (dist, assign, cent) CTE block per
 iteration with ``(i-1)//sub`` as the subspace key, the same
-generated-iterative-oracle technique as queries/llm.py
+generated-iterative-oracle technique as queries/llm_ann.py
 :_lloyd_portable_oracle.  Registration is queued behind the r7
 freeze (ROTATION_r07.md); until then tests/test_pq.py pins
 Spark == DuckDB on fixed, randomized, and sf0.001 inputs.

@@ -15,7 +15,11 @@ from . import relational  # noqa: F401  (C, D, E, F, G, H, K families)
 from . import strings  # noqa: F401  (I, J families)
 from . import temporal  # noqa: F401  (D5/D6/D9, E6, C7, M1 custom operators)
 from . import nested  # noqa: F401  (L family, E10)
-from . import llm  # noqa: F401  (dedup, similarity, text analysis, multimodal)
+from . import llm_dedup  # noqa: F401  (exact/LSH/SimHash/SemDeDup/ExactSubstr dedup)
+from . import llm_ann  # noqa: F401  (cosine top-k, IVF, Lloyd k-means)
+from . import llm_text  # noqa: F401  (quality scores, lang-id, fingerprints)
+from . import llm_multimodal  # noqa: F401  (stdlib-codec media decode plumbing)
+from . import llm_curation  # noqa: F401  (gates, splits, PII, packing, BPE)
 from . import incremental  # noqa: F401  (B1 merge, N1-N3 incremental/streaming)
 from . import sources_q  # noqa: F401  (A3/A5/A7/A9/A10 ingestion connectors)
 from . import analytics  # noqa: F401  (windows, pivot, grouping sets, range join, SCD2, sketches)

@@ -1,0 +1,362 @@
+"""LLM-data-pipeline CURATION queries: quality-gate chains, sampling
+and splits, PII redaction, decontamination, sequence packing,
+repetition stats, quality-model scoring, BPE tokenizer training.
+
+Split from the former queries/llm.py (round 9, VERDICT r08 #6) —
+pure file move, no semantic change; every @register block is
+byte-identical to its pre-split form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.textstats import quality_score_exprs
+from ..operators.bpe import bpe_portable_oracle, bpe_train
+from ._registry import register
+
+
+
+@register(
+    "quality_filter_chain",
+    doc="C4/Gopher-style rule-chain quality filter: per-rule pass flags, "
+    "overall keep verdict, first-failing-rule audit column — one map-only "
+    "projection, rules fused into the scan",
+    oracle="""
+WITH q AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ')) AS n_tokens,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+           len(list_intersect(
+               list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+               ['the','a','of','and','to','in','is','that'])) AS stop_hits
+    FROM documents
+), r AS (
+    SELECT doc_id,
+           n_tokens >= 10 AND n_tokens <= 100000 AS len_ok,
+           alpha_chars * 1.0 / n_chars >= 0.6 AS alpha_ok,
+           n_chars * 1.0 / n_tokens >= 3.0
+               AND n_chars * 1.0 / n_tokens <= 12.0 AS word_len_ok,
+           stop_hits * 1.0 / n_tokens > 0.0 AS stopword_ok
+    FROM q
+)
+SELECT doc_id, len_ok, alpha_ok, word_len_ok, stopword_ok,
+       len_ok AND alpha_ok AND word_len_ok AND stopword_ok AS keep,
+       CASE WHEN NOT len_ok THEN 'len_ok'
+            WHEN NOT alpha_ok THEN 'alpha_ok'
+            WHEN NOT word_len_ok THEN 'word_len_ok'
+            WHEN NOT stopword_ok THEN 'stopword_ok' END AS reject_reason
+FROM r
+""",
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_filter(d, "text", "doc_id")
+
+
+@register(
+    "stratified_hash_sample",
+    doc="deterministic per-stratum training-mix sampling: keep iff "
+    "hash(doc_id) mod 10000 < rate[lang]*10000 — reproducible across "
+    "runs/retries/engines (portable multiplicative hash here so DuckDB "
+    "agrees; xxhash64 is the operator default at scale), map-only, no "
+    "shuffle",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 10000 <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                WHEN 'zh' THEN 0.1 ELSE 0.05 END * 10000
+""",
+)
+def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d,
+        stratum_col="lang",
+        id_col="doc_id",
+        rates={"en": 0.5, "es": 0.25, "zh": 0.1},
+        default_rate=0.05,
+        hash_expr=F.col("doc_id") * F.lit(2654435761),
+    )
+
+
+@register(
+    "pack_sequences",
+    doc="token-budget sequence packing (concat-then-chunk pretraining "
+    "semantics): deterministic contiguous packs per lang stratum, "
+    "pack = bucket of the doc's first-token offset; one shuffle on the "
+    "strata keys, un-keyed global packing refused by the operator",
+    oracle="""
+WITH t AS (
+    SELECT lang, doc_id,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                 ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens
+            - CAST(floor((cum - n_tokens) / 512) AS BIGINT) * 512
+            AS BIGINT) AS pack_offset
+FROM c
+""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, id_col="doc_id", text_col="text", budget=512, by=["lang"]
+    )
+
+
+@register(
+    "pii_redaction",
+    doc="PII scrub with typed placeholders (<EMAIL>/<PHONE>): plants "
+    "deterministic synthetic PII on 2/3 of docs, redacts with portable "
+    "regexes identical in both engines; map-only regexp_replace chain",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(
+           text || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now'
+                        WHEN doc_id % 3 = 1
+                        THEN ' call +1 555 0100123 today'
+                        ELSE '' END,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,10}', '<PHONE>', 'g')
+           AS redacted
+FROM documents
+""",
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" call +1 555 0100123 today"))
+            .otherwise(F.lit("")),
+        ).alias("redacted"),
+    )
+    return redact_pii(planted, "redacted")
+
+
+@register(
+    "decontaminate_ngram",
+    doc="benchmark decontamination (GPT-3-style n-gram overlap filter): "
+    "flag training docs sharing any 8-gram with the eval set "
+    "(doc_id % 41 = 0 here); eval n-gram set broadcast, training side "
+    "map-only — the 100 TB corpus never shuffles to find hits",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        ' ') AS w
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(w) < 8 THEN []
+                    ELSE list_transform(range(1, len(w) - 6),
+                         i -> array_to_string(w[i:i+7], ' ')) END)) AS gram
+    FROM norm
+), bg AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0
+), hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import ngram_decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return ngram_decontaminate(d, bench, "text", "doc_id", n=8)
+
+
+@register(
+    "paragraph_dedup",
+    doc="CCNet-style paragraph-level exact dedup: global keep-first per "
+    "paragraph (min (doc_id, pos)), docs reassembled in original order; "
+    "winner via map-side-combinable min-struct aggregate (NOT a "
+    "row_number window, which single-tasks hot boilerplate paragraphs)",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           unnest(string_split(replace(text, ' the ', chr(10)), chr(10)))
+               AS para,
+           generate_subscripts(
+               string_split(replace(text, ' the ', chr(10)), chr(10)), 1)
+               AS pos
+    FROM documents
+), k AS (
+    SELECT doc_id, para, pos,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+               AS kept
+    FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                    FILTER (WHERE kept), '') AS text_dedup
+FROM k GROUP BY doc_id
+""",
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_paragraphs
+
+    # The synthetic corpus has no newlines; derive paragraph breaks
+    # deterministically (identical literal replace in both engines).
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return dedup_paragraphs(d, "text", "doc_id", "\n")
+
+
+@register(
+    "repetition_stats",
+    doc="Gopher-style within-doc repetition signals: top-bigram and "
+    "duplicate-bigram character coverage fractions; two map-side-"
+    "combinable aggregates on doc-local keys, no joins/windows/Python",
+    oracle="""
+WITH norm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+    FROM documents
+), w AS (
+    SELECT doc_id, length(t) AS n_chars, string_split(t, ' ') AS ws FROM norm
+), g AS (
+    SELECT doc_id, n_chars,
+           unnest(CASE WHEN len(ws) < 2 THEN [NULL]
+                       ELSE list_transform(range(1, len(ws)),
+                            i -> array_to_string(ws[i:i+1], ' ')) END) AS gram
+    FROM w
+), c AS (
+    SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+    FROM g GROUP BY doc_id, n_chars, gram
+)
+SELECT doc_id, n_chars,
+       COALESCE(MAX(CASE WHEN gram IS NOT NULL
+                         THEN cnt * length(gram) END), 0) * 1.0 / n_chars
+           AS top_ngram_char_frac,
+       COALESCE(SUM(CASE WHEN cnt >= 2
+                         THEN cnt * length(gram) END), 0) * 1.0 / n_chars
+           AS dup_ngram_char_frac
+FROM c GROUP BY doc_id, n_chars
+""",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id", n=2)
+
+
+@register(
+    "quality_model_score",
+    doc="linear quality model scored as pure columnar math (the "
+    "fasttext-classifier-filter shape with the model baked to fixed "
+    "weights): logit = w·[alpha_ratio, stopword_ratio, "
+    "avg_token_len/10, ln(1+n_tokens)/10] + b, sigmoid'd and rounded "
+    "— model inference over 100 TB as one codegen'd projection, no "
+    "UDF, no model server; keep-decision at 0.5.  Both engines "
+    "compute identical IEEE doubles through exp/ln, rounded at 1e-6",
+    oracle="""
+WITH feats AS (
+    SELECT doc_id,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / length(text) AS f_alpha,
+           len(list_intersect(
+                   list_distinct(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')),
+                   ['the','a','of','and','to','in','is','that'])) * 1.0
+               / len(string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ')) AS f_stop,
+           (length(text) * 1.0
+               / len(string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' '))) * 0.1 AS f_len,
+           ln(1 + len(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' '))) * 0.1 AS f_ntok
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(2.0 * f_alpha + 3.0 * f_stop
+                                - 0.5 * f_len + 1.0 * f_ntok - 1.0))),
+             6) AS quality,
+       (1.0 / (1.0 + exp(-(2.0 * f_alpha + 3.0 * f_stop
+                           - 0.5 * f_len + 1.0 * f_ntok - 1.0)))) >= 0.5
+           AS keep
+FROM feats
+""",
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import quality_score_exprs
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = quality_score_exprs(F.col("text"))
+    logit = (
+        2.0 * ex["alpha_ratio"]
+        + 3.0 * ex["stopword_ratio"]
+        - 0.5 * (ex["avg_token_len"] * 0.1)
+        + 1.0 * (F.log(1 + ex["n_tokens"]) * 0.1)
+        - 1.0
+    )
+    prob = 1.0 / (1.0 + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "bpe_train_portable",
+    doc="distributed BPE tokenizer training (operators/bpe.py): 8 "
+    "merge rounds over the word-frequency table — each round is one "
+    "map-side-combined pair-count aggregate + a codegen'd fixpoint "
+    "merge expression over the (word, freq) vocab (vocab-sized, NOT "
+    "corpus-sized, after the first aggregation); ties break "
+    "(count desc, lhs, rhs).  Oracle is EMITTED by "
+    "bpe_portable_oracle — one (pairs, best, apply) CTE block per "
+    "merge from the same parameters (queued r7, fuzzed in "
+    "tools/fuzz_portables.py `bpe`)",
+    oracle=bpe_portable_oracle(n_merges=8),
+)
+def bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)

@@ -13,7 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from survivor_processing_spark.operators.cluster import kmeans_lloyd_portable
-from survivor_processing_spark.queries.llm import _lloyd_portable_oracle
+from survivor_processing_spark.queries.llm_ann import _lloyd_portable_oracle
 
 COMP = st.floats(
     min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False

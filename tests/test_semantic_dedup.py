@@ -113,7 +113,7 @@ def test_int64_envelope_at_abs_two(spark):
 
 
 def test_registered_query_plants_and_removes(spark, sf_dir):
-    from survivor_processing_spark.queries.llm import (
+    from survivor_processing_spark.queries.llm_dedup import (
         semantic_dedup_portable as q,
     )
 

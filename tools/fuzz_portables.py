@@ -48,7 +48,7 @@ from survivor_processing_spark.operators.similarity import (  # noqa: E402
     lsh_portable_pairs,
 )
 from survivor_processing_spark.queries import REGISTRY  # noqa: E402
-from survivor_processing_spark.queries.llm import (  # noqa: E402
+from survivor_processing_spark.queries.llm_ann import (  # noqa: E402
     _lloyd_portable_oracle,
 )
 
