@@ -36,91 +36,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-8 window (executes VERDICT r07 "Next round" #1 and #2;
-# cohort computed by tools/staleness.py, not asserted by hand —
-# accounting in ROTATION_r08.md): (a) the three r7 late
-# registrations the driver has never seen (r00 rows, pre-committed
-# as the r8 front-load in ROTATION_r07.md); (b) the four queue
-# registrations landed THIS round (the named r9 tranche, pulled
-# forward per VERDICT r07 #2, each paired against a retirement —
-# ivf_topk, multimodal_frame_sample, asof_join_forward_broadcast,
-# cluster_assign_portable are retired, net registry growth 0);
-# (c) the ENTIRE remaining r05-latest cohort — 46 queries minus the
-# three retirees that were in it = 43.  3 + 4 + 43 = 50 exactly;
-# after this round `python tools/staleness.py --max-stale-round 6`
-# must exit 0 (floor r06, no r00 rows left).
+# Round-9 window (executes VERDICT r08 "Next round" #1-#4; cohort
+# computed by tools/staleness.py, not asserted by hand — accounting
+# in ROTATION_r09.md): (b) the six queue registrations landed THIS
+# round — substring_dedup_clean, bpe_token_budget, sq8_summary,
+# stream_interval_join, content_fingerprint, snapshot_summary —
+# each paired against a retirement of a semantics twin FROM the
+# r06-latest cohort (stream_stream_interval_join,
+# embedding_quantize_int8, doc_fingerprint, vocab_top_terms,
+# cube_agg; carriers named in the RETIRED comments), which is what
+# makes the window close: (c) the ENTIRE remaining r06-latest
+# cohort — 49 computed by the tool minus the five retirees = 44.
+# 6 + 44 = 50 exactly; after this round `python tools/staleness.py
+# --max-stale-round 7` must exit 0 (floor r07, no r00 rows left).
 #
-# Slot-cede notes (window discipline; every cede re-verified
-# hash-green by tools/check_correctness.py at sf0.01 AND sf0.1
-# after the edit, this session):
-# - kmeans_clusters (r07-latest): gate-cost rewrite per VERDICT r07
-#   #5 — shared md5 seeds for both Lloyd twins, concurrent twin
-#   submission, single shared inertia aggregation (13.2 s -> ~6.6 s
-#   at sf1).  Same boolean contract, same oracle; re-verified green
-#   at both gate scales.  Naturally due r9 (r07 cohort).
-# - gap_fill_forward_fill (r07-latest): was_gap now derives from a
-#   presence marker instead of value-NULLness (ADVICE r07), oracle
-#   updated to the same rule; output identical on this corpus
-#   (no all-NULL user-days), re-verified green at both scales.
-# - multimodal_header_parse / _resize_pipeline / _wav_slice /
-#   _gif_frames (r07-latest): the unconditional repartition became
-#   the row-aware spread_rows (VERDICT r07 #3) — hash-identical
-#   output, re-verified green at both scales.
+# Slot-cede notes (window discipline): the four r07-latest r8 cedes
+# (kmeans_clusters, multimodal_header_parse, multimodal_gif_frames,
+# multimodal_resize_pipeline) stay out of this window — each was
+# re-verified hash-green at sf0.01 AND sf0.1 after its r8 edit (see
+# ROTATION_r08.md), none changed in r9, and all are r07-latest so
+# they are naturally due in the r10 window when the floor moves to
+# r08.  ROTATION_r09.md pre-commits that front-load.  Every r9
+# registration was verified hash-green at sf0.01 AND sf0.1 this
+# session before entering the window.
 _PRIORITY = [
-    # (a) registered late-r7, never driver-checked (r00 rows)
-    "semantic_dedup_portable",
-    "compaction_plan_binpack",
-    "heavy_hitters_mg",
-    # (b) new registrations this round (the r9 tranche pulled
-    # forward; oracles EMITTED by the operators' own generators)
-    "bpe_train_portable",
-    "pagerank_portable",
-    "substring_dedup_spans",
-    "bfs_levels",
-    # (c) the full remaining r05-latest cohort (43)
-    "bloom_prefilter_join",
-    "change_detection_incremental",
-    "coalesce_cascade_defaults",
-    "coalesce_default_agg",
-    "conditional_flag_agg",
-    "dataset_split_hash",
-    "decontaminate_ngram",
-    "distinct_dims",
-    "doc_chunk_overlap",
-    "doc_length_quantiles",
-    "docx_confessional_scan",
-    "entity_match_quarantine",
-    "filter_project",
-    "filtered_group_sum",
-    "group_max_arithmetic",
-    "group_ordinal_appearance",
-    "html_infobox_extract",
-    "html_link_extract",
-    "incremental_dedup_new_docs",
-    "intersect_except_sets",
-    "ivf_topk_exact",
-    "lang_id_heuristic",
-    "multi_pattern_first_match",
-    "multimodal_resize_pipeline",
-    "pack_sequences",
-    "paragraph_dedup",
-    "pii_redaction",
-    "quality_filter_chain",
-    "regex_extract_columns",
-    "repetition_stats",
-    "rest_keyset_scan",
-    "rolling_fingerprint",
-    "semi_join_running_entities",
-    "simhash_portable_pairs",
-    "stratified_hash_sample",
-    "streaming_running_max",
-    "streaming_stateful_dedup",
-    "top_k_customers",
-    "topk_per_group_salted",
-    "union_all_by_name",
-    "watermark_incremental",
-    "xlsx_region_scan",
-    "yaml_correction_map",
+    # (b) new registrations this round (queue tranche, VERDICT r08
+    # #2/#3/#4; oracles EMITTED by the operators' own generators
+    # except snapshot_summary's closed-form static SQL)
+    "substring_dedup_clean",
+    "sq8_summary",
+    "bpe_token_budget",
+    "stream_interval_join",
+    "content_fingerprint",
+    "snapshot_summary",
+    # (c) the full remaining r06-latest cohort (44)
+    "bucketed_join_colocated",
+    "cdc_apply_changelog",
+    "cohort_retention",
+    "corpus_curation_pipeline",
+    "csv_scan_typed",
+    "cumulative_window_sums",
+    "domain_rebalance_sample",
+    "dq_constraint_audit",
+    "embedding_dim_stats",
+    "embedding_lsh_portable_pairs",
+    "entity_quarantine_roundtrip",
+    "event_transition_matrix",
+    "export_balanced_shards",
+    "filesync_modified_since",
+    "funnel_stage_counts",
+    "gap_fill_forward_fill",
+    "grouping_sets_agg",
+    "incremental_agg_merge",
+    "jsonl_scan",
+    "kmeans_lloyd_portable",
+    "minhash_lsh_pairs",
+    "mode_median_per_group",
+    "multimodal_wav_slice",
+    "near_dup_keep_best",
+    "ntile_decile_stats",
+    "orc_roundtrip_scan",
+    "partition_pruned_scan",
+    "pivot_event_type_wide",
+    "quality_model_score",
+    "range_join_binned",
+    "safe_math_try_ops",
+    "schema_evolution_scan",
+    "sketch_distinct_quantiles",
+    "skew_salted_join_agg",
+    "stream_static_enrich_join",
+    "streaming_dedup_within_watermark",
+    "streaming_foreachbatch_merge",
+    "streaming_incremental_agg",
+    "streaming_session_windows",
+    "streaming_windowed_counts",
+    "tfidf_top_terms",
+    "value_histogram_equiwidth",
+    "variant_props_agg",
+    "zorder_morton_keys",
 ]
 
 

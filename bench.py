@@ -49,7 +49,6 @@ HEADLINE = [
     "scd2_order_history",
     "domain_rebalance_sample",
     "asof_join_nearest_broadcast",
-    "vocab_top_terms",
     # round 3b
     "cdc_apply_changelog",
     "funnel_stage_counts",
@@ -80,7 +79,30 @@ HEADLINE = [
     "pagerank_portable",
     "substring_dedup_spans",
     "bfs_levels",
+    # round 9 (queue registrations; vocab_top_terms left the set
+    # with its r9 retirement)
+    "substring_dedup_clean",
+    "bpe_token_budget",
+    "sq8_summary",
+    "stream_interval_join",
+    "content_fingerprint",
+    "snapshot_summary",
 ]
+
+
+# Exact-by-contract gates whose cost is the ORACLE-REPLAYABLE
+# configuration, not the engine's production path (VERDICT r08 #8):
+# ngram_jaccard_pairs is exact threshold Jaccard, inherently
+# ~quadratic on the synthetic fixture's saturated vocabulary (26 s of
+# the 127 s r8 sf1 run — 20% of the total for one contract gate).  At
+# the STRETCH tier these move out of the headline total into an
+# `exact_gates` section, measured alongside the documented
+# production-shaped configuration (posting cap 256 — boilerplate
+# shingles dropped, the same cap class SimHash ships with; the 100 TB
+# near-dup default remains MinHash-LSH, operators/dedup.py).  The
+# sf0.1 driver-shape tier keeps them in the headline: they are cheap
+# there and the round-over-round series stays unbroken.
+STRETCH_EXACT_GATES = ["ngram_jaccard_pairs"]
 
 
 def _execute(df) -> None:
@@ -287,10 +309,38 @@ def main() -> None:
         _execute(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
     cal = _calibration(spark)
 
+    measured = (
+        [n for n in HEADLINE if n not in STRETCH_EXACT_GATES]
+        if stretch
+        else HEADLINE
+    )
     queries: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in measured:
         queries[name] = round(run_one(spark, name, sf_dir), 3)
     total = round(sum(queries.values()), 3)
+    exact_gates: dict[str, float] = {}
+    if stretch:
+        from survivor_processing_spark.catalog import load_table
+        from survivor_processing_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        for name in STRETCH_EXACT_GATES:
+            exact_gates[f"{name}_gate"] = round(
+                run_one(spark, name, sf_dir, reps=2), 3
+            )
+        # the documented production-shaped configuration beside it
+        docs = load_table(spark, sf_dir, "documents")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _execute(
+                ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=0.5, max_posting=256
+                )
+            )
+            best = min(best, time.perf_counter() - t0)
+        exact_gates["ngram_jaccard_pairs_cap256"] = round(best, 3)
     out = {
         "metric": (
             "headline_queries_total_wall_stretch"
@@ -308,6 +358,7 @@ def main() -> None:
         "prior_common": (
             _prior_stretch(queries) if stretch else _prior_common(queries, sf)
         ),
+        **({"exact_gates": exact_gates} if stretch else {}),
         **(
             {"incremental_index": _stretch_incremental(spark, sf_dir)}
             if stretch

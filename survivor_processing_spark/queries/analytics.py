@@ -536,48 +536,15 @@ def geo_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cube_agg",
-    doc="CUBE over (status, priority): all four grouping grains "
-    "(both, status-only, priority-only, grand total) through ONE "
-    "Expand + single hash-aggregate shuffle — completes the OLAP "
-    "grain family next to ROLLUP (q:rollup_multilevel_agg) and "
-    "GROUPING SETS (q:grouping_sets_agg); same never-scan-per-grain "
-    "contract",
-    oracle="""
-SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
-       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
-            AS INTEGER) AS lvl,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            # grouping() is only resolvable INSIDE the cube aggregate
-            (
-                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
-            ).cast("int").alias("lvl"),
-            F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "lvl",
-            "n_orders",
-            "total_price",
-        )
-    )
-
-
-# --- time-based sliding window (RANGE frame) --------------------------------
+# RETIRED r9 (VERDICT r08 #2 pairing discipline): q:cube_agg — CUBE
+# over (status, priority).  CUBE, ROLLUP and GROUPING SETS all lower
+# to the SAME Expand + single hash-aggregate physical plan; the grain
+# family keeps two hash-green gates: q:grouping_sets_agg (explicit
+# set list incl. the grand total, grouping() subtotal flags — the
+# identical measures over the identical table this row computed) and
+# q:rollup_multilevel_agg (the hierarchical grain chain).  A third
+# gate on the same Expand operator added no oracle coverage.
+# Accounting: ROTATION_r09.md.
 
 
 @register(

@@ -232,48 +232,14 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "vocab_top_terms",
-    doc="per-language vocabulary extraction: top-20 tokens by corpus "
-    "frequency — explode + count is ONE map-side-combined hash agg "
-    "(shuffle carries distinct (lang, token), not token instances), "
-    "then the skew-proof salted top-k picks winners; a Zipfian hot "
-    "token costs one combiner cell per task, never a hot partition",
-    oracle="""
-WITH tok AS (
-    SELECT lang,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                               ' ')) AS token
-    FROM documents
-), c AS (
-    SELECT lang, token, COUNT(*) AS n
-    FROM tok WHERE token <> '' GROUP BY 1, 2
-)
-SELECT lang, token, n FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
-                                 ORDER BY n DESC, token) AS r
-    FROM c
-) WHERE r <= 20
-""",
-)
-def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import tokens_expr
-
-    d = load_table(spark, sf_dir, "documents")
-    counts = (
-        d.select("lang", F.explode(tokens_expr("text")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("lang", "token")
-        .agg(F.count("*").alias("n"))
-    )
-    top = top_k_per_group(
-        counts,
-        keys=["lang"],
-        order_cols=[F.col("n").desc(), F.col("token")],
-        k=20,
-        salt_on=["token"],
-    )
-    return top.select("lang", "token", "n")
+# RETIRED r9 (VERDICT r08 #2 pairing discipline): q:vocab_top_terms —
+# per-language top-20 token counts.  Every piece it gated is carried
+# by a surviving hash-green gate: the tokenize+explode+map-side-
+# combined count pipeline by q:tfidf_top_terms (same tokens_expr,
+# same agg, plus idf), the skew-proof salted top-k operator by
+# q:topk_per_group_salted (its dedicated gate), and corpus-wide word
+# frequency tables by q:bpe_train_portable.  Accounting:
+# ROTATION_r09.md.
 
 
 @register(
@@ -391,48 +357,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_quantize_int8",
-    doc="symmetric int8 quantization of the embedding column (the "
-    "4× storage cut every 100 TB vector corpus takes before ANN "
-    "serving): per-vector scale = 127/max|x|, codes = round(x·scale) "
-    "— all higher-order JVM array functions (transform/array_max/"
-    "aggregate), no UDF, no Python; verified via per-vector code "
-    "statistics.  Both engines run identical IEEE double ops on the "
-    "same float inputs, so codes agree exactly",
-    oracle="""
-WITH q AS (
-    SELECT vec_id,
-           list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE)
-                                          * (127.0 / list_max(list_transform(
-                                                embedding,
-                                                y -> abs(CAST(y AS DOUBLE)))))
-                                          , 0) AS INTEGER)) AS codes
-    FROM embeddings
-)
-SELECT vec_id,
-       CAST(list_sum(codes) AS BIGINT) AS qsum,
-       CAST(list_min(codes) AS INTEGER) AS qmin,
-       CAST(list_max(codes) AS INTEGER) AS qmax
-FROM q
-""",
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / max_abs
-    codes = F.transform(v, lambda x: F.round(x * scale, 0).cast("int"))
-    q = emb.select("vec_id", codes.alias("codes"))
-    return q.select(
-        "vec_id",
-        F.aggregate(
-            "codes", F.lit(0).cast("bigint"), lambda a, x: a + x
-        ).alias("qsum"),
-        F.array_min("codes").alias("qmin"),
-        F.array_max("codes").alias("qmax"),
-    )
+# RETIRED r9 (paired with the q:sq8_summary registration, VERDICT r08
+# #4): q:embedding_quantize_int8 — per-vector symmetric int8 codes
+# (scale = 127/max|x|, float scale factors).  Superseded by the
+# strictly stronger SQ8 gate q:sq8_summary (queries/llm_ann.py ->
+# operators/quantize.py): per-DIMENSION affine quantization in exact
+# integer lanes with an oracle-adjudicated reconstruction-error
+# bound, fuzzed in tools/fuzz_portables.py `sq8`.  The 4x-storage-cut
+# contract this row gated is the same one SQ8 proves more of.
+# Accounting: ROTATION_r09.md.
 
 
 @register(

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.cdc import apply_changelog
+from ..operators.fingerprint import (
+    content_fingerprint,
+    content_fingerprint_oracle,
+)
 from ..operators.partial_agg import merge_agg_states, partial_agg_state
 from ..operators.skew import bucketed_join, write_bucketed
 from ._registry import register
@@ -619,3 +623,94 @@ def compaction_plan_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_cols=("lang",),
     )
     return compaction_summary(plan, size_col="n_chars", part_cols=("lang",))
+
+
+@register(
+    "content_fingerprint",
+    doc="order-insensitive table content fingerprint (operators/"
+    "fingerprint.py, paired with the q:doc_fingerprint retirement): "
+    "each row serializes with an explicit NULL marker and a unit-"
+    "separator delimiter, hashes to the md5-prefix 60-bit integer "
+    "lane, and the table fingerprint is the decimal(38,0) SUM of "
+    "lanes mod 2^61-1 — a multiset invariant, independent of row "
+    "order AND partitioning, which is how production validates that "
+    "a MERGE replay or migration produced the same table without "
+    "sorting 100 TB.  One codegen'd projection + one partial-"
+    "aggregable SUM; no shuffle beyond the final 1-row reduce.  "
+    "Oracle EMITTED by content_fingerprint_oracle over the same "
+    "columns (queued r8, fuzzed in tools/fuzz_portables.py "
+    "`fingerprint`)",
+    oracle=content_fingerprint_oracle(
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
+    ),
+)
+def content_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return content_fingerprint(
+        o.select("o_orderkey", "o_custkey", "o_orderstatus"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+
+
+@register(
+    "snapshot_summary",
+    doc="snapshot log + TIME TRAVEL under driver gating (operators/"
+    "snapshot.py — the third leg of the lakehouse trio beside "
+    "q:compaction_plan_binpack and the zone maps, and the layer the "
+    "copy-on-write MERGE q:merge_upsert_idempotent's snapshot twin "
+    "stands on): the query stages a 4-file snapshot-logged table "
+    "from orders (file i = o_orderkey % 4 = i), commits v1 = add "
+    "{p0, p1}, v2 = add p2 / REMOVE p0 (the compaction-swap shape), "
+    "v3 = add p3, then reads EVERY version back through the log "
+    "replay and summarizes each (row count + decimal sum).  The "
+    "oracle predicts all three summaries in closed form from the "
+    "deterministic partitioning — a wrong replay, add/remove mixup, "
+    "or torn commit shows up as a wrong count or sum.  Scan-side "
+    "cost is the active files only; the log is driver-side and "
+    "file-count-bounded.  (snapshot_summary_oracle generates the "
+    "path-based DuckDB replay for the unit/fuzz gates, "
+    "tests/test_snapshot.py)",
+    oracle="""
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+            AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 4 IN (0, 1)
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+            AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 IN (1, 2)
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+            AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+""",
+)
+def snapshot_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.snapshot import commit_version, snapshot_summary
+
+    d = tempfile.mkdtemp(prefix="sps_snap_gate_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for i in range(4):
+        staging = os.path.join(d, f"_stage_{i}")
+        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i).coalesce(
+            1
+        ).write.parquet(staging)
+        part = next(
+            p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(staging, part), os.path.join(d, f"p{i}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+    commit_version(d, adds=["p0.parquet", "p1.parquet"])
+    commit_version(d, adds=["p2.parquet"], removes=["p0.parquet"])
+    commit_version(d, adds=["p3.parquet"])
+    return snapshot_summary(spark, d, [1, 2, 3], "o_totalprice")

@@ -428,14 +428,31 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- N1 streaming: stream-stream time-interval join -------------------------
 
 
+# RETIRED r9 (paired with the q:stream_interval_join registration
+# below, VERDICT r08 #4): q:stream_stream_interval_join — an inline
+# clicks->purchases interval join.  The new gate runs the SAME
+# watermarked stream-stream time-interval join through the reusable
+# operator (streaming/joins.py stream_interval_join: refuses
+# unbounded state, supports left_outer), against the same batch
+# oracle; batch-equivalence and the outer form stay covered in
+# tests/test_stream_join.py.  Accounting: ROTATION_r09.md.
+
+
 @register(
-    "stream_stream_interval_join",
-    doc="stream-stream inner join with a time-interval condition: "
-    "click stream joins purchase stream per user within [click, click "
-    "+ 2h]; BOTH sides watermarked (bounds the join state Spark must "
-    "buffer — unbounded without it), availableNow, append sink.  "
-    "Inner-join emission does not wait on the watermark, so the end "
-    "state equals the batch join; oracle is that batch join",
+    "stream_interval_join",
+    doc="the REUSABLE watermarked stream-stream time-interval join "
+    "operator (streaming/joins.py stream_interval_join) under driver "
+    "gating: clicks joined to purchases per user within [click, "
+    "click + 2h], BOTH sides watermarked BY THE OPERATOR (state "
+    "provably evicts at rate x (watermark + interval) per key; the "
+    "operator refuses to build a bound-less join), availableNow "
+    "replay, append sink.  Inner emission does not wait on the "
+    "watermark, so the end state equals the batch interval join — "
+    "that batch join is the oracle (the generated form, "
+    "stream_interval_join_oracle, drives the cross-engine tests in "
+    "tests/test_stream_join.py incl. the left_outer shape).  "
+    "Replaces the inline q:stream_stream_interval_join (RETIRED r9, "
+    "comment above)",
     oracle="""
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
        CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS secs_after
@@ -445,36 +462,38 @@ FROM events c JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
 """,
 )
-def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_interval_join
+
     clicks = (
-        stream_events(spark, sf_dir, watermark="1 hour")
+        stream_events(spark, sf_dir, watermark=None)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id"),
             F.col("ts").alias("click_ts"),
         )
-        # stream_events already watermarked ts; the mark rides the
-        # alias (re-applying raises "Redefining watermark")
     )
     purchases = (
-        stream_events(spark, sf_dir, watermark="1 hour")
+        stream_events(spark, sf_dir, watermark=None)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
+            F.col("user_id"),
             F.col("ts").alias("purchase_ts"),
         )
     )
-    joined = clicks.join(
+    joined = stream_interval_join(
+        clicks,
         purchases,
-        F.expr(
-            "user_id = p_user_id AND "
-            "purchase_ts >= click_ts AND "
-            "purchase_ts <= click_ts + INTERVAL 2 HOURS"
-        ),
+        keys=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        upper="2 hours",
+        lower="0 seconds",
+        watermark="1 hour",
     )
-    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    sink = f"sij_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")
         .queryName(sink)

@@ -12,6 +12,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..operators.quantize import sq8_summary as _sq8_summary
+from ..operators.quantize import sq8_summary_oracle as _sq8_oracle
 from ..operators.similarity import (
     brute_force_topk,
     ivf_recall_bound,
@@ -208,4 +210,28 @@ def ivf_recall_bound_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
         min_recall=0.5,
+    )
+
+
+@register(
+    "sq8_summary",
+    doc="SQ8 scalar int8 embedding quantization under driver gating "
+    "(operators/quantize.py, paired with the q:embedding_quantize_int8 "
+    "retirement — this is the strictly stronger contract): vectors "
+    "fixed-pointed to exact integer lanes, per-DIMENSION affine "
+    "[min,max] bounds from ONE posexplode + 64-group map-side-combined "
+    "aggregate, codes q = round-half-up 255*(x-mn)/span as exact "
+    "integer arithmetic in a single codegen'd zip_with over two "
+    "dim-sized literal arrays (one parsed SQL string — the py4j "
+    "literal lesson), and the reconstruction error adjudicated in "
+    "EXACT integers: max_err2 = max_d 2*|255*(x_d-mn_d) - q_d*span_d| "
+    "with the oracle-checkable bound max_err2 <= max_d span_d + 1.  "
+    "Driver traffic is the 2 x dim bounds row, nothing else.  Oracle "
+    "EMITTED by sq8_summary_oracle from the same parameters (queued "
+    "r8, fuzzed in tools/fuzz_portables.py `sq8`)",
+    oracle=_sq8_oracle(dim=64),
+)
+def sq8_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_summary(
+        load_table(spark, sf_dir, "embeddings"), dim=64
     )

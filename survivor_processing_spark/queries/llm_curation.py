@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..functions.textstats import quality_score_exprs
-from ..operators.bpe import bpe_portable_oracle, bpe_train
+from ..operators.bpe import (
+    bpe_portable_oracle,
+    bpe_token_budget,
+    bpe_token_budget_oracle,
+    bpe_train,
+)
 from ._registry import register
 
 
@@ -360,3 +365,23 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "bpe_token_budget",
+    doc="train-then-encode BPE composition (operators/bpe.py "
+    "bpe_token_budget, completing q:bpe_train_portable): learn 8 "
+    "merges from the word-frequency table, then tokenize the corpus "
+    "and account the per-document token budget — encode each "
+    "DISTINCT word once (vocabulary-sized work), broadcast the "
+    "(word, n_tok) table back onto per-doc word counts; ineligible "
+    "words (digits/punct/over-long) count 1 OOV token each so "
+    "n_tokens is a budget, not an estimate.  Oracle EMITTED by "
+    "bpe_token_budget_oracle from the same parameters (queued r8, "
+    "fuzzed in tools/fuzz_portables.py `bpe_encode`)",
+    oracle=bpe_token_budget_oracle(n_merges=8),
+)
+def bpe_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_budget(
+        load_table(spark, sf_dir, "documents"), n_merges=8
+    )

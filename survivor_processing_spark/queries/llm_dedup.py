@@ -21,6 +21,8 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.similarity import all_pairs_above, lsh_pairs_above
+from ..operators.substring import substring_clean_oracle
+from ..operators.substring import substring_dedup_clean as _substr_clean
 from ..operators.substring import substring_dedup_spans as _substr_spans
 from ..operators.substring import substring_spans_oracle
 from ._registry import register
@@ -716,4 +718,28 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+@register(
+    "substring_dedup_clean",
+    doc="ExactSubstr dedup, the CUT half (operators/substring.py "
+    "substring_dedup_clean, completing q:substring_dedup_spans): "
+    "every duplicated-8-gram merged span is cut out of its document "
+    "by a JVM filter(words, (w, i) -> ...) against the doc's own "
+    "span list (collected per doc — doc-length-bounded arrays), "
+    "joined back; token order preserved, pure-boilerplate docs come "
+    "back empty, no Python in the hot path.  Oracle EMITTED by "
+    "substring_clean_oracle from the same parameters (queued r8, "
+    "fuzzed in tools/fuzz_portables.py `substring`)",
+    oracle=substring_clean_oracle(n=8, min_count=2),
+)
+def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _substr_clean(load_table(spark, sf_dir, "documents"), n=8)
+    # sizes are int32 Spark-side; DuckDB len()/COUNT() emit BIGINT
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
     )

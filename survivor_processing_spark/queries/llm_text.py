@@ -93,28 +93,17 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_guess"))
 
 
-@register(
-    "doc_fingerprint",
-    doc="md5-of-sorted-distinct-tokens document fingerprint + whitespace "
-    "token count",
-    oracle="""
-SELECT doc_id,
-       md5(array_to_string(
-           list_sort(list_distinct(string_split(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))),
-           ' ')) AS fingerprint,
-       CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                             ' ')) AS INTEGER) AS n_tokens
-FROM documents
-""",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        fingerprint_expr(F.col("text")).alias("fingerprint"),
-        token_count_expr(F.col("text")).cast("int").alias("n_tokens"),
-    )
+# RETIRED r9 (paired with the q:content_fingerprint registration,
+# VERDICT r08 #2): q:doc_fingerprint — md5-of-sorted-distinct-tokens
+# per document + whitespace token count.  Carried by: the per-doc
+# sketch-fingerprint family by q:rolling_fingerprint (winnowing
+# rolling-hash min, same corpus pass), normalize-then-key exact
+# identity by q:exact_dedup_docs (the production use of a document
+# fingerprint), and table-level content equality by the new
+# q:content_fingerprint (queries/etl.py -> operators/fingerprint.py,
+# the multiset fingerprint production replays verify with).
+# fingerprint_expr/token_count_expr stay pinned bit-for-bit in
+# tests/test_textstats.py.  Accounting: ROTATION_r09.md.
 
 
 @register(

@@ -72,6 +72,12 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes
         # exact long integral division (ts div 1000): double division
         # loses ULPs above 2^53 and ns-since-epoch is ~1.7e18
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermark=None returns the raw stream so an operator that
+    # applies its own watermark (streaming/joins.py interval join,
+    # which must mark BOTH renamed sides) doesn't hit Spark's
+    # "redefining watermark" refusal
+    if watermark is None:
+        return raw
     return raw.withWatermark("ts", watermark)
 
 

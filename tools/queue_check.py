@@ -35,11 +35,13 @@ OPS = "survivor_processing_spark.operators"
 # r8 registrations REMOVED from the queue (now driver-gated with
 # @register blocks): bpe_train(->bpe_train_portable),
 # pagerank_portable, substring_dedup_spans, bfs_levels.
+# r9 registrations REMOVED likewise: substring_dedup_clean,
+# bpe_token_budget, read_snapshot(->snapshot_summary),
+# stream_interval_join, sq8_encode(->sq8_summary),
+# content_fingerprint.
 # oracle None = documented exemption; bench None = covered by a
 # sibling's bench row (stated in the notes column of ROTATION_r07.md)
 QUEUE = [
-    ("substring_dedup_clean", "substring_clean_oracle", f"{OPS}.substring", "test_substring.py", "substring", "substring_clean"),
-    ("bpe_token_budget", "bpe_token_budget_oracle", f"{OPS}.bpe", "test_bpe.py", "bpe_encode", "bpe_token_budget"),
     ("pq_train_encode", "pq_portable_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_train_encode"),
     ("pq_adc_topk", "pq_adc_topk_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_adc_topk"),
     ("stratified_exact_split", "stratified_exact_split_oracle", f"{OPS}.curation", "test_stratified_split.py", "stratified_split", "stratified_split"),
@@ -55,15 +57,10 @@ QUEUE = [
     ("mad_outlier_stats", "mad_outlier_oracle", f"{OPS}.curation", "test_mad_outliers.py", "mad", "mad_outliers"),
     ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
     ("url_canonicalize", "url_canonicalize_oracle", f"{OPS}.urlnorm", "test_urlnorm.py", "urlnorm", "url_canonicalize"),
-    ("content_fingerprint", "content_fingerprint_oracle", f"{OPS}.fingerprint", "test_fingerprint.py", "fingerprint", "content_fingerprint"),
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
     ("triangle_counts", "triangle_counts_oracle", f"{OPS}.graphstats", "test_graphstats.py", "graphstats", "triangle_counts"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     ("build_zonemap", "zonemap_oracle", f"{OPS}.zonemap", "test_zonemap.py", "zonemap", "zonemap_build"),
-    # queued r8 (net-new ≤ the 4 registered this round — ROTATION_r08.md)
-    ("read_snapshot", "snapshot_summary_oracle", f"{OPS}.snapshot", "test_snapshot.py", "snapshot", "snapshot_read"),
-    ("stream_interval_join", "stream_interval_join_oracle", "survivor_processing_spark.streaming.joins", "test_stream_join.py", "stream_join", "stream_interval_join"),
-    ("sq8_encode", "sq8_summary_oracle", f"{OPS}.quantize", "test_quantize.py", "sq8", "sq8_summary"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
