@@ -9,8 +9,13 @@ committed as remove(small files)+add(compacted file) without
 rewriting readers, and any historical version stays queryable.
 
 Mechanics: ``<table>/_sps_log/v{N}.json`` entries hold
-``{"version", "adds": [...], "removes": [...]}`` with file names
-relative to the table directory.  A snapshot at version v = replay
+``{"version", "adds": [...], "removes": [...]}`` — plus, when the
+writer provides them, per-added-file column envelopes under
+``"stats"`` (the Delta/Iceberg stats-in-manifest move: the writer
+records the envelope once at commit time and every later prune or
+merge plans from the log with ZERO footer reads — at 100 TB,
+reopening a million footers costs more than the scan being pruned).
+File names are relative to the table directory.  A snapshot at version v = replay
 of entries 1..v (adds ∪, removes ∖) — O(log size) driver work on a
 file-count-bounded log, exactly the zonemap-manifest cost class.
 Commits are two-phase (write tmp, ``os.replace`` — atomic on POSIX)
@@ -66,6 +71,7 @@ def commit_version(
     table_dir: str,
     adds: list[str] | None = None,
     removes: list[str] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Append the next version to the log; returns its number.
 
@@ -75,7 +81,18 @@ def commit_version(
     ``adds``/``removes`` are table-relative file names.  A remove of
     a file the snapshot doesn't hold, or an add of one it already
     holds, is rejected — silently tolerating either corrupts every
-    later replay."""
+    later replay.
+
+    ``stats`` (optional) embeds per-file column envelopes IN the
+    commit entry — the Delta/Iceberg stats-in-manifest move: at
+    100 TB a prune that must reopen a million parquet footers costs
+    more than the scan it saves, so the writer (who just produced
+    the file) records the envelope once and every later plan reads
+    it from the log.  Shape: ``{file: {col: {"n_rows", "vmin",
+    "vmax", "ord"}}}`` with the exact stringified values
+    :func:`operators.zonemap.file_column_stats` emits (one envelope
+    representation everywhere).  Keys must be a subset of ``adds`` —
+    stats for a file this commit doesn't introduce are rejected."""
     adds = list(adds or [])
     removes = list(removes or [])
     if not adds and not removes:
@@ -88,14 +105,105 @@ def commit_version(
     missing = [r for r in removes if r not in active]
     if missing:
         raise ValueError(f"remove of non-active files: {missing}")
+    if stats:
+        foreign = sorted(set(stats) - set(adds))
+        if foreign:
+            raise ValueError(
+                f"stats for files this commit does not add: {foreign}"
+            )
     v = (versions[-1] + 1) if versions else 1
     os.makedirs(_log_path(table_dir), exist_ok=True)
     entry = {"version": v, "adds": sorted(adds), "removes": sorted(removes)}
+    if stats:
+        entry["stats"] = stats
     tmp = _entry_path(table_dir, v) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(entry, f)
     os.replace(tmp, _entry_path(table_dir, v))
     return v
+
+
+def file_stats(
+    table_dir: str, version: int | None = None
+) -> dict[str, dict]:
+    """Replayed per-file stats for the files ACTIVE at ``version``:
+    ``{file: {col: {...}}}``.  A file whose add carried no stats maps
+    to ``{}`` — present, but envelope-less (callers fall back to a
+    footer read or treat it as unprunable; never skip blind)."""
+    active, v = _replay(table_dir, version)
+    out: dict[str, dict] = {f: {} for f in active}
+    for n in log_versions(table_dir):
+        if n > v:
+            break
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        for name, st in (e.get("stats") or {}).items():
+            if name in out:
+                out[name] = st
+    return out
+
+
+def snapshot_zonemap(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Zone-map manifest for a snapshot, LOG-FIRST: files whose
+    commit recorded stats for every requested column are served from
+    the log (zero footer reads — the 100 TB fast path); the rest
+    fall back to :func:`operators.zonemap.file_column_stats` footer
+    walks, so mixed logs (pre-stats commits, foreign writers) stay
+    exactly correct, just slower for those files.  Output schema is
+    identical to ``build_zonemap`` and feeds the same
+    ``prune_files``/``pruned_scan``."""
+    from .zonemap import file_column_stats
+
+    recorded = file_stats(table_dir, version)
+    rows = []
+    for name in sorted(recorded):
+        st = recorded[name]
+        if all(c in st for c in cols):
+            for c in cols:
+                s = st[c]
+                rows.append(
+                    (
+                        name,
+                        c,
+                        int(s["n_rows"]),
+                        s["vmin"],
+                        s["vmax"],
+                        s["ord"],
+                    )
+                )
+        else:
+            rows.extend(
+                file_column_stats(os.path.join(table_dir, name), cols)
+            )
+    return spark.createDataFrame(
+        rows,
+        "file string, col string, n_rows long, "
+        "vmin string, vmax string, ord string",
+    )
+
+
+def stats_for_files(
+    table_dir: str, files: list[str], cols: list[str]
+) -> dict[str, dict]:
+    """Footer-walk ``cols`` stats for ``files`` in the
+    ``commit_version(stats=...)`` shape — what a writer calls on the
+    files it just produced, before committing them."""
+    from .zonemap import file_column_stats
+
+    out: dict[str, dict] = {}
+    for name in files:
+        st: dict[str, dict] = {}
+        for _, c, n, vmin, vmax, ordv in file_column_stats(
+            os.path.join(table_dir, name), cols
+        ):
+            st[c] = {"n_rows": n, "vmin": vmin, "vmax": vmax, "ord": ordv}
+        out[name] = st
+    return out
 
 
 def _replay(table_dir: str, version: int | None) -> tuple[set[str], int]:
@@ -222,7 +330,10 @@ def snapshot_summary(
 
 
 def compact_snapshot(
-    spark: SparkSession, table_dir: str, target_bytes: int
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Execute an OPTIMIZE pass over the snapshot's ACTIVE files as
     ONE atomic log commit — the execution half of the compaction
@@ -286,8 +397,19 @@ def compact_snapshot(
     # failed commit ⇒ remove the renamed compacted files (log-driven
     # readers never saw them; this keeps raw dir consumers and disk
     # clean too).  Hard crashes are mopped up by vacuum_orphans.
+    # stats_cols (optional) records the compacted files' envelopes in
+    # the commit, so later merges/prunes plan them log-first.
     try:
-        version = commit_version(table_dir, adds=adds, removes=removes)
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            removes=removes,
+            stats=(
+                stats_for_files(table_dir, adds, stats_cols)
+                if stats_cols
+                else None
+            ),
+        )
     except BaseException:
         for name in adds:
             try:

@@ -82,6 +82,50 @@ def _ord_of(v) -> str:
     return "other"
 
 
+def file_column_stats(path: str, cols: list[str]) -> list[tuple]:
+    """Footer-only stats rows for ONE parquet file: ``(basename, col,
+    n_rows, vmin, vmax, ord)`` with min/max stringified AFTER a typed
+    merge across row groups (exactly :func:`build_zonemap`'s rows for
+    that file).  Shared by the directory builder below and by the
+    snapshot log's stats-at-commit recording (operators/snapshot.py),
+    so an envelope is one representation everywhere."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    rows = []
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"column {c!r} not in {path}")
+        vmin = None  # typed (int/str/datetime/...), not string
+        vmax = None
+        n = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(names[c])
+            n += col.num_values
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                continue
+            mn, mx = st.min, st.max
+            vmin = mn if vmin is None or mn < vmin else vmin
+            vmax = mx if vmax is None or vmax < mx else vmax
+        if not ok:
+            vmin = vmax = None  # partial stats: never prune on them
+        rows.append(
+            (
+                os.path.basename(path),
+                c,
+                n,
+                None if vmin is None else str(vmin),
+                None if vmax is None else str(vmax),
+                None if vmin is None else _ord_of(vmin),
+            )
+        )
+    return rows
+
+
 def build_zonemap(
     spark: SparkSession,
     path: str,
@@ -109,8 +153,6 @@ def build_zonemap(
     ``files`` scopes the manifest to an explicit list of
     path-relative file names (a snapshot's active set, say) instead
     of every ``*.parquet`` in the directory."""
-    import pyarrow.parquet as pq
-
     targets = (
         [os.path.join(path, f) for f in sorted(files)]
         if files is not None
@@ -118,37 +160,7 @@ def build_zonemap(
     )
     rows = []
     for f in targets:
-        md = pq.ParquetFile(f).metadata
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        for c in cols:
-            if c not in names:
-                raise ValueError(f"column {c!r} not in {f}")
-            vmin = None  # typed (int/str/datetime/...), not string
-            vmax = None
-            n = 0
-            ok = True
-            for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(names[c])
-                n += col.num_values
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    continue
-                mn, mx = st.min, st.max
-                vmin = mn if vmin is None or mn < vmin else vmin
-                vmax = mx if vmax is None or vmax < mx else vmax
-            if not ok:
-                vmin = vmax = None  # partial stats: never prune on them
-            rows.append(
-                (
-                    os.path.basename(f),
-                    c,
-                    n,
-                    None if vmin is None else str(vmin),
-                    None if vmax is None else str(vmax),
-                    None if vmin is None else _ord_of(vmin),
-                )
-            )
+        rows.extend(file_column_stats(f, cols))
     return spark.createDataFrame(
         rows,
         "file string, col string, n_rows long, "

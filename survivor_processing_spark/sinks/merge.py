@@ -255,8 +255,10 @@ def merge_into_snapshot(
         commit_version,
         read_snapshot,
         snapshot_files,
+        snapshot_zonemap,
+        stats_for_files,
     )
-    from ..operators.zonemap import _CAST_ORD, build_zonemap
+    from ..operators.zonemap import _CAST_ORD
 
     required = _CAST_ORD.get(cast.lower().split("(")[0])
     if required is None:
@@ -313,7 +315,12 @@ def merge_into_snapshot(
             "source column types drift from the table schema "
             f"(col, source, table): {drift}"
         )
-    zm = build_zonemap(spark, table_dir, [key_col], files=active)
+    # LOG-FIRST envelopes (stats-in-manifest): files whose commit
+    # recorded key stats are planned with ZERO footer reads — at
+    # 100 TB, reopening a million footers per merge costs more than
+    # the rewrite it prunes; files from pre-stats commits fall back
+    # to a footer walk inside snapshot_zonemap (correct, slower)
+    zm = snapshot_zonemap(spark, table_dir, [key_col])
     mismatched = (
         zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
         .limit(1)
@@ -379,8 +386,15 @@ def merge_into_snapshot(
     # invisible to them), but raw directory consumers and disk space
     # deserve the rollback too.  A hard crash between rename and
     # commit is mopped up by operators/snapshot.py vacuum_orphans.
+    # The new files' key envelopes ride the commit (stats-in-manifest)
+    # so the NEXT merge plans them log-first, no footer reads.
     try:
-        version = commit_version(table_dir, adds=adds, removes=affected)
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            removes=affected,
+            stats=stats_for_files(table_dir, adds, [key_col]),
+        )
     except BaseException:
         for name in adds:
             try:

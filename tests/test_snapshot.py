@@ -386,3 +386,138 @@ def test_vacuum_orphans_removes_only_uncommitted(spark, table_dir):
     # time travel intact: v1 still reads the retired file
     assert read_snapshot(spark, table_dir, 1).count() == 20
     assert read_snapshot(spark, table_dir).count() == 10
+
+
+# --- round-9: stats-in-commit-log (Delta/Iceberg stats-in-manifest) ---------
+
+
+def test_commit_stats_replay_and_guard(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        file_stats,
+        stats_for_files,
+    )
+
+    _write(table_dir, "a.parquet", [1, 2, 3])
+    _write(table_dir, "b.parquet", [10, 20])
+    st = stats_for_files(table_dir, ["a.parquet"], ["k"])
+    assert st["a.parquet"]["k"]["vmin"] == "1"
+    assert st["a.parquet"]["k"]["vmax"] == "3"
+    assert st["a.parquet"]["k"]["ord"] == "numeric"
+    # stats for a file the commit does not add are rejected
+    with pytest.raises(ValueError, match="does not add"):
+        commit_version(
+            table_dir, adds=["b.parquet"], stats=st
+        )
+    commit_version(table_dir, adds=["a.parquet", "b.parquet"], stats=st)
+    rec = file_stats(table_dir)
+    assert rec["a.parquet"]["k"]["vmax"] == "3"
+    assert rec["b.parquet"] == {}  # add without stats: envelope-less
+    # removes drop the file's stats from the replay
+    commit_version(table_dir, removes=["a.parquet"])
+    assert "a.parquet" not in file_stats(table_dir)
+    assert "a.parquet" in file_stats(table_dir, 1)  # time travel keeps it
+
+
+def test_snapshot_zonemap_log_first_no_footer_reads(spark, table_dir):
+    """Files with recorded stats are planned FROM THE LOG: the
+    manifest matches the footer builder's rows exactly, and still
+    works after the data file's footer is destroyed — the proof no
+    footer read happens on the fast path."""
+    from survivor_processing_spark.operators.snapshot import (
+        snapshot_zonemap,
+        stats_for_files,
+    )
+    from survivor_processing_spark.operators.zonemap import (
+        build_zonemap,
+        prune_files,
+    )
+
+    _write(table_dir, "s0.parquet", list(range(0, 50)))
+    _write(table_dir, "s1.parquet", list(range(50, 100)))
+    footer = sorted(
+        map(tuple, build_zonemap(spark, table_dir, ["k"]).collect())
+    )
+    commit_version(
+        table_dir,
+        adds=["s0.parquet", "s1.parquet"],
+        stats=stats_for_files(
+            table_dir, ["s0.parquet", "s1.parquet"], ["k"]
+        ),
+    )
+    zm = snapshot_zonemap(spark, table_dir, ["k"])
+    assert sorted(map(tuple, zm.collect())) == footer
+    assert prune_files(zm, "k", 0, 10) == ["s0.parquet"]
+    # fast-path proof: truncate a data file's footer; the log-first
+    # manifest still serves its envelope (a footer walk would raise)
+    p = os.path.join(table_dir, "s1.parquet")
+    with open(p, "r+b") as f:
+        f.truncate(8)
+    zm2 = snapshot_zonemap(spark, table_dir, ["k"])
+    assert sorted(map(tuple, zm2.collect())) == footer
+    with pytest.raises(Exception):
+        build_zonemap(spark, table_dir, ["k"], files=["s1.parquet"]).collect()
+
+
+def test_snapshot_zonemap_mixed_log_falls_back(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        snapshot_zonemap,
+        stats_for_files,
+    )
+    from survivor_processing_spark.operators.zonemap import build_zonemap
+
+    _write(table_dir, "old.parquet", [1, 2])  # pre-stats commit
+    commit_version(table_dir, adds=["old.parquet"])
+    _write(table_dir, "new.parquet", [100, 200])
+    commit_version(
+        table_dir,
+        adds=["new.parquet"],
+        stats=stats_for_files(table_dir, ["new.parquet"], ["k"]),
+    )
+    got = sorted(
+        map(tuple, snapshot_zonemap(spark, table_dir, ["k"]).collect())
+    )
+    want = sorted(
+        map(tuple, build_zonemap(spark, table_dir, ["k"]).collect())
+    )
+    assert got == want  # fallback keeps mixed logs exactly correct
+
+
+def test_merge_records_stats_for_its_adds(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import file_stats
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 50), (50, 100)])
+    src = spark.createDataFrame([(10, -1.0)], "k long, amt double")
+    out = merge_into_snapshot(spark, table_dir, src, "k")
+    rec = file_stats(table_dir)
+    for name in out["adds"]:
+        assert rec[name]["k"]["ord"] == "numeric"
+        assert int(rec[name]["k"]["vmin"]) >= 0
+    # and a second merge (planned log-first over those stats) still
+    # upserts correctly
+    out2 = merge_into_snapshot(
+        spark, table_dir, spark.createDataFrame(
+            [(10, -2.0)], "k long, amt double"
+        ), "k",
+    )
+    assert out2["n_affected"] >= 1
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert rows[10] == -2.0 and len(rows) == 100
+
+
+def test_compact_snapshot_records_stats(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        compact_snapshot,
+        file_stats,
+    )
+
+    for i in range(3):
+        _write(table_dir, f"sm-{i}.parquet", [i * 10 + j for j in range(5)])
+    commit_version(table_dir, adds=[f"sm-{i}.parquet" for i in range(3)])
+    out = compact_snapshot(
+        spark, table_dir, target_bytes=10**9, stats_cols=["k"]
+    )
+    assert out["n_rewritten"] == 3
+    rec = file_stats(table_dir)
+    (name,) = out["adds"]
+    assert rec[name]["k"]["vmin"] == "0" and rec[name]["k"]["vmax"] == "24"
