@@ -187,6 +187,34 @@ def snapshot_zonemap(
     )
 
 
+def pruned_snapshot_scan(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    cast: str = "bigint",
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan of a snapshot that schedules ONLY the files whose
+    recorded (or footer-read, for stats-less adds) envelope
+    intersects [lo, hi] — time travel and manifest pruning composed:
+    the log says which files ARE the table at ``version``, the
+    log-first zone map says which of those can match, and the exact
+    predicate still applies (and pushes down) inside the survivors."""
+    from .zonemap import prune_files
+
+    zm = snapshot_zonemap(spark, table_dir, [col], version)
+    keep = set(prune_files(zm, col, lo, hi, cast))
+    files = [f for f in snapshot_files(table_dir, version) if f in keep]
+    if not files:
+        return read_snapshot(spark, table_dir, version).filter(F.lit(False))
+    return (
+        spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    )
+
+
 def stats_for_files(
     table_dir: str, files: list[str], cols: list[str]
 ) -> dict[str, dict]:

@@ -521,3 +521,53 @@ def test_compact_snapshot_records_stats(spark, table_dir):
     rec = file_stats(table_dir)
     (name,) = out["adds"]
     assert rec[name]["k"]["vmin"] == "0" and rec[name]["k"]["vmax"] == "24"
+
+
+def test_pruned_snapshot_scan_time_travel_and_skipping(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        pruned_snapshot_scan,
+        stats_for_files,
+    )
+
+    _write(table_dir, "lo.parquet", list(range(0, 100)))
+    _write(table_dir, "hi.parquet", list(range(100, 200)))
+    commit_version(
+        table_dir,
+        adds=["lo.parquet", "hi.parquet"],
+        stats=stats_for_files(table_dir, ["lo.parquet", "hi.parquet"], ["k"]),
+    )
+    commit_version(table_dir, removes=["lo.parquet"])
+    # head: lo-range rows are GONE even though the range targets them
+    assert pruned_snapshot_scan(spark, table_dir, "k", 0, 50).count() == 0
+    # v1 time travel: same predicate finds them, scheduling only lo
+    df = pruned_snapshot_scan(spark, table_dir, "k", 0, 50, version=1)
+    assert df.count() == 51
+    assert all("lo.parquet" in f for f in df.inputFiles())
+
+
+def test_merge_plans_log_first_without_touching_untouched_footers(
+    spark, table_dir
+):
+    """End-to-end no-footer-read proof AT THE MERGE LEVEL: with key
+    envelopes recorded in the log, a merge whose keys miss file B
+    never opens B — not its footer, not its data — even when B's
+    on-disk bytes are destroyed."""
+    from survivor_processing_spark.operators.snapshot import (
+        stats_for_files,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "a.parquet", list(range(0, 50)))
+    _write(table_dir, "b.parquet", list(range(1000, 1050)))
+    commit_version(
+        table_dir,
+        adds=["a.parquet", "b.parquet"],
+        stats=stats_for_files(table_dir, ["a.parquet", "b.parquet"], ["k"]),
+    )
+    # destroy b's bytes: any footer read (or scan) of it would fail
+    with open(os.path.join(table_dir, "b.parquet"), "r+b") as f:
+        f.truncate(8)
+    src = spark.createDataFrame([(10, -1.0)], "k long, amt double")
+    out = merge_into_snapshot(spark, table_dir, src, "k")
+    assert out["n_affected"] == 1 and out["n_untouched"] == 1
+    assert "b.parquet" in snapshot_files(table_dir)  # survived BY NAME
