@@ -187,6 +187,102 @@ def snapshot_zonemap(
     )
 
 
+def _pack_words(words: list[int]) -> str:
+    """Dense little-endian-free packing of int64 words → base64, the
+    log-friendly form of a bloom filter's bit array."""
+    import base64
+    import struct
+
+    return base64.b64encode(
+        b"".join(struct.pack(">q", w) for w in words)
+    ).decode("ascii")
+
+
+def unpack_words(b64: str) -> list[int]:
+    import base64
+    import struct
+
+    raw = base64.b64decode(b64)
+    return [
+        struct.unpack(">q", raw[i : i + 8])[0] for i in range(0, len(raw), 8)
+    ]
+
+
+def file_key_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    key_col: str,
+    num_bits: int = 1 << 13,
+    num_hashes: int = 3,
+) -> dict[str, dict]:
+    """Per-FILE Bloom filter over ``key_col``, in the
+    ``commit_version(stats=...)`` bloom shape: ``{file: {"m", "k",
+    "b64"}}`` — the manifest index that makes copy-on-write MERGE
+    work on UNSORTED tables.  A min/max envelope over a file whose
+    keys are scattered spans the whole key domain, so every file
+    looks affected and the merge degrades to a full rewrite; a 1 KiB
+    bloom per file (default 2^13 bits ≈ 800 keys at 10 bits/key —
+    raise ``num_bits`` for bigger files; the log entry grows with
+    the FILTER, not the data) excludes files that provably lack
+    every source key.  False positives cost an extra rewrite, never
+    correctness; false negatives cannot happen because the writer
+    hashes the file's OWN full key column with the SAME
+    Kirsch-Mitzenmacher family (operators/bloom.py ``_positions``)
+    the probe uses — shared code, so the family can't drift.
+
+    ONE distributed job for all files: read key_col of the new
+    files, explode the k probe positions, word-level ``bit_or``
+    grouped by (input file, word index).  NULL keys contribute no
+    bits (a NULL in a file can never equal a source key — sources
+    reject NULL keys outright)."""
+    from .bloom import _positions, _powers
+
+    paths = [os.path.join(table_dir, f) for f in files]
+    pos = (
+        spark.read.parquet(*paths)
+        .select(
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("_f"),
+            F.col(key_col).alias("_k"),
+        )
+        .where(F.col("_k").isNotNull())
+        .select(
+            "_f",
+            F.explode(
+                F.array(*_positions(F.col("_k"), num_bits, num_hashes))
+            ).alias("p"),
+        )
+    )
+    rows = (
+        pos.select(
+            "_f",
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            F.element_at(
+                _powers(),
+                F.col("p").bitwiseAND(F.lit(63)).cast("int") + F.lit(1),
+            ).alias("b"),
+        )
+        .groupBy("_f", "w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    sparse: dict[str, dict[int, int]] = {f: {} for f in files}
+    for r in rows:
+        sparse[r["_f"]][int(r["w"])] = int(r["word"])
+    out = {}
+    n_words = num_bits // 64
+    for f in files:
+        dense = [sparse[f].get(w, 0) for w in range(n_words)]
+        out[f] = {
+            "m": num_bits,
+            "k": num_hashes,
+            "b64": _pack_words(dense),
+        }
+    return out
+
+
 def pruned_snapshot_scan(
     spark: SparkSession,
     table_dir: str,

@@ -218,6 +218,7 @@ def merge_into_snapshot(
     source: DataFrame,
     key_col: str,
     cast: str = "bigint",
+    bloom_bits: int | None = 1 << 13,
 ) -> dict:
     """COPY-ON-WRITE MERGE into a snapshot-logged parquet table —
     the real lakehouse MERGE shape (Delta/Iceberg merge-on-read's
@@ -251,12 +252,16 @@ def merge_into_snapshot(
     Source rows whose keys fall outside every envelope are inserts
     by the zone-map contract (a file whose envelope excludes the key
     provably cannot contain it)."""
+    from ..operators.bloom import _powers
     from ..operators.snapshot import (
         commit_version,
+        file_key_blooms,
+        file_stats,
         read_snapshot,
         snapshot_files,
         snapshot_zonemap,
         stats_for_files,
+        unpack_words,
     )
     from ..operators.zonemap import _CAST_ORD
 
@@ -341,7 +346,7 @@ def merge_into_snapshot(
     # envelope; never skip blind.
     cmin = F.expr(f"try_cast(vmin as {cast})")
     cmax = F.expr(f"try_cast(vmax as {cast})")
-    hits = (
+    cand = (
         source.select(F.col(key_col).alias("_k"))
         .join(
             F.broadcast(zm),
@@ -351,10 +356,53 @@ def merge_into_snapshot(
             | ((cmin <= F.col("_k")) & (cmax >= F.col("_k"))),
             "inner",
         )
-        .select("file")
-        .distinct()
-        .collect()
+        .select("file", "_k")
     )
+    # second manifest cut, per-file key BLOOMS (recorded at write
+    # time, operators/snapshot.py file_key_blooms): on an UNSORTED
+    # table every file's [vmin, vmax] spans the whole key domain and
+    # the envelope alone degrades this merge to a full rewrite — the
+    # bloom excludes files that provably lack every source key.
+    # Probe replicates the build's Kirsch-Mitzenmacher family
+    # exactly (same xxhash64 lanes, per-row m so mixed filter sizes
+    # coexist); a file without a recorded bloom (or an unexpected k)
+    # stays envelope-only — never skip blind.  False positives cost
+    # one extra file rewrite, never correctness.
+    rec = file_stats(table_dir)
+    brows = []
+    for fname in active:
+        b = rec.get(fname, {}).get(key_col, {}).get("bloom")
+        if (
+            isinstance(b, dict)
+            and b.get("k") == 3
+            and b.get("m")
+            and b.get("b64")
+        ):
+            brows.append((fname, int(b["m"]), unpack_words(b["b64"])))
+    if brows:
+        bm = spark.createDataFrame(
+            brows, "file string, m long, words array<long>"
+        )
+        h1 = F.pmod(F.xxhash64(F.col("_k")), F.col("m"))
+        h2 = F.pmod(
+            F.xxhash64(F.col("_k"), F.lit(0x9E3779B9)), F.col("m")
+        )
+
+        def _bit_set(i: int):
+            p = F.pmod(h1 + F.lit(i) * h2, F.col("m"))
+            word = F.element_at(
+                F.col("words"), (p / F.lit(64)).cast("int") + F.lit(1)
+            )
+            mask = F.element_at(
+                _powers(), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
+            )
+            return word.bitwiseAND(mask) != F.lit(0)
+
+        cand = cand.join(F.broadcast(bm), "file", "left").where(
+            F.col("m").isNull()
+            | (_bit_set(0) & _bit_set(1) & _bit_set(2))
+        )
+    hits = cand.select("file").distinct().collect()
     affected = sorted(r["file"] for r in hits)
     untouched = [f for f in active if f not in set(affected)]
     if affected:
@@ -388,12 +436,18 @@ def merge_into_snapshot(
     # commit is mopped up by operators/snapshot.py vacuum_orphans.
     # The new files' key envelopes ride the commit (stats-in-manifest)
     # so the NEXT merge plans them log-first, no footer reads.
+    new_stats = stats_for_files(table_dir, adds, [key_col])
+    if bloom_bits:
+        for fname, b in file_key_blooms(
+            spark, table_dir, adds, key_col, num_bits=bloom_bits
+        ).items():
+            new_stats[fname][key_col]["bloom"] = b
     try:
         version = commit_version(
             table_dir,
             adds=adds,
             removes=affected,
-            stats=stats_for_files(table_dir, adds, [key_col]),
+            stats=new_stats,
         )
     except BaseException:
         for name in adds:

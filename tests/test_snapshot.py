@@ -571,3 +571,73 @@ def test_merge_plans_log_first_without_touching_untouched_footers(
     out = merge_into_snapshot(spark, table_dir, src, "k")
     assert out["n_affected"] == 1 and out["n_untouched"] == 1
     assert "b.parquet" in snapshot_files(table_dir)  # survived BY NAME
+
+
+# --- round-9: per-file key blooms in the manifest ---------------------------
+
+
+def test_bloom_cuts_merge_on_unsorted_table(spark, table_dir):
+    """The case min/max envelopes cannot help: keys INTERLEAVED
+    across files, so every envelope spans the whole domain.  With
+    recorded blooms, a merge touching keys from one file rewrites
+    ONLY that file; envelope-only would rewrite both."""
+    from survivor_processing_spark.operators.snapshot import (
+        file_key_blooms,
+        stats_for_files,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    # evens in one file, odds in the other: identical envelopes
+    _write(table_dir, "even.parquet", list(range(0, 200, 2)))
+    _write(table_dir, "odd.parquet", list(range(1, 200, 2)))
+    stats = stats_for_files(
+        table_dir, ["even.parquet", "odd.parquet"], ["k"]
+    )
+    for f, b in file_key_blooms(
+        spark, table_dir, ["even.parquet", "odd.parquet"], "k"
+    ).items():
+        stats[f]["k"]["bloom"] = b
+    commit_version(
+        table_dir, adds=["even.parquet", "odd.parquet"], stats=stats
+    )
+    src = spark.createDataFrame(
+        [(40, -1.0), (80, -2.0)], "k long, amt double"  # even keys only
+    )
+    out = merge_into_snapshot(spark, table_dir, src, "k")
+    assert out["n_affected"] == 1  # bloom excluded odd.parquet
+    assert "odd.parquet" in snapshot_files(table_dir)  # survived BY NAME
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert len(rows) == 200
+    assert rows[40] == -1.0 and rows[80] == -2.0 and rows[41] == 41.0
+
+
+def test_bloom_build_probe_agree_no_false_negatives(spark, table_dir):
+    """Property: every key present in a file MUST hit its recorded
+    bloom (no false negatives ever) — merges that update existing
+    keys always mark the holding file affected, so repeated merges
+    stay idempotent.  Runs the real merge path twice over
+    bloom-recorded files."""
+    import random
+
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    rng = random.Random(99)
+    keys = rng.sample(range(10**9), 300)
+    _write(table_dir, "r0.parquet", sorted(keys[:150]))
+    _write(table_dir, "r1.parquet", sorted(keys[150:]))
+    commit_version(table_dir, adds=["r0.parquet", "r1.parquet"])
+    # first merge records blooms for ITS new files
+    upd1 = spark.createDataFrame(
+        [(k, -1.0) for k in keys[:20]], "k long, amt double"
+    )
+    merge_into_snapshot(spark, table_dir, upd1, "k")
+    # second merge updates keys now living in bloom-recorded files:
+    # a false negative would INSERT a duplicate instead of updating
+    upd2 = spark.createDataFrame(
+        [(k, -2.0) for k in keys[:20]], "k long, amt double"
+    )
+    merge_into_snapshot(spark, table_dir, upd2, "k")
+    rows = read_snapshot(spark, table_dir).collect()
+    assert len(rows) == 300  # no duplicates ever minted
+    vals = {r["k"]: r["amt"] for r in rows}
+    assert all(vals[k] == -2.0 for k in keys[:20])
