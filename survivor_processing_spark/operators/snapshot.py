@@ -549,6 +549,90 @@ def compact_snapshot(
     }
 
 
+def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
+    """Retention + log compaction in one maintenance pass — the
+    remaining lifecycle half of a table format (Delta checkpoint +
+    VACUUM): versions older than the newest ``keep_last`` stop being
+    queryable, the oldest RETAINED version's entry is rewritten as a
+    self-contained BASELINE (its full active file set, carrying
+    forward every recorded stat/bloom so later merges keep planning
+    log-first), the expired entries are deleted, and data files whose
+    last reference died with them are removed from disk.
+
+    Crash-safe at every step, by construction of the replay:
+    1. the baseline entry replaces the cut version via ``os.replace``
+       (atomic).  A replay that still sees the older entries PLUS the
+       baseline computes the SAME active set — adds are set-unions,
+       so re-adding already-active files in the baseline is
+       idempotent for replay purposes;
+    2. expired entry files are deleted (a crash part-way leaves some
+       history readable, never a wrong answer);
+    3. now-unreferenced data files are deleted; a crash before this
+       step leaves files that ``vacuum_orphans`` classifies as
+       orphans (their add entries are gone), so the next maintenance
+       pass reclaims them.
+
+    Returns ``{"cut_version", "n_expired_versions",
+    "deleted_files"}``; a log shorter than ``keep_last`` no-ops."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = log_versions(table_dir)
+    if len(versions) <= keep_last:
+        return {
+            "cut_version": None,
+            "n_expired_versions": 0,
+            "deleted_files": [],
+        }
+    cut = versions[-keep_last]
+    expired = [v for v in versions if v < cut]
+    # active set + carried stats at the cut, and every file the
+    # expired prefix ever added (candidates for deletion)
+    active_at_cut, _ = _replay(table_dir, cut)
+    stats_at_cut = file_stats(table_dir, cut)
+    ever_pre_cut: set[str] = set()
+    for v in expired + [cut]:
+        with open(_entry_path(table_dir, v)) as f:
+            ever_pre_cut |= set(json.load(f)["adds"])
+    # files still referenced by ANY retained version: active at cut,
+    # or (re)added by a retained entry after the cut
+    referenced = set(active_at_cut)
+    for v in versions:
+        if v > cut:
+            with open(_entry_path(table_dir, v)) as f:
+                referenced |= set(json.load(f)["adds"])
+    doomed = sorted(ever_pre_cut - referenced)
+    baseline = {
+        "version": cut,
+        "adds": sorted(active_at_cut),
+        "removes": [],
+        "baseline": True,
+    }
+    carried = {
+        f: st for f, st in stats_at_cut.items() if st
+    }
+    if carried:
+        baseline["stats"] = carried
+    tmp = _entry_path(table_dir, cut) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(baseline, f)
+    os.replace(tmp, _entry_path(table_dir, cut))
+    for v in expired:
+        try:
+            os.remove(_entry_path(table_dir, v))
+        except OSError:
+            pass
+    for name in doomed:
+        try:
+            os.remove(os.path.join(table_dir, name))
+        except OSError:
+            pass
+    return {
+        "cut_version": cut,
+        "n_expired_versions": len(expired),
+        "deleted_files": doomed,
+    }
+
+
 def vacuum_orphans(table_dir: str) -> list[str]:
     """Delete ``*.parquet`` files in ``table_dir`` that NO log entry
     ever added — data files stranded by a writer that crashed between

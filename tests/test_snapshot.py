@@ -641,3 +641,95 @@ def test_bloom_build_probe_agree_no_false_negatives(spark, table_dir):
     assert len(rows) == 300  # no duplicates ever minted
     vals = {r["k"]: r["amt"] for r in rows}
     assert all(vals[k] == -2.0 for k in keys[:20])
+
+
+# --- round-9: retention + log compaction (expire_snapshots) -----------------
+
+
+def test_expire_snapshots_retention_and_reclaim(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        expire_snapshots,
+        file_stats,
+        stats_for_files,
+    )
+
+    # v1: a+b (with stats for a), v2: +c -a, v3: +d, v4: -b
+    for n, ks in [("a", [1, 2]), ("b", [3]), ("c", [4]), ("d", [5])]:
+        _write(table_dir, f"{n}.parquet", ks)
+    commit_version(
+        table_dir,
+        adds=["a.parquet", "b.parquet"],
+        stats=stats_for_files(table_dir, ["a.parquet"], ["k"]),
+    )
+    commit_version(table_dir, adds=["c.parquet"], removes=["a.parquet"])
+    commit_version(table_dir, adds=["d.parquet"])
+    commit_version(table_dir, removes=["b.parquet"])
+    before_head = sorted(
+        map(tuple, read_snapshot(spark, table_dir).collect())
+    )
+    out = expire_snapshots(table_dir, keep_last=2)
+    assert out["cut_version"] == 3 and out["n_expired_versions"] == 2
+    # a died before the cut -> reclaimed; b is active AT the cut
+    # (removed only at v4, which is retained) -> must survive on disk
+    assert out["deleted_files"] == ["a.parquet"]
+    assert not os.path.exists(os.path.join(table_dir, "a.parquet"))
+    assert os.path.exists(os.path.join(table_dir, "b.parquet"))
+    # retained versions replay identically
+    assert log_versions(table_dir) == [3, 4]
+    assert snapshot_files(table_dir, 3) == [
+        "b.parquet", "c.parquet", "d.parquet"
+    ]
+    assert sorted(
+        map(tuple, read_snapshot(spark, table_dir).collect())
+    ) == before_head
+    # expired versions are gone loudly, not wrongly
+    with pytest.raises(ValueError, match="not in log"):
+        snapshot_files(table_dir, 1)
+    # commits continue from the head as before
+    _write(table_dir, "e.parquet", [9])
+    assert commit_version(table_dir, adds=["e.parquet"]) == 5
+    # carried stats: b had none, the baseline must not invent any
+    assert file_stats(table_dir, 3)["b.parquet"] == {}
+
+
+def test_expire_snapshots_carries_stats_and_blooms(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        expire_snapshots,
+        file_stats,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 50), (50, 100)])
+    src = spark.createDataFrame([(10, -1.0)], "k long, amt double")
+    merge_into_snapshot(spark, table_dir, src, "k")  # v2, stats+bloom
+    merge_into_snapshot(
+        spark, table_dir,
+        spark.createDataFrame([(60, -1.0)], "k long, amt double"), "k",
+    )  # v3
+    out = expire_snapshots(table_dir, keep_last=1)
+    assert out["cut_version"] == 3
+    rec = file_stats(table_dir)
+    merged = [f for f in snapshot_files(table_dir) if f.startswith("merge-")]
+    assert merged
+    for f in merged:
+        assert "bloom" in rec[f]["k"]  # blooms survived the expiry
+    # and the next merge still plans + upserts correctly over the
+    # baseline-carried manifest
+    merge_into_snapshot(
+        spark, table_dir,
+        spark.createDataFrame([(10, -9.0)], "k long, amt double"), "k",
+    )
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert rows[10] == -9.0 and len(rows) == 100
+
+
+def test_expire_snapshots_noop_and_guard(table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        expire_snapshots,
+    )
+
+    _write(table_dir, "a.parquet", [1])
+    commit_version(table_dir, adds=["a.parquet"])
+    assert expire_snapshots(table_dir, keep_last=5)["cut_version"] is None
+    with pytest.raises(ValueError, match=">= 1"):
+        expire_snapshots(table_dir, keep_last=0)
