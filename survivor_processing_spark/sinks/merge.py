@@ -218,7 +218,7 @@ def merge_into_snapshot(
     source: DataFrame,
     key_col: str,
     cast: str = "bigint",
-    bloom_bits: int | None = 1 << 13,
+    bloom_bits: int | str | None = "auto",
 ) -> dict:
     """COPY-ON-WRITE MERGE into a snapshot-logged parquet table —
     the real lakehouse MERGE shape (Delta/Iceberg merge-on-read's
@@ -438,10 +438,27 @@ def merge_into_snapshot(
     # so the NEXT merge plans them log-first, no footer reads.
     new_stats = stats_for_files(table_dir, adds, [key_col])
     if bloom_bits:
-        for fname, b in file_key_blooms(
-            spark, table_dir, adds, key_col, num_bits=bloom_bits
-        ).items():
-            new_stats[fname][key_col]["bloom"] = b
+        # "auto" sizes each file's filter at ~10 bits/key from the
+        # row count the stats pass just measured, clamped to
+        # [2^13, 2^17] bits (1-16 KiB in the log entry — the log
+        # grows with the FILTER, not the data; beyond the clamp the
+        # filter stays correct and degrades toward pass-through,
+        # with the envelope cut still in front).  Files needing the
+        # same size share one distributed build job; mixed sizes
+        # coexist in one table because the probe reads m per row.
+        groups: dict[int, list[str]] = {}
+        for fname in adds:
+            if bloom_bits == "auto":
+                n = int(new_stats[fname][key_col]["n_rows"])
+                m = min(1 << 17, max(1 << 13, 1 << (10 * max(n, 1)).bit_length()))
+            else:
+                m = int(bloom_bits)
+            groups.setdefault(m, []).append(fname)
+        for m, fs in groups.items():
+            for fname, b in file_key_blooms(
+                spark, table_dir, fs, key_col, num_bits=m
+            ).items():
+                new_stats[fname][key_col]["bloom"] = b
     try:
         version = commit_version(
             table_dir,

@@ -733,3 +733,37 @@ def test_expire_snapshots_noop_and_guard(table_dir):
     assert expire_snapshots(table_dir, keep_last=5)["cut_version"] is None
     with pytest.raises(ValueError, match=">= 1"):
         expire_snapshots(table_dir, keep_last=0)
+
+
+def test_bloom_auto_sizing_scales_with_rows(spark, table_dir):
+    """auto sizing: ~10 bits/key clamped to [2^13, 2^17], chosen per
+    FILE from the just-measured stats; mixed sizes coexist because
+    the probe reads m per row."""
+    from survivor_processing_spark.operators.snapshot import file_stats
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _seed_table(spark, table_dir, [(0, 10)])
+    # big insert-only batch -> one or more new files totalling 5000
+    # rows; every new file's m respects the clamp and the 10 bits/key
+    # floor for ITS row count
+    src = spark.createDataFrame(
+        [(1000 + i, float(i)) for i in range(5000)], "k long, amt double"
+    )
+    out = merge_into_snapshot(spark, table_dir, src, "k")
+    rec = file_stats(table_dir)
+    for f in out["adds"]:
+        st = rec[f]["k"]
+        m = st["bloom"]["m"]
+        n = int(st["n_rows"])
+        assert 1 << 13 <= m <= 1 << 17
+        assert m >= min(1 << 17, 10 * n)  # >= 10 bits/key up to clamp
+    # small update -> small file -> floor-clamped m
+    out2 = merge_into_snapshot(
+        spark, table_dir,
+        spark.createDataFrame([(5, -1.0)], "k long, amt double"), "k",
+    )
+    rec2 = file_stats(table_dir)
+    assert all(rec2[f]["k"]["bloom"]["m"] == 1 << 13 for f in out2["adds"])
+    # correctness unchanged
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert rows[5] == -1.0 and len(rows) == 5010
