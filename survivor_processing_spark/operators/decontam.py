@@ -84,3 +84,170 @@ def ngram_decontaminate(
             ),
         )
     )
+
+
+# --- embedding-space decontamination -----------------------------------------
+
+
+def _quantized(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, scale: int
+) -> DataFrame:
+    """(id, _q int64 lanes, _n2) for clean fixed-dim vectors — the
+    portable fixed-point form every integer-cosine gate in this repo
+    shares (floor(x*scale+0.5); scale defaults to 1e3 because the
+    contamination test squares a dot product, the same int64-headroom
+    arithmetic operators/similarity.py semantic_dedup_portable
+    documents)."""
+    clean = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+    q = F.expr(
+        f"transform(cast({vec_col} as array<double>),"
+        f" x -> cast(floor(x * {float(scale)!r} + 0.5) as bigint))"
+    )
+    return df.where(clean).select(
+        F.col(id_col),
+        q.alias("_q"),
+    ).withColumn(
+        "_n2",
+        F.expr("aggregate(transform(_q, x -> x*x), 0L, (a, x) -> a + x)"),
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    threshold_num: int = 81,
+    threshold_den: int = 100,
+    scale: int = 1000,
+    dim: int = 64,
+) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic
+    sibling of :func:`ngram_decontaminate`: flag every training
+    vector whose cosine similarity to ANY benchmark vector clears
+    ``sqrt(threshold_num/threshold_den)`` (defaults = cosine 0.9).
+    Lexical n-gram filters miss paraphrased or translated benchmark
+    leakage; embedding overlap is the published complement
+    (paraphrase-aware contamination checks in current LLM eval
+    hygiene).  The reference engine has no embedding surface at all
+    (beyond-reference mandate).
+
+    ENGINE-PORTABLE like every cosine gate in this repo: lanes
+    fixed-pointed at ``scale`` (1e3 — the squared-dot headroom
+    bound), the threshold test sqrt-free in exact int64
+    ``dot > 0 AND den*dot^2 >= num*|a|^2*|b|^2``, so a DuckDB oracle
+    (:func:`semantic_decontaminate_oracle`) replays it bit-for-bit.
+
+    Returns ONLY the contaminated rows: ``(id_col, eval_id, dot)``
+    with ``eval_id`` the smallest matching benchmark id (exact-int
+    tie-free argmin) and ``dot`` that pair's integer lane dot — all
+    integers, hash-friendly.
+
+    Scale shape (100 TB): the benchmark side is SMALL by nature
+    (eval sets are MBs) — it broadcasts, the train side NEVER
+    shuffles: the pairing is a BroadcastNestedLoopJoin evaluated
+    map-side inside the train scan (O(n*m*dim) multiply-adds, the
+    same arithmetic an exact-decontamination pass costs anywhere),
+    the dot materializes ONCE as a column (the interpreted-HOF
+    lesson), and only the rare contaminated hits flow into the
+    per-id min aggregate.  For very large eval sets, pre-cluster the
+    bench side with IVF (operators/similarity.py) and probe per
+    centroid — same plan per probe."""
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    # the pairing below is CPU-bound at n_bench*dim multiply-adds PER
+    # TRAIN ROW, so the train side must occupy every core even when
+    # its scan is one small file (a single hot task measured 216 s at
+    # the 10x fixture vs ~7 s spread) — the multimodal spread lesson
+    # applied to a JVM stage; the shuffle moves only quantized lanes
+    tq = _quantized(train, id_col, vec_col, dim, scale).repartition(
+        train.sparkSession.sparkContext.defaultParallelism
+    )
+    bq = (
+        _quantized(bench, bid, bvec, dim, scale)
+        .select(
+            F.col(bid).alias("_eid"),
+            F.col("_q").alias("_qb"),
+            F.col("_n2").alias("_n2b"),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_q, _qb, (x, y) -> x*y), 0L, (acc, x) -> acc + x)"
+    )
+    hits = (
+        tq.join(F.broadcast(bq))
+        .withColumn("_dot", dot)
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(threshold_den) * F.col("_dot") * F.col("_dot")
+                >= F.lit(threshold_num) * F.col("_n2") * F.col("_n2b")
+            )
+        )
+    )
+    return hits.groupBy(F.col(id_col)).agg(
+        F.min("_eid").alias("eval_id"),
+        F.min_by(F.col("_dot"), F.col("_eid")).alias("dot"),
+    )
+
+
+def semantic_decontaminate_oracle(
+    train_sql: str,
+    bench_sql: str,
+    threshold_num: int = 81,
+    threshold_den: int = 100,
+    scale: int = 1000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`semantic_decontaminate` from the same parameters —
+    identical quantization, identical sqrt-free integer test, same
+    (min eval id, its dot) outputs.  ``train_sql``/``bench_sql`` are
+    full SELECTs producing (id_col, vec_col)."""
+
+    def lanes(src_sql: str, name: str) -> str:
+        return f"""{name}_q AS (
+    SELECT {id_col} AS id,
+           list_transform({vec_col},
+               x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r} + 0.5)
+                         AS BIGINT)) AS q
+    FROM ({src_sql})
+    WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+      AND len(list_filter({vec_col}, x -> x IS NULL)) = 0
+), {name}_l AS (
+    SELECT s.id, d.i, s.q[d.i] AS xq
+    FROM {name}_q s, dims d
+), {name}_n AS (
+    SELECT id, CAST(SUM(xq * xq) AS BIGINT) AS n2
+    FROM {name}_l GROUP BY id
+)"""
+
+    return f"""WITH dims AS (
+    SELECT unnest(generate_series(1, {dim})) AS i
+), {lanes(train_sql, "t")}, {lanes(bench_sql, "b")},
+dots AS (
+    SELECT tl.id AS tid, bl.id AS bid,
+           CAST(SUM(tl.xq * bl.xq) AS BIGINT) AS dot
+    FROM t_l tl JOIN b_l bl USING (i)
+    GROUP BY tl.id, bl.id
+), hits AS (
+    SELECT d.tid, d.bid, d.dot
+    FROM dots d
+    JOIN t_n ON t_n.id = d.tid
+    JOIN b_n ON b_n.id = d.bid
+    WHERE d.dot > 0
+      AND {threshold_den} * d.dot * d.dot
+          >= {threshold_num} * t_n.n2 * b_n.n2
+)
+SELECT tid AS {id_col},
+       CAST(MIN(bid) AS BIGINT) AS eval_id,
+       CAST(ARG_MIN(dot, bid) AS BIGINT) AS dot
+FROM hits GROUP BY tid"""

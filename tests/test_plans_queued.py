@@ -466,3 +466,27 @@ def test_sq8_encode_is_shuffle_free_projection(spark):
     assert "Exchange" not in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_semantic_decontam_bench_broadcast_train_never_shuffles(spark):
+    """operators/decontam.py semantic_decontaminate: the benchmark
+    side BROADCASTS (the pairing is a BroadcastNestedLoopJoin
+    evaluated map-side inside the train scan — the one legitimate
+    BNLJ in the repo: an exact all-pairs cosine against a small eval
+    set has no equi-key by construction), no Python touches the hot
+    path, and the only exchange is the per-id hit aggregate AFTER
+    the contamination filter."""
+    from survivor_processing_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    bench = emb.filter("vec_id % 10 = 0")
+    train = emb.filter("vec_id % 10 <> 0")
+    plan = _plan(semantic_decontaminate(train, bench, dim=64))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    for node in PY_NODES:
+        assert node not in plan
+    # exactly one hash-partitioning exchange: the hits aggregate
+    assert plan.count("Exchange hashpartitioning") == 1

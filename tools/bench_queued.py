@@ -76,6 +76,9 @@ def _ops(spark, sf_dir):
         commit_version(d, adds=["f2.parquet"], removes=["f1.parquet"])
         return d
 
+    from survivor_processing_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
     from survivor_processing_spark.operators.fingerprint import (
         content_fingerprint,
     )
@@ -190,6 +193,11 @@ def _ops(spark, sf_dir):
             per_slot=4,
         ),
         "sq8_summary": lambda: sq8_summary(emb, dim=64),
+        "semantic_decontam": lambda: semantic_decontaminate(
+            emb.filter("vec_id % 100 <> 0"),
+            emb.filter("vec_id % 100 = 0"),  # eval ~1% of corpus
+            dim=64,
+        ),
         "stream_interval_join": lambda: stream_interval_join(
             events.selectExpr(
                 "user_id", "event_id AS view_id", "ts AS view_ts"

@@ -1765,6 +1765,86 @@ def fuzz_sq8(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_semantic_decontam(spark, rng, trials: int) -> int:
+    """operators/decontam.py semantic_decontaminate (unit-gated,
+    queued): random train/bench vector sets with PLANTED copies and
+    scaled copies — Spark == DuckDB oracle exactly, and every
+    planted copy is flagged against its source."""
+    from survivor_processing_spark.operators.decontam import (
+        semantic_decontaminate,
+        semantic_decontaminate_oracle,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        dim = rng.randrange(3, 9)
+        n_train = rng.randrange(5, 40)
+        n_bench = rng.randrange(1, 6)
+        num, den = rng.choice([(81, 100), (64, 100), (1, 4), (9, 16)])
+        bench = [
+            (100 + j, [rng.uniform(-2, 2) for _ in range(dim)])
+            for j in range(n_bench)
+        ]
+        train = [
+            (i, [rng.uniform(-2, 2) for _ in range(dim)])
+            for i in range(n_train)
+        ]
+        planted = []
+        for j, (bid, bv) in enumerate(bench):
+            if rng.random() < 0.7:
+                scale_f = rng.choice([1.0, 0.5, 2.0])
+                planted.append((1000 + bid, [x * scale_f for x in bv]))
+        train += planted
+        tdf = spark.createDataFrame(
+            train, "vec_id long, embedding array<double>"
+        )
+        bdf = spark.createDataFrame(
+            bench, "vec_id long, embedding array<double>"
+        )
+        got = sorted(
+            tuple(int(x) for x in r)
+            for r in semantic_decontaminate(
+                tdf, bdf, threshold_num=num, threshold_den=den, dim=dim
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "t_tbl",
+            pd.DataFrame(
+                {"vec_id": [i for i, _ in train],
+                 "embedding": [v for _, v in train]}
+            ),
+        )
+        con.register(
+            "b_tbl",
+            pd.DataFrame(
+                {"vec_id": [i for i, _ in bench],
+                 "embedding": [v for _, v in bench]}
+            ),
+        )
+        want = sorted(
+            tuple(int(x) for x in r)
+            for r in con.execute(
+                semantic_decontaminate_oracle(
+                    "SELECT vec_id, embedding FROM t_tbl",
+                    "SELECT vec_id, embedding FROM b_tbl",
+                    threshold_num=num, threshold_den=den, dim=dim,
+                )
+            ).fetchall()
+        )
+        flagged = {t for t, _, _ in got}
+        # a zero planted vector has cos undefined (dot 0) — exclude
+        missed = [
+            pid for pid, pv in planted
+            if any(abs(x) > 1e-6 for x in pv) and pid not in flagged
+        ]
+        if got != want or missed:
+            fails += 1
+            print(f"  semantic_decontam mismatch: {got[:3]} vs {want[:3]},"
+                  f" missed={missed}")
+    return fails
+
+
 def fuzz_cow_merge(spark, rng, trials: int) -> int:
     """sinks/merge.py merge_into_snapshot (B1 family, r8): random
     seed layouts + random update/insert batches — the post-merge
@@ -1901,6 +1981,7 @@ def main() -> int:
         ("stream_join", fuzz_stream_join),
         ("sq8", fuzz_sq8),
         ("cow_merge", fuzz_cow_merge),
+        ("semantic_decontam", fuzz_semantic_decontam),
     ):
         if only is not None and name not in only:
             continue

@@ -61,6 +61,8 @@ QUEUE = [
     ("triangle_counts", "triangle_counts_oracle", f"{OPS}.graphstats", "test_graphstats.py", "graphstats", "triangle_counts"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     ("build_zonemap", "zonemap_oracle", f"{OPS}.zonemap", "test_zonemap.py", "zonemap", "zonemap_build"),
+    # queued r9 (net-new 1 <= registered-2 cap — ROTATION_r09.md)
+    ("semantic_decontaminate", "semantic_decontaminate_oracle", f"{OPS}.decontam", "test_semantic_decontam.py", "semantic_decontam", "semantic_decontam"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
