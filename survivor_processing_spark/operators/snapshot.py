@@ -238,6 +238,14 @@ def file_key_blooms(
     reject NULL keys outright)."""
     from .bloom import _positions, _powers
 
+    if num_bits < 64 or num_bits % 64:
+        # the packed form is whole int64 words; a ragged tail word
+        # would make a probe position index past the dense array
+        # (NULL under legacy, an error under ANSI — either way not a
+        # filter).  Reject at build time, never at probe time.
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
     paths = [os.path.join(table_dir, f) for f in files]
     pos = (
         spark.read.parquet(*paths)

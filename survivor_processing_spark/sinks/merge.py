@@ -378,7 +378,16 @@ def merge_into_snapshot(
             and b.get("m")
             and b.get("b64")
         ):
-            brows.append((fname, int(b["m"]), unpack_words(b["b64"])))
+            # a truncated/undecodable/mismatched packed filter must
+            # degrade to envelope-only for THIS file (an out-of-range
+            # probe would read NULL and silently skip) — never skip
+            # blind
+            try:
+                words = unpack_words(b["b64"])
+            except Exception:
+                words = None
+            if words is not None and len(words) * 64 == int(b["m"]):
+                brows.append((fname, int(b["m"]), words))
     if brows:
         bm = spark.createDataFrame(
             brows, "file string, m long, words array<long>"

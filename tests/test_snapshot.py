@@ -767,3 +767,35 @@ def test_bloom_auto_sizing_scales_with_rows(spark, table_dir):
     # correctness unchanged
     rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
     assert rows[5] == -1.0 and len(rows) == 5010
+
+
+def test_bloom_guards_reject_ragged_and_ignore_corrupt(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        file_key_blooms,
+        file_stats,
+        stats_for_files,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "x.parquet", [1, 2, 3])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        file_key_blooms(spark, table_dir, ["x.parquet"], "k", num_bits=100)
+    # a corrupt (truncated) recorded bloom degrades that file to
+    # envelope-only: the merge still finds and updates its keys
+    stats = stats_for_files(table_dir, ["x.parquet"], ["k"])
+    good = file_key_blooms(spark, table_dir, ["x.parquet"], "k")["x.parquet"]
+    good["b64"] = good["b64"][: len(good["b64"]) // 2]  # torn payload
+    stats["x.parquet"]["k"]["bloom"] = good
+    commit_version(table_dir, adds=["x.parquet"], stats=stats)
+    out = merge_into_snapshot(
+        spark, table_dir,
+        spark.createDataFrame([(2, -1.0)], "k long, amt double"), "k",
+    )
+    assert out["n_affected"] == 1
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, table_dir).collect()}
+    assert rows[2] == -1.0 and len(rows) == 3
+    # the rewrite re-recorded a HEALTHY bloom for its new file
+    rec = file_stats(table_dir)
+    for f in out["adds"]:
+        b = rec[f]["k"]["bloom"]
+        assert len(b["b64"]) > 0 and b["m"] % 64 == 0
