@@ -570,9 +570,11 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     Crash-safe at every step, by construction of the replay:
     1. the baseline entry replaces the cut version via ``os.replace``
        (atomic).  A replay that still sees the older entries PLUS the
-       baseline computes the SAME active set — adds are set-unions,
-       so re-adding already-active files in the baseline is
-       idempotent for replay purposes;
+       baseline computes the SAME active set: adds are set-unions
+       (re-adding already-active files is idempotent) and the
+       baseline carries EXPLICIT removes for everything the cut
+       version dropped, so the stale prefix cannot resurrect a
+       removed file through the union;
     2. expired entry files are deleted (a crash part-way leaves some
        history readable, never a wrong answer);
     3. now-unreferenced data files are deleted; a crash before this
@@ -609,10 +611,22 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
             with open(_entry_path(table_dir, v)) as f:
                 referenced |= set(json.load(f)["adds"])
     doomed = sorted(ever_pre_cut - referenced)
+    # the baseline must carry EXPLICIT removes for everything active
+    # just before the cut that the cut version dropped: replay is a
+    # set-union of adds, so during the crash window where the old
+    # entries still coexist with the baseline, a removes-free
+    # baseline would RESURRECT files the original cut entry removed
+    # (the prefix re-contributes them and nothing subtracts them).
+    # With the removes present, both replays agree: prefix ∪ adds −
+    # removes = active(cut) mid-crash, and adds − removes =
+    # active(cut) after the prefix is deleted (replay subtracts
+    # without validating, so removes of already-absent names are
+    # harmless there).
+    active_before_cut, _ = _replay(table_dir, expired[-1])
     baseline = {
         "version": cut,
         "adds": sorted(active_at_cut),
-        "removes": [],
+        "removes": sorted(active_before_cut - active_at_cut),
         "baseline": True,
     }
     carried = {

@@ -799,3 +799,43 @@ def test_bloom_guards_reject_ragged_and_ignore_corrupt(spark, table_dir):
     for f in out["adds"]:
         b = rec[f]["k"]["bloom"]
         assert len(b["b64"]) > 0 and b["m"] % 64 == 0
+
+
+def test_expire_crash_window_cannot_resurrect_removed_files(spark, table_dir):
+    """Simulate the crash between the baseline rewrite and the
+    expired-entry deletion: restore the expired entries NEXT TO the
+    baseline and replay — a file the cut version removed must stay
+    removed (the baseline's explicit removes defeat the union), and
+    every retained version replays identically."""
+    import json as _json
+
+    from survivor_processing_spark.operators.snapshot import (
+        _entry_path,
+        expire_snapshots,
+    )
+
+    for n, ks in [("a", [1]), ("b", [2]), ("c", [3]), ("d", [4])]:
+        _write(table_dir, f"{n}.parquet", ks)
+    commit_version(table_dir, adds=["a.parquet", "b.parquet"])   # v1
+    commit_version(table_dir, adds=["c.parquet"],
+                   removes=["a.parquet"])                        # v2 (cut)
+    commit_version(table_dir, adds=["d.parquet"])                # v3
+    # stash the entries that expiry will delete
+    stash = {
+        v: open(_entry_path(table_dir, v)).read() for v in (1,)
+    }
+    out = expire_snapshots(table_dir, keep_last=2)
+    assert out["cut_version"] == 2 and out["deleted_files"] == ["a.parquet"]
+    want_v2 = snapshot_files(table_dir, 2)
+    want_v3 = snapshot_files(table_dir, 3)
+    assert "a.parquet" not in want_v2
+    # baseline carries the explicit remove
+    with open(_entry_path(table_dir, 2)) as f:
+        base = _json.load(f)
+    assert base["removes"] == ["a.parquet"] and base.get("baseline")
+    # recreate the crash window: old v1 entry coexists with baseline
+    for v, payload in stash.items():
+        with open(_entry_path(table_dir, v), "w") as f:
+            f.write(payload)
+    assert snapshot_files(table_dir, 2) == want_v2   # no resurrection
+    assert snapshot_files(table_dir, 3) == want_v3
