@@ -52,18 +52,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+def _positions(
+    key: Column, num_bits: int | Column, num_hashes: int
+) -> list[Column]:
     """k independent bit positions for ``key`` (enhanced-double-hash
-    family over two xxhash64 lanes — standard Kirsch-Mitzenmacher)."""
+    family over two xxhash64 lanes — standard Kirsch-Mitzenmacher).
+
+    ``num_bits`` may be a Column (per-row filter size) — the
+    manifest-bloom PROBE (sinks/merge.py) derives its membership test
+    from THIS function against blooms built by it, so the hash family
+    physically cannot drift between build and probe."""
+    nb = num_bits if isinstance(num_bits, Column) else F.lit(num_bits)
     # Each lane is reduced mod num_bits BEFORE the double-hash combine
     # so the arithmetic stays far from long range (ANSI mode overflows
     # raw xxhash64 sums); the combine then needs at most
     # num_hashes * num_bits headroom.
-    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(num_bits))
-    return [
-        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
-    ]
+    h1 = F.pmod(F.xxhash64(key), nb)
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), nb)
+    return [F.pmod(h1 + F.lit(i) * h2, nb) for i in range(num_hashes)]
 
 
 def _powers() -> Column:

@@ -97,6 +97,17 @@ def commit_version(
     removes = list(removes or [])
     if not adds and not removes:
         raise ValueError("empty commit")
+    # FLAT names only: every layer that keys on a file (zone-map
+    # manifests, bloom builds via input_file_name, vacuum's listdir)
+    # identifies files by basename, so a path-shaped name would let
+    # 'sub/x.parquet' silently vanish from pruned scans while reads
+    # still resolve it.  One representation everywhere — reject,
+    # don't guess.
+    shaped = [n for n in adds + removes if "/" in n or "\\" in n]
+    if shaped:
+        raise ValueError(
+            f"file names must be flat (no path separators): {shaped}"
+        )
     versions = log_versions(table_dir)
     active = set(snapshot_files(table_dir)) if versions else set()
     dup = [a for a in adds if a in active]
@@ -148,6 +159,7 @@ def snapshot_zonemap(
     table_dir: str,
     cols: list[str],
     version: int | None = None,
+    recorded: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Zone-map manifest for a snapshot, LOG-FIRST: files whose
     commit recorded stats for every requested column are served from
@@ -159,7 +171,11 @@ def snapshot_zonemap(
     ``prune_files``/``pruned_scan``."""
     from .zonemap import file_column_stats
 
-    recorded = file_stats(table_dir, version)
+    # ``recorded`` lets a caller that already replayed the log (the
+    # copy-on-write merge reads stats once for envelopes AND blooms)
+    # skip a second replay of the same entries
+    if recorded is None:
+        recorded = file_stats(table_dir, version)
     rows = []
     for name in sorted(recorded):
         st = recorded[name]
@@ -638,7 +654,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     with open(tmp, "w") as f:
         json.dump(baseline, f)
     os.replace(tmp, _entry_path(table_dir, cut))
-    for v in expired:
+    # delete NEWEST-expired first: a crash mid-loop then leaves a
+    # contiguous prefix starting at v1, and every surviving version
+    # still replays over its FULL history — oldest-first deletion
+    # would leave expired entries whose prefix is gone, replaying a
+    # silently wrong (smaller) active set for them
+    for v in reversed(expired):
         try:
             os.remove(_entry_path(table_dir, v))
         except OSError:

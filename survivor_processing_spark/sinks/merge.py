@@ -66,6 +66,20 @@ class MergeTable:
             merge_upsert(self.spark, self.path, source, self.keys)
 
 
+def _row_tiebreak(source: DataFrame):
+    """Deterministic whole-row ordering key for within-source
+    duplicate resolution: xxhash64 over every hashable column (map
+    columns are excluded — Spark's hash functions reject them; rows
+    identical except for a map payload still tie, which is the same
+    value either way for every other column)."""
+    hashable = [
+        f.name
+        for f in source.schema
+        if not f.dataType.simpleString().startswith("map<")
+    ]
+    return F.xxhash64(*[F.col(c) for c in hashable])
+
+
 def merge_upsert(
     spark: SparkSession, target_path: str, source: DataFrame, keys: list[str]
 ) -> None:
@@ -73,20 +87,37 @@ def merge_upsert(
     ``keys``.  Last-writer-wins per key (source beats target), ties
     within the source resolved deterministically by key order."""
     table = MergeTable(spark, target_path, keys)
+    # within-source duplicate keys resolve by a DETERMINISTIC
+    # tiebreak (xxhash64 over the full row), not by whichever row a
+    # partition happened to deliver first — dropDuplicates/arbitrary
+    # window order would let two identical re-runs persist different
+    # values, breaking the idempotency this sink promises
+    tiebreak = _row_tiebreak(source)
     if not table.exists():
-        merged = source.dropDuplicates(keys)
+        w0 = Window.partitionBy(*keys).orderBy(tiebreak)
+        merged = (
+            source.withColumn("_rn", F.row_number().over(w0))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         _atomic_overwrite(spark, merged, target_path)
         return
 
     target = spark.read.parquet(target_path)
-    src = source.withColumn("_src_priority", F.lit(0))
-    tgt = target.withColumn("_src_priority", F.lit(1))
+    src = source.withColumn("_src_priority", F.lit(0)).withColumn(
+        "_tie", tiebreak
+    )
+    tgt = target.withColumn("_src_priority", F.lit(1)).withColumn(
+        "_tie", F.lit(0).cast("long")
+    )
     unioned = src.unionByName(tgt, allowMissingColumns=True)
-    w = Window.partitionBy(*keys).orderBy(F.asc("_src_priority"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc("_src_priority"), F.asc("_tie")
+    )
     merged = (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src_priority")
+        .drop("_rn", "_src_priority", "_tie")
     )
     _atomic_overwrite(spark, merged, target_path)
 
@@ -105,11 +136,30 @@ def merge_upsert_partitioned(
     by the merge keys (it is for every date/season-partitioned fact
     here).  Uses dynamic partition overwrite, so untouched partition
     directories are never listed, read, or replaced."""
+    # a NULL partition value would be unreachable by the isin()
+    # partition filter below but still REPLACED by the dynamic
+    # overwrite — unmatched target rows in the NULL partition would
+    # be silently deleted.  The documented contract is fill-before-
+    # merge (K3); enforce it instead of losing data.
+    if (
+        source.filter(F.col(partition_by).isNull()).limit(1).count() > 0
+    ):
+        raise ValueError(
+            f"source has NULL {partition_by!r} partition values — "
+            "fill partition keys before merging (K3 contract)"
+        )
     table = MergeTable(spark, target_path, keys)
+    tiebreak = _row_tiebreak(source)
     if not table.exists():
-        source.dropDuplicates(keys).write.mode("overwrite").partitionBy(
-            partition_by
-        ).parquet(target_path)
+        w0 = Window.partitionBy(*keys).orderBy(tiebreak)
+        (
+            source.withColumn("_rn", F.row_number().over(w0))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(target_path)
+        )
         return
 
     # partitions present in the source — small distinct, broadcastable
@@ -119,14 +169,20 @@ def merge_upsert_partitioned(
     target = spark.read.parquet(target_path).filter(
         F.col(partition_by).isin(src_parts)
     )
-    src = source.withColumn("_src_priority", F.lit(0))
-    tgt = target.withColumn("_src_priority", F.lit(1))
-    w = Window.partitionBy(*keys).orderBy(F.asc("_src_priority"))
+    src = source.withColumn("_src_priority", F.lit(0)).withColumn(
+        "_tie", tiebreak
+    )
+    tgt = target.withColumn("_src_priority", F.lit(1)).withColumn(
+        "_tie", F.lit(0).cast("long")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc("_src_priority"), F.asc("_tie")
+    )
     merged = (
         src.unionByName(tgt, allowMissingColumns=True)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src_priority")
+        .drop("_rn", "_src_priority", "_tie")
     )
     # the merged delta reads from target_path and overwrites it:
     # materialize (lineage break) so the writer doesn't see itself as
@@ -252,7 +308,7 @@ def merge_into_snapshot(
     Source rows whose keys fall outside every envelope are inserts
     by the zone-map contract (a file whose envelope excludes the key
     provably cannot contain it)."""
-    from ..operators.bloom import _powers
+    from ..operators.bloom import _positions, _powers
     from ..operators.snapshot import (
         commit_version,
         file_key_blooms,
@@ -312,6 +368,13 @@ def merge_into_snapshot(
         raise ValueError(
             f"source is missing table columns {missing}"
         )
+    extra = sorted(set(src_types) - {c for c, _ in head.dtypes})
+    if extra:
+        raise ValueError(
+            f"source has columns the table lacks: {extra} — a silent "
+            "drop would lose data and a silent add would drift the "
+            "schema; evolve the table explicitly instead"
+        )
     drift = [
         (c, src_types[c], t) for c, t in head.dtypes if src_types[c] != t
     ]
@@ -324,8 +387,10 @@ def merge_into_snapshot(
     # recorded key stats are planned with ZERO footer reads — at
     # 100 TB, reopening a million footers per merge costs more than
     # the rewrite it prunes; files from pre-stats commits fall back
-    # to a footer walk inside snapshot_zonemap (correct, slower)
-    zm = snapshot_zonemap(spark, table_dir, [key_col])
+    # to a footer walk inside snapshot_zonemap (correct, slower).
+    # ONE log replay feeds both the envelopes and the bloom probe.
+    rec = file_stats(table_dir)
+    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=rec)
     mismatched = (
         zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
         .limit(1)
@@ -368,7 +433,6 @@ def merge_into_snapshot(
     # coexist); a file without a recorded bloom (or an unexpected k)
     # stays envelope-only — never skip blind.  False positives cost
     # one extra file rewrite, never correctness.
-    rec = file_stats(table_dir)
     brows = []
     for fname in active:
         b = rec.get(fname, {}).get(key_col, {}).get("bloom")
@@ -392,13 +456,8 @@ def merge_into_snapshot(
         bm = spark.createDataFrame(
             brows, "file string, m long, words array<long>"
         )
-        h1 = F.pmod(F.xxhash64(F.col("_k")), F.col("m"))
-        h2 = F.pmod(
-            F.xxhash64(F.col("_k"), F.lit(0x9E3779B9)), F.col("m")
-        )
 
-        def _bit_set(i: int):
-            p = F.pmod(h1 + F.lit(i) * h2, F.col("m"))
+        def _bit_set(p):
             word = F.element_at(
                 F.col("words"), (p / F.lit(64)).cast("int") + F.lit(1)
             )
@@ -407,9 +466,15 @@ def merge_into_snapshot(
             )
             return word.bitwiseAND(mask) != F.lit(0)
 
+        # probe positions come from the SAME _positions the build
+        # used (Column num_bits = per-row m), so the hash family
+        # cannot drift — a drift here would read unset bits and
+        # silently insert keys the file already holds
+        member = None
+        for p in _positions(F.col("_k"), F.col("m"), 3):
+            member = _bit_set(p) if member is None else member & _bit_set(p)
         cand = cand.join(F.broadcast(bm), "file", "left").where(
-            F.col("m").isNull()
-            | (_bit_set(0) & _bit_set(1) & _bit_set(2))
+            F.col("m").isNull() | member
         )
     hits = cand.select("file").distinct().collect()
     affected = sorted(r["file"] for r in hits)
@@ -445,30 +510,37 @@ def merge_into_snapshot(
     # commit is mopped up by operators/snapshot.py vacuum_orphans.
     # The new files' key envelopes ride the commit (stats-in-manifest)
     # so the NEXT merge plans them log-first, no footer reads.
-    new_stats = stats_for_files(table_dir, adds, [key_col])
-    if bloom_bits:
-        # "auto" sizes each file's filter at ~10 bits/key from the
-        # row count the stats pass just measured, clamped to
-        # [2^13, 2^17] bits (1-16 KiB in the log entry — the log
-        # grows with the FILTER, not the data; beyond the clamp the
-        # filter stays correct and degrades toward pass-through,
-        # with the envelope cut still in front).  Files needing the
-        # same size share one distributed build job; mixed sizes
-        # coexist in one table because the probe reads m per row.
-        groups: dict[int, list[str]] = {}
-        for fname in adds:
-            if bloom_bits == "auto":
-                n = int(new_stats[fname][key_col]["n_rows"])
-                m = min(1 << 17, max(1 << 13, 1 << (10 * max(n, 1)).bit_length()))
-            else:
-                m = int(bloom_bits)
-            groups.setdefault(m, []).append(fname)
-        for m, fs in groups.items():
-            for fname, b in file_key_blooms(
-                spark, table_dir, fs, key_col, num_bits=m
-            ).items():
-                new_stats[fname][key_col]["bloom"] = b
+    # everything from here to the commit sits inside the rollback
+    # scope: a stats or bloom failure must unwind the renamed data
+    # files exactly like a commit failure would
     try:
+        new_stats = stats_for_files(table_dir, adds, [key_col])
+        if bloom_bits:
+            # "auto" sizes each file's filter at ~10 bits/key from
+            # the row count the stats pass just measured, clamped to
+            # [2^13, 2^17] bits (1-16 KiB in the log entry — the log
+            # grows with the FILTER, not the data; beyond the clamp
+            # the filter stays correct and degrades toward
+            # pass-through, with the envelope cut still in front).
+            # Files needing the same size share one distributed
+            # build job; mixed sizes coexist in one table because
+            # the probe reads m per row.
+            groups: dict[int, list[str]] = {}
+            for fname in adds:
+                if bloom_bits == "auto":
+                    n = int(new_stats[fname][key_col]["n_rows"])
+                    m = min(
+                        1 << 17,
+                        max(1 << 13, 1 << (10 * max(n, 1)).bit_length()),
+                    )
+                else:
+                    m = int(bloom_bits)
+                groups.setdefault(m, []).append(fname)
+            for m, fs in groups.items():
+                for fname, b in file_key_blooms(
+                    spark, table_dir, fs, key_col, num_bits=m
+                ).items():
+                    new_stats[fname][key_col]["bloom"] = b
         version = commit_version(
             table_dir,
             adds=adds,

@@ -319,10 +319,10 @@ def test_merge_rejects_schema_drift(spark, table_dir):
     extra = spark.createDataFrame(
         [(500, 1.0, "x")], "k long, amt double, junk string"
     )
-    # extra columns are dropped by the table-schema projection (same
-    # contract as the affected path), never written to data files
-    out = merge_into_snapshot(spark, table_dir, extra, "k")
-    assert out["n_affected"] == 0
+    # extra columns are REJECTED: a silent drop loses the caller's
+    # data, a silent add drifts the table schema
+    with pytest.raises(ValueError, match="columns the table lacks"):
+        merge_into_snapshot(spark, table_dir, extra, "k")
     assert read_snapshot(spark, table_dir).columns == ["k", "amt"]
     retyped = spark.createDataFrame([(501, 1)], "k long, amt int")
     with pytest.raises(ValueError, match="drift"):
