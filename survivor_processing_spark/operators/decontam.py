@@ -73,9 +73,15 @@ def ngram_decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+    # NO broadcast hint on the hits join-back: hits is one row per
+    # CONTAMINATED doc — tiny on honest corpora, unbounded on an
+    # adversarial one.  An explicit hint is never demoted, so the
+    # documented AQE fallback to a shuffle join only exists if the
+    # planner keeps the choice (AQE still broadcasts small hit
+    # tables at runtime on its own).
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),

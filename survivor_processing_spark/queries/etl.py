@@ -29,6 +29,7 @@ from ..operators.fingerprint import (
 from ..operators.partial_agg import merge_agg_states, partial_agg_state
 from ..operators.skew import bucketed_join, write_bucketed
 from ._registry import register
+from ._util import detach_and_cleanup as _detach_and_cleanup
 
 
 def _dec(c: str):
@@ -55,7 +56,6 @@ GROUP BY c.c_mktsegment
 """,
 )
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     tag = uuid.uuid4().hex[:8]
@@ -84,10 +84,9 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
     )
-    res = out.localCheckpoint(eager=True)
+    res = _detach_and_cleanup(out, base)
     spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
     spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
-    shutil.rmtree(base, ignore_errors=True)
     return res
 
 
@@ -220,8 +219,14 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cols={"max_ts_epoch": "ts_epoch"},
         count_col="n_events",
     )
+    # the split must be EXHAUSTIVE: a NULL ts satisfies neither
+    # comparison, so without the isNull arm those rows would silently
+    # vanish from the merged aggregate while the oracle (no ts
+    # predicate) counts them — route unknown-time rows with the delta
     state = mk_state(ev.filter(F.col("ts") < cutoff))
-    delta = mk_state(ev.filter(F.col("ts") >= cutoff))
+    delta = mk_state(
+        ev.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff))
+    )
     merged = merge_agg_states(
         [state, delta],
         keys=["user_id"],
@@ -353,7 +358,6 @@ GROUP BY event_type
 """,
 )
 def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     path = f"{tempfile.gettempdir()}/spark_graft_orc_{uuid.uuid4().hex[:8]}"
@@ -370,9 +374,7 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
     )
-    res = out.localCheckpoint(eager=True)
-    shutil.rmtree(path, ignore_errors=True)
-    return res
+    return _detach_and_cleanup(out, path)
 
 
 # --- D-family at scale: explicit salted join ---------------------------------
@@ -500,7 +502,6 @@ GROUP BY event_type
 """,
 )
 def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
 
     path = f"{tempfile.gettempdir()}/spark_graft_evo_{uuid.uuid4().hex[:8]}"
@@ -519,9 +520,7 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_with_value"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
     )
-    res = out.localCheckpoint(eager=True)
-    shutil.rmtree(path, ignore_errors=True)
-    return res
+    return _detach_and_cleanup(out, path)
 
 
 # --- Bloom-filter pre-filtered join -----------------------------------------
@@ -713,4 +712,9 @@ def snapshot_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_version(d, adds=["p0.parquet", "p1.parquet"])
     commit_version(d, adds=["p2.parquet"], removes=["p0.parquet"])
     commit_version(d, adds=["p3.parquet"])
-    return snapshot_summary(spark, d, [1, 2, 3], "o_totalprice")
+    # the summary is 3 rows — checkpoint it and delete the staged
+    # table, or every run (driver rounds, bench reps) leaks a full
+    # copy of orders in /tmp
+    return _detach_and_cleanup(
+        snapshot_summary(spark, d, [1, 2, 3], "o_totalprice"), d
+    )

@@ -23,16 +23,8 @@ from ..streaming.incremental import (
     streaming_counts_query,
 )
 from ._registry import register
-
-def _detach_and_cleanup(df: DataFrame, *paths: str) -> DataFrame:
-    """Materialize ``df`` off its backing files (localCheckpoint pins
-    the rows in block-manager storage), then delete the temp dirs —
-    the caller's DataFrame stays valid after cleanup.  On a cluster
-    the equivalent is ``checkpoint()`` to fault-tolerant storage."""
-    out = df.localCheckpoint(eager=True)
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
-    return out
+from ._util import detach_and_cleanup as _detach_and_cleanup
+from ._util import detach_sink as _detach_sink
 
 
 def _await_or_die(q, timeout_s: int) -> None:
@@ -168,13 +160,16 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_or_die(q, 120)
-    return spark.table(sink).select(
-        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
+    return _detach_sink(
+        spark.table(sink).select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
         ),
-        "event_type",
-        "n_events",
-        "total_value",
+        sink,
     )
 
 
@@ -309,7 +304,7 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_or_die(q, 120)
-    return _detach_and_cleanup(spark.table(sink), base)
+    return _detach_sink(spark.table(sink), sink, base)
 
 
 @register(
@@ -358,7 +353,7 @@ def streaming_running_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update-mode memory sink appends every update; the END state per
     # key is the row from the LAST batch that touched the key
     final = spark.table(sink).groupBy("key").agg(F.max("max_ts").alias("max_ts"))
-    return _detach_and_cleanup(final, base)
+    return _detach_sink(final, sink, base)
 
 
 # --- N1 streaming: session windows (stateful merge across batches) ----------
@@ -417,11 +412,14 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_or_die(q, 120)
-    return spark.table(sink).select(
-        "user_id",
-        F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
-        "n_events",
-        "total_value",
+    return _detach_sink(
+        spark.table(sink).select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+            "total_value",
+        ),
+        sink,
     )
 
 
@@ -516,13 +514,16 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     _await_or_die(q, 120)
-    return spark.table(sink).select(
-        "click_id",
-        "purchase_id",
-        "user_id",
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
-        ).alias("secs_after"),
+    return _detach_sink(
+        spark.table(sink).select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("secs_after"),
+        ),
+        sink,
     )
 
 
@@ -574,7 +575,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         "event_type",
         F.unix_timestamp("ts").alias("ts_epoch"),
     )
-    return _detach_and_cleanup(out, base)
+    return _detach_sink(out, sink, base)
 
 
 # --- N1+E at scale: streaming materialized aggregate (state merge) ----------
@@ -631,7 +632,16 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_col="n_events",
         )
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch may REDELIVER a batch_id (crash between the
+        # state swap and the checkpoint commit, then restart): folding
+        # twice would double-count, so the applied batch_id rides
+        # INSIDE the state dir as a marker file — the atomic rename
+        # moves data and marker together, making the fold
+        # exactly-once (markers are _-prefixed: parquet readers skip
+        # them).  Batches commit in order, so one marker suffices.
+        if os.path.exists(os.path.join(state, f"_applied_{batch_id}")):
+            return
         s = batch_df.sparkSession
         delta = mk_state(batch_df)
         if os.path.exists(state):
@@ -645,6 +655,9 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = delta
         # land-then-swap keeps readers off half-written state
         merged.write.mode("overwrite").parquet(f"{state}_new")
+        open(
+            os.path.join(f"{state}_new", f"_applied_{batch_id}"), "w"
+        ).close()
         if os.path.exists(state):
             shutil.rmtree(state)
         os.rename(f"{state}_new", state)
@@ -720,4 +733,9 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_or_die(q, 120)
-    return spark.table(sink).select("tier", "event_type", "n_events", "total_value")
+    return _detach_sink(
+        spark.table(sink).select(
+            "tier", "event_type", "n_events", "total_value"
+        ),
+        sink,
+    )

@@ -57,6 +57,12 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "10 minutes
     stage = tempfile.mkdtemp(prefix="spark_graft_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # queries downstream render event-time windows with date_format,
+    # which is session-timezone dependent; the engine's own sessions
+    # are UTC (session.py) but a foreign session (spark-submit with a
+    # system tz) would silently diverge from the timezone-naive
+    # DuckDB oracles — pin here, beside the other landed-format conf
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     landed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ts_is_nanos_long = isinstance(landed["ts"].dataType, LongType)
     ts_decl = "ts bigint" if ts_is_nanos_long else "ts timestamp"
