@@ -167,20 +167,58 @@ def semantic_decontaminate(
     centroid — same plan per probe."""
     bid = bench_id_col or id_col
     bvec = bench_vec_col or vec_col
+    # int64-headroom guard (mirrors the oracle's arithmetic): the
+    # contamination test computes den*dot^2 and num*n2*n2b, and by
+    # Cauchy-Schwarz dot^2 <= n2*n2b, so BOTH products fit int64 iff
+    # max(num, den) * n2 * n2b <= 2^63-1.  Enforce per side with
+    # n2 <= floor(sqrt((2^63-1)/max(num,den))) — checked on the
+    # ALREADY-COMPUTED norm column (no extra pass, no per-lane HOF):
+    # a vector over the bound raises instead of wrapping (legacy
+    # mode) or failing mid-job (ANSI).  At the defaults (scale=1e3,
+    # dim=64) this admits |x| up to ~2.1 — unit-normalized
+    # embeddings sit far inside it.
+    m = max(int(threshold_num), int(threshold_den))
+    if m < 1:
+        raise ValueError(
+            f"thresholds must be positive: {threshold_num}/{threshold_den}"
+        )
+    import math
+
+    n2_bound = math.isqrt((2**63 - 1) // m)
+
+    def guarded(col: str) -> F.Column:
+        return F.when(
+            F.col(col) > n2_bound,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "semantic_decontaminate: quantized |v|^2 = "
+                    ),
+                    F.col(col).cast("string"),
+                    F.lit(
+                        f" exceeds the int64 headroom bound {n2_bound}"
+                        f" (scale={scale}, dim={dim}); lower scale"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(col))
+
     # the pairing below is CPU-bound at n_bench*dim multiply-adds PER
     # TRAIN ROW, so the train side must occupy every core even when
     # its scan is one small file (a single hot task measured 216 s at
     # the 10x fixture vs ~7 s spread) — the multimodal spread lesson
     # applied to a JVM stage; the shuffle moves only quantized lanes
-    tq = _quantized(train, id_col, vec_col, dim, scale).repartition(
-        train.sparkSession.sparkContext.defaultParallelism
+    tq = (
+        _quantized(train, id_col, vec_col, dim, scale)
+        .withColumn("_n2", guarded("_n2"))
+        .repartition(train.sparkSession.sparkContext.defaultParallelism)
     )
     bq = (
         _quantized(bench, bid, bvec, dim, scale)
         .select(
             F.col(bid).alias("_eid"),
             F.col("_q").alias("_qb"),
-            F.col("_n2").alias("_n2b"),
+            guarded("_n2").alias("_n2b"),
         )
     )
     dot = F.expr(

@@ -44,6 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 LOG_DIR = "_sps_log"
 
 
+class SnapshotConflictError(RuntimeError):
+    """Raised when a commit cannot claim a version number — another
+    writer keeps winning the claim race (or the semantic
+    re-validation against the new head fails with its own error)."""
+
+
 def _log_path(table_dir: str) -> str:
     return os.path.join(table_dir, LOG_DIR)
 
@@ -72,12 +78,20 @@ def commit_version(
     adds: list[str] | None = None,
     removes: list[str] | None = None,
     stats: dict | None = None,
+    max_attempts: int = 10,
 ) -> int:
     """Append the next version to the log; returns its number.
 
-    Two-phase: the entry is written to a tmp name and ``os.replace``d
-    into place, so readers never observe a torn entry.  Strictly
-    sequential single-writer protocol (the Spark-driver case);
+    Two-phase: the entry is written to a unique tmp name and CLAIMED
+    as ``v{N}.json`` via ``os.link`` — atomic, and it FAILS if the
+    name exists — so readers never observe a torn entry and two
+    writers can never silently last-write-win the same version (the
+    first step of Delta/Iceberg optimistic concurrency).  On a lost
+    claim the commit re-reads the log, RE-VALIDATES its adds/removes
+    against the new head (a semantic conflict — our add now active,
+    our remove now gone — raises ``ValueError`` exactly like a bad
+    input), and retries with the next number; ``max_attempts``
+    exhausted raises :class:`SnapshotConflictError`.
     ``adds``/``removes`` are table-relative file names.  A remove of
     a file the snapshot doesn't hold, or an add of one it already
     holds, is rejected — silently tolerating either corrupts every
@@ -108,30 +122,50 @@ def commit_version(
         raise ValueError(
             f"file names must be flat (no path separators): {shaped}"
         )
-    versions = log_versions(table_dir)
-    active = set(snapshot_files(table_dir)) if versions else set()
-    dup = [a for a in adds if a in active]
-    if dup:
-        raise ValueError(f"add of already-active files: {dup}")
-    missing = [r for r in removes if r not in active]
-    if missing:
-        raise ValueError(f"remove of non-active files: {missing}")
     if stats:
         foreign = sorted(set(stats) - set(adds))
         if foreign:
             raise ValueError(
                 f"stats for files this commit does not add: {foreign}"
             )
-    v = (versions[-1] + 1) if versions else 1
-    os.makedirs(_log_path(table_dir), exist_ok=True)
-    entry = {"version": v, "adds": sorted(adds), "removes": sorted(removes)}
-    if stats:
-        entry["stats"] = stats
-    tmp = _entry_path(table_dir, v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-    os.replace(tmp, _entry_path(table_dir, v))
-    return v
+    import uuid
+
+    for _ in range(max_attempts):
+        versions = log_versions(table_dir)
+        active = set(snapshot_files(table_dir)) if versions else set()
+        dup = [a for a in adds if a in active]
+        if dup:
+            raise ValueError(f"add of already-active files: {dup}")
+        missing = [r for r in removes if r not in active]
+        if missing:
+            raise ValueError(f"remove of non-active files: {missing}")
+        v = (versions[-1] + 1) if versions else 1
+        os.makedirs(_log_path(table_dir), exist_ok=True)
+        entry = {
+            "version": v,
+            "adds": sorted(adds),
+            "removes": sorted(removes),
+        }
+        if stats:
+            entry["stats"] = stats
+        # unique tmp per attempt/writer: two racers must never clobber
+        # each other's staged entry
+        tmp = _entry_path(table_dir, v) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, _entry_path(table_dir, v))
+            return v
+        except FileExistsError:
+            # another writer claimed v between our listing and our
+            # link: loop — re-list, re-validate against the new head
+            continue
+        finally:
+            os.remove(tmp)
+    raise SnapshotConflictError(
+        f"could not claim a version in {table_dir!r} after "
+        f"{max_attempts} attempts (concurrent writers)"
+    )
 
 
 def file_stats(
@@ -140,18 +174,28 @@ def file_stats(
     """Replayed per-file stats for the files ACTIVE at ``version``:
     ``{file: {col: {...}}}``.  A file whose add carried no stats maps
     to ``{}`` — present, but envelope-less (callers fall back to a
-    footer read or treat it as unprunable; never skip blind)."""
+    footer read or treat it as unprunable; never skip blind).
+
+    Stats are replayed PER ENTRY, exactly like the active set: an add
+    resets the file's stats to whatever THAT commit recorded (or
+    nothing), and a remove drops them — so a name that is added with
+    stats, removed, and later re-added with different content can
+    never inherit the dead add's envelope/bloom (a stale envelope
+    would let a later prune or merge skip a file that matches)."""
     active, v = _replay(table_dir, version)
-    out: dict[str, dict] = {f: {} for f in active}
+    out: dict[str, dict] = {}
     for n in log_versions(table_dir):
         if n > v:
             break
         with open(_entry_path(table_dir, n)) as f:
             e = json.load(f)
+        for name in e["adds"]:
+            out[name] = {}
         for name, st in (e.get("stats") or {}).items():
-            if name in out:
-                out[name] = st
-    return out
+            out[name] = st
+        for name in e["removes"]:
+            out.pop(name, None)
+    return {f: out.get(f, {}) for f in active}
 
 
 def snapshot_zonemap(
@@ -676,25 +720,38 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     }
 
 
-def vacuum_orphans(table_dir: str) -> list[str]:
+def vacuum_orphans(
+    table_dir: str, grace_seconds: float = 0.0
+) -> list[str]:
     """Delete ``*.parquet`` files in ``table_dir`` that NO log entry
     ever added — data files stranded by a writer that crashed between
     rename and commit.  Every file any version references (active or
     historically removed) is untouched, so time travel keeps working
     for the whole log.  Returns the deleted names, sorted.
 
-    This is the safe half of Delta's VACUUM: it needs no retention
-    window because a never-committed file is unreachable from every
-    version by construction."""
+    CONCURRENCY CONTRACT: "never committed" is only provably "dead"
+    when no OTHER writer is mid-commit — a concurrent merge/compact
+    renames its data files into the table dir BEFORE its log commit,
+    and this vacuum would eat them in that window (the race Delta's
+    VACUUM keeps a retention window for).  Run it with no concurrent
+    writers, or pass ``grace_seconds`` > 0 to skip any candidate
+    whose mtime is within the window (an in-flight writer's files are
+    seconds old; a crash orphan is reclaimed by the NEXT pass)."""
+    import time
+
     ever: set[str] = set()
     for n in log_versions(table_dir):
         with open(_entry_path(table_dir, n)) as f:
             ever |= set(json.load(f)["adds"])
     if not ever:
         raise ValueError(f"no snapshot log under {table_dir!r}")
+    cutoff = time.time() - grace_seconds
     gone = []
     for f in sorted(os.listdir(table_dir)):
         if f.endswith(".parquet") and f not in ever:
-            os.remove(os.path.join(table_dir, f))
+            path = os.path.join(table_dir, f)
+            if grace_seconds > 0 and os.path.getmtime(path) > cutoff:
+                continue
+            os.remove(path)
             gone.append(f)
     return gone

@@ -12,6 +12,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..operators.decontam import (
+    semantic_decontaminate as _semantic_decontaminate,
+)
+from ..operators.decontam import (
+    semantic_decontaminate_oracle as _decon_oracle,
+)
+from ..operators.pq import pq_adc_topk as _pq_adc_topk
+from ..operators.pq import pq_adc_topk_oracle as _pq_adc_oracle
+from ..operators.pq import pq_portable_oracle as _pq_oracle
+from ..operators.pq import pq_train_encode as _pq_train_encode
 from ..operators.quantize import sq8_summary as _sq8_summary
 from ..operators.quantize import sq8_summary_oracle as _sq8_oracle
 from ..operators.similarity import (
@@ -235,3 +245,125 @@ def sq8_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sq8_summary(
         load_table(spark, sf_dir, "embeddings"), dim=64
     )
+
+
+_PQ_QUERY = [0.1] * 64  # fixed ADC query; both engines share its
+# exact 1e-6 fixed-point lanes via operators.pq.quantize_query
+
+
+def _codes_str(df: DataFrame) -> DataFrame:
+    """Render the ``codes array<int>`` column as 'c0|c1|...' — arrays
+    hash differently between pandas adapters (list vs ndarray), a
+    delimited string is one representation in both engines."""
+    return df.withColumn(
+        "codes",
+        F.expr("array_join(transform(codes, x -> cast(x as string)), '|')"),
+    )
+
+
+def _codes_str_oracle(inner: str) -> str:
+    return (
+        "SELECT * REPLACE (array_to_string("
+        "list_transform(codes, x -> CAST(x AS VARCHAR)), '|') AS codes)"
+        f" FROM ({inner})"
+    )
+
+
+@register(
+    "pq_train_encode",
+    doc="product quantization train+encode under driver gating "
+    "(operators/pq.py:62 — Jégou et al. 2011, the compression half "
+    "of IVF-PQ; queued since r7, registered r10): m=4 sub-codebooks "
+    "of k=8 centroids trained in 2 ENGINE-PORTABLE Lloyd rounds "
+    "(integer lanes, md5 seed order, floor-division means — the "
+    "kmeans_lloyd_portable recipe with the subspace as a DATA "
+    "dimension: all 4 sub-quantizers share the SAME two distributed "
+    "passes per iteration, driver traffic = the k x dim lane-sum "
+    "matrix), then every vector encodes to 4 codes + the exact "
+    "integer reconstruction error.  64 x compression for a 100 TB "
+    "embedding corpus.  Oracle EMITTED by pq_portable_oracle from "
+    "the same parameters (fuzzed in tools/fuzz_portables.py `pq`); "
+    "codes rendered '|'-joined so both engines hash one "
+    "representation",
+    oracle=_codes_str_oracle(
+        _pq_oracle(m=4, k=8, iters=2, dim=64)
+    ),
+)
+def pq_train_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codes_str(
+        _pq_train_encode(
+            load_table(spark, sf_dir, "embeddings"),
+            m=4, k=8, iters=2, dim=64,
+        )
+    )
+
+
+@register(
+    "pq_adc_topk",
+    doc="asymmetric-distance PQ top-10 under driver gating "
+    "(operators/pq.py:365 — the query-time half of IVF-PQ, "
+    "completing the ANN-compression family's search side beside the "
+    "q:sq8_summary storage side): the fixed query [0.1]*64 stays "
+    "unquantized-by-codebook; each subspace contributes the exact "
+    "integer distance from the query's sub-lanes to the ASSIGNED "
+    "centroid via a k-entry ADC lookup table computed driver-side "
+    "and embedded as ONE parsed literal per subspace (py4j literal "
+    "lesson), then a TakeOrdered top-k — never a full sort.  At "
+    "100 TB this is the RAM-resident re-rank: 4 bytes of codes + a "
+    "32-entry table replace re-reading 256-byte vectors.  Oracle "
+    "EMITTED by pq_adc_topk_oracle from the same query lanes "
+    "(fuzzed in tools/fuzz_portables.py `pq`)",
+    oracle=_codes_str_oracle(
+        _pq_adc_oracle(_PQ_QUERY, topk=10, m=4, k=8, iters=2)
+    ),
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codes_str(
+        _pq_adc_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            _PQ_QUERY, topk=10, m=4, k=8, iters=2,
+        )
+    )
+
+
+_DECON_TRAIN_SQL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0"
+    " UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings"
+    " WHERE vec_id % 100 = 0"
+)
+_DECON_BENCH_SQL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0"
+)
+
+
+@register(
+    "semantic_decontaminate",
+    doc="EMBEDDING-space benchmark decontamination under driver "
+    "gating (operators/decontam.py — the paraphrase-aware sibling of "
+    "q:decontaminate_ngram; queued r9 with the full artifact set, "
+    "registered r10 after the interpreted-HOF audit: the dot "
+    "materializes ONCE as a column and the int64 headroom guard "
+    "rides the ALREADY-COMPUTED norms, ADVICE r09).  Eval set = the "
+    "1%% of vectors with vec_id%%100=0 (broadcast); train = the rest "
+    "PLUS planted exact copies of every eval vector at vec_id+1e6, "
+    "so the gate provably recovers each planted leak against ITS "
+    "source while every value stays integer-portable (threshold "
+    "cosine 0.9 as the sqrt-free exact test den*dot^2 >= "
+    "num*|a|^2*|b|^2).  Train side never shuffles: "
+    "BroadcastNestedLoopJoin inside the scan, hits-only aggregation. "
+    " Oracle EMITTED by semantic_decontaminate_oracle from the same "
+    "SQL sources",
+    oracle=_decon_oracle(
+        _DECON_TRAIN_SQL, _DECON_BENCH_SQL, dim=64
+    ),
+)
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evalset = e.filter(F.col("vec_id") % 100 == 0)
+    train = e.filter(F.col("vec_id") % 100 != 0).unionByName(
+        evalset.select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return _semantic_decontaminate(train, evalset, dim=64)

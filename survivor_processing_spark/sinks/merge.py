@@ -66,17 +66,36 @@ class MergeTable:
             merge_upsert(self.spark, self.path, source, self.keys)
 
 
+def _contains_map(dt) -> bool:
+    """True when a MapType appears ANYWHERE in the type tree —
+    xxhash64 rejects maps nested inside arrays/structs too, not just
+    top-level map columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def _row_tiebreak(source: DataFrame):
     """Deterministic whole-row ordering key for within-source
-    duplicate resolution: xxhash64 over every hashable column (map
-    columns are excluded — Spark's hash functions reject them; rows
-    identical except for a map payload still tie, which is the same
-    value either way for every other column)."""
+    duplicate resolution: xxhash64 over every hashable column.
+    Columns carrying a MapType anywhere in their type tree are
+    excluded — Spark's hash functions reject maps at any nesting
+    depth, so including one would fail the whole merge at analysis
+    time.  Residual nondeterminism: rows identical in every
+    non-map column but differing in a map payload still tie, and
+    either payload may win — the documented limit of hashing an
+    unhashable type."""
     hashable = [
-        f.name
-        for f in source.schema
-        if not f.dataType.simpleString().startswith("map<")
+        f.name for f in source.schema if not _contains_map(f.dataType)
     ]
+    if not hashable:  # every column is map-carrying: all rows tie
+        return F.lit(0).cast("long")
     return F.xxhash64(*[F.col(c) for c in hashable])
 
 

@@ -704,3 +704,47 @@ def test_repetition_stats_exact_fractions(spark):
     assert got[1] == (11, 9 / 11, 15 / 11)
     assert got[2] == (7, 3 / 7, 0.0)
     assert got[3] == (4, 0.0, 0.0)
+
+
+def test_merge_tiebreak_handles_nested_maps(spark, tmp_path):
+    """ADVICE r09: xxhash64 rejects maps nested in arrays/structs too
+    — the tiebreak must skip any map-carrying column at any depth, so
+    schemas the old dropDuplicates path handled keep merging."""
+    from survivor_processing_spark.sinks.merge import (
+        _contains_map,
+        _row_tiebreak,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "nested_map_tbl")
+    rows = spark.createDataFrame(
+        [(1, "a", [{"k": 1}]), (2, "b", [{"k": 2}])],
+        "id int, payload string, tags array<map<string,int>>",
+    )
+    # type-tree detection: top-level, array-nested, struct-nested
+    fields = {f.name: f.dataType for f in rows.schema}
+    assert _contains_map(fields["tags"])
+    assert not _contains_map(fields["payload"])
+    nested = spark.createDataFrame(
+        [({"m": {"x": 1}},)], "s struct<m: map<string,int>>"
+    )
+    assert _contains_map(nested.schema["s"].dataType)
+    # the merge itself must run (old code raised AnalysisException)
+    merge_upsert(spark, path, rows, keys=["id"])
+    merge_upsert(spark, path, rows, keys=["id"])  # replay: idempotent
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    assert sorted(r["payload"] for r in got.collect()) == ["a", "b"]
+    # rows identical in every non-map column tie deterministically on
+    # the remaining columns (winner arbitrary but merge still works)
+    dup = spark.createDataFrame(
+        [(1, "a", [{"k": 9}]), (1, "a", [{"k": 8}])],
+        "id int, payload string, tags array<map<string,int>>",
+    )
+    merge_upsert(spark, path, dup, keys=["id"])
+    assert spark.read.parquet(path).count() == 2
+    # all-map-columns schema degrades to a constant tiebreak, no raise
+    allmap = spark.createDataFrame(
+        [({"x": 1},)], "m map<string,int>"
+    )
+    assert _row_tiebreak(allmap) is not None

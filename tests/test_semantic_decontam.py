@@ -121,3 +121,26 @@ def test_empty_bench_flags_nothing(spark):
     )
     none = emb.filter(F.lit(False))
     assert semantic_decontaminate(emb, none, dim=64).count() == 0
+
+
+def test_lane_magnitude_guard_raises_before_overflow(spark):
+    """ADVICE r09: lanes big enough that den*dot^2 could exceed int64
+    must raise loudly (Cauchy-Schwarz bound on the quantized norm),
+    never wrap under legacy mode."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    big = spark.createDataFrame(
+        [(1, [50.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    small = spark.createDataFrame(
+        [(2, [0.1] * 64)], "vec_id long, embedding array<double>"
+    )
+    # |lane| = 50_000 at scale 1e3 -> n2 = 64 * 2.5e9 = 1.6e11 >
+    # isqrt((2^63-1)/100) ~= 3.0e8: both sides must refuse it
+    with pytest.raises(SparkRuntimeException, match="headroom"):
+        semantic_decontaminate(big, small, dim=64).collect()
+    with pytest.raises(SparkRuntimeException, match="headroom"):
+        semantic_decontaminate(small, big, dim=64).collect()
+    # vectors inside the bound still pass end-to-end
+    assert semantic_decontaminate(small, small, dim=64).count() == 1

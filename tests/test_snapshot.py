@@ -839,3 +839,102 @@ def test_expire_crash_window_cannot_resurrect_removed_files(spark, table_dir):
             f.write(payload)
     assert snapshot_files(table_dir, 2) == want_v2   # no resurrection
     assert snapshot_files(table_dir, 3) == want_v3
+
+
+def test_commit_conflict_two_writers_never_clobber(table_dir):
+    """VERDICT r09 #4: interleaved commits produce v and v+1 — the
+    O_EXCL claim turns a silent last-write-win into a retry."""
+    import threading
+
+    from survivor_processing_spark.operators.snapshot import file_stats
+
+    _write(table_dir, "a.parquet", [1])
+    _write(table_dir, "b.parquet", [2])
+    _write(table_dir, "c.parquet", [3])
+    commit_version(table_dir, adds=["a.parquet"])  # v1
+    barrier = threading.Barrier(2)
+    got: dict[str, int] = {}
+    errs: list[BaseException] = []
+
+    def writer(name: str) -> None:
+        try:
+            barrier.wait()
+            got[name] = commit_version(table_dir, adds=[name])
+        except BaseException as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(n,))
+        for n in ("b.parquet", "c.parquet")
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert sorted(got.values()) == [2, 3]
+    assert log_versions(table_dir) == [1, 2, 3]
+    assert snapshot_files(table_dir) == ["a.parquet", "b.parquet", "c.parquet"]
+    # both entries are intact (neither clobbered the other's payload)
+    assert set(file_stats(table_dir)) == {
+        "a.parquet", "b.parquet", "c.parquet"
+    }
+
+
+def test_commit_conflict_claim_is_exclusive(table_dir):
+    """The claim primitive itself: a pre-existing version file makes
+    the commit retry PAST it (never overwrite), and a semantic
+    conflict discovered on re-validation raises."""
+    import json as _json
+
+    from survivor_processing_spark.operators.snapshot import _entry_path
+
+    _write(table_dir, "a.parquet", [1])
+    _write(table_dir, "b.parquet", [2])
+    commit_version(table_dir, adds=["a.parquet"])  # v1
+    # simulate another writer having claimed v2 with a valid entry
+    foreign = {"version": 2, "adds": ["b.parquet"], "removes": []}
+    with open(_entry_path(table_dir, 2), "w") as f:
+        _json.dump(foreign, f)
+    # our add of b.parquet now re-validates as already-active: raises
+    with pytest.raises(ValueError, match="already-active"):
+        commit_version(table_dir, adds=["b.parquet"])
+    # a non-conflicting add lands at v3, leaving the foreign v2 intact
+    _write(table_dir, "c.parquet", [3])
+    assert commit_version(table_dir, adds=["c.parquet"]) == 3
+    with open(_entry_path(table_dir, 2)) as f:
+        assert _json.load(f) == foreign
+
+
+def test_file_stats_reset_on_remove_and_readd(table_dir):
+    """ADVICE r09 (medium): a name added-with-stats, removed, then
+    re-added with different content and NO new stats must NOT inherit
+    the dead add's envelope — stale stats would let a prune skip a
+    file that matches."""
+    from survivor_processing_spark.operators.snapshot import file_stats
+
+    _write(table_dir, "a.parquet", [1, 2])
+    st = {
+        "a.parquet": {
+            "k": {"n_rows": 2, "vmin": "1", "vmax": "2", "ord": "numeric"}
+        }
+    }
+    commit_version(table_dir, adds=["a.parquet"], stats=st)      # v1
+    commit_version(table_dir, removes=["a.parquet"])             # v2
+    # same NAME, new content (9..10), re-added without stats
+    _write(table_dir, "a.parquet", [9, 10])
+    commit_version(table_dir, adds=["a.parquet"])                # v3
+    assert file_stats(table_dir) == {"a.parquet": {}}  # envelope gone
+    # time travel still sees the original stats at v1
+    assert file_stats(table_dir, 1) == st
+
+
+def test_vacuum_grace_window_spares_fresh_files(table_dir):
+    from survivor_processing_spark.operators.snapshot import vacuum_orphans
+
+    _write(table_dir, "a.parquet", [1])
+    commit_version(table_dir, adds=["a.parquet"])
+    _write(table_dir, "fresh_orphan.parquet", [9])  # mtime = now
+    assert vacuum_orphans(table_dir, grace_seconds=3600.0) == []
+    assert os.path.exists(os.path.join(table_dir, "fresh_orphan.parquet"))
+    assert vacuum_orphans(table_dir) == ["fresh_orphan.parquet"]
