@@ -36,84 +36,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-9 window (executes VERDICT r08 "Next round" #1-#4; cohort
-# computed by tools/staleness.py, not asserted by hand — accounting
-# in ROTATION_r09.md): (b) the six queue registrations landed THIS
-# round — substring_dedup_clean, bpe_token_budget, sq8_summary,
-# stream_interval_join, content_fingerprint, snapshot_summary —
-# each paired against a retirement of a semantics twin FROM the
-# r06-latest cohort (stream_stream_interval_join,
-# embedding_quantize_int8, doc_fingerprint, vocab_top_terms,
-# cube_agg; carriers named in the RETIRED comments), which is what
-# makes the window close: (c) the ENTIRE remaining r06-latest
-# cohort — 49 computed by the tool minus the five retirees = 44.
-# 6 + 44 = 50 exactly; after this round `python tools/staleness.py
-# --max-stale-round 7` must exit 0 (floor r07, no r00 rows left).
-#
-# Slot-cede notes (window discipline): the four r07-latest r8 cedes
-# (kmeans_clusters, multimodal_header_parse, multimodal_gif_frames,
-# multimodal_resize_pipeline) stay out of this window — each was
-# re-verified hash-green at sf0.01 AND sf0.1 after its r8 edit (see
-# ROTATION_r08.md), none changed in r9, and all are r07-latest so
-# they are naturally due in the r10 window when the floor moves to
-# r08.  ROTATION_r09.md pre-commits that front-load.  Every r9
-# registration was verified hash-green at sf0.01 AND sf0.1 this
-# session before entering the window.
+# Round-10 window (executes VERDICT r09 "Next round" #1/#2/#6;
+# cohort computed by tools/staleness.py, not asserted by hand —
+# accounting in ROTATION_r10.md): (b) the seven queue registrations
+# landed THIS round — pq_train_encode, pq_adc_topk,
+# stratified_exact_split, triangle_counts, build_zonemap,
+# ols_trend_exact (the named r10 tranche) and semantic_decontaminate
+# (VERDICT r09 #6, registered after the interpreted-HOF audit and
+# the ADVICE headroom guard) — each paired against a retirement of a
+# semantics twin FROM the r07-latest cohort (fuzzy_name_match,
+# asof_join_broadcast_dim, rollup_multilevel_agg, simhash_near_pairs,
+# embedding_lsh_pairs, near_dup_components; carriers named in the
+# RETIRED comments), which is what makes the window close: (c) the
+# ENTIRE remaining r07-latest cohort — 49 computed by the tool minus
+# the six retirees = 43 (this also lands the pre-committed r8 cedes
+# kmeans_clusters / multimodal_header_parse / multimodal_gif_frames;
+# multimodal_resize_pipeline re-verified r08 per the tool, so it is
+# r08-latest and due next round).  7 + 43 = 50 exactly; after this
+# round `python tools/staleness.py --max-stale-round 8` must exit 0
+# (floor r08, no r00 rows left).  Every r10 registration was
+# verified hash-green at sf0.01 AND sf0.1 this session before
+# entering the window.
 _PRIORITY = [
-    # (b) new registrations this round (queue tranche, VERDICT r08
-    # #2/#3/#4; oracles EMITTED by the operators' own generators
-    # except snapshot_summary's closed-form static SQL)
-    "substring_dedup_clean",
-    "sq8_summary",
-    "bpe_token_budget",
-    "stream_interval_join",
-    "content_fingerprint",
-    "snapshot_summary",
-    # (c) the full remaining r06-latest cohort (44)
-    "bucketed_join_colocated",
-    "cdc_apply_changelog",
-    "cohort_retention",
-    "corpus_curation_pipeline",
-    "csv_scan_typed",
-    "cumulative_window_sums",
-    "domain_rebalance_sample",
-    "dq_constraint_audit",
-    "embedding_dim_stats",
-    "embedding_lsh_portable_pairs",
-    "entity_quarantine_roundtrip",
-    "event_transition_matrix",
-    "export_balanced_shards",
-    "filesync_modified_since",
-    "funnel_stage_counts",
-    "gap_fill_forward_fill",
-    "grouping_sets_agg",
-    "incremental_agg_merge",
-    "jsonl_scan",
-    "kmeans_lloyd_portable",
-    "minhash_lsh_pairs",
-    "mode_median_per_group",
-    "multimodal_wav_slice",
-    "near_dup_keep_best",
-    "ntile_decile_stats",
-    "orc_roundtrip_scan",
-    "partition_pruned_scan",
-    "pivot_event_type_wide",
-    "quality_model_score",
-    "range_join_binned",
-    "safe_math_try_ops",
-    "schema_evolution_scan",
-    "sketch_distinct_quantiles",
-    "skew_salted_join_agg",
-    "stream_static_enrich_join",
-    "streaming_dedup_within_watermark",
-    "streaming_foreachbatch_merge",
-    "streaming_incremental_agg",
-    "streaming_session_windows",
-    "streaming_windowed_counts",
-    "tfidf_top_terms",
-    "value_histogram_equiwidth",
-    "variant_props_agg",
-    "zorder_morton_keys",
+    # (b) new registrations this round (r10 queue tranche, VERDICT
+    # r09 #2/#6; oracles EMITTED by the operators' own generators
+    # except build_zonemap's closed-form ntile SQL)
+    "pq_train_encode",
+    "pq_adc_topk",
+    "semantic_decontaminate",
+    "stratified_exact_split",
+    "triangle_counts",
+    "build_zonemap",
+    "ols_trend_exact",
+    # (c) the full remaining r07-latest cohort (43)
+    "anti_join_new_entities",
+    "array_numbered_columns",
+    "asof_join_forward_keyed",
+    "asof_join_keyed",
+    "asof_join_nearest_broadcast",
+    "broadcast_lookup_join",
+    "containment_join_nullout",
+    "cosine_topk",
+    "date_parse_epoch",
+    "date_window_predicate",
+    "derivation_chain",
+    "embedding_near_dup_pairs",
+    "entity_resolution_cascade",
+    "exact_dedup_docs",
+    "explode_distinct_union",
+    "explode_map_of_arrays",
+    "flagship_contestant_stats",
+    "fuzzy_name_match_dist2",
+    "geo_mean_udaf",
+    "grouped_sum_all_measures",
+    "id_minting_sequential",
+    "interval_merge_islands",
+    "ivf_recall_bound",
+    "json_extract_payload",
+    "kmeans_clusters",
+    "merge_upsert_idempotent",
+    "multimodal_decode_features",
+    "multimodal_gif_frames",
+    "multimodal_header_parse",
+    "multiway_left_join",
+    "ngram_jaccard_pairs",
+    "null_normalize_unit_scale",
+    "scd2_order_history",
+    "schema_sync_project",
+    "session_window_agg",
+    "sliding_range_window",
+    "string_funcs_merge_key",
+    "text_quality_scores",
+    "to_json_roundtrip",
+    "token_budget_mix",
+    "unpivot_measures",
+    "weighted_sample_aes",
+    "window_rank_placement",
 ]
 
 

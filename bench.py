@@ -30,21 +30,20 @@ HEADLINE = [
     "window_rank_placement",
     "unpivot_measures",
     "asof_join_keyed",
-    "asof_join_broadcast_dim",
+    "asof_join_forward_keyed",
     "containment_join_nullout",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "simhash_near_pairs",
+    "simhash_portable_pairs",
     "exact_dedup_docs",
     "embedding_near_dup_pairs",
     "cosine_topk",
     "text_quality_scores",
     "session_window_agg",
-    "rollup_multilevel_agg",
+    "grouping_sets_agg",
     # round 3
     "cumulative_window_sums",
     "pivot_event_type_wide",
-    "grouping_sets_agg",
     "range_join_binned",
     "scd2_order_history",
     "domain_rebalance_sample",
@@ -52,7 +51,6 @@ HEADLINE = [
     # round 3b
     "cdc_apply_changelog",
     "funnel_stage_counts",
-    "fuzzy_name_match",
     "zorder_morton_keys",
     "incremental_agg_merge",
     # round 4
@@ -87,6 +85,18 @@ HEADLINE = [
     "stream_interval_join",
     "content_fingerprint",
     "snapshot_summary",
+    # round 10 (queue registrations; retired names left the set with
+    # their r10 retirements: asof_join_broadcast_dim -> forward_keyed
+    # slot, simhash_near_pairs -> simhash_portable_pairs slot,
+    # rollup_multilevel_agg -> grouping_sets_agg slot,
+    # fuzzy_name_match dropped)
+    "pq_train_encode",
+    "pq_adc_topk",
+    "semantic_decontaminate",
+    "stratified_exact_split",
+    "triangle_counts",
+    "build_zonemap",
+    "ols_trend_exact",
 ]
 
 

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..operators.rangejoin import binned_range_join
+from ..operators.regression import ols_trend_exact as _ols_trend
+from ..operators.regression import ols_trend_oracle as _ols_oracle
 from ..operators.scd2 import scd2_from_history
 from ._registry import register
 
@@ -542,8 +544,10 @@ def geo_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family keeps two hash-green gates: q:grouping_sets_agg (explicit
 # set list incl. the grand total, grouping() subtotal flags — the
 # identical measures over the identical table this row computed) and
-# q:rollup_multilevel_agg (the hierarchical grain chain).  A third
-# gate on the same Expand operator added no oracle coverage.
+# q:rollup_multilevel_agg (the hierarchical grain chain; itself
+# RETIRED r10 into q:grouping_sets_agg by the same same-Expand-plan
+# argument — see queries/relational.py).  A third gate on the same
+# Expand operator added no oracle coverage.
 # Accounting: ROTATION_r09.md.
 
 
@@ -591,3 +595,37 @@ def sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("trailing_n"),
         F.sum(_dec("value")).over(w).cast("double").alias("trailing_value"),
     )
+
+
+@register(
+    "ols_trend_exact",
+    doc="per-event-type least-squares trend of value ~ (user_id % "
+    "100) in EXACT RATIONAL arithmetic under driver gating "
+    "(operators/regression.py — queued since r7, registered r10): "
+    "both columns quantize once to the 1/10 fixed-point grid, every "
+    "moment (n, Sx, Sy, Sxy, Sxx, Syy) is an exact order-free int64 "
+    "SUM in ONE map-side-combined hash aggregate (Spark's own "
+    "partial-agg shape — no window, no sort, mergeable across "
+    "shards), and the slope ships as the bigint rational (slope_num, "
+    "slope_den); intercept/R^2 derive downstream via Fraction so no "
+    "in-engine product grows past the documented int64 envelope "
+    "(float regr_slope differs at the ulp level across engines — a "
+    "value-hash poison this recipe removes).  Oracle EMITTED by "
+    "ols_trend_oracle from the same parameters (fuzzed in "
+    "tools/fuzz_portables.py `ols`)",
+    oracle=_ols_oracle(
+        ["g"],
+        "x",
+        "y",
+        scale=10,
+        table="(SELECT event_type AS g, "
+        "CAST(user_id % 100 AS DOUBLE) AS x, value AS y FROM events)",
+    ),
+)
+def ols_trend_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type AS g",
+        "cast(user_id % 100 as double) AS x",
+        "value AS y",
+    )
+    return _ols_trend(ev, ["g"], "x", "y", scale=10)

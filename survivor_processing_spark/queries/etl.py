@@ -718,3 +718,94 @@ def snapshot_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detach_and_cleanup(
         snapshot_summary(spark, d, [1, 2, 3], "o_totalprice"), d
     )
+
+
+@register(
+    "build_zonemap",
+    doc="zone-map manifest build + file skipping under driver gating "
+    "(operators/zonemap.py:76 — the last lakehouse-trio layer without "
+    "a driver row, beside q:snapshot_summary and "
+    "q:compaction_plan_binpack): the query stages a 4-file "
+    "RANGE-CLUSTERED table from orders (file i = ntile(4) over "
+    "o_orderkey — deterministic, keys unique), builds the manifest "
+    "from parquet FOOTERS ONLY (typed row-group merge: int columns "
+    "numerically, strings bytewise, stringified once at the end), "
+    "and runs prune_files for the range [min, min + (max-min) div 8] "
+    "— emitting per (file, column) the envelope AND the kept verdict, "
+    "so a wrong footer walk, a wrong typed merge, OR a wrong "
+    "intersection test all hash-mismatch.  The oracle predicts every "
+    "envelope and verdict in closed form from the same ntile "
+    "partitioning.  At 100 TB this is pre-plan file pruning: the "
+    "manifest is files x columns rows, scanned instead of a million "
+    "footers.  (zonemap_oracle generates the parquet_metadata() "
+    "cross-engine replay for the unit/fuzz gates, "
+    "tests/test_zonemap.py; staging quarantined to lakehouse gates "
+    "per VERDICT r09, cleaned per run)",
+    oracle="""
+WITH t AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           NTILE(4) OVER (ORDER BY o_orderkey) AS g
+    FROM orders
+), b AS (
+    SELECT MIN(o_orderkey) AS lo,
+           MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+    FROM orders
+), s AS (
+    SELECT g,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax,
+           MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+           MIN(o_orderstatus) AS smin, MAX(o_orderstatus) AS smax
+    FROM t GROUP BY g
+), m AS (
+    SELECT g, 'o_orderkey' AS col, n_rows,
+           CAST(kmin AS VARCHAR) AS vmin, CAST(kmax AS VARCHAR) AS vmax,
+           'numeric' AS ord, kmin, kmax FROM s
+    UNION ALL
+    SELECT g, 'o_custkey', n_rows,
+           CAST(cmin AS VARCHAR), CAST(cmax AS VARCHAR),
+           'numeric', kmin, kmax FROM s
+    UNION ALL
+    SELECT g, 'o_orderstatus', n_rows, smin, smax,
+           'bytewise', kmin, kmax FROM s
+)
+SELECT 'p' || CAST(m.g - 1 AS VARCHAR) || '.parquet' AS file,
+       m.col, m.n_rows, m.vmin, m.vmax, m.ord,
+       (m.kmin <= b.hi AND m.kmax >= b.lo) AS kept
+FROM m, b
+""",
+)
+def build_zonemap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.zonemap import build_zonemap, prune_files
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    d = tempfile.mkdtemp(prefix="sps_zm_gate_")
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    staged = orders.withColumn(
+        "_g", F.expr("ntile(4) over (order by o_orderkey)")
+    ).localCheckpoint(eager=True)
+    for i in range(1, 5):
+        staging = os.path.join(d, f"_stage_{i}")
+        staged.filter(F.col("_g") == i).drop("_g").coalesce(1).write.parquet(
+            staging
+        )
+        part = next(
+            p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(staging, part), os.path.join(d, f"p{i - 1}.parquet")
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+    zm = build_zonemap(spark, d, cols)
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi0")
+    ).first()
+    lo = int(bounds["lo"])
+    hi = lo + (int(bounds["hi0"]) - lo) // 8
+    kept = prune_files(zm, "o_orderkey", lo, hi, cast="bigint")
+    out = zm.withColumn("kept", F.col("file").isin(kept))
+    return _detach_and_cleanup(out, d)

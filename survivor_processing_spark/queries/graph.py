@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.bfs import bfs_levels as _bfs_levels
+from ..operators.graphstats import triangle_counts as _triangle_counts
+from ..operators.graphstats import triangle_counts_oracle
 from ..operators.bfs import bfs_levels_oracle
 from ..operators.pagerank import pagerank_portable as _pagerank
 from ..operators.pagerank import pagerank_portable_oracle
@@ -81,3 +83,30 @@ def pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bfs_levels(_edges(spark, sf_dir), _BFS_SOURCES, n_iters=3)
+
+
+@register(
+    "triangle_counts",
+    doc="exact per-node triangle participation over the undirected "
+    "customer-order link graph under driver gating "
+    "(operators/graphstats.py — queued since r7, registered r10; "
+    "completes the graph family beside q:pagerank_portable and "
+    "q:bfs_levels): the degree-ordered node-iterator (Schank-Wagner "
+    "2005 / Suri-Vassilvitskii WWW'11) orients each edge from the "
+    "smaller (degree, id) rank, emits wedges only from shared "
+    "lower-rank endpoints, and closes them against the oriented edge "
+    "set — O(m^1.5) wedge volume instead of sum(deg^2), so one "
+    "celebrity host cannot blow the shuffle.  All BIGINT relational "
+    "algebra (distinct, two grouped counts, three equi-joins), "
+    "bit-portable by construction; emits degree and n_wedges = "
+    "deg*(deg-1)/2 so clustering coefficients stay an exact rational "
+    "downstream.  Oracle EMITTED by triangle_counts_oracle over the "
+    "same edge derivation (fuzzed in tools/fuzz_portables.py "
+    "`graphstats`)",
+    oracle=triangle_counts_oracle(_EDGES_SQL),
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS src", "o_orderkey % 100000 AS dst"
+    )
+    return _triangle_counts(edges)

@@ -20,6 +20,12 @@ from ..operators.bpe import (
     bpe_token_budget_oracle,
     bpe_train,
 )
+from ..operators.curation import (
+    stratified_exact_split as _stratified_split,
+)
+from ..operators.curation import (
+    stratified_exact_split_oracle as _strat_oracle,
+)
 from ._registry import register
 
 
@@ -384,4 +390,42 @@ def bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_budget(
         load_table(spark, sf_dir, "documents"), n_merges=8
+    )
+
+
+@register(
+    "stratified_exact_split",
+    doc="EXACT-proportion train/val/test split per (lang, source) "
+    "stratum under driver gating (operators/curation.py:278 — queued "
+    "since r7, registered r10): rows rank inside each stratum by the "
+    "engine-portable (md5(doc_id), doc_id) shuffle and cut at exact "
+    "integer points r*W_total <= n*cum_W (all bigint, no floats), so "
+    "split sizes are floor(n*w/W) exactly — the dataset-card "
+    "guarantee a hash split's O(1/sqrt(n)) drift cannot make.  The "
+    "gate aggregates per (stratum, split) with COUNT plus SUM(doc_id) "
+    "so exact MEMBERSHIP is pinned, not just sizes.  One window "
+    "shuffle on the strata; the 100 TB hot-stratum escape "
+    "(hash-prefix sub-strata) is documented on the operator.  Oracle "
+    "EMITTED by stratified_exact_split_oracle from the same "
+    "parameters (fuzzed in tools/fuzz_portables.py "
+    "`stratified_split`)",
+    oracle=_strat_oracle(
+        ["lang", "source"],
+        "doc_id",
+        table="documents",
+        agg="CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids",
+    ),
+)
+def stratified_exact_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return (
+        _stratified_split(d, ["lang", "source"], "doc_id")
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
     )

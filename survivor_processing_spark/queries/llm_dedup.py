@@ -16,11 +16,9 @@ from ..catalog import load_table
 from ..operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
-    near_dedup_components,
     ngram_jaccard_pairs,
-    simhash_near_pairs,
 )
-from ..operators.similarity import all_pairs_above, lsh_pairs_above
+from ..operators.similarity import all_pairs_above
 from ..operators.substring import substring_clean_oracle
 from ..operators.substring import substring_dedup_clean as _substr_clean
 from ..operators.substring import substring_dedup_spans as _substr_spans
@@ -138,74 +136,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash_near_pairs",
-    doc="SimHash-64 near-dup pairs at hamming<=3 via 4x16-bit-chunk "
-    "bucketing — the filter EQUALS the pigeonhole guarantee (a 16-bit "
-    "chunk must agree for d<=3), so recall is exact, buckets stay cool "
-    "(65536 values/chunk), and hot buckets are capped at "
-    "max_posting=1000.  Signature values are engine-hash-specific "
-    "(xxhash64), so the gate is PLANTED RECALL (VERDICT r06 #3 — the "
-    "rows-only registration recorded nothing): the query unions the "
-    "corpus with deterministic copies of the 50 md5-smallest docs — "
-    "one identical (signature-equal, MUST be recovered: exercises "
-    "bucketing, posting cap, popcount verify end to end) and one "
-    "with a prepended word (a real near-dup; measured recall 36-42 "
-    "of 50 at the gate scales, floored at half) — and emits the "
-    "recall contract as booleans the oracle asserts, plus n_planted, "
-    "which the oracle computes itself by replaying the planting "
-    "arithmetic.  Semantics of the signature pipeline stay hash-green "
-    "via the portable twin q:simhash_portable_pairs",
-    oracle="""
-SELECT CAST(LEAST(50, (SELECT COUNT(*) FROM documents)) AS BIGINT)
-           AS n_planted,
-       TRUE AS exact_recall_total,
-       TRUE AS edited_recall_above_half
-""",
-)
-def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = (
-        d.withColumn("_m", F.md5(F.col("doc_id").cast("string")))
-        .orderBy("_m")
-        .limit(50)
-        .drop("_m")
-    )
-    exact = base.select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
-    )
-    edited = base.select(
-        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
-        F.concat(F.lit("zzyzx "), F.col("text")).alias("text"),
-    )
-    aug = d.unionByName(exact).unionByName(edited)
-    pairs = simhash_near_pairs(
-        aug, "text", "doc_id", max_hamming=3, max_posting=1000, n_chunks=4
-    ).select("id1", "id2")
-    tp_exact = base.select(
-        F.col("doc_id").alias("id1"),
-        (F.col("doc_id") + F.lit(10_000_000)).alias("id2"),
-    )
-    tp_edit = base.select(
-        F.col("doc_id").alias("id1"),
-        (F.col("doc_id") + F.lit(20_000_000)).alias("id2"),
-    )
-    n_pl = base.agg(F.count(F.lit(1)).alias("np"))
-    hit_e = tp_exact.join(pairs, ["id1", "id2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("he")
-    )
-    hit_d = tp_edit.join(pairs, ["id1", "id2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("hd")
-    )
-    return (
-        n_pl.crossJoin(hit_e)
-        .crossJoin(hit_d)
-        .select(
-            F.col("np").cast("long").alias("n_planted"),
-            (F.col("he") == F.col("np")).alias("exact_recall_total"),
-            (F.col("hd") * 2 >= F.col("np")).alias("edited_recall_above_half"),
-        )
-    )
+# RETIRED r10 (paired with the q:semantic_decontaminate
+# registration, VERDICT r09 #2 pairing discipline; also executes the
+# "keep contract oracles rare" guidance — this was one of the ~4
+# weaker planted-recall rows): q:simhash_near_pairs — the xxhash64
+# SimHash-64 scale variant at hamming<=3 via 4x16-bit chunk
+# bucketing.  Carried by q:simhash_portable_pairs (the SAME vote /
+# sign-fold / chunk / popcount machinery over the md5-60-bit token
+# hash, full value oracle) and by
+# tests/test_operators.py::test_simhash_pigeonhole_recall_to_hamming7
+# (STRONGER than the retired gate: exhaustive brute-force-vs-banded
+# recall over real sf0.01 signatures, not 50 planted rows) plus the
+# posting-cap tests around it.  Accounting: ROTATION_r10.md.
 
 
 @register(
@@ -217,8 +159,9 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and no posting cap, so pigeonhole recall is exact and the "
     "output EQUALS a full O(n^2) hamming scan.  This hash-gates the "
     "simhash family end to end (votes, sign fold, chunking, "
-    "popcount); the xxhash64 variant stays registered as the scale "
-    "default (q:simhash_near_pairs, rows-only)",
+    "popcount); the xxhash64 scale variant is pinned by the "
+    "exhaustive pigeonhole-recall unit test (its planted-recall "
+    "driver row RETIRED r10 into this gate)",
     oracle="""
 WITH toks AS (
     SELECT doc_id,
@@ -258,58 +201,18 @@ def simhash_portable_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_components",
-    doc="near-dup clusters: MinHash-LSH pairs -> min-label-propagation "
-    "connected components; every doc labeled with its cluster "
-    "representative (min id).  Oracle: transitive closure by recursive "
-    "CTE over the exact-Jaccard pair set (same >=0.5 threshold whose "
-    "LSH recall ~1 gates minhash_lsh_pairs)",
-    oracle="""
-WITH RECURSIVE w AS (
-    SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
-               AS words
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               array_to_string(words[i:i+2], ' ') AS shingle
-        FROM w, LATERAL (
-            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
-        )
-    )
-), cnt AS (
-    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-), common AS (
-    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-), pairs AS (
-    SELECT id1, id2
-    FROM common
-    JOIN cnt c1 ON c1.doc_id = id1
-    JOIN cnt c2 ON c2.doc_id = id2
-    WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
-), edges AS (
-    SELECT id1 AS a, id2 AS b FROM pairs
-    UNION ALL
-    SELECT id2, id1 FROM pairs
-), walk AS (
-    SELECT a AS node, b AS reach FROM edges
-    UNION
-    SELECT wk.node, e.b FROM walk wk JOIN edges e ON wk.reach = e.a
-), comp AS (
-    SELECT node, least(node, MIN(reach)) AS component_id
-    FROM walk GROUP BY node
-)
-SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
-FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-""",
-)
-def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return near_dedup_components(d, "text", "doc_id", threshold=0.5)
+# RETIRED r10 (paired with the q:triangle_counts registration,
+# VERDICT r09 #2 pairing discipline): q:near_dup_components —
+# MinHash-LSH pairs -> min-label connected components with a
+# recursive-CTE transitive-closure oracle.  Both halves stay
+# hash-gated elsewhere: the pair source by q:minhash_lsh_pairs (the
+# LSH recall gate over the same >=0.5 shingle-Jaccard threshold) and
+# the component labeling by q:near_dup_keep_best (the SAME
+# connected-components operator over the exact-Jaccard pair set,
+# plus the keep-best window, full value oracle); the CC algorithms
+# themselves (min-label and large/small-star) are pinned in
+# tests/test_operators.py (chain/island closure, star equivalence on
+# a path graph).  Accounting: ROTATION_r10.md.
 
 
 @register(
@@ -327,83 +230,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_above(e, threshold=0.5)
 
 
-@register(
-    "embedding_lsh_pairs",
-    doc="hyperplane-LSH bucketed near-dup pairs, exact-cosine "
-    "verified.  4 planes x 16 tables: recall-first banding for the "
-    "0.5 threshold; LSH's payoff starts when n^2 is unaffordable "
-    "(the 100 TB case).  Plane signs are engine-hash-specific "
-    "(xxhash64), so the gate is PLANTED RECALL (VERDICT r06 #3): the "
-    "query unions the corpus with deterministic copies of the 50 "
-    "md5-smallest vec_ids — one identical (signature-equal in every "
-    "table, MUST be recovered: exercises banding, bucket join, "
-    "verify) and one with lane 0 nudged +0.01 (cosine ~0.9999, a "
-    "true near-dup crossing table boundaries; measured 50/50 at both "
-    "gate scales, floored at 80%) — and emits the recall contract as "
-    "booleans the oracle asserts, plus n_planted, which the oracle "
-    "computes by replaying the planting arithmetic.  The signature "
-    "machinery itself stays hash-green via the portable twin "
-    "q:embedding_lsh_portable_pairs",
-    oracle="""
-SELECT CAST(LEAST(50, (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
-           AS n_planted,
-       TRUE AS exact_recall_total,
-       TRUE AS perturbed_recall_above_80pct
-""",
-)
-def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-    )
-    base = (
-        e.withColumn("_m", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("_m")
-        .limit(50)
-        .drop("_m")
-    )
-    exact = base.select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
-    )
-    pert = base.select(
-        (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
-        F.expr(
-            "transform(embedding,"
-            " (x, i) -> CASE WHEN i = 0 THEN x + 0.01d ELSE x END)"
-        ).alias("embedding"),
-    )
-    aug = e.unionByName(exact).unionByName(pert)
-    pairs = lsh_pairs_above(
-        aug, threshold=0.5, n_planes=4, n_tables=16
-    ).select("id1", "id2")
-    tp_exact = base.select(
-        F.col("vec_id").alias("id1"),
-        (F.col("vec_id") + F.lit(10_000_000)).alias("id2"),
-    )
-    tp_pert = base.select(
-        F.col("vec_id").alias("id1"),
-        (F.col("vec_id") + F.lit(20_000_000)).alias("id2"),
-    )
-    n_pl = base.agg(F.count(F.lit(1)).alias("np"))
-    hit_e = tp_exact.join(pairs, ["id1", "id2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("he")
-    )
-    hit_p = tp_pert.join(pairs, ["id1", "id2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("hp")
-    )
-    return (
-        n_pl.crossJoin(hit_e)
-        .crossJoin(hit_p)
-        .select(
-            F.col("np").cast("long").alias("n_planted"),
-            (F.col("he") == F.col("np")).alias("exact_recall_total"),
-            (F.col("hp") * 5 >= F.col("np") * 4).alias(
-                "perturbed_recall_above_80pct"
-            ),
-        )
-    )
+# RETIRED r10 (paired with the q:build_zonemap registration, VERDICT
+# r09 #2 pairing discipline; with q:simhash_near_pairs this leaves
+# the registry's weaker planted-recall contract rows at TWO):
+# q:embedding_lsh_pairs — the xxhash64 hyperplane-LSH variant
+# (4 planes x 16 tables) under a planted-recall contract.  Carried
+# by q:embedding_lsh_portable_pairs (the SAME banding scheme over
+# md5-parity signs and integer lanes, full value oracle with the
+# portable per-bucket cap) and by
+# tests/test_operators.py::test_lsh_xxhash_planted_recall (added at
+# retirement: the identical exact-copy/perturbed-copy planting the
+# driver row asserted, pinned as a unit test).  Accounting:
+# ROTATION_r10.md.
 
 
 @register(
@@ -420,7 +258,8 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uncapped 4-bit config had at sf1 (131 s, VERDICT r05); at gate "
     "scale the cap does not bind, so the output equals the exact "
     "replay.  The xxhash64 float-lane variant stays the scale "
-    "default (q:embedding_lsh_pairs, rows-only)",
+    "default, pinned by the planted-recall unit test (its driver "
+    "row RETIRED r10 into this gate)",
     oracle="""
 WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 seeds AS (SELECT unnest(generate_series(0, 63)) AS s),

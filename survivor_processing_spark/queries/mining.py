@@ -121,44 +121,17 @@ def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D9 at scale: guaranteed-recall fuzzy match ------------------------------
 
 
-@register(
-    "fuzzy_name_match",
-    doc="edit-distance-1 name reconciliation via symmetric-delete "
-    "blocking (operators/fuzzy.py): a deterministically-corrupted "
-    "copy of customer names (one char deleted at custkey % len) "
-    "re-matches the clean roster through ONE hash equi-join on "
-    "deletion variants + JVM levenshtein verify — 100% recall at "
-    "dist ≤ 1 by construction, candidates O(n·len) not O(n²) "
-    "(the reference's difflib scan is the quadratic form).  Oracle "
-    "is the naive all-pairs levenshtein join (exact ground truth)",
-    oracle="""
-WITH dirty AS (
-    SELECT c_custkey + 1000000 AS d_key,
-           substr(c_name, 1, c_custkey % length(c_name)) ||
-           substr(c_name, (c_custkey % length(c_name)) + 2) AS d_name
-    FROM customer
-)
-SELECT d.d_key, c.c_custkey, levenshtein(d.d_name, c.c_name) AS dist
-FROM dirty d, customer c
-WHERE levenshtein(d.d_name, c.c_name) <= 1
-""",
-)
-def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    dirty = cust.select(
-        (F.col("c_custkey") + 1000000).alias("d_key"),
-        F.concat(
-            F.expr("substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"),
-            F.expr(
-                "substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"
-            ),
-        ).alias("d_name"),
-    )
-    clean = cust.select("c_custkey", "c_name")
-    pairs = fuzzy_join_dist1(dirty, clean, "d_name", "c_name", max_dist=1)
-    return pairs.select(
-        "d_key", "c_custkey", F.col("dist").cast("long").alias("dist")
-    )
+# RETIRED r10 (paired with the q:pq_train_encode registration,
+# VERDICT r09 #2 pairing discipline): q:fuzzy_name_match — the
+# edit-distance-1 symmetric-delete reconciliation.  Carried by
+# q:fuzzy_name_match_dist2 (the GENERAL depth-2 operator
+# fuzzy_join, whose SymSpell guarantee subsumes depth 1 and whose
+# oracle is the same naive all-pairs levenshtein ground truth) and
+# by q:entity_resolution_cascade / q:entity_match_quarantine (the
+# D9 production consumers of dist-1 matching); the dedicated
+# fuzzy_join_dist1 path stays pinned in tests/test_fuzzy_property.py
+# (randomized recall-vs-naive equivalence).  Accounting:
+# ROTATION_r10.md.
 
 
 @register(

@@ -506,44 +506,15 @@ def coalesce_cascade_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- beyond-reference: multi-level aggregation (ROLLUP) ---------------------
 
 
-@register(
-    "rollup_multilevel_agg",
-    doc="ROLLUP over (returnflag, linestatus): detail + per-flag subtotal "
-    "+ grand total in ONE pass (Spark expands grouping sets inside a "
-    "single hash-aggregate; no self-union of scans); GROUPING() flags "
-    "disambiguate rollup NULLs from data NULLs",
-    oracle="""
-SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-       COALESCE(l_linestatus, 'ALL') AS linestatus,
-       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
-       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-       COUNT(*) AS n_items,
-       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-)
-def rollup_multilevel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping("l_returnflag").cast("int").alias("g_flag"),
-            F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.count("*").alias("n_items"),
-            # integer-cents exact sum via floor(x*100+0.5) (see grouped_sum_all_measures)
-            (F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0))
-            .alias("sum_qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "g_flag",
-            "g_status",
-            "n_items",
-            "sum_qty",
-        )
-    )
+# RETIRED r10 (paired with the q:ols_trend_exact registration,
+# VERDICT r09 #2 pairing discipline): q:rollup_multilevel_agg —
+# ROLLUP(returnflag, linestatus) with GROUPING() flags.  Carried by
+# q:grouping_sets_agg: ROLLUP/CUBE/GROUPING SETS all lower to the
+# SAME Expand + single hash-aggregate physical plan over the same
+# lineitem measures with the same GROUPING() disambiguation — the
+# identical argument that retired q:cube_agg in r9 (the r9 RETIRED
+# note in queries/analytics.py names both carriers; grouping_sets_agg
+# is the one that remains registered).  Accounting: ROTATION_r10.md.
 
 
 # --- beyond-reference: row-set INTERSECT / EXCEPT ---------------------------

@@ -67,40 +67,27 @@ def asof_join_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D5: as-of join, global dimension (broadcast interval strategy) ---------
 
 
-@register(
-    "asof_join_broadcast_dim",
-    doc="reference reddit_transform.py:37-44 — as-of to a small dimension "
-    "(season/episode air times): broadcast interval rewrite, ZERO shuffle "
-    "of the fact side — the 100 TB-safe plan",
-    oracle="""
-SELECT e.event_id,
-       CAST(floor(epoch(s.ts)) AS BIGINT) AS last_signup_epoch
-FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE event_type <> 'signup') e
-ASOF LEFT JOIN
-     (SELECT CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE event_type = 'signup') s
-ON e.ts >= s.ts
-""",
-)
-def asof_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    facts = ev.filter(F.col("event_type") != "signup").select("event_id", "ts")
-    dim = ev.filter(F.col("event_type") == "signup").select(
-        F.col("ts").alias("signup_ts")
-    )
-    out = asof_join(facts, dim, "ts", "signup_ts", strategy="broadcast")
-    return out.select(
-        "event_id", F.unix_timestamp("signup_ts").alias("last_signup_epoch")
-    )
+# RETIRED r10 (paired with the q:pq_adc_topk registration, VERDICT
+# r09 #2 pairing discipline): q:asof_join_broadcast_dim — backward
+# as-of to a small dimension via the broadcast interval rewrite
+# (reference reddit_transform.py:37-44).  Carried by
+# q:asof_join_keyed (the BACKWARD direction, hash-gated) and
+# q:asof_join_nearest_broadcast (the banded-broadcast machinery,
+# hash-gated); the backward×broadcast combination itself stays
+# pinned by the strategy-parametrized DuckDB-ASOF property tests
+# (tests/test_asof_property.py test_asof_matches_duckdb,
+# tests/test_asof.py test_asof_backward_semantics).  Accounting:
+# ROTATION_r10.md.
 
 
 # RETIRED r8 (VERDICT r07 #2, the named candidate): q:asof_join_
 # forward_broadcast — every axis it exercised stays gated by its
 # three siblings: the FORWARD direction by q:asof_join_forward_keyed
 # (same direction arithmetic, keyed), the BROADCAST banding by
-# q:asof_join_broadcast_dim (same zero-fact-shuffle plan, backward),
-# and the banded-broadcast-with-direction composition by
+# q:asof_join_broadcast_dim (same zero-fact-shuffle plan, backward;
+# itself RETIRED r10, see above — broadcast banding is now carried
+# by q:asof_join_nearest_broadcast + the property tests), and the
+# banded-broadcast-with-direction composition by
 # q:asof_join_nearest_broadcast.  The forward×broadcast combination
 # itself stays covered by the DuckDB-ASOF property tests
 # (tests/test_asof.py).  Accounting: ROTATION_r08.md.

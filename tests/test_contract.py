@@ -28,7 +28,8 @@ def test_bogus_sf_dir_raises_analysis_exception(spark):
         "window_rank_placement",       # explicit rank tiebreaks
         "minhash_lsh_pairs",           # hash-family determinism
         "top_k_customers",             # global top-k ordering
-        "fuzzy_name_match",            # variant-join pair emission
+        "fuzzy_name_match_dist2",      # variant-join pair emission
+                                       # (dist1 row RETIRED r10)
         "tfidf_top_terms",             # integer-keyed rank winners
     ],
 )

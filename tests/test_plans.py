@@ -43,7 +43,23 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_asof_broadcast_is_hash_join_not_nested_loop(spark):
-    plan = plan_of(spark, "asof_join_broadcast_dim")
+    # the backward-broadcast strategy's plan audit survives its
+    # driver row's r10 retirement: build the same shape directly
+    # from the operator (events facts vs signup-dim as-of)
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF, "events")
+    facts = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "ts"
+    )
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        F.col("ts").alias("signup_ts")
+    )
+    df = asof_join(facts, dim, "ts", "signup_ts", strategy="broadcast")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # the only nested-loop allowed is the single-row open-interval
     # join (build side = one row per group)
@@ -73,10 +89,10 @@ def test_grouped_agg_partial_map_side(spark):
 
 
 def _simhash_pairs_plan(spark) -> str:
-    # the q:simhash_near_pairs registration is now the planted-recall
-    # GATE (r7) whose plan adds the planting union + semi-joins; the
-    # scan/aggregation properties being pinned here belong to the
-    # OPERATOR, so audit it directly over the raw corpus
+    # the simhash_near_pairs OPERATOR keeps its plan audit after its
+    # planted-recall driver row retired into q:simhash_portable_pairs
+    # (r10): the scan/aggregation properties pinned here belong to
+    # the operator, audited directly over the raw corpus
     from survivor_processing_spark.catalog import load_table
     from survivor_processing_spark.operators.dedup import simhash_near_pairs
 
@@ -128,9 +144,11 @@ def test_simhash_pairs_join_free_single_scan(spark):
 
 
 def test_rollup_single_pass(spark):
-    """ROLLUP = Expand inside one hash aggregate over ONE scan, not a
-    union of per-level scans."""
-    plan = plan_of(spark, "rollup_multilevel_agg")
+    """Grouping-set grains (ROLLUP/CUBE/GROUPING SETS lower the same
+    way; the ROLLUP row retired r10 into this gate) = Expand inside
+    one hash aggregate over ONE scan, not a union of per-level
+    scans."""
+    plan = plan_of(spark, "grouping_sets_agg")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
 
@@ -293,7 +311,7 @@ def test_event_transitions_one_window_shuffle(spark):
 def test_fuzzy_join_is_hash_equijoin(spark):
     """Symmetric-delete blocking must plan an equi-join on the
     variant (hash join), never a nested-loop over all pairs."""
-    plan = plan_of(spark, "fuzzy_name_match")
+    plan = plan_of(spark, "fuzzy_name_match_dist2")
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan

@@ -39,14 +39,13 @@ OPS = "survivor_processing_spark.operators"
 # bpe_token_budget, read_snapshot(->snapshot_summary),
 # stream_interval_join, sq8_encode(->sq8_summary),
 # content_fingerprint.
+# r10 registrations REMOVED likewise: pq_train_encode, pq_adc_topk,
+# stratified_exact_split, triangle_counts, build_zonemap,
+# ols_trend_exact, semantic_decontaminate.
 # oracle None = documented exemption; bench None = covered by a
 # sibling's bench row (stated in the notes column of ROTATION_r07.md)
 QUEUE = [
-    ("pq_train_encode", "pq_portable_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_train_encode"),
-    ("pq_adc_topk", "pq_adc_topk_oracle", f"{OPS}.pq", "test_pq.py", "pq", "pq_adc_topk"),
-    ("stratified_exact_split", "stratified_exact_split_oracle", f"{OPS}.curation", "test_stratified_split.py", "stratified_split", "stratified_split"),
     ("ngram_coverage_score", "ngram_coverage_oracle", f"{OPS}.curation", "test_ngram_coverage.py", "ngram_coverage", "ngram_coverage"),
-    ("ols_trend_exact", "ols_trend_oracle", f"{OPS}.regression", "test_regression.py", "ols", "ols_trend"),
     ("inverted_postings", "inverted_postings_oracle", f"{OPS}.retrieval", "test_retrieval.py", "retrieval", "inverted_postings"),
     ("bm25_doc_term_scores", "bm25_scores_oracle", f"{OPS}.retrieval", "test_retrieval.py", "retrieval", "bm25_scores"),
     ("interpolate_linear", "interpolate_linear_oracle", f"{OPS}.timeseries", "test_interpolate.py", "interpolate", "interpolate"),
@@ -58,11 +57,7 @@ QUEUE = [
     ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
     ("url_canonicalize", "url_canonicalize_oracle", f"{OPS}.urlnorm", "test_urlnorm.py", "urlnorm", "url_canonicalize"),
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
-    ("triangle_counts", "triangle_counts_oracle", f"{OPS}.graphstats", "test_graphstats.py", "graphstats", "triangle_counts"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
-    ("build_zonemap", "zonemap_oracle", f"{OPS}.zonemap", "test_zonemap.py", "zonemap", "zonemap_build"),
-    # queued r9 (net-new 1 <= registered-2 cap — ROTATION_r09.md)
-    ("semantic_decontaminate", "semantic_decontaminate_oracle", f"{OPS}.decontam", "test_semantic_decontam.py", "semantic_decontam", "semantic_decontam"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
