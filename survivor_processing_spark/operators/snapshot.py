@@ -755,3 +755,90 @@ def vacuum_orphans(
             os.remove(path)
             gone.append(f)
     return gone
+
+
+def zorder_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 4,
+    bits: int = 16,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE ZORDER over a snapshot-logged table — the layout
+    half of Delta's ``OPTIMIZE ... ZORDER BY (a, b)`` built from this
+    repo's own pieces: read the ACTIVE file set, range-partition by
+    the Morton interleave of ``(col_a, col_b)`` (operators/zorder.py
+    zvalue — a codegen'd bit expression, one shuffle), sort within
+    partitions, land ``n_files`` new files, and swap them in as ONE
+    atomic remove+add commit with their column envelopes recorded in
+    the manifest.
+
+    Why this pays at 100 TB: compaction fixes file SIZES, z-ordering
+    fixes file CONTENTS — after the rewrite every participating
+    column has locally-narrow [vmin, vmax] envelopes per file, so
+    manifest pruning (and parquet row-group skipping inside the
+    survivors) cuts scans filtered on EITHER dimension, where a
+    one-column sort helps only that column.  Readers of the previous
+    snapshot never tear: the new layout is invisible until the
+    commit lands, and time travel keeps serving the old one.
+
+    ``stats_cols`` defaults to ``[col_a, col_b]`` — the dimensions
+    whose envelopes the layout just tightened are exactly the ones
+    later prunes want in the manifest.
+
+    Returns ``{"version", "n_rewritten", "adds"}``."""
+    import shutil
+    import uuid
+
+    from .zorder import zvalue
+
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    active = snapshot_files(table_dir)
+    if not active:
+        raise ValueError(f"snapshot at {table_dir!r} has no active files")
+    base = spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in active]
+    )
+    tag = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_dir, f"_tmp_zorder_{tag}")
+    (
+        base.withColumn("_z", zvalue(col_a, col_b, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    adds = []
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"zorder-{tag}-{i:05d}.parquet"
+        os.rename(
+            os.path.join(staging, part), os.path.join(table_dir, name)
+        )
+        adds.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    # swap + stats inside the same rollback scope as compact/merge: a
+    # failed commit unwinds the renamed files (log-driven readers
+    # never saw them); hard crashes are vacuum_orphans territory
+    try:
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            removes=active,
+            stats=stats_for_files(
+                table_dir, adds, stats_cols or [col_a, col_b]
+            ),
+        )
+    except BaseException:
+        for name in adds:
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
+    return {"version": version, "n_rewritten": len(active), "adds": adds}

@@ -579,3 +579,185 @@ def merge_into_snapshot(
         "n_untouched": len(untouched),
         "adds": adds,
     }
+
+
+def delete_from_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    lo,
+    hi,
+    cast: str = "bigint",
+    bloom_bits: int | str | None = "auto",
+) -> dict:
+    """COPY-ON-WRITE range DELETE from a snapshot-logged table — the
+    row-level DML a retention window or right-to-be-forgotten pass
+    runs, composed from the same trio as :func:`merge_into_snapshot`:
+    the log says which files ARE the table, the log-first zone maps
+    say which of them can possibly hold a row in ``[lo, hi]``, and
+    only files that ACTUALLY contain matching rows are rewritten —
+    a file whose envelope intersects the range but holds no matching
+    row survives by NAME (no metadata churn, no data copy).
+
+    NULL keys never match a range predicate, so rows with a NULL
+    ``key_col`` are always kept — the SQL DELETE semantics.
+
+    Mechanics:
+    1. candidates = envelope-intersecting files (log-first manifest,
+       ordering- and width-guarded exactly like ``prune_files``;
+       NULL-stat files are always candidates — never skip blind);
+    2. ONE pass over the candidates counts matches per file via
+       ``input_file_name`` — the files with zero matches drop out of
+       the rewrite set right there;
+    3. survivors of the truly-affected files are rewritten as NEW
+       files (never in place) with stats + blooms recorded in the
+       commit, and the swap lands as ONE atomic remove+add version;
+       a file whose every row matches is removed with no replacement.
+
+    Returns ``{"version", "n_deleted", "n_rewritten", "n_removed",
+    "n_untouched", "adds"}``; a delete that matches nothing is a
+    clean no-op (version None), never an empty commit."""
+    from ..operators.snapshot import (
+        commit_version,
+        file_key_blooms,
+        file_stats,
+        snapshot_files,
+        snapshot_zonemap,
+        stats_for_files,
+    )
+    from ..operators.zonemap import _CAST_ORD
+
+    required = _CAST_ORD.get(cast.lower().split("(")[0])
+    if required is None:
+        raise ValueError(f"unsupported delete key cast {cast!r}")
+    if lo is None or hi is None:
+        raise ValueError("delete bounds must be non-NULL")
+    active = snapshot_files(table_dir)
+    rec = file_stats(table_dir)
+    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=rec)
+    mismatched = (
+        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
+        .limit(1)
+        .collect()
+    )
+    if mismatched:
+        raise ValueError(
+            f"zone-map ordering mismatch on {key_col!r}: envelope "
+            f"built {mismatched[0]['ord']}, delete cast {cast!r} "
+            f"compares {required}"
+        )
+    cmin = F.expr(f"try_cast(vmin as {cast})")
+    cmax = F.expr(f"try_cast(vmax as {cast})")
+    keep_rows = zm.filter(
+        F.col("vmin").isNull()
+        | cmin.isNull()
+        | cmax.isNull()
+        | ((cmin <= F.lit(hi)) & (cmax >= F.lit(lo)))
+    )
+    candidates = sorted(
+        r["file"] for r in keep_rows.select("file").collect()
+    )
+    if not candidates:
+        return {
+            "version": None,
+            "n_deleted": 0,
+            "n_rewritten": 0,
+            "n_removed": 0,
+            "n_untouched": len(active),
+            "adds": [],
+        }
+    pred = (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
+    base = spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in candidates]
+    )
+    # one aggregation names the files that ACTUALLY hold matches —
+    # an envelope is an over-approximation, and rewriting a
+    # no-match file is pure churn (plus a pointless name change)
+    per_file = (
+        base.where(pred)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f")
+        )
+        .groupBy("_f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    matches = {r["_f"]: int(r["n"]) for r in per_file}
+    affected = sorted(matches)
+    n_deleted = sum(matches.values())
+    if not affected:
+        return {
+            "version": None,
+            "n_deleted": 0,
+            "n_rewritten": 0,
+            "n_removed": 0,
+            "n_untouched": len(active),
+            "adds": [],
+        }
+    survivors = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in affected]
+        )
+        .where(~pred | F.col(key_col).isNull())
+    )
+    staging = os.path.join(table_dir, f"_tmp_delete_{uuid.uuid4().hex[:8]}")
+    survivors.write.mode("overwrite").parquet(staging)
+    adds = []
+    tag = uuid.uuid4().hex[:8]
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"delete-{tag}-{i:05d}.parquet"
+        os.rename(os.path.join(staging, part), os.path.join(table_dir, name))
+        adds.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    # drop empty replacement parts (a bin whose every row matched):
+    # adding a 0-row file is legal but pure noise in the manifest
+    pruned_adds = []
+    for name in adds:
+        st = stats_for_files(table_dir, [name], [key_col])[name]
+        if int(st[key_col]["n_rows"]) == 0:
+            os.remove(os.path.join(table_dir, name))
+        else:
+            pruned_adds.append(name)
+    adds = pruned_adds
+    try:
+        new_stats = stats_for_files(table_dir, adds, [key_col])
+        if bloom_bits and adds:
+            groups: dict[int, list[str]] = {}
+            for fname in adds:
+                if bloom_bits == "auto":
+                    n = int(new_stats[fname][key_col]["n_rows"])
+                    m = min(
+                        1 << 17,
+                        max(1 << 13, 1 << (10 * max(n, 1)).bit_length()),
+                    )
+                else:
+                    m = int(bloom_bits)
+                groups.setdefault(m, []).append(fname)
+            for m, fs in groups.items():
+                for fname, b in file_key_blooms(
+                    spark, table_dir, fs, key_col, num_bits=m
+                ).items():
+                    new_stats[fname][key_col]["bloom"] = b
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            removes=affected,
+            stats=new_stats or None,
+        )
+    except BaseException:
+        for name in adds:
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
+    return {
+        "version": version,
+        "n_deleted": n_deleted,
+        "n_rewritten": len(adds),
+        "n_removed": len(affected),
+        "n_untouched": len(active) - len(affected),
+        "adds": adds,
+    }

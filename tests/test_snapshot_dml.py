@@ -1,0 +1,291 @@
+"""Row-level DML + layout maintenance over the snapshot log (r10):
+copy-on-write range DELETE (rewrite only files that actually hold
+matches), OPTIMIZE ZORDER (layout swap that measurably tightens
+manifest pruning), and concurrent-writer conflict behavior now that
+commits claim versions with O_EXCL semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from survivor_processing_spark.operators.snapshot import (
+    commit_version,
+    read_snapshot,
+    snapshot_files,
+    zorder_snapshot,
+)
+from survivor_processing_spark.sinks.merge import delete_from_snapshot
+
+
+def _write(d: str, name: str, keys: list[int | None]) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(keys, type=pa.int64()),
+                "amt": [float(k) if k is not None else 0.0 for k in keys],
+            }
+        ),
+        os.path.join(d, name),
+    )
+    return name
+
+
+@pytest.fixture()
+def table_dir():
+    d = tempfile.mkdtemp()
+    try:
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _keys(spark, table_dir, version=None) -> list:
+    return sorted(
+        r["k"]
+        for r in read_snapshot(spark, table_dir, version)
+        .select("k")
+        .collect()
+    )
+
+
+def test_delete_rewrites_only_matching_files(spark, table_dir):
+    _write(table_dir, "a.parquet", list(range(1, 11)))
+    _write(table_dir, "b.parquet", list(range(11, 21)))
+    _write(table_dir, "c.parquet", list(range(21, 31)))
+    _write(table_dir, "d.parquet", list(range(41, 51)))
+    commit_version(
+        table_dir,
+        adds=["a.parquet", "b.parquet", "c.parquet", "d.parquet"],
+    )
+    out = delete_from_snapshot(spark, table_dir, "k", 5, 12)
+    assert out["version"] == 2
+    assert out["n_deleted"] == 8  # 5..10 in a, 11..12 in b
+    assert out["n_removed"] == 2 and out["n_untouched"] == 2
+    active = snapshot_files(table_dir)
+    # untouched files survive BY NAME; affected ones were replaced
+    assert "c.parquet" in active and "d.parquet" in active
+    assert "a.parquet" not in active and "b.parquet" not in active
+    want = [k for k in list(range(1, 31)) + list(range(41, 51))
+            if not (5 <= k <= 12)]
+    assert _keys(spark, table_dir) == want
+    # time travel still serves the pre-delete table
+    assert len(_keys(spark, table_dir, 1)) == 40
+
+
+def test_delete_skips_envelope_false_positives(spark, table_dir):
+    # f1's envelope [1, 30] intersects [4, 6] but holds no matching
+    # row — the per-file match count must drop it from the rewrite
+    # set, making the whole delete a no-op (no empty commit)
+    _write(table_dir, "f1.parquet", [1, 2, 3, 30])
+    _write(table_dir, "f2.parquet", list(range(10, 21)))
+    commit_version(table_dir, adds=["f1.parquet", "f2.parquet"])
+    out = delete_from_snapshot(spark, table_dir, "k", 4, 6)
+    assert out["version"] is None and out["n_deleted"] == 0
+    assert snapshot_files(table_dir) == ["f1.parquet", "f2.parquet"]
+
+
+def test_delete_whole_file_removes_without_replacement(spark, table_dir):
+    _write(table_dir, "a.parquet", [1, 2, 3])
+    _write(table_dir, "b.parquet", [10, 11])
+    commit_version(table_dir, adds=["a.parquet", "b.parquet"])
+    out = delete_from_snapshot(spark, table_dir, "k", 1, 3)
+    assert out["n_deleted"] == 3 and out["n_removed"] == 1
+    assert out["n_rewritten"] == 0 and out["adds"] == []
+    assert snapshot_files(table_dir) == ["b.parquet"]
+    assert _keys(spark, table_dir) == [10, 11]
+    # no stranded replacement parts on disk
+    leftovers = [
+        f for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and f not in ("a.parquet", "b.parquet")
+    ]
+    assert leftovers == []
+
+
+def test_delete_keeps_null_keys(spark, table_dir):
+    _write(table_dir, "a.parquet", [1, None, 2, None, 9])
+    commit_version(table_dir, adds=["a.parquet"])
+    out = delete_from_snapshot(spark, table_dir, "k", 1, 5)
+    assert out["n_deleted"] == 2  # 1 and 2; NULLs never match a range
+    got = [
+        r["k"]
+        for r in read_snapshot(spark, table_dir).select("k").collect()
+    ]
+    assert sorted(x for x in got if x is not None) == [9]
+    assert sum(1 for x in got if x is None) == 2
+
+
+def test_delete_idempotent_replay(spark, table_dir):
+    _write(table_dir, "a.parquet", list(range(1, 21)))
+    commit_version(table_dir, adds=["a.parquet"])
+    first = delete_from_snapshot(spark, table_dir, "k", 5, 8)
+    assert first["n_deleted"] == 4
+    again = delete_from_snapshot(spark, table_dir, "k", 5, 8)
+    # replay matches nothing: clean no-op, no new version
+    assert again["version"] is None and again["n_deleted"] == 0
+    assert _keys(spark, table_dir) == [
+        k for k in range(1, 21) if not (5 <= k <= 8)
+    ]
+
+
+def test_delete_failed_commit_rolls_back_files(spark, table_dir, monkeypatch):
+    import survivor_processing_spark.sinks.merge as merge_mod
+
+    _write(table_dir, "a.parquet", list(range(1, 11)))
+    commit_version(table_dir, adds=["a.parquet"])
+
+    def boom(*a, **k):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(
+        "survivor_processing_spark.operators.snapshot.file_key_blooms",
+        boom,
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_snapshot(spark, table_dir, "k", 2, 3)
+    # rollback removed the renamed replacement files; table unchanged
+    assert snapshot_files(table_dir) == ["a.parquet"]
+    assert sorted(
+        f for f in os.listdir(table_dir) if f.endswith(".parquet")
+    ) == ["a.parquet"]
+    assert _keys(spark, table_dir) == list(range(1, 11))
+
+
+def test_zorder_snapshot_tightens_pruning(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        snapshot_zonemap,
+    )
+    from survivor_processing_spark.operators.zonemap import prune_files
+
+    # round-robin layout: every file's [vmin, vmax] on BOTH columns
+    # spans the whole domain, so pruning keeps everything.  Power-of-
+    # two domain + 16 output files puts the z-range quantiles on
+    # sub-quadrant boundaries, so both dimensions localize.
+    n, files = 1024, 16
+    for i in range(files):
+        ks = [k for k in range(n) if k % files == i]
+        pq.write_table(
+            pa.table(
+                {
+                    "a": pa.array(ks, type=pa.int64()),
+                    "b": pa.array(
+                        [(k * 509) % n for k in ks], type=pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(table_dir, f"rr{i}.parquet"),
+        )
+    commit_version(table_dir, adds=[f"rr{i}.parquet" for i in range(files)])
+    zm_before = snapshot_zonemap(spark, table_dir, ["a"])
+    kept_before = prune_files(zm_before, "a", 0, n // 8)
+    assert len(kept_before) == files  # round-robin defeats pruning
+
+    before = sorted(
+        (r["a"], r["b"])
+        for r in read_snapshot(spark, table_dir).collect()
+    )
+    out = zorder_snapshot(spark, table_dir, "a", "b", n_files=files)
+    assert out["version"] == 2 and out["n_rewritten"] == files
+
+    # identical content, new layout
+    after = sorted(
+        (r["a"], r["b"])
+        for r in read_snapshot(spark, table_dir).collect()
+    )
+    assert after == before
+    # the SAME range predicate now schedules strictly fewer files,
+    # planned log-first from the stats the commit recorded
+    zm_after = snapshot_zonemap(spark, table_dir, ["a"])
+    kept_after = prune_files(zm_after, "a", 0, n // 8)
+    assert len(kept_after) < files
+    # and the b dimension is ALSO tighter than round-robin (z-curve
+    # property: both interleaved dimensions localize)
+    zb = snapshot_zonemap(spark, table_dir, ["b"])
+    assert len(prune_files(zb, "b", 0, n // 8)) < files
+    # time travel keeps serving the pre-optimize layout
+    assert snapshot_files(table_dir, 1) == sorted(
+        f"rr{i}.parquet" for i in range(files)
+    )
+
+
+def test_concurrent_merge_vs_compact_stays_consistent(spark, table_dir):
+    """Two maintenance writers race from the same snapshot: with the
+    O_EXCL claim, one commits and the loser either serializes cleanly
+    behind it or raises on re-validation — never a silent
+    last-write-win, never a stranded replacement file."""
+    import threading
+
+    from survivor_processing_spark.operators.snapshot import (
+        SnapshotConflictError,
+        compact_snapshot,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "a.parquet", [1, 2, 3])
+    _write(table_dir, "b.parquet", [4, 5])
+    _write(table_dir, "c.parquet", [6])
+    commit_version(table_dir, adds=["a.parquet", "b.parquet", "c.parquet"])
+
+    source = spark.createDataFrame(
+        [(2, 99.0), (7, 7.0)], "k long, amt double"
+    )
+    barrier = threading.Barrier(2)
+    errs: dict[str, BaseException] = {}
+
+    def do_merge():
+        try:
+            barrier.wait()
+            merge_into_snapshot(spark, table_dir, source, "k")
+        except BaseException as e:
+            errs["merge"] = e
+
+    def do_compact():
+        try:
+            barrier.wait()
+            compact_snapshot(spark, table_dir, target_bytes=1 << 20)
+        except BaseException as e:
+            errs["compact"] = e
+
+    ts = [threading.Thread(target=do_merge),
+          threading.Thread(target=do_compact)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    # any loser raised a DETECTED conflict, not a silent overwrite
+    for e in errs.values():
+        assert isinstance(e, (ValueError, SnapshotConflictError)), e
+    # the log replays cleanly and the table content is consistent
+    # with exactly the operations that committed
+    got = {
+        r["k"]: r["amt"]
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    if "merge" in errs:
+        assert sorted(got) == [1, 2, 3, 4, 5, 6]
+        assert got[2] == 2.0
+    else:
+        assert sorted(got) == [1, 2, 3, 4, 5, 6, 7]
+        assert got[2] == 99.0 and got[7] == 7.0
+    # no stranded files: everything on disk is log-referenced
+    import json as _json
+
+    from survivor_processing_spark.operators.snapshot import (
+        _entry_path,
+        log_versions,
+    )
+
+    ever: set[str] = set()
+    for v in log_versions(table_dir):
+        with open(_entry_path(table_dir, v)) as f:
+            ever |= set(_json.load(f)["adds"])
+    on_disk = {
+        f for f in os.listdir(table_dir) if f.endswith(".parquet")
+    }
+    assert on_disk <= ever

@@ -1929,6 +1929,111 @@ def fuzz_cow_merge(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_cow_delete(spark, rng, trials: int) -> int:
+    """sinks/merge.py delete_from_snapshot (r10): random seed
+    layouts + random delete ranges — the post-delete snapshot equals
+    a pure-Python dict filter, NULL keys always survive, every
+    pre-delete version stays intact, and copy-on-write minimality
+    holds (a file with no matching row survives by NAME even when
+    its envelope intersects the range)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        snapshot_files,
+    )
+    from survivor_processing_spark.sinks.merge import delete_from_snapshot
+
+    fails = 0
+    for _ in range(trials):
+        d = _tempfile.mkdtemp()
+        try:
+            n_files = rng.randrange(2, 5)
+            bounds = sorted(rng.sample(range(0, 400), n_files * 2))
+            names = []
+            rows: list[tuple[int | None, float]] = []
+            per_file: dict[str, list[int | None]] = {}
+            for i in range(n_files):
+                lo, hi = bounds[2 * i], bounds[2 * i + 1] + 1
+                ks: list[int | None] = list(range(lo, hi))
+                if rng.random() < 0.3:
+                    ks.append(None)  # NULL keys must always survive
+                nm = f"s{i}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "k": pa.array(ks, type=pa.int64()),
+                            "amt": [
+                                float(k) if k is not None else -1.0
+                                for k in ks
+                            ],
+                        }
+                    ),
+                    _os.path.join(d, nm),
+                )
+                names.append(nm)
+                per_file[nm] = ks
+                rows.extend(
+                    (k, float(k) if k is not None else -1.0) for k in ks
+                )
+            commit_version(d, adds=names)
+            pre = sorted(rows, key=lambda t: (t[0] is None, t[0]))
+            dlo = rng.randrange(0, 400)
+            dhi = dlo + rng.randrange(0, 120)
+            out = delete_from_snapshot(spark, d, "k", dlo, dhi)
+            ref = [
+                (k, a)
+                for k, a in rows
+                if k is None or not (dlo <= k <= dhi)
+            ]
+            got = sorted(
+                ((r["k"], r["amt"]) for r in read_snapshot(spark, d).collect()),
+                key=lambda t: (t[0] is None, t[0]),
+            )
+            if got != sorted(ref, key=lambda t: (t[0] is None, t[0])):
+                fails += 1
+                print("COW-DELETE MISMATCH", len(got), len(ref))
+                continue
+            n_del = len(rows) - len(ref)
+            if out["n_deleted"] != n_del:
+                fails += 1
+                print("COW-DELETE count", out["n_deleted"], n_del)
+                continue
+            # minimality: a seed with no matching row survives by name
+            still = set(snapshot_files(d))
+            for nm, ks in per_file.items():
+                has_match = any(
+                    k is not None and dlo <= k <= dhi for k in ks
+                )
+                if not has_match and nm not in still:
+                    fails += 1
+                    print("COW-DELETE minimality broke", nm)
+            # no-op deletes must not mint a version
+            if n_del == 0 and out["version"] is not None:
+                fails += 1
+                print("COW-DELETE empty commit", out["version"])
+            # time travel intact
+            v1 = sorted(
+                (
+                    (r["k"], r["amt"])
+                    for r in read_snapshot(spark, d, 1).collect()
+                ),
+                key=lambda t: (t[0] is None, t[0]),
+            )
+            if v1 != pre:
+                fails += 1
+                print("COW-DELETE v1 drift")
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -1981,6 +2086,7 @@ def main() -> int:
         ("stream_join", fuzz_stream_join),
         ("sq8", fuzz_sq8),
         ("cow_merge", fuzz_cow_merge),
+        ("cow_delete", fuzz_cow_delete),
         ("semantic_decontam", fuzz_semantic_decontam),
     ):
         if only is not None and name not in only:
