@@ -785,21 +785,34 @@ def build_zonemap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
     d = tempfile.mkdtemp(prefix="sps_zm_gate_")
     orders = load_table(spark, sf_dir, "orders").select(*cols)
-    staged = orders.withColumn(
-        "_g", F.expr("ntile(4) over (order by o_orderkey)")
-    ).localCheckpoint(eager=True)
+    # ONE staging job for all four files: repartition on the ntile
+    # group (each group lands whole in one task) + partitionBy, then
+    # rename each group's single part to its deterministic name —
+    # the per-group coalesce(1)-write loop this replaces paid four
+    # sequential jobs per rep
+    staging = os.path.join(d, "_stage")
+    (
+        orders.withColumn(
+            "_g", F.expr("ntile(4) over (order by o_orderkey)")
+        )
+        .repartition(4, "_g")
+        .write.partitionBy("_g")
+        .parquet(staging)
+    )
     for i in range(1, 5):
-        staging = os.path.join(d, f"_stage_{i}")
-        staged.filter(F.col("_g") == i).drop("_g").coalesce(1).write.parquet(
-            staging
+        gdir = os.path.join(staging, f"_g={i}")
+        parts = sorted(
+            p for p in os.listdir(gdir) if p.endswith(".parquet")
         )
-        part = next(
-            p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
-        )
+        if len(parts) != 1:  # one task per group by construction
+            raise RuntimeError(
+                f"expected one part for group {i}, got {len(parts)}"
+            )
         os.rename(
-            os.path.join(staging, part), os.path.join(d, f"p{i - 1}.parquet")
+            os.path.join(gdir, parts[0]),
+            os.path.join(d, f"p{i - 1}.parquet"),
         )
-        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     zm = build_zonemap(spark, d, cols)
     bounds = orders.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi0")

@@ -761,3 +761,42 @@ def delete_from_snapshot(
         "n_untouched": len(active) - len(affected),
         "adds": adds,
     }
+
+
+def dml_summary_oracle(
+    key_col: str,
+    agg_col: str,
+    lo: int,
+    hi: int,
+    table: str = "orders",
+) -> str:
+    """Closed-form DuckDB oracle for the queued snapshot-DML gate
+    (the r11 registration this generator pre-stages, mirroring
+    q:snapshot_summary's closed-form style): the gate stages a
+    snapshot-logged table from ``table``, commits v2 = COPY-ON-WRITE
+    DELETE of ``key_col`` in ``[lo, hi]`` (:func:`delete_from_snapshot`)
+    and v3 = OPTIMIZE ZORDER (operators/snapshot.py
+    ``zorder_snapshot`` — layout-only, content-identical to v2), then
+    summarizes every version (row count + decimal sum of
+    ``agg_col``).  A wrong rewrite set, a dropped NULL key, or a
+    zorder that loses/duplicates rows all show up as a wrong count or
+    sum."""
+    keep = (
+        f"({key_col} IS NULL OR NOT ({key_col} >= {int(lo)}"
+        f" AND {key_col} <= {int(hi)}))"
+    )
+
+    def block(v: int, where: str) -> str:
+        return (
+            f"SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COALESCE(SUM(CAST({agg_col} AS DECIMAL(18,2))), 0)"
+            f" AS DOUBLE) AS total FROM {table}{where}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            block(1, ""),
+            block(2, f" WHERE {keep}"),
+            block(3, f" WHERE {keep}"),
+        ]
+    )

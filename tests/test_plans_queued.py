@@ -490,3 +490,53 @@ def test_semantic_decontam_bench_broadcast_train_never_shuffles(spark):
         assert node not in plan
     # exactly one hash-partitioning exchange: the hits aggregate
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_delete_and_zorder_swaps_are_pre_plan_pruned(spark, tmp_path):
+    """The DML pair queued for r11 (sinks/merge.py
+    delete_from_snapshot + operators/snapshot.py zorder_snapshot):
+    after each atomic swap the snapshot scan schedules EXACTLY the
+    surviving file set — removed files never reach the planner, and
+    the zorder rewrite's output is the whole scan set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        zorder_snapshot,
+    )
+    from survivor_processing_spark.sinks.merge import delete_from_snapshot
+
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "v": [1, 2, 3]}),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": [10, 11], "v": [10, 11]}),
+        str(tmp_path / "b.parquet"),
+    )
+    commit_version(str(tmp_path), adds=["a.parquet", "b.parquet"])
+    out = delete_from_snapshot(spark, str(tmp_path), "k", 1, 3)
+    files = sorted(
+        f.rsplit("/", 1)[-1]
+        for f in read_snapshot(spark, str(tmp_path)).inputFiles()
+    )
+    # a fully-deleted file vanished with no replacement; b untouched
+    assert files == ["b.parquet"] and out["adds"] == []
+    z = zorder_snapshot(spark, str(tmp_path), "k", "v", n_files=1)
+    files = sorted(
+        f.rsplit("/", 1)[-1]
+        for f in read_snapshot(spark, str(tmp_path)).inputFiles()
+    )
+    assert files == sorted(z["adds"])  # the swap IS the scan set
+    plan = (
+        read_snapshot(spark, str(tmp_path))
+        .filter("k >= 10")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan  # residual predicate still pushes
+    for node in PY_NODES:
+        assert node not in plan

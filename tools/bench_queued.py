@@ -63,6 +63,56 @@ def _ops(spark, sf_dir):
         stream_interval_join,
     )
 
+    def _dml_roundtrip(d_sf):
+        # the queued r11 gate's exact shape: stage a 4-file snapshot
+        # table from orders (o_orderkey % 4), COW-DELETE a key range,
+        # OPTIMIZE ZORDER, summarize every version
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        from survivor_processing_spark.operators.snapshot import (
+            snapshot_summary,
+            zorder_snapshot,
+        )
+        from survivor_processing_spark.sinks.merge import (
+            delete_from_snapshot,
+        )
+
+        d = tempfile.mkdtemp(prefix="sps_dml_bench_")
+        o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        staging = os.path.join(d, "_stage")
+        (
+            o.withColumn("_g", F.pmod(F.col("o_orderkey"), F.lit(4)))
+            .repartition(4, "_g")
+            .write.partitionBy("_g")
+            .parquet(staging)
+        )
+        for i in range(4):
+            gdir = os.path.join(staging, f"_g={i}")
+            part = next(
+                p for p in sorted(os.listdir(gdir))
+                if p.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(gdir, part), os.path.join(d, f"p{i}.parquet")
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        commit_version(d, adds=[f"p{i}.parquet" for i in range(4)])
+        b = o.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).first()
+        lo = int(b["lo"])
+        hi = lo + (int(b["hi"]) - lo) // 4
+        delete_from_snapshot(spark, d, "o_orderkey", lo, hi)
+        zorder_snapshot(spark, d, "o_orderkey", "o_custkey", n_files=4)
+        out = snapshot_summary(
+            spark, d, [1, 2, 3], "o_totalprice"
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
     def _snapshot_fixture(d_sf=None):
         # two symlinked "files" over the existing orders parquet + a
         # two-commit log: v2 = compaction-style swap of f1 for f2
@@ -110,15 +160,6 @@ def _ops(spark, sf_dir):
     return {
         "substring_clean": lambda: substring_dedup_clean(docs, n=8),
         "bpe_token_budget": lambda: bpe_token_budget(docs, n_merges=8),
-        "pq_train_encode": lambda: pq_train_encode(
-            emb, m=4, k=8, iters=2, dim=64
-        ),
-        "pq_adc_topk": lambda: pq_adc_topk(
-            emb, [0.1] * 64, topk=10, m=4, k=8, iters=2
-        ),
-        "stratified_split": lambda: stratified_exact_split(
-            docs, ["lang", "source"], "doc_id"
-        ),
         "ngram_coverage": lambda: ngram_coverage_score(docs, n=2),
         "inverted_postings": lambda: inverted_postings(
             docs, min_df=2, max_df=2000
@@ -175,10 +216,6 @@ def _ops(spark, sf_dir):
         ),
         "nfc_normalize": lambda: nfc_normalize_text(docs),
         "bigram_fluency": lambda: bigram_fluency(docs),
-        "triangle_counts": lambda: triangle_counts(edges),
-        "zonemap_build": lambda: build_zonemap(
-            spark, f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"]
-        ),
         "rendezvous": lambda: rendezvous_summary(
             docs.select("doc_id"), "doc_id", [f"s-{i}" for i in range(16)]
         ),
@@ -191,12 +228,6 @@ def _ops(spark, sf_dir):
                 "concat('/', doc_id) AS url",
             ),
             per_slot=4,
-        ),
-        "sq8_summary": lambda: sq8_summary(emb, dim=64),
-        "semantic_decontam": lambda: semantic_decontaminate(
-            emb.filter("vec_id % 100 <> 0"),
-            emb.filter("vec_id % 100 = 0"),  # eval ~1% of corpus
-            dim=64,
         ),
         "stream_interval_join": lambda: stream_interval_join(
             events.selectExpr(
@@ -213,17 +244,7 @@ def _ops(spark, sf_dir):
         "snapshot_read": lambda: snapshot_summary(
             spark, _snapshot_fixture(sf_dir), [1, 2], "o_totalprice"
         ),
-        "ols_trend": lambda: ols_trend_exact(
-            events.selectExpr(
-                "event_type AS g",
-                "cast(user_id % 100 as double) AS x",
-                "value AS y",
-            ),
-            ["g"],
-            "x",
-            "y",
-            scale=10,
-        ),
+        "snapshot_dml": lambda: _dml_roundtrip(sf_dir),
     }
 
 

@@ -58,6 +58,10 @@ QUEUE = [
     ("url_canonicalize", "url_canonicalize_oracle", f"{OPS}.urlnorm", "test_urlnorm.py", "urlnorm", "url_canonicalize"),
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
+    # queued r10 (net-new 1 <= registered-2 cap — ROTATION_r10.md):
+    # the snapshot-DML gate (COW DELETE + OPTIMIZE ZORDER + version
+    # summaries; zorder_snapshot rides the same gate/artifacts)
+    ("delete_from_snapshot", "dml_summary_oracle", "survivor_processing_spark.sinks.merge", "test_snapshot_dml.py", "cow_delete", "snapshot_dml"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
