@@ -289,3 +289,43 @@ def test_concurrent_merge_vs_compact_stays_consistent(spark, table_dir):
         f for f in os.listdir(table_dir) if f.endswith(".parquet")
     }
     assert on_disk <= ever
+
+
+def test_concurrent_disjoint_merges_both_commit(spark, table_dir):
+    """Operation-level rebase-on-disjoint: two merges touching
+    DISJOINT key ranges (hence disjoint affected-file sets) race from
+    the same snapshot — the O_EXCL loser re-validates against the
+    winner's head, finds no file overlap, and commits at the next
+    version.  Both batches land; nothing is lost or doubled."""
+    import threading
+
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "low.parquet", [1, 2, 3, 4, 5])
+    _write(table_dir, "high.parquet", [100, 101, 102])
+    commit_version(table_dir, adds=["low.parquet", "high.parquet"])
+
+    src_low = spark.createDataFrame([(2, -2.0)], "k long, amt double")
+    src_high = spark.createDataFrame([(101, -101.0)], "k long, amt double")
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def do(src):
+        try:
+            barrier.wait()
+            merge_into_snapshot(spark, table_dir, src, "k")
+        except BaseException as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=do, args=(s,)) for s in (src_low, src_high)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs  # disjoint writers never conflict, only retry
+    got = {
+        r["k"]: r["amt"]
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 4, 5, 100, 101, 102]
+    assert got[2] == -2.0 and got[101] == -101.0  # both batches landed
