@@ -79,6 +79,7 @@ def commit_version(
     removes: list[str] | None = None,
     stats: dict | None = None,
     max_attempts: int = 10,
+    schema: list[list[str]] | None = None,
 ) -> int:
     """Append the next version to the log; returns its number.
 
@@ -96,6 +97,15 @@ def commit_version(
     a file the snapshot doesn't hold, or an add of one it already
     holds, is rejected — silently tolerating either corrupts every
     later replay.
+
+    ``schema`` (optional) records the table schema AT this commit as
+    ``[[name, spark-ddl-type], ...]`` — the Delta-style
+    schema-in-the-log move that makes SCHEMA EVOLUTION work: when any
+    replayed entry ≤ v carries a schema, :func:`read_snapshot` reads
+    with that EXPLICIT schema (latest wins), so files written before
+    a widening read their missing columns as NULL without a
+    mergeSchema footer sweep, and time travel to a pre-evolution
+    version still serves the narrow schema.
 
     ``stats`` (optional) embeds per-file column envelopes IN the
     commit entry — the Delta/Iceberg stats-in-manifest move: at
@@ -148,6 +158,8 @@ def commit_version(
         }
         if stats:
             entry["stats"] = stats
+        if schema:
+            entry["schema"] = [list(c) for c in schema]
         # unique tmp per attempt/writer: two racers must never clobber
         # each other's staged entry
         tmp = _entry_path(table_dir, v) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -425,17 +437,48 @@ def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
     return sorted(active)
 
 
+def table_schema(
+    table_dir: str, version: int | None = None
+) -> list[list[str]] | None:
+    """The logged table schema in force AT ``version`` (latest
+    schema-carrying entry ≤ v wins), or None when no entry ever
+    recorded one — pre-evolution tables read footer schemas exactly
+    as before."""
+    _, v = _replay(table_dir, version)
+    out: list[list[str]] | None = None
+    for n in log_versions(table_dir):
+        if n > v:
+            break
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        if e.get("schema"):
+            out = [list(c) for c in e["schema"]]
+    return out
+
+
+def _schema_ddl(cols: list[list[str]]) -> str:
+    return ", ".join(f"`{n}` {t}" for n, t in cols)
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Scan EXACTLY the files of the requested snapshot.
 
-    An all-files-removed version reads as an empty table with the
-    schema of the log's historically-known files (a filter-false
-    scan of one of them — metadata-only, no data pages)."""
+    When the log carries a recorded schema at ``version`` (schema
+    evolution — see :func:`commit_version`), the scan reads with
+    that EXPLICIT schema: files written before a widening serve the
+    new columns as NULL, and no footer sweep (mergeSchema) is
+    needed.  An all-files-removed version reads as an empty table
+    with the schema in force at that version (a filter-false scan of
+    one historically-known file — metadata-only, no data pages)."""
     files = snapshot_files(table_dir, version)
+    logged = table_schema(table_dir, version)
+    reader = spark.read
+    if logged:
+        reader = reader.schema(_schema_ddl(logged))
     if files:
-        return spark.read.parquet(
+        return reader.parquet(
             *[os.path.join(table_dir, f) for f in files]
         )
     # empty snapshot: recover the schema from ANY file ever logged
@@ -444,7 +487,7 @@ def read_snapshot(
             adds = json.load(f)["adds"]
         if adds:
             return (
-                spark.read.parquet(os.path.join(table_dir, adds[0]))
+                reader.parquet(os.path.join(table_dir, adds[0]))
                 .filter(F.lit(False))
             )
     raise ValueError(f"log under {table_dir!r} never added a file")
@@ -559,10 +602,16 @@ def compact_snapshot(
     adds: list[str] = []
     removes: list[str] = []
     tag = uuid.uuid4().hex[:8]
+    logged = table_schema(table_dir)
     for b, fs in sorted(bins.items()):
         if len(fs) < 2:
             continue
-        merged = spark.read.parquet(
+        # schema-aware: compacting pre-widening files must carry the
+        # evolved columns (as NULL), not freeze the narrow footer
+        reader = spark.read
+        if logged:
+            reader = reader.schema(_schema_ddl(logged))
+        merged = reader.parquet(
             *[os.path.join(table_dir, f) for f in sorted(fs)]
         ).coalesce(1)
         staging = os.path.join(table_dir, f"_tmp_compact_{tag}_{b}")
@@ -694,6 +743,13 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     }
     if carried:
         baseline["stats"] = carried
+    # the evolved schema must survive expiry exactly like stats do —
+    # dropping the schema-carrying entry would silently revert every
+    # later read to footer schemas (pre-widening files would then
+    # resolve WITHOUT the new columns)
+    schema_at_cut = table_schema(table_dir, cut)
+    if schema_at_cut:
+        baseline["schema"] = schema_at_cut
     tmp = _entry_path(table_dir, cut) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(baseline, f)
@@ -799,9 +855,10 @@ def zorder_snapshot(
     active = snapshot_files(table_dir)
     if not active:
         raise ValueError(f"snapshot at {table_dir!r} has no active files")
-    base = spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in active]
-    )
+    # read_snapshot applies the logged evolved schema when one exists,
+    # so a layout rewrite never drops post-widening columns from
+    # pre-widening files
+    base = read_snapshot(spark, table_dir)
     tag = uuid.uuid4().hex[:8]
     staging = os.path.join(table_dir, f"_tmp_zorder_{tag}")
     (

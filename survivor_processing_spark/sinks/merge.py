@@ -294,6 +294,7 @@ def merge_into_snapshot(
     key_col: str,
     cast: str = "bigint",
     bloom_bits: int | str | None = "auto",
+    allow_evolution: bool = False,
 ) -> dict:
     """COPY-ON-WRITE MERGE into a snapshot-logged parquet table —
     the real lakehouse MERGE shape (Delta/Iceberg merge-on-read's
@@ -326,7 +327,18 @@ def merge_into_snapshot(
     Returns ``{"version", "n_affected", "n_untouched", "adds"}``.
     Source rows whose keys fall outside every envelope are inserts
     by the zone-map contract (a file whose envelope excludes the key
-    provably cannot contain it)."""
+    provably cannot contain it).
+
+    ``allow_evolution=True`` turns EXTRA source columns from a
+    rejection into an explicit SCHEMA WIDENING (Delta's
+    mergeSchema): the merge writes the wider schema, records it in
+    the commit (schema-in-the-log), and every later read serves the
+    new columns as NULL for pre-widening files — while time travel
+    to an earlier version still reads the narrow schema.  Retyped
+    columns and source-missing table columns stay rejected either
+    way (a type change is corruption, not evolution, and this COW
+    upsert replaces whole rows, so a missing source column would
+    silently NULL matched rows' existing values)."""
     from ..operators.bloom import _positions, _powers
     from ..operators.snapshot import (
         commit_version,
@@ -388,11 +400,12 @@ def merge_into_snapshot(
             f"source is missing table columns {missing}"
         )
     extra = sorted(set(src_types) - {c for c, _ in head.dtypes})
-    if extra:
+    if extra and not allow_evolution:
         raise ValueError(
             f"source has columns the table lacks: {extra} — a silent "
             "drop would lose data and a silent add would drift the "
-            "schema; evolve the table explicitly instead"
+            "schema; pass allow_evolution=True to widen the table "
+            "explicitly"
         )
     drift = [
         (c, src_types[c], t) for c, t in head.dtypes if src_types[c] != t
@@ -498,19 +511,34 @@ def merge_into_snapshot(
     hits = cand.select("file").distinct().collect()
     affected = sorted(r["file"] for r in hits)
     untouched = [f for f in active if f not in set(affected)]
+    # the schema the merge WRITES: the table head, widened by the
+    # extra source columns when evolving (stable order: table columns
+    # first, then the new ones sorted) — and recorded in the commit
+    # so every later read resolves it from the log, not a footer
+    out_cols = list(head.columns) + (extra if allow_evolution else [])
     if affected:
-        base = spark.read.parquet(
+        # read the affected files WITH the table's current schema
+        # (head carries the logged evolved schema when one exists):
+        # a pre-widening file read raw would lack the new columns and
+        # the union would silently drop them from the source rows
+        base = spark.read.schema(head.schema).parquet(
             *[os.path.join(table_dir, f) for f in affected]
         )
         keep = base.join(
             source.select(key_col), on=key_col, how="left_anti"
         )
-        merged = keep.unionByName(source.select(*base.columns))
+        if extra and allow_evolution:
+            # widening: kept rows take NULL for the new columns
+            merged = keep.unionByName(
+                source.select(*out_cols), allowMissingColumns=True
+            ).select(*out_cols)
+        else:
+            merged = keep.unionByName(source.select(*base.columns))
     else:
-        # insert-only: STILL project onto the table schema — writing
-        # the source verbatim is how extra columns sneak into data
+        # insert-only: STILL project onto the write schema — writing
+        # the source verbatim is how unvetted columns sneak into data
         # files (the drift guard above already rejected type changes)
-        merged = source.select(*head.columns)
+        merged = source.select(*out_cols)
     staging = os.path.join(table_dir, f"_tmp_merge_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").parquet(staging)
     adds = []
@@ -565,6 +593,11 @@ def merge_into_snapshot(
             adds=adds,
             removes=affected,
             stats=new_stats,
+            schema=(
+                [[c, dict(merged.dtypes)[c]] for c in out_cols]
+                if extra and allow_evolution
+                else None
+            ),
         )
     except BaseException:
         for name in adds:
@@ -667,7 +700,12 @@ def delete_from_snapshot(
             "adds": [],
         }
     pred = (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
-    base = spark.read.parquet(
+    # schema-aware read: rewriting a pre-widening file must carry the
+    # evolved columns (as NULL), not silently drop them
+    from ..operators.snapshot import read_snapshot as _read_snapshot
+
+    tbl_schema = _read_snapshot(spark, table_dir).schema
+    base = spark.read.schema(tbl_schema).parquet(
         *[os.path.join(table_dir, f) for f in candidates]
     )
     # one aggregation names the files that ACTUALLY hold matches —
@@ -695,7 +733,7 @@ def delete_from_snapshot(
             "adds": [],
         }
     survivors = (
-        spark.read.parquet(
+        spark.read.schema(tbl_schema).parquet(
             *[os.path.join(table_dir, f) for f in affected]
         )
         .where(~pred | F.col(key_col).isNull())

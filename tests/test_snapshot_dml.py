@@ -329,3 +329,116 @@ def test_concurrent_disjoint_merges_both_commit(spark, table_dir):
     }
     assert sorted(got) == [1, 2, 3, 4, 5, 100, 101, 102]
     assert got[2] == -2.0 and got[101] == -101.0  # both batches landed
+
+
+def test_merge_schema_evolution_widens_and_time_travels(spark, table_dir):
+    """allow_evolution=True: extra source columns become an explicit
+    widening — recorded in the log, pre-widening files read the new
+    column as NULL, time travel serves the narrow schema, and the
+    default path still rejects."""
+    from survivor_processing_spark.operators.snapshot import table_schema
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "a.parquet", [1, 2, 3])
+    _write(table_dir, "b.parquet", [10, 11])
+    commit_version(table_dir, adds=["a.parquet", "b.parquet"])
+
+    wide = spark.createDataFrame(
+        [(2, 22.0, "x"), (50, 50.0, "y")],
+        "k long, amt double, tag string",
+    )
+    # default: rejected with the evolve hint
+    with pytest.raises(ValueError, match="allow_evolution"):
+        merge_into_snapshot(spark, table_dir, wide, "k")
+    out = merge_into_snapshot(
+        spark, table_dir, wide, "k", allow_evolution=True
+    )
+    assert out["version"] == 2
+    assert table_schema(table_dir) == [
+        ["k", "bigint"], ["amt", "double"], ["tag", "string"]
+    ]
+    got = {
+        r["k"]: (r["amt"], r["tag"])
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 10, 11, 50]
+    assert got[2] == (22.0, "x") and got[50] == (50.0, "y")
+    # UNTOUCHED pre-widening file (b) serves the new column as NULL
+    assert got[10] == (10.0, None) and got[11] == (11.0, None)
+    # time travel to v1: the narrow schema, no tag column
+    v1 = read_snapshot(spark, table_dir, 1)
+    assert v1.columns == ["k", "amt"]
+    assert v1.count() == 5
+
+
+def test_evolved_table_survives_later_dml_and_compaction(spark, table_dir):
+    """Every later rewrite of a pre-widening file must CARRY the
+    evolved column as NULL — merge, delete, zorder, and compaction
+    all read with the logged schema, never a narrow footer."""
+    from survivor_processing_spark.operators.snapshot import (
+        compact_snapshot,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "a.parquet", [1, 2, 3])
+    _write(table_dir, "b.parquet", [10, 11])
+    commit_version(table_dir, adds=["a.parquet", "b.parquet"])
+    wide = spark.createDataFrame(
+        [(50, 50.0, "y")], "k long, amt double, tag string"
+    )
+    merge_into_snapshot(spark, table_dir, wide, "k", allow_evolution=True)
+
+    # a second merge touching the PRE-widening file a.parquet: the
+    # kept rows and the new row must all carry the tag column
+    upd = spark.createDataFrame(
+        [(2, -2.0, "z")], "k long, amt double, tag string"
+    )
+    merge_into_snapshot(spark, table_dir, upd, "k")
+    got = {
+        r["k"]: (r["amt"], r["tag"])
+        for r in read_snapshot(spark, table_dir).collect()
+    }
+    assert got[2] == (-2.0, "z") and got[1] == (1.0, None)
+
+    # delete from the remaining pre-widening file keeps the schema
+    delete_from_snapshot(spark, table_dir, "k", 11, 11)
+    df = read_snapshot(spark, table_dir)
+    assert df.columns == ["k", "amt", "tag"]
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 3, 10, 50]
+
+    # zorder + compaction over the mixed-schema set keep every column
+    zorder_snapshot(spark, table_dir, "k", "k", n_files=2)
+    compact_snapshot(spark, table_dir, target_bytes=1 << 20)
+    df = read_snapshot(spark, table_dir)
+    assert df.columns == ["k", "amt", "tag"]
+    got = {r["k"]: r["tag"] for r in df.collect()}
+    assert got == {1: None, 2: "z", 3: None, 10: None, 50: "y"}
+
+
+def test_evolution_schema_survives_expiry(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        expire_snapshots,
+        table_schema,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "a.parquet", [1, 2])
+    commit_version(table_dir, adds=["a.parquet"])               # v1
+    wide = spark.createDataFrame(
+        [(9, 9.0, "t")], "k long, amt double, tag string"
+    )
+    merge_into_snapshot(
+        spark, table_dir, wide, "k", allow_evolution=True
+    )                                                            # v2
+    _write(table_dir, "c.parquet", [100])
+    commit_version(table_dir, adds=["c.parquet"])                # v3
+    _write(table_dir, "d.parquet", [200])
+    commit_version(table_dir, adds=["d.parquet"])                # v4
+    out = expire_snapshots(table_dir, keep_last=2)
+    # the schema-carrying v2 entry expired: the baseline carries it
+    assert out["cut_version"] == 3
+    assert table_schema(table_dir) == [
+        ["k", "bigint"], ["amt", "double"], ["tag", "string"]
+    ]
+    df = read_snapshot(spark, table_dir)
+    assert df.columns == ["k", "amt", "tag"]
