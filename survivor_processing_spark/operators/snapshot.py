@@ -363,6 +363,42 @@ def file_key_blooms(
     return out
 
 
+def attach_key_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    adds: list[str],
+    key_col: str,
+    new_stats: dict[str, dict],
+    bloom_bits: int | str | None = "auto",
+) -> dict[str, dict]:
+    """Mutates ``new_stats`` in place: per-file key blooms for
+    ``adds``, sized "auto" at ~10 bits/key from the row count the
+    stats pass measured (clamped to [2^13, 2^17] bits — the log
+    grows with the FILTER, not the data).  Files needing the same
+    size share one distributed build job; mixed sizes coexist
+    because the probe reads m per row.  The single bloom-sizing
+    policy for every writer (merge, delete, streaming bootstrap)."""
+    if not bloom_bits or not adds:
+        return new_stats
+    groups: dict[int, list[str]] = {}
+    for fname in adds:
+        if bloom_bits == "auto":
+            n = int(new_stats[fname][key_col]["n_rows"])
+            m = min(
+                1 << 17,
+                max(1 << 13, 1 << (10 * max(n, 1)).bit_length()),
+            )
+        else:
+            m = int(bloom_bits)
+        groups.setdefault(m, []).append(fname)
+    for m, fs in groups.items():
+        for fname, b in file_key_blooms(
+            spark, table_dir, fs, key_col, num_bits=m
+        ).items():
+            new_stats[fname][key_col]["bloom"] = b
+    return new_stats
+
+
 def pruned_snapshot_scan(
     spark: SparkSession,
     table_dir: str,
@@ -899,3 +935,62 @@ def zorder_snapshot(
                 pass
         raise
     return {"version": version, "n_rewritten": len(active), "adds": adds}
+
+
+def init_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+    prefix: str = "init",
+    bloom_key: str | None = None,
+    bloom_bits: int | str | None = "auto",
+) -> dict:
+    """Bootstrap a snapshot-logged table from a DataFrame: write the
+    data as parquet files, rename them to stable names, and commit
+    version 1 with their column envelopes recorded (stats-in-manifest
+    from the very first commit, so the first MERGE/DELETE already
+    plans log-first).  Refuses a directory that already carries a
+    log — bootstrap is not an upsert."""
+    import shutil
+    import uuid
+
+    if log_versions(table_dir):
+        raise ValueError(
+            f"{table_dir!r} already has a snapshot log — use "
+            "merge_into_snapshot/commit_version to change it"
+        )
+    os.makedirs(table_dir, exist_ok=True)
+    tag = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_dir, f"_tmp_init_{tag}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"{prefix}-{tag}-{i:05d}.parquet"
+        os.rename(
+            os.path.join(staging, part), os.path.join(table_dir, name)
+        )
+        adds.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        cols = list(stats_cols or [])
+        if bloom_key and bloom_key not in cols:
+            cols.append(bloom_key)
+        new_stats = (
+            stats_for_files(table_dir, adds, cols) if cols else None
+        )
+        if bloom_key and new_stats:
+            attach_key_blooms(
+                spark, table_dir, adds, bloom_key, new_stats, bloom_bits
+            )
+        version = commit_version(table_dir, adds=adds, stats=new_stats)
+    except BaseException:
+        for name in adds:
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
+    return {"version": version, "adds": adds}

@@ -341,8 +341,8 @@ def merge_into_snapshot(
     silently NULL matched rows' existing values)."""
     from ..operators.bloom import _positions, _powers
     from ..operators.snapshot import (
+        attach_key_blooms,
         commit_version,
-        file_key_blooms,
         file_stats,
         read_snapshot,
         snapshot_files,
@@ -562,32 +562,12 @@ def merge_into_snapshot(
     # files exactly like a commit failure would
     try:
         new_stats = stats_for_files(table_dir, adds, [key_col])
-        if bloom_bits:
-            # "auto" sizes each file's filter at ~10 bits/key from
-            # the row count the stats pass just measured, clamped to
-            # [2^13, 2^17] bits (1-16 KiB in the log entry — the log
-            # grows with the FILTER, not the data; beyond the clamp
-            # the filter stays correct and degrades toward
-            # pass-through, with the envelope cut still in front).
-            # Files needing the same size share one distributed
-            # build job; mixed sizes coexist in one table because
-            # the probe reads m per row.
-            groups: dict[int, list[str]] = {}
-            for fname in adds:
-                if bloom_bits == "auto":
-                    n = int(new_stats[fname][key_col]["n_rows"])
-                    m = min(
-                        1 << 17,
-                        max(1 << 13, 1 << (10 * max(n, 1)).bit_length()),
-                    )
-                else:
-                    m = int(bloom_bits)
-                groups.setdefault(m, []).append(fname)
-            for m, fs in groups.items():
-                for fname, b in file_key_blooms(
-                    spark, table_dir, fs, key_col, num_bits=m
-                ).items():
-                    new_stats[fname][key_col]["bloom"] = b
+        # "auto" sizes each file's filter at ~10 bits/key (clamped to
+        # 1-16 KiB per entry); shared policy with every other writer
+        # — operators/snapshot.py attach_key_blooms
+        attach_key_blooms(
+            spark, table_dir, adds, key_col, new_stats, bloom_bits
+        )
         version = commit_version(
             table_dir,
             adds=adds,
@@ -651,8 +631,8 @@ def delete_from_snapshot(
     "n_untouched", "adds"}``; a delete that matches nothing is a
     clean no-op (version None), never an empty commit."""
     from ..operators.snapshot import (
+        attach_key_blooms,
         commit_version,
-        file_key_blooms,
         file_stats,
         snapshot_files,
         snapshot_zonemap,
@@ -761,23 +741,9 @@ def delete_from_snapshot(
     adds = pruned_adds
     try:
         new_stats = stats_for_files(table_dir, adds, [key_col])
-        if bloom_bits and adds:
-            groups: dict[int, list[str]] = {}
-            for fname in adds:
-                if bloom_bits == "auto":
-                    n = int(new_stats[fname][key_col]["n_rows"])
-                    m = min(
-                        1 << 17,
-                        max(1 << 13, 1 << (10 * max(n, 1)).bit_length()),
-                    )
-                else:
-                    m = int(bloom_bits)
-                groups.setdefault(m, []).append(fname)
-            for m, fs in groups.items():
-                for fname, b in file_key_blooms(
-                    spark, table_dir, fs, key_col, num_bits=m
-                ).items():
-                    new_stats[fname][key_col]["bloom"] = b
+        attach_key_blooms(
+            spark, table_dir, adds, key_col, new_stats, bloom_bits
+        )
         version = commit_version(
             table_dir,
             adds=adds,

@@ -1,0 +1,92 @@
+"""Streaming ingestion INTO the snapshot-logged table format — the
+piece that joins the engine's two deep layers: Structured Streaming
+(micro-batch delivery, checkpointed progress, replay) and the
+lakehouse trio (snapshot log + stats/bloom manifests + copy-on-write
+DML).  Each micro-batch lands as ONE atomic log commit, so readers
+of the table — batch scans, time travel, pruned scans — never
+observe a torn batch, and the table's history IS the stream's batch
+history.
+
+Exactly-once EFFECT, not exactly-once delivery: the sink is the
+keyed copy-on-write MERGE (sinks/merge.py merge_into_snapshot), so a
+replayed micro-batch (checkpoint loss, failure-retry) re-merges the
+same keys to the same values — the table converges instead of
+duplicating, which is the same idempotence contract the reference's
+ON CONFLICT upsert gave its re-runs (SURVEY §2.N3) and the property
+q:streaming_foreachbatch_merge gates for the plain parquet sink.
+
+At 100 TB this is the standing ingestion shape: the stream's rate
+bounds each batch, the manifest (envelopes + blooms) bounds each
+merge's rewrite to the files the batch's keys can actually touch,
+and maintenance (compaction, z-order, retention) runs between
+commits as further atomic versions of the same log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stream_into_snapshot(
+    stream_df: DataFrame,
+    table_dir: str,
+    key_col: str,
+    checkpoint: str,
+    cast: str = "bigint",
+    bloom_bits: int | str | None = "auto",
+    available_now: bool = True,
+):
+    """Run a streaming DataFrame into a snapshot-logged table via
+    ``foreachBatch`` → copy-on-write MERGE: one atomic log commit per
+    micro-batch (the first batch BOOTSTRAPS the table when no log
+    exists yet, stats recorded from commit 1).  Batches must be
+    key-unique on ``key_col`` (the merge's contract — pre-aggregate
+    upstream if the stream can repeat a key within one batch).
+
+    Returns the started ``StreamingQuery``; with
+    ``available_now=True`` (the default, and the replay-testable
+    mode) the caller awaits termination."""
+    from ..operators.snapshot import init_snapshot, log_versions
+    from ..sinks.merge import merge_into_snapshot
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # an empty batch must not mint a commit
+        if not log_versions(table_dir):
+            init_snapshot(
+                batch_df.sparkSession,
+                table_dir,
+                batch_df,
+                stats_cols=[key_col],
+                prefix="stream",
+                bloom_key=key_col,
+                bloom_bits=bloom_bits,
+            )
+            return
+        merge_into_snapshot(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            key_col,
+            cast=cast,
+            bloom_bits=bloom_bits,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_into_snapshot_oracle(
+    cols: list[str] | None = None, table: str = "events"
+) -> str:
+    """DuckDB oracle for the planned q:stream_snapshot_ingest gate:
+    after an availableNow run over slices of ``table``, the snapshot
+    content equals the full projection — batch boundaries, bootstrap
+    vs merge paths, and replay must all be invisible in the final
+    table."""
+    cs = ", ".join(cols or ["event_id", "user_id", "event_type"])
+    return f"SELECT {cs} FROM {table}"

@@ -540,3 +540,62 @@ def test_delete_and_zorder_swaps_are_pre_plan_pruned(spark, tmp_path):
     assert "PushedFilters: [" in plan  # residual predicate still pushes
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_stream_snapshot_ingest_scan_is_log_driven(spark, tmp_path):
+    """streaming/lakehouse.py stream_into_snapshot (queued r11): the
+    post-ingest batch scan schedules exactly the log's active files —
+    per-batch commits, not a directory glob — and the manifest
+    carries stats+blooms from the bootstrap commit onward."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.snapshot import (
+        file_stats,
+        read_snapshot,
+        snapshot_files,
+    )
+    from survivor_processing_spark.streaming.lakehouse import (
+        stream_into_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/a"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b"
+    )
+    import os as _os
+    import shutil as _shutil
+
+    for sub in ("a", "b"):
+        p = next(
+            x
+            for x in sorted(_os.listdir(f"{src}/{sub}"))
+            if x.endswith(".parquet")
+        )
+        _os.rename(f"{src}/{sub}/{p}", f"{src}/{sub}.parquet")
+        _shutil.rmtree(f"{src}/{sub}", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_snapshot(
+        stream, str(tmp_path / "tbl"), "event_id", str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    tbl = str(tmp_path / "tbl")
+    df = read_snapshot(spark, tbl).filter("event_id > 100")
+    files = sorted(f.rsplit("/", 1)[-1] for f in df.inputFiles())
+    assert files == snapshot_files(tbl)  # log-driven, glob-free
+    assert all(
+        v.get("event_id", {}).get("bloom") for v in file_stats(tbl).values()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for node in PY_NODES:
+        assert node not in plan

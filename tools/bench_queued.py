@@ -113,6 +113,58 @@ def _ops(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
         return out
 
+    def _stream_ingest(d_sf):
+        # the queued r11 gate's shape: two event slices stream into a
+        # fresh snapshot table (bootstrap + merge commits), read back
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        from survivor_processing_spark.operators.snapshot import (
+            read_snapshot,
+        )
+        from survivor_processing_spark.streaming.lakehouse import (
+            stream_into_snapshot,
+        )
+
+        root = tempfile.mkdtemp(prefix="sps_stream_bench_")
+        src = os.path.join(root, "src")
+        ev = events.select("event_id", "user_id", "event_type")
+        for i in range(2):
+            ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"half_{i}")
+            )
+            part = next(
+                p
+                for p in sorted(os.listdir(os.path.join(src, f"half_{i}")))
+                if p.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(src, f"half_{i}", part),
+                os.path.join(src, f"h{i}.parquet"),
+            )
+            shutil.rmtree(
+                os.path.join(src, f"half_{i}"), ignore_errors=True
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_into_snapshot(
+            stream,
+            os.path.join(root, "tbl"),
+            "event_id",
+            os.path.join(root, "ck"),
+        )
+        q.awaitTermination()
+        out = read_snapshot(
+            spark, os.path.join(root, "tbl")
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(root, ignore_errors=True)
+        return out
+
     def _snapshot_fixture(d_sf=None):
         # two symlinked "files" over the existing orders parquet + a
         # two-commit log: v2 = compaction-style swap of f1 for f2
@@ -245,6 +297,7 @@ def _ops(spark, sf_dir):
             spark, _snapshot_fixture(sf_dir), [1, 2], "o_totalprice"
         ),
         "snapshot_dml": lambda: _dml_roundtrip(sf_dir),
+        "stream_snapshot_ingest": lambda: _stream_ingest(sf_dir),
     }
 
 

@@ -62,6 +62,10 @@ QUEUE = [
     # the snapshot-DML gate (COW DELETE + OPTIMIZE ZORDER + version
     # summaries; zorder_snapshot rides the same gate/artifacts)
     ("delete_from_snapshot", "dml_summary_oracle", "survivor_processing_spark.sinks.merge", "test_snapshot_dml.py", "cow_delete", "snapshot_dml"),
+    # queued r10 (net-new 2 of cap 5): streaming ingestion INTO the
+    # snapshot log — per-batch atomic commits, bootstrap with
+    # stats+blooms, replay-convergent keyed merge
+    ("stream_into_snapshot", "stream_into_snapshot_oracle", "survivor_processing_spark.streaming.lakehouse", "test_stream_lakehouse.py", "cow_merge", "stream_snapshot_ingest"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
