@@ -48,6 +48,12 @@ def triangle_counts(
     degree bigint, n_triangles bigint, n_wedges bigint`` — n_wedges
     = deg·(deg−1)/2 so the local clustering coefficient is the
     caller's exact rational n_triangles / n_wedges."""
+    # the canonical edge set and the degree table are each consumed
+    # by several downstream joins — left lazy, Catalyst re-derives
+    # the whole scan+distinct subtree PER CONSUMER (measured 59
+    # parquet scans of the edge source in the un-pinned plan).  Pin
+    # both once: localCheckpoint here (persist(MEMORY_AND_DISK) on a
+    # cluster), the same idiom the PQ/Lloyd operators use.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
@@ -55,17 +61,21 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     # rank-orient: u -> v iff (deg_u, u) < (deg_v, v); the degree
     # table is node-sized — AQE broadcasts it when it fits
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_dega"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_degb"))
+    # the oriented edge set feeds the wedge join TWICE plus the
+    # closing join — pin it too (edge-sized, the O(m) working set)
     o = (
         e.join(da, "a")
         .join(db, "b")
@@ -81,6 +91,7 @@ def triangle_counts(
             .alias("_e")
         )
         .select("_e.u", "_e.v")
+        .localCheckpoint(eager=True)
     )
     # rank of v for wedge ordering rides along as (deg_v, v)
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_degv"))
