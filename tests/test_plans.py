@@ -391,3 +391,12 @@ def test_bpe_train_registered_final_plan_is_tiny(spark):
     plan = plan_of(spark, "bpe_train_portable")
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "Exchange" not in plan
+
+
+def test_triangle_counts_pins_reused_frames(spark):
+    """The r10 plan-audit fix: the edge/degree/oriented frames are
+    materialized once, so the executed plan re-derives NOTHING from
+    the source scan (was 59 duplicated parquet scans when lazy)."""
+    plan = plan_of(spark, "triangle_counts")
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan
