@@ -224,7 +224,15 @@ def snapshot_zonemap(
     walks, so mixed logs (pre-stats commits, foreign writers) stay
     exactly correct, just slower for those files.  Output schema is
     identical to ``build_zonemap`` and feeds the same
-    ``prune_files``/``pruned_scan``."""
+    ``prune_files``/``pruned_scan``.
+
+    SCHEMA EVOLUTION interaction: a file written BEFORE a widening
+    has no footer entry for the evolved column — its rows hold NULL
+    there, which matches no range predicate and no join key, so the
+    file gets a NULL-stat manifest row (unprunable-by-envelope,
+    never skipped blind; the read side sees the NULLs).  Raising
+    here instead would make every merge/delete on an evolved column
+    crash against pre-widening files."""
     from .zonemap import file_column_stats
 
     # ``recorded`` lets a caller that already replayed the log (the
@@ -249,9 +257,17 @@ def snapshot_zonemap(
                     )
                 )
         else:
-            rows.extend(
-                file_column_stats(os.path.join(table_dir, name), cols)
-            )
+            path = os.path.join(table_dir, name)
+            for c in cols:
+                try:
+                    rows.extend(file_column_stats(path, [c]))
+                except ValueError:
+                    # column absent from this footer (pre-widening
+                    # file): NULL-stat row — unprunable, never wrong
+                    import pyarrow.parquet as _pq
+
+                    n = _pq.ParquetFile(path).metadata.num_rows
+                    rows.append((name, c, int(n), None, None, None))
     return spark.createDataFrame(
         rows,
         "file string, col string, n_rows long, "

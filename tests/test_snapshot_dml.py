@@ -442,3 +442,37 @@ def test_evolution_schema_survives_expiry(spark, table_dir):
     ]
     df = read_snapshot(spark, table_dir)
     assert df.columns == ["k", "amt", "tag"]
+
+
+def test_dml_on_evolved_column_tolerates_prewidening_files(spark, table_dir):
+    """A merge or delete keyed on a column that some files PREDATE
+    (schema evolution) must treat those files as NULL-stat
+    unprunable, not crash on the missing footer entry — their rows
+    are NULL on the evolved column, match nothing, and survive."""
+    from survivor_processing_spark.operators.snapshot import (
+        snapshot_zonemap,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    _write(table_dir, "a.parquet", [1, 2, 3])
+    commit_version(table_dir, adds=["a.parquet"])
+    wide = spark.createDataFrame(
+        [(9, 9.0, 100)], "k long, amt double, tag long"
+    )
+    merge_into_snapshot(spark, table_dir, wide, "k", allow_evolution=True)
+    # manifest on the EVOLVED column: the pre-widening file shows a
+    # NULL-stat (unprunable) row instead of raising
+    zm = snapshot_zonemap(spark, table_dir, ["tag"])
+    stats = {r["file"]: r["vmin"] for r in zm.collect()}
+    assert any(v is None for v in stats.values())
+    # delete on the evolved column: only the row that HAS tag=100
+    out = delete_from_snapshot(spark, table_dir, "tag", 100, 100)
+    assert out["n_deleted"] == 1
+    assert _keys(spark, table_dir) == [1, 2, 3]
+    # merge keyed on the evolved column also plans cleanly
+    src = spark.createDataFrame(
+        [(7, 7.0, 200)], "k long, amt double, tag long"
+    )
+    merge_into_snapshot(spark, table_dir, src, "tag")
+    got = read_snapshot(spark, table_dir)
+    assert got.filter("tag = 200").count() == 1
