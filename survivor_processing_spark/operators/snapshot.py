@@ -862,6 +862,21 @@ def vacuum_orphans(
                 continue
             os.remove(path)
             gone.append(f)
+    # claim tmps stranded by a writer that crashed between staging
+    # its entry and linking it (commit_version's two-phase claim):
+    # replay ignores them, but they are debris — reclaim under the
+    # same single-writer/grace contract as the data files
+    log_dir = _log_path(table_dir)
+    for f in sorted(os.listdir(log_dir)):
+        if ".tmp-" in f:
+            path = os.path.join(log_dir, f)
+            if grace_seconds > 0 and os.path.getmtime(path) > cutoff:
+                continue
+            try:
+                os.remove(path)
+                gone.append(os.path.join(LOG_DIR, f))
+            except OSError:
+                pass
     return gone
 
 

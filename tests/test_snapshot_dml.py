@@ -476,3 +476,29 @@ def test_dml_on_evolved_column_tolerates_prewidening_files(spark, table_dir):
     merge_into_snapshot(spark, table_dir, src, "tag")
     got = read_snapshot(spark, table_dir)
     assert got.filter("tag = 200").count() == 1
+
+
+def test_vacuum_reclaims_stranded_claim_tmps(spark, table_dir):
+    from survivor_processing_spark.operators.snapshot import (
+        _log_path,
+        log_versions,
+        vacuum_orphans,
+    )
+
+    _write(table_dir, "a.parquet", [1])
+    commit_version(table_dir, adds=["a.parquet"])
+    # a writer crashed between staging its entry and the os.link claim
+    stranded = os.path.join(
+        _log_path(table_dir), "v00000002.json.tmp-deadbeef"
+    )
+    with open(stranded, "w") as f:
+        f.write("{}")
+    assert log_versions(table_dir) == [1]  # replay never saw it
+    gone = vacuum_orphans(table_dir)
+    assert any(g.endswith(".tmp-deadbeef") for g in gone)
+    assert not os.path.exists(stranded)
+    # grace window spares a FRESH tmp (a live writer mid-claim)
+    with open(stranded, "w") as f:
+        f.write("{}")
+    assert vacuum_orphans(table_dir, grace_seconds=3600.0) == []
+    assert os.path.exists(stranded)
