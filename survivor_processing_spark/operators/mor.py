@@ -1,0 +1,481 @@
+"""Merge-on-read row-level DML (deletion vectors) + change data feed
+over the snapshot log — the second half of the table format's DML
+story.  ``sinks/merge.py`` gives the trio COPY-ON-WRITE DELETE/MERGE:
+correct, but a delete of 100 rows spread over 100 multi-GB files
+rewrites all of them.  The public designs for making that cheap are
+Delta Lake's deletion vectors and Iceberg v2 position deletes: record
+*(file, row position)* tombstones in a small sidecar, apply them as an
+anti-join at read time, and let maintenance (OPTIMIZE/purge) fold them
+into real rewrites later.  This module is that design re-expressed on
+the repo's own snapshot log (operators/snapshot.py):
+
+- the DELETE plans with the SAME log-first zone-map cut as the COW
+  path (``range_candidate_files``), scans only candidate files, and
+  writes one sidecar parquet of ``(file string, pos long)`` positions
+  — the commit is ``dv_adds``-only, zero data files rewritten;
+- row identity is Spark's parquet ``_metadata.file_name`` /
+  ``_metadata.row_index`` — the physical position in the file, the
+  exact identity Delta DVs and Iceberg position deletes key on, and
+  the same pair DuckDB exposes as ``filename`` / ``file_row_number``
+  (the cross-engine oracle);
+- every reader sees the post-delete table because
+  ``read_snapshot`` anti-joins live DVs (``strip_deleted_rows``), and
+  every COW rewriter (compaction, z-order, MERGE, COW DELETE) applies
+  them before rewriting — a rewrite retires the coverage it folds in
+  (``snapshot_dvs`` prunes coverage as files are removed);
+- :func:`purge_dvs` is Delta's ``REORG ... APPLY (PURGE)``: rewrite
+  ONLY the covered files with their DVs applied, committed with
+  ``data_change=False`` (layout-only — the rows were already
+  logically gone);
+- :func:`table_changes` is the change data feed (Delta CDF shape):
+  incremental consumers read inserts/deletes between two versions,
+  with ``data_change=False`` maintenance commits skipped instead of
+  emitted as rewrite noise.
+
+Why this matters at 100 TB: a right-to-be-forgotten or retention pass
+deletes a sliver of rows across many files; copy-on-write turns that
+into a rewrite proportional to the FILES touched, merge-on-read into
+one proportional to the ROWS deleted (a KB-scale sidecar write), with
+the rewrite cost deferred to scheduled maintenance.  The DV build side
+of every read is bounded by deletes-since-last-purge, broadcast under
+a size cap and shuffled past it (``strip_deleted_rows``).
+
+Reference parity: the reference rebuilds tables wholesale each run
+(survivor_processing load_helpers.py:28-33 staging full-replace) —
+row-level deletes exist there only as pandas boolean masks before the
+replace (e.g. transform_helpers.py filter steps).  This module is the
+at-scale replacement for that pattern, not a translation of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshot import (
+    _entry_path,
+    _schema_ddl,
+    commit_version,
+    file_stats,
+    log_versions,
+    range_candidate_files,
+    snapshot_dvs,
+    snapshot_files,
+    stats_for_files,
+    strip_deleted_rows,
+    table_schema,
+)
+
+_FCOL, _PCOL = "__sps_mor_file", "__sps_mor_pos"
+
+
+def delete_from_snapshot_mor(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    lo,
+    hi,
+    cast: str = "bigint",
+) -> dict:
+    """MERGE-ON-READ range DELETE: record the matching rows'
+    positions in a deletion-vector sidecar instead of rewriting any
+    data file.  Same SQL semantics as the COW
+    ``sinks/merge.py delete_from_snapshot`` (NULL keys never match a
+    range predicate, so they always survive), same log-first
+    zone-map candidate cut — the scan touches only files whose
+    envelope intersects ``[lo, hi]``.
+
+    Rows already deleted by a live DV are anti-joined out BEFORE the
+    predicate, so re-running the same delete is a clean no-op (no
+    duplicate positions, no empty sidecar, no version minted) and
+    ``n_deleted`` is always the count of rows that were live.
+
+    Commit shape: ``dv_adds={sidecar: [covered files]}`` only — zero
+    data files added or removed; time travel to any earlier version
+    still reads the pre-delete rows because the sidecar only applies
+    from this version on.
+
+    Returns ``{"version", "n_deleted", "n_files_covered",
+    "n_untouched", "dv"}``; a no-match delete returns
+    ``version=None`` and leaves no sidecar behind.
+
+    SIZING CONTRACT: the sidecar lands as ONE file through one task
+    (``coalesce(1)``) — right for the sliver-of-rows deletes MOR
+    exists for.  A delete big enough to make that single writer the
+    bottleneck (or to push reads past the broadcast cap in
+    ``strip_deleted_rows``) belongs on the COW path, whose cost is
+    proportional to files touched, not rows deleted."""
+    active = snapshot_files(table_dir)
+    rec = file_stats(table_dir)
+    candidates = range_candidate_files(
+        spark, table_dir, key_col, lo, hi, cast, recorded=rec
+    )
+    noop = {
+        "version": None,
+        "n_deleted": 0,
+        "n_files_covered": 0,
+        "n_untouched": len(active),
+        "dv": None,
+    }
+    if not candidates:
+        return noop
+    logged = table_schema(table_dir)
+    reader = spark.read
+    if logged:
+        reader = reader.schema(_schema_ddl(logged))
+    scan = reader.parquet(
+        *[os.path.join(table_dir, f) for f in candidates]
+    )
+    # keep_tags: the positions being recorded ARE the metadata tags;
+    # the anti-join below drops rows an earlier DV already deleted
+    live = strip_deleted_rows(
+        spark,
+        scan,
+        table_dir,
+        snapshot_dvs(table_dir),
+        candidates,
+        keep_tags=True,
+    )
+    pred = (F.col(key_col) >= F.lit(lo)) & (F.col(key_col) <= F.lit(hi))
+    hits = live.where(pred).select(
+        F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos")
+    )
+    tag = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_dir, f"_tmp_dv_{tag}")
+    # one job writes the sidecar; counts are then read back from the
+    # (tiny) sidecar itself rather than re-running the pruned scan
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    parts = sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    if len(parts) != 1:  # coalesce(1) guarantees this; never split a DV
+        raise RuntimeError(f"expected one DV part, got {len(parts)}")
+    name = f"dv-{tag}.parquet"
+    os.rename(os.path.join(staging, parts[0]), os.path.join(table_dir, name))
+    shutil.rmtree(staging, ignore_errors=True)
+    per_file = (
+        spark.read.schema("file string, pos long")
+        .parquet(os.path.join(table_dir, name))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # file-count bounded
+    if not per_file:
+        os.remove(os.path.join(table_dir, name))
+        return noop
+    covered = sorted(r["file"] for r in per_file)
+    n_deleted = sum(int(r["n"]) for r in per_file)
+    try:
+        version = commit_version(table_dir, dv_adds={name: covered})
+    except BaseException:
+        # an uncommitted sidecar must not linger for vacuum to explain
+        try:
+            os.remove(os.path.join(table_dir, name))
+        except OSError:
+            pass
+        raise
+    return {
+        "version": version,
+        "n_deleted": n_deleted,
+        "n_files_covered": len(covered),
+        "n_untouched": len(active) - len(covered),
+        "dv": name,
+    }
+
+
+def purge_dvs(
+    spark: SparkSession,
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    bloom_key: str | None = None,
+    bloom_bits: int | str | None = "auto",
+) -> dict:
+    """Fold every live deletion vector into a real rewrite — Delta's
+    ``REORG TABLE ... APPLY (PURGE)``.  Rewrites ONLY the covered
+    files (untouched files survive by NAME), commits the swap with
+    ``data_change=False`` (the rows were already logically deleted —
+    change-feed readers skip this), and the removes retire the DV
+    coverage by replay construction.  The sidecar FILES stay on disk
+    for time travel to pre-purge versions; ``expire_snapshots``
+    garbage-collects them when their last referencing entry expires.
+
+    ``stats_cols`` records the rewritten files' envelopes in the
+    commit (stats-in-manifest) and ``bloom_key`` re-attaches per-file
+    key blooms — parity with the COW writers, so a purged file keeps
+    planning log-first instead of degrading later merges to
+    envelope-only.  Returns ``{"version", "n_rewritten",
+    "n_untouched", "adds"}``; a table with no live DVs is a clean
+    no-op."""
+    dvs = snapshot_dvs(table_dir)
+    active = snapshot_files(table_dir)
+    if not dvs:
+        return {
+            "version": None,
+            "n_rewritten": 0,
+            "n_untouched": len(active),
+            "adds": [],
+        }
+    covered = sorted({f for cov in dvs.values() for f in cov})
+    logged = table_schema(table_dir)
+    reader = spark.read
+    if logged:
+        reader = reader.schema(_schema_ddl(logged))
+    scan = reader.parquet(
+        *[os.path.join(table_dir, f) for f in covered]
+    )
+    live = strip_deleted_rows(spark, scan, table_dir, dvs, covered)
+    tag = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_dir, f"_tmp_purge_{tag}")
+    live.write.mode("overwrite").parquet(staging)
+    adds = []
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"purge-{tag}-{i:05d}.parquet"
+        os.rename(
+            os.path.join(staging, part), os.path.join(table_dir, name)
+        )
+        adds.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    # drop empty parts (a file whose every row was deleted): adding a
+    # 0-row file is legal but pure manifest noise
+    import pyarrow.parquet as pq
+
+    pruned = []
+    for name in adds:
+        if pq.ParquetFile(
+            os.path.join(table_dir, name)
+        ).metadata.num_rows == 0:
+            os.remove(os.path.join(table_dir, name))
+        else:
+            pruned.append(name)
+    adds = pruned
+    try:
+        cols = list(stats_cols or [])
+        if bloom_key and bloom_key not in cols:
+            cols.append(bloom_key)
+        new_stats = (
+            stats_for_files(table_dir, adds, cols) if cols and adds else None
+        )
+        if bloom_key and new_stats:
+            from .snapshot import attach_key_blooms
+
+            attach_key_blooms(
+                spark, table_dir, adds, bloom_key, new_stats, bloom_bits
+            )
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            removes=covered,
+            stats=new_stats,
+            data_change=False,
+        )
+    except BaseException:
+        for name in adds:
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
+    return {
+        "version": version,
+        "n_rewritten": len(covered),
+        "n_untouched": len(active) - len(covered),
+        "adds": adds,
+    }
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """CHANGE DATA FEED between two versions (Delta CDF shape): one
+    row per changed row for every commit ``v_from < v <= v_to``, with
+    ``_change_type`` (``insert`` / ``delete``) and
+    ``_commit_version`` appended to the table columns.  ``v_from=0``
+    means "from before the first commit" (the full-history feed).
+
+    Exactness contract: commits marked ``data_change=False``
+    (compaction, z-order, DV purge) are SKIPPED — they change layout,
+    not content — so an incremental consumer never sees rewrite
+    noise for them.  Appends emit their added files' rows as
+    ``insert``; a DV commit emits exactly the newly-deleted rows as
+    ``delete`` (positions an earlier DV already covered are
+    anti-joined out); a remove emits the file's rows AS OF the
+    parent version — i.e. with the parent's DVs applied — as
+    ``delete``.  The one documented over-report: a COPY-ON-WRITE
+    DELETE/MERGE commit is a data change whose rewrite re-adds the
+    unchanged rows, so those emit as delete+insert pairs (Delta has
+    the same behavior without its CDC files; consumers wanting exact
+    row deltas use the MOR delete path).
+
+    Scale: each commit contributes a file-bounded scan of exactly the
+    files it touched — the feed never rescans the table, and the
+    per-commit DV state replay is log-sized driver work."""
+    versions = log_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshot log under {table_dir!r}")
+    if v_to not in versions:
+        raise ValueError(f"version {v_to} not in log")
+    if v_from != 0 and v_from not in versions:
+        raise ValueError(f"version {v_from} not in log (0 = from start)")
+    if v_from >= v_to:
+        raise ValueError(f"need v_from < v_to, got {v_from} >= {v_to}")
+    # output schema: the table schema at v_to (logged wins, else any
+    # file's footer), plus the two change columns
+    logged = table_schema(table_dir, v_to)
+    reader = spark.read
+    if logged:
+        reader = reader.schema(_schema_ddl(logged))
+
+    def _scan(files: list[str]) -> DataFrame:
+        return reader.parquet(
+            *[os.path.join(table_dir, f) for f in files]
+        )
+
+    def _tail(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(kind).alias("_change_type"),
+            F.lit(v).cast("int").alias("_commit_version"),
+        )
+
+    # incremental DV-coverage replay: `cov` tracks sidecar -> covered
+    # files so delete images can apply "the parent version's DVs"
+    # without a full snapshot_dvs() replay per commit
+    cov: dict[str, set[str]] = {}
+    parts: list[DataFrame] = []
+    for n in versions:
+        if n > v_to:
+            break
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        emit = n > v_from and e.get("data_change") is not False
+        if emit and e["removes"]:
+            # the removed files' LIVE rows at the parent version
+            parent_dvs = {s: sorted(c) for s, c in cov.items()}
+            doomed = _scan(sorted(e["removes"]))
+            doomed = strip_deleted_rows(
+                spark, doomed, table_dir, parent_dvs, sorted(e["removes"])
+            )
+            parts.append(_tail(doomed, "delete", n))
+        if emit and e["adds"]:
+            parts.append(_tail(_scan(sorted(e["adds"])), "insert", n))
+        if emit and e.get("dv_adds"):
+            for s, covered in sorted(e["dv_adds"].items()):
+                # tombstone side renamed: a table column called
+                # "file"/"pos" must not make the join ambiguous
+                tomb = (
+                    spark.read.schema("file string, pos long")
+                    .parquet(os.path.join(table_dir, s))
+                    .select(
+                        F.col("file").alias("__sps_dv_file"),
+                        F.col("pos").alias("__sps_dv_pos"),
+                    )
+                )
+                parent_dvs = {sc: sorted(c) for sc, c in cov.items()}
+                img = strip_deleted_rows(
+                    spark,
+                    _scan(sorted(covered)),
+                    table_dir,
+                    parent_dvs,
+                    sorted(covered),
+                    keep_tags=True,
+                )
+                dead = img.join(
+                    F.broadcast(tomb),
+                    (F.col(_FCOL) == F.col("__sps_dv_file"))
+                    & (F.col(_PCOL) == F.col("__sps_dv_pos")),
+                    "left_semi",
+                ).drop(_FCOL, _PCOL)
+                parts.append(_tail(dead, "delete", n))
+        # advance coverage state through EVERY entry (skipped ones too)
+        for s, covered in (e.get("dv_adds") or {}).items():
+            cov[s] = set(covered)
+        for name in e["removes"]:
+            for s in list(cov):
+                cov[s].discard(name)
+                if not cov[s]:
+                    del cov[s]
+    if parts:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    # empty feed (e.g. only data_change=False commits in range):
+    # a filter-false scan of any logged file keeps the exact schema
+    for n in versions:
+        with open(_entry_path(table_dir, n)) as f:
+            adds = json.load(f)["adds"]
+        if adds:
+            return _tail(
+                _scan([adds[0]]).filter(F.lit(False)), "insert", v_to
+            )
+    raise ValueError(f"log under {table_dir!r} never added a file")
+
+
+def mor_summary_oracle(
+    key_col: str,
+    agg_col: str,
+    lo1: int,
+    hi1: int,
+    lo2: int,
+    hi2: int,
+    table: str = "orders",
+) -> str:
+    """Closed-form DuckDB oracle for the queued merge-on-read gate
+    (q:snapshot_mor, r11 registration — mirrors q:snapshot_dml's
+    closed-form style): the gate stages a snapshot table from
+    ``table``, commits v2 = MOR DELETE of ``[lo1, hi1]`` and v3 =
+    MOR DELETE of ``[lo2, hi2]`` (both sidecar-only — zero files
+    rewritten), then v4 = ``purge_dvs`` (physical fold,
+    ``data_change=False``), and summarizes every version's row count
+    + decimal sum THROUGH the DV-aware read, plus the change feed's
+    per-version delete counts over ``(1, 4]``.  NULL keys survive
+    both deletes; the second range may overlap the first, pinning
+    that re-deletes are not double-counted; v4 must equal v3 exactly
+    (purge is layout-only) and contribute ZERO feed rows
+    (``data_change=False`` skip)."""
+
+    def keep(ranges: list[tuple[int, int]]) -> str:
+        cl = " OR ".join(
+            f"({key_col} >= {int(a)} AND {key_col} <= {int(b)})"
+            for a, b in ranges
+        )
+        return f"({key_col} IS NULL OR NOT ({cl}))"
+
+    k1 = keep([(lo1, hi1)])
+    k12 = keep([(lo1, hi1), (lo2, hi2)])
+
+    def block(v: int, where: str, deleted: str) -> str:
+        return (
+            f"SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COALESCE(SUM(CAST({agg_col} AS DECIMAL(18,2))), 0)"
+            f" AS DOUBLE) AS total,"
+            f" CAST({deleted} AS BIGINT) AS n_feed_deletes"
+            f" FROM {table}{where}"
+        )
+
+    d2 = (
+        f"(SELECT COUNT(*) FROM {table} WHERE {key_col} >= {int(lo1)}"
+        f" AND {key_col} <= {int(hi1)})"
+    )
+    # second delete only counts rows NOT already dead from the first
+    d3 = (
+        f"(SELECT COUNT(*) FROM {table} WHERE {key_col} >= {int(lo2)}"
+        f" AND {key_col} <= {int(hi2)} AND NOT ({key_col} >= {int(lo1)}"
+        f" AND {key_col} <= {int(hi1)}))"
+    )
+    return "\nUNION ALL\n".join(
+        [
+            block(1, "", "0"),
+            block(2, f" WHERE {k1}", d2),
+            block(3, f" WHERE {k12}", d3),
+            block(4, f" WHERE {k12}", "0"),
+        ]
+    )

@@ -80,6 +80,8 @@ def commit_version(
     stats: dict | None = None,
     max_attempts: int = 10,
     schema: list[list[str]] | None = None,
+    dv_adds: dict[str, list[str]] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Append the next version to the log; returns its number.
 
@@ -116,10 +118,31 @@ def commit_version(
     "vmax", "ord"}}}`` with the exact stringified values
     :func:`operators.zonemap.file_column_stats` emits (one envelope
     representation everywhere).  Keys must be a subset of ``adds`` —
-    stats for a file this commit doesn't introduce are rejected."""
+    stats for a file this commit doesn't introduce are rejected.
+
+    ``dv_adds`` (optional) attaches DELETION-VECTOR sidecars — the
+    merge-on-read half of row-level DML (operators/mor.py; Delta DVs
+    / Iceberg v2 position deletes are the public design): each entry
+    maps a sidecar parquet name (schema ``file string, pos long``,
+    0-based row positions) to the ACTIVE data files it covers.  A
+    sidecar may only cover files that are already active and not
+    removed by this commit (covering a same-commit add would make the
+    change-feed image of that add ambiguous), its name must be fresh
+    (never added as data or DV before — replay keys on names), and
+    coverage must be non-empty.  Replay prunes a sidecar's coverage
+    as its files are removed and drops it when none remain, so a
+    rewrite (purge/zorder/compaction/merge) retires DVs by
+    construction — see :func:`snapshot_dvs`.
+
+    ``data_change=False`` marks a commit whose LOGICAL table content
+    is identical to its parent (compaction, z-order, DV purge — the
+    Delta ``dataChange=false`` move), so an incremental change-feed
+    reader (operators/mor.py ``table_changes``) can skip it instead
+    of emitting rewrite noise."""
     adds = list(adds or [])
     removes = list(removes or [])
-    if not adds and not removes:
+    dv_adds = {s: list(cov) for s, cov in (dv_adds or {}).items()}
+    if not adds and not removes and not dv_adds:
         raise ValueError("empty commit")
     # FLAT names only: every layer that keys on a file (zone-map
     # manifests, bloom builds via input_file_name, vacuum's listdir)
@@ -127,10 +150,26 @@ def commit_version(
     # 'sub/x.parquet' silently vanish from pruned scans while reads
     # still resolve it.  One representation everywhere — reject,
     # don't guess.
-    shaped = [n for n in adds + removes if "/" in n or "\\" in n]
+    dv_names = list(dv_adds)
+    dv_covered = [f for cov in dv_adds.values() for f in cov]
+    shaped = [
+        n
+        for n in adds + removes + dv_names + dv_covered
+        if "/" in n or "\\" in n
+    ]
     if shaped:
         raise ValueError(
             f"file names must be flat (no path separators): {shaped}"
+        )
+    empty_cov = sorted(s for s, cov in dv_adds.items() if not cov)
+    if empty_cov:
+        raise ValueError(
+            f"deletion-vector sidecars with empty coverage: {empty_cov}"
+        )
+    dv_clash = sorted(set(dv_names) & set(adds + removes))
+    if dv_clash:
+        raise ValueError(
+            f"names are both data files and DV sidecars: {dv_clash}"
         )
     if stats:
         foreign = sorted(set(stats) - set(adds))
@@ -149,6 +188,24 @@ def commit_version(
         missing = [r for r in removes if r not in active]
         if missing:
             raise ValueError(f"remove of non-active files: {missing}")
+        if dv_adds:
+            bad_cov = sorted(set(dv_covered) - (active - set(removes)))
+            if bad_cov:
+                raise ValueError(
+                    "DV coverage of files not active after this "
+                    f"commit: {bad_cov}"
+                )
+            used: set[str] = set()
+            for n in versions:
+                with open(_entry_path(table_dir, n)) as f:
+                    e = json.load(f)
+                used |= set(e["adds"]) | set(e.get("dv_adds") or {})
+            stale = sorted(set(dv_names) & used)
+            if stale:
+                raise ValueError(
+                    "DV sidecar names already used by the log "
+                    f"(replay keys on names): {stale}"
+                )
         v = (versions[-1] + 1) if versions else 1
         os.makedirs(_log_path(table_dir), exist_ok=True)
         entry = {
@@ -160,6 +217,10 @@ def commit_version(
             entry["stats"] = stats
         if schema:
             entry["schema"] = [list(c) for c in schema]
+        if dv_adds:
+            entry["dv_adds"] = {s: sorted(cov) for s, cov in dv_adds.items()}
+        if not data_change:
+            entry["data_change"] = False
         # unique tmp per attempt/writer: two racers must never clobber
         # each other's staged entry
         tmp = _entry_path(table_dir, v) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -443,6 +504,57 @@ def pruned_snapshot_scan(
     )
 
 
+def range_candidate_files(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    lo,
+    hi,
+    cast: str = "bigint",
+    recorded: dict[str, dict] | None = None,
+) -> list[str]:
+    """Active files whose ``key_col`` envelope can possibly hold a
+    row in ``[lo, hi]`` — the shared pre-plan file cut of both
+    row-level DELETE paths (copy-on-write ``sinks/merge.py
+    delete_from_snapshot`` and merge-on-read ``operators/mor.py
+    delete_from_snapshot_mor``).  Log-first manifest, guarded exactly
+    like ``prune_files``: an envelope whose recorded ordering
+    disagrees with the cast's comparison class raises (never a silent
+    wrong prune), a ``try_cast`` that loses width yields NULL which
+    KEEPS the file, and NULL-stat files are always candidates —
+    never skip blind."""
+    from .zonemap import _CAST_ORD
+
+    required = _CAST_ORD.get(cast.lower().split("(")[0])
+    if required is None:
+        raise ValueError(f"unsupported delete key cast {cast!r}")
+    if lo is None or hi is None:
+        raise ValueError("delete bounds must be non-NULL")
+    zm = snapshot_zonemap(
+        spark, table_dir, [key_col], recorded=recorded
+    )
+    mismatched = (
+        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
+        .limit(1)
+        .collect()
+    )
+    if mismatched:
+        raise ValueError(
+            f"zone-map ordering mismatch on {key_col!r}: envelope "
+            f"built {mismatched[0]['ord']}, delete cast {cast!r} "
+            f"compares {required}"
+        )
+    cmin = F.expr(f"try_cast(vmin as {cast})")
+    cmax = F.expr(f"try_cast(vmax as {cast})")
+    keep_rows = zm.filter(
+        F.col("vmin").isNull()
+        | cmin.isNull()
+        | cmax.isNull()
+        | ((cmin <= F.lit(hi)) & (cmax >= F.lit(lo)))
+    )
+    return sorted(r["file"] for r in keep_rows.select("file").collect())
+
+
 def stats_for_files(
     table_dir: str, files: list[str], cols: list[str]
 ) -> dict[str, dict]:
@@ -489,6 +601,133 @@ def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
     return sorted(active)
 
 
+def snapshot_dvs(
+    table_dir: str, version: int | None = None
+) -> dict[str, list[str]]:
+    """Deletion-vector sidecars LIVE at ``version``:
+    ``{sidecar: [covered active data files]}`` (merge-on-read DML —
+    operators/mor.py).  Replay mirrors the active-set replay: a
+    ``dv_adds`` entry assigns the sidecar's coverage, every file
+    remove prunes that file from all coverage, and a sidecar whose
+    coverage empties drops out — so a rewrite that removes the
+    covered files (purge/zorder/compaction/merge) retires the DV by
+    construction, and a later re-add of a removed NAME can never
+    resurrect a dead DV (the prune happened when the remove
+    replayed).  Empty dict = copy-on-write reads, zero overhead."""
+    _, v = _replay(table_dir, version)
+    cov: dict[str, set[str]] = {}
+    for n in log_versions(table_dir):
+        if n > v:
+            break
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        for s, files in (e.get("dv_adds") or {}).items():
+            cov[s] = set(files)
+        for name in e["removes"]:
+            for s in list(cov):
+                cov[s].discard(name)
+                if not cov[s]:
+                    del cov[s]
+    return {s: sorted(files) for s, files in cov.items()}
+
+
+def strip_deleted_rows(
+    spark: SparkSession,
+    scan: DataFrame,
+    table_dir: str,
+    dvs: dict[str, list[str]],
+    files: list[str] | None = None,
+    keep_tags: bool = False,
+    broadcast_max_bytes: int = 64 << 20,
+):
+    """Anti-join DV-deleted row positions out of ``scan`` — the
+    merge-on-read read path shared by :func:`read_snapshot` and every
+    copy-on-write rewriter that reads raw parquet file subsets
+    (compaction, COW MERGE/DELETE — a rewrite that ignored DVs would
+    RESURRECT deleted rows into the new files).
+
+    ``scan`` must be a parquet scan of files under ``table_dir`` (the
+    hidden ``_metadata`` columns must still resolve — tag before any
+    projection drops them); ``files`` restricts the DV build side to
+    the files actually being read.  Row identity is
+    ``(_metadata.file_name, _metadata.row_index)`` — Spark's parquet
+    row index is the physical position in the file, the exact
+    identity a Delta deletion vector / Iceberg position delete keys
+    on.  The DV side is broadcast while its sidecars total under
+    ``broadcast_max_bytes`` (a DV is bounded by deletes since the
+    last purge — small by maintenance contract); past that it
+    degrades to a shuffled anti-join rather than an executor OOM.
+
+    ``keep_tags=True`` returns the frame WITH the internal
+    ``__sps_mor_file``/``__sps_mor_pos`` columns (the MOR delete
+    needs the positions it is about to record); default drops them."""
+    fcol, pcol = "__sps_mor_file", "__sps_mor_pos"
+    clash = [c for c in (fcol, pcol) if c in scan.columns]
+    if clash:
+        raise ValueError(f"scan already has internal columns {clash}")
+    covered: set[str] = set()
+    for cov in dvs.values():
+        covered.update(cov)
+    if files is not None:
+        covered &= set(files)
+    data_cols = list(scan.columns)
+    tagged = scan.select(
+        "*",
+        F.col("_metadata.file_name").alias(fcol),
+        F.col("_metadata.row_index").alias(pcol),
+    )
+    if not covered:
+        return tagged if keep_tags else scan
+    sidecars = sorted(s for s, cov in dvs.items() if set(cov) & covered)
+    # LOUD on a torn/foreign sidecar: reading one with the explicit
+    # schema would serve NULL positions, the anti-join would match
+    # nothing, and every deleted row would silently RESURRECT — the
+    # one failure mode a deletion vector must never have.  Footer
+    # checks are driver-side and sidecar-count bounded (a DV set is
+    # small by maintenance contract).
+    import pyarrow.parquet as _pq
+
+    for s in sidecars:
+        try:
+            footer = _pq.ParquetFile(
+                os.path.join(table_dir, s)
+            ).schema_arrow
+        except Exception as exc:
+            raise ValueError(
+                f"unreadable deletion-vector sidecar {s!r}: {exc}"
+            ) from exc
+        names = set(footer.names)
+        if not {"file", "pos"} <= names:
+            raise ValueError(
+                f"deletion-vector sidecar {s!r} lacks (file, pos) "
+                f"columns — found {sorted(names)}; refusing a read "
+                "that would silently resurrect deleted rows"
+            )
+    total = sum(
+        os.path.getsize(os.path.join(table_dir, s)) for s in sidecars
+    )
+    # DV side renamed to internal names: a TABLE column called
+    # "file"/"pos" must not make the join condition ambiguous
+    dv = (
+        spark.read.schema("file string, pos long")
+        .parquet(*[os.path.join(table_dir, s) for s in sidecars])
+        .where(F.col("file").isin(sorted(covered)))
+        .select(
+            F.col("file").alias("__sps_dv_file"),
+            F.col("pos").alias("__sps_dv_pos"),
+        )
+    )
+    if total <= broadcast_max_bytes:
+        dv = F.broadcast(dv)
+    out = tagged.join(
+        dv,
+        (F.col(fcol) == F.col("__sps_dv_file"))
+        & (F.col(pcol) == F.col("__sps_dv_pos")),
+        "left_anti",
+    )
+    return out if keep_tags else out.select(*data_cols)
+
+
 def table_schema(
     table_dir: str, version: int | None = None
 ) -> list[list[str]] | None:
@@ -523,16 +762,27 @@ def read_snapshot(
     new columns as NULL, and no footer sweep (mergeSchema) is
     needed.  An all-files-removed version reads as an empty table
     with the schema in force at that version (a filter-false scan of
-    one historically-known file — metadata-only, no data pages)."""
+    one historically-known file — metadata-only, no data pages).
+
+    MERGE-ON-READ: when deletion-vector sidecars are live at
+    ``version`` (operators/mor.py), the scan anti-joins their row
+    positions out (:func:`strip_deleted_rows`), so every reader —
+    summaries, time travel, the COW rewriters' schema probe — sees
+    the post-delete table without a rewrite.  A version with no live
+    DVs (every existing table) keeps the exact bare-scan plan."""
     files = snapshot_files(table_dir, version)
     logged = table_schema(table_dir, version)
     reader = spark.read
     if logged:
         reader = reader.schema(_schema_ddl(logged))
     if files:
-        return reader.parquet(
+        scan = reader.parquet(
             *[os.path.join(table_dir, f) for f in files]
         )
+        dvs = snapshot_dvs(table_dir, version)
+        if dvs:
+            scan = strip_deleted_rows(spark, scan, table_dir, dvs, files)
+        return scan
     # empty snapshot: recover the schema from ANY file ever logged
     for n in log_versions(table_dir):
         with open(_entry_path(table_dir, n)) as f:
@@ -655,6 +905,7 @@ def compact_snapshot(
     removes: list[str] = []
     tag = uuid.uuid4().hex[:8]
     logged = table_schema(table_dir)
+    dvs = snapshot_dvs(table_dir)
     for b, fs in sorted(bins.items()):
         if len(fs) < 2:
             continue
@@ -665,7 +916,18 @@ def compact_snapshot(
             reader = reader.schema(_schema_ddl(logged))
         merged = reader.parquet(
             *[os.path.join(table_dir, f) for f in sorted(fs)]
-        ).coalesce(1)
+        )
+        if dvs:
+            # merge-on-read interplay: a bin rewrite that ignored
+            # live deletion vectors would RESURRECT deleted rows into
+            # the compacted file; applying them here also PURGES the
+            # bin's DVs (the remove prunes their coverage — see
+            # snapshot_dvs), exactly Delta's OPTIMIZE-over-DVs move.
+            # Single-file bins keep their file AND its coverage.
+            merged = strip_deleted_rows(
+                spark, merged, table_dir, dvs, sorted(fs)
+            )
+        merged = merged.coalesce(1)
         staging = os.path.join(table_dir, f"_tmp_compact_{tag}_{b}")
         merged.write.mode("overwrite").parquet(staging)
         parts = sorted(
@@ -702,6 +964,10 @@ def compact_snapshot(
                 if stats_cols
                 else None
             ),
+            # layout-only: logical content identical to the parent
+            # (DVs applied above were already logically deleted), so
+            # change-feed readers skip this commit
+            data_change=False,
         )
     except BaseException:
         for name in adds:
@@ -760,18 +1026,29 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     # expired prefix ever added (candidates for deletion)
     active_at_cut, _ = _replay(table_dir, cut)
     stats_at_cut = file_stats(table_dir, cut)
+    dv_at_cut = snapshot_dvs(table_dir, cut)
     ever_pre_cut: set[str] = set()
+    dv_pre_cut: set[str] = set()
     for v in expired + [cut]:
         with open(_entry_path(table_dir, v)) as f:
-            ever_pre_cut |= set(json.load(f)["adds"])
+            e = json.load(f)
+        ever_pre_cut |= set(e["adds"])
+        dv_pre_cut |= set(e.get("dv_adds") or {})
     # files still referenced by ANY retained version: active at cut,
-    # or (re)added by a retained entry after the cut
+    # or (re)added by a retained entry after the cut.  DV sidecars
+    # live at the cut ride the baseline; ones referenced by a
+    # retained entry stay for time travel; the rest are dead weight.
     referenced = set(active_at_cut)
+    dv_referenced = set(dv_at_cut)
     for v in versions:
         if v > cut:
             with open(_entry_path(table_dir, v)) as f:
-                referenced |= set(json.load(f)["adds"])
-    doomed = sorted(ever_pre_cut - referenced)
+                e = json.load(f)
+            referenced |= set(e["adds"])
+            dv_referenced |= set(e.get("dv_adds") or {})
+    doomed = sorted(
+        (ever_pre_cut - referenced) | (dv_pre_cut - dv_referenced)
+    )
     # the baseline must carry EXPLICIT removes for everything active
     # just before the cut that the cut version dropped: replay is a
     # set-union of adds, so during the crash window where the old
@@ -802,6 +1079,14 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     schema_at_cut = table_schema(table_dir, cut)
     if schema_at_cut:
         baseline["schema"] = schema_at_cut
+    # deletion vectors live at the cut must survive expiry exactly
+    # like stats and schema — dropping their entries would RESURRECT
+    # the deleted rows at the baseline version.  Replay semantics
+    # make the crash window safe: dv_adds ASSIGNS coverage (last
+    # entry wins), so prefix+baseline and baseline-alone replays
+    # agree on the live set.
+    if dv_at_cut:
+        baseline["dv_adds"] = dv_at_cut
     tmp = _entry_path(table_dir, cut) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(baseline, f)
@@ -850,7 +1135,10 @@ def vacuum_orphans(
     ever: set[str] = set()
     for n in log_versions(table_dir):
         with open(_entry_path(table_dir, n)) as f:
-            ever |= set(json.load(f)["adds"])
+            e = json.load(f)
+        # deletion-vector sidecars are committed files too — eating
+        # one would resurrect its deleted rows on every MOR read
+        ever |= set(e["adds"]) | set(e.get("dv_adds") or {})
     if not ever:
         raise ValueError(f"no snapshot log under {table_dir!r}")
     cutoff = time.time() - grace_seconds
@@ -957,6 +1245,11 @@ def zorder_snapshot(
             stats=stats_for_files(
                 table_dir, adds, stats_cols or [col_a, col_b]
             ),
+            # layout-only commit; reading through read_snapshot above
+            # already applied any live deletion vectors, and removing
+            # every active file retires them (snapshot_dvs prunes) —
+            # z-order doubles as a full DV purge
+            data_change=False,
         )
     except BaseException:
         for name in adds:

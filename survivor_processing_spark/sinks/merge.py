@@ -345,9 +345,11 @@ def merge_into_snapshot(
         commit_version,
         file_stats,
         read_snapshot,
+        snapshot_dvs,
         snapshot_files,
         snapshot_zonemap,
         stats_for_files,
+        strip_deleted_rows,
         unpack_words,
     )
     from ..operators.zonemap import _CAST_ORD
@@ -524,6 +526,13 @@ def merge_into_snapshot(
         base = spark.read.schema(head.schema).parquet(
             *[os.path.join(table_dir, f) for f in affected]
         )
+        # merge-on-read interplay: rewriting a DV-covered file from
+        # its raw bytes would RESURRECT the deleted rows; applying
+        # the live DVs here also retires them for the rewritten
+        # files (the remove prunes their coverage — snapshot_dvs)
+        dvs = snapshot_dvs(table_dir)
+        if dvs:
+            base = strip_deleted_rows(spark, base, table_dir, dvs, affected)
         keep = base.join(
             source.select(key_col), on=key_col, how="left_anti"
         )
@@ -634,41 +643,17 @@ def delete_from_snapshot(
         attach_key_blooms,
         commit_version,
         file_stats,
+        range_candidate_files,
+        snapshot_dvs,
         snapshot_files,
-        snapshot_zonemap,
         stats_for_files,
+        strip_deleted_rows,
     )
-    from ..operators.zonemap import _CAST_ORD
 
-    required = _CAST_ORD.get(cast.lower().split("(")[0])
-    if required is None:
-        raise ValueError(f"unsupported delete key cast {cast!r}")
-    if lo is None or hi is None:
-        raise ValueError("delete bounds must be non-NULL")
     active = snapshot_files(table_dir)
     rec = file_stats(table_dir)
-    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=rec)
-    mismatched = (
-        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
-        .limit(1)
-        .collect()
-    )
-    if mismatched:
-        raise ValueError(
-            f"zone-map ordering mismatch on {key_col!r}: envelope "
-            f"built {mismatched[0]['ord']}, delete cast {cast!r} "
-            f"compares {required}"
-        )
-    cmin = F.expr(f"try_cast(vmin as {cast})")
-    cmax = F.expr(f"try_cast(vmax as {cast})")
-    keep_rows = zm.filter(
-        F.col("vmin").isNull()
-        | cmin.isNull()
-        | cmax.isNull()
-        | ((cmin <= F.lit(hi)) & (cmax >= F.lit(lo)))
-    )
-    candidates = sorted(
-        r["file"] for r in keep_rows.select("file").collect()
+    candidates = range_candidate_files(
+        spark, table_dir, key_col, lo, hi, cast, recorded=rec
     )
     if not candidates:
         return {
@@ -688,14 +673,27 @@ def delete_from_snapshot(
     base = spark.read.schema(tbl_schema).parquet(
         *[os.path.join(table_dir, f) for f in candidates]
     )
+    # merge-on-read interplay: rows a live deletion vector already
+    # removed must neither count as deleted again nor resurrect in
+    # the rewrite — both raw reads below go through the DV filter.
+    # The DV path names files via the _metadata tag it already
+    # carries (input_file_name() is per-scan-task and unreliable
+    # after the anti-join); the bare path keeps the original plan.
+    dvs = snapshot_dvs(table_dir)
+    if dvs:
+        counted = strip_deleted_rows(
+            spark, base, table_dir, dvs, candidates, keep_tags=True
+        )
+        fname = F.col("__sps_mor_file")
+    else:
+        counted = base
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
     # one aggregation names the files that ACTUALLY hold matches —
     # an envelope is an over-approximation, and rewriting a
     # no-match file is pure churn (plus a pointless name change)
     per_file = (
-        base.where(pred)
-        .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f")
-        )
+        counted.where(pred)
+        .select(fname.alias("_f"))
         .groupBy("_f")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -712,12 +710,14 @@ def delete_from_snapshot(
             "n_untouched": len(active),
             "adds": [],
         }
-    survivors = (
-        spark.read.schema(tbl_schema).parquet(
-            *[os.path.join(table_dir, f) for f in affected]
-        )
-        .where(~pred | F.col(key_col).isNull())
+    survivors = spark.read.schema(tbl_schema).parquet(
+        *[os.path.join(table_dir, f) for f in affected]
     )
+    if dvs:
+        survivors = strip_deleted_rows(
+            spark, survivors, table_dir, dvs, affected
+        )
+    survivors = survivors.where(~pred | F.col(key_col).isNull())
     staging = os.path.join(table_dir, f"_tmp_delete_{uuid.uuid4().hex[:8]}")
     survivors.write.mode("overwrite").parquet(staging)
     adds = []

@@ -599,3 +599,59 @@ def test_stream_snapshot_ingest_scan_is_log_driven(spark, tmp_path):
     assert "PushedFilters: [" in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_mor_delete_is_sidecar_only_and_read_is_broadcast_anti(
+    spark, tmp_path
+):
+    """operators/mor.py delete_from_snapshot_mor + the DV-aware read
+    (queued r11, q:snapshot_mor): the MOR delete's commit adds ZERO
+    data files (sidecar-only — the 100 TB point of merge-on-read),
+    the post-delete scan still schedules every active data file with
+    the DV applied as a BROADCAST anti-join (never a shuffled build
+    for a KB-scale tombstone set), predicates still push to the
+    parquet scan through the anti-join, and the whole path stays
+    JVM-side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.mor import (
+        delete_from_snapshot_mor,
+    )
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    pq.write_table(
+        pa.table({"k": list(range(0, 50)), "v": list(range(0, 50))}),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": list(range(50, 100)), "v": list(range(50, 100))}),
+        str(tmp_path / "b.parquet"),
+    )
+    commit_version(str(tmp_path), adds=["a.parquet", "b.parquet"])
+    out = delete_from_snapshot_mor(spark, str(tmp_path), "k", 10, 19)
+    # sidecar-only: the active DATA file set is untouched
+    assert snapshot_files(str(tmp_path)) == ["a.parquet", "b.parquet"]
+    assert out["dv"].startswith("dv-")
+    df = read_snapshot(spark, str(tmp_path)).filter("k >= 5")
+    files = sorted(f.rsplit("/", 1)[-1] for f in df.inputFiles())
+    # inputs = the active data files + exactly the one sidecar (the
+    # DV build side), nothing stranded or globbed
+    assert files == sorted(["a.parquet", "b.parquet", out["dv"]])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan  # predicate reaches the scan
+    for node in PY_NODES:
+        assert node not in plan
+    # zero-overhead contract: a table with no live DVs keeps the
+    # bare-scan plan — no join node anywhere
+    from survivor_processing_spark.operators.mor import purge_dvs
+
+    purge_dvs(spark, str(tmp_path))
+    clean = read_snapshot(spark, str(tmp_path))
+    assert "Join" not in clean._jdf.queryExecution().executedPlan().toString()

@@ -113,6 +113,73 @@ def _ops(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
         return out
 
+    def _mor_roundtrip(d_sf):
+        # the queued r11 gate's exact shape (q:snapshot_mor): stage a
+        # 4-file snapshot table from orders, two MERGE-ON-READ deletes
+        # (sidecar-only commits), purge, summarize every version
+        # through the DV-aware read + count the change feed's deletes
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        from survivor_processing_spark.operators.mor import (
+            delete_from_snapshot_mor,
+            purge_dvs,
+            table_changes,
+        )
+        from survivor_processing_spark.operators.snapshot import (
+            snapshot_summary,
+        )
+
+        d = tempfile.mkdtemp(prefix="sps_mor_bench_")
+        o = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        staging = os.path.join(d, "_stage")
+        (
+            o.withColumn("_g", F.pmod(F.col("o_orderkey"), F.lit(4)))
+            .repartition(4, "_g")
+            .write.partitionBy("_g")
+            .parquet(staging)
+        )
+        for i in range(4):
+            gdir = os.path.join(staging, f"_g={i}")
+            part = next(
+                p for p in sorted(os.listdir(gdir))
+                if p.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(gdir, part), os.path.join(d, f"p{i}.parquet")
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        commit_version(d, adds=[f"p{i}.parquet" for i in range(4)])
+        b = o.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).first()
+        lo = int(b["lo"])
+        span = int(b["hi"]) - lo
+        delete_from_snapshot_mor(spark, d, "o_orderkey", lo, lo + span // 4)
+        delete_from_snapshot_mor(
+            spark, d, "o_orderkey", lo + span // 8, lo + span // 3
+        )
+        v4 = purge_dvs(spark, d, stats_cols=["o_orderkey"])["version"]
+        summary = snapshot_summary(
+            spark, d, [1, 2, 3, v4], "o_totalprice"
+        )
+        feed = (
+            table_changes(spark, d, 1, v4)
+            .groupBy("_commit_version")
+            .agg(F.count(F.lit(1)).alias("n_feed_deletes"))
+        )
+        out = summary.join(
+            feed,
+            summary["version"] == feed["_commit_version"],
+            "left",
+        ).select(
+            "version", "n_rows", "total", "n_feed_deletes"
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
     def _stream_ingest(d_sf):
         # the queued r11 gate's shape: two event slices stream into a
         # fresh snapshot table (bootstrap + merge commits), read back
@@ -297,6 +364,7 @@ def _ops(spark, sf_dir):
             spark, _snapshot_fixture(sf_dir), [1, 2], "o_totalprice"
         ),
         "snapshot_dml": lambda: _dml_roundtrip(sf_dir),
+        "snapshot_mor": lambda: _mor_roundtrip(sf_dir),
         "stream_snapshot_ingest": lambda: _stream_ingest(sf_dir),
     }
 

@@ -2034,6 +2034,133 @@ def fuzz_cow_delete(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_mor_dv(spark, rng, trials: int) -> int:
+    """operators/mor.py merge-on-read DML (r10): random seed layouts
+    + random interleavings of MOR deletes, purges, and z-orders —
+    EVERY logged version's read equals a pure-Python model of the
+    logical table at that version (deletion vectors apply from their
+    commit on, never earlier), re-deletes count only live rows,
+    purge/zorder never change logical content, and live DV coverage
+    only ever names active files."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.mor import (
+        delete_from_snapshot_mor,
+        purge_dvs,
+    )
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        snapshot_dvs,
+        snapshot_files,
+        zorder_snapshot,
+    )
+
+    def _key(t):
+        return (t[0] is None, t[0], t[1])
+
+    fails = 0
+    for _ in range(trials):
+        d = _tempfile.mkdtemp()
+        try:
+            n_files = rng.randrange(2, 5)
+            bounds = sorted(rng.sample(range(0, 400), n_files * 2))
+            names = []
+            logical: list[tuple[int | None, float]] = []
+            for i in range(n_files):
+                lo, hi = bounds[2 * i], bounds[2 * i + 1] + 1
+                ks: list[int | None] = list(range(lo, hi))
+                if rng.random() < 0.3:
+                    ks.append(None)  # NULL keys never match a range
+                nm = f"s{i}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "k": pa.array(ks, type=pa.int64()),
+                            "amt": [
+                                float(k) if k is not None else -1.0
+                                for k in ks
+                            ],
+                        }
+                    ),
+                    _os.path.join(d, nm),
+                )
+                names.append(nm)
+                logical.extend(
+                    (k, float(k) if k is not None else -1.0) for k in ks
+                )
+            commit_version(d, adds=names)
+            history = {1: sorted(logical, key=_key)}
+            for _op in range(rng.randrange(2, 5)):
+                roll = rng.random()
+                if roll < 0.6:
+                    dlo = rng.randrange(0, 400)
+                    dhi = dlo + rng.randrange(0, 120)
+                    out = delete_from_snapshot_mor(spark, d, "k", dlo, dhi)
+                    live_hits = [
+                        t
+                        for t in logical
+                        if t[0] is not None and dlo <= t[0] <= dhi
+                    ]
+                    if not live_hits:
+                        if out["version"] is not None:
+                            fails += 1
+                            print("MOR-DV empty delete minted", out)
+                        continue
+                    if out["n_deleted"] != len(live_hits):
+                        fails += 1
+                        print(
+                            "MOR-DV count", out["n_deleted"], len(live_hits)
+                        )
+                    logical = [
+                        t
+                        for t in logical
+                        if t[0] is None or not (dlo <= t[0] <= dhi)
+                    ]
+                    history[out["version"]] = sorted(logical, key=_key)
+                elif roll < 0.85:
+                    had = bool(snapshot_dvs(d))
+                    out = purge_dvs(spark, d, stats_cols=["k"])
+                    if had != (out["version"] is not None):
+                        fails += 1
+                        print("MOR-DV purge version", had, out)
+                    if out["version"] is not None:
+                        history[out["version"]] = sorted(logical, key=_key)
+                    if snapshot_dvs(d):
+                        fails += 1
+                        print("MOR-DV purge left coverage")
+                else:
+                    out = zorder_snapshot(spark, d, "k", "amt", n_files=2)
+                    history[out["version"]] = sorted(logical, key=_key)
+                    if snapshot_dvs(d):
+                        fails += 1
+                        print("MOR-DV zorder left coverage")
+            active = set(snapshot_files(d))
+            for cov in snapshot_dvs(d).values():
+                if not set(cov) <= active:
+                    fails += 1
+                    print("MOR-DV coverage names inactive files")
+            for v, want in sorted(history.items()):
+                got = sorted(
+                    (
+                        (r["k"], r["amt"])
+                        for r in read_snapshot(spark, d, v).collect()
+                    ),
+                    key=_key,
+                )
+                if got != want:
+                    fails += 1
+                    print("MOR-DV v", v, "MISMATCH", len(got), len(want))
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -2088,6 +2215,7 @@ def main() -> int:
         ("cow_merge", fuzz_cow_merge),
         ("cow_delete", fuzz_cow_delete),
         ("semantic_decontam", fuzz_semantic_decontam),
+        ("mor_dv", fuzz_mor_dv),
     ):
         if only is not None and name not in only:
             continue

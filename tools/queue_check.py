@@ -66,6 +66,12 @@ QUEUE = [
     # snapshot log — per-batch atomic commits, bootstrap with
     # stats+blooms, replay-convergent keyed merge
     ("stream_into_snapshot", "stream_into_snapshot_oracle", "survivor_processing_spark.streaming.lakehouse", "test_stream_lakehouse.py", "cow_merge", "stream_snapshot_ingest"),
+    # queued r10 (net-new 3 of cap 5): MERGE-ON-READ row-level DML —
+    # deletion-vector sidecars (Delta DV / Iceberg v2 position-delete
+    # design), DV-aware reads everywhere, REORG-style purge, change
+    # data feed; q:snapshot_mor stages two MOR deletes + a purge and
+    # summarizes every version against the closed-form oracle
+    ("delete_from_snapshot_mor", "mor_summary_oracle", f"{OPS}.mor", "test_mor.py", "mor_dv", "snapshot_mor"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
