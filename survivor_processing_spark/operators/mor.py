@@ -186,6 +186,238 @@ def delete_from_snapshot_mor(
     }
 
 
+def upsert_into_snapshot_mor(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_col: str,
+    cast: str = "bigint",
+    bloom_bits: int | str | None = "auto",
+) -> dict:
+    """MERGE-ON-READ keyed UPSERT — the Delta DV-enabled MERGE shape:
+    instead of rewriting every file a source key lands in (the
+    copy-on-write ``sinks/merge.py merge_into_snapshot``), DV-delete
+    the matched rows and append the source as NEW files, all in ONE
+    atomic commit (``adds`` + ``dv_adds`` together).  Logical result
+    is IDENTICAL to the COW merge (source wins per key, table keys
+    stay unique); the cost model flips from files-touched to
+    batch-sized — at 100 TB a merge of 0.1% of keys scattered over
+    half the files writes one batch of new files plus a KB-scale
+    sidecar, not half the table.
+
+    Same source contract as the COW merge: key-unique, no NULL keys,
+    no schema drift (extra/missing/retyped columns rejected; use the
+    COW path for explicit evolution).  Matched positions are found
+    with the log-first envelope cut (files whose ``key_col`` envelope
+    excludes every source key are never scanned) and rows an earlier
+    DV already deleted are anti-joined out first, so a replayed batch
+    re-converges instead of double-tombstoning — the same
+    exactly-once-EFFECT contract as the COW merge.
+
+    Change-feed bonus: because the commit IS (tombstones + inserts),
+    ``table_changes`` emits the exact old row image as ``delete`` and
+    the new one as ``insert`` for every update — row-exact CDC the
+    COW rewrite can only over-report.
+
+    Returns ``{"version", "n_updated", "n_inserted",
+    "n_files_covered", "adds", "dv"}``; an empty source is a clean
+    no-op."""
+    from .snapshot import attach_key_blooms
+    from .zonemap import _CAST_ORD
+
+    required = _CAST_ORD.get(cast.lower().split("(")[0])
+    if required is None:
+        raise ValueError(f"unsupported merge key cast {cast!r}")
+    # one aggregate adjudicates both key contracts (the COW merge's
+    # rule): a NULL key matches nothing and would re-insert per run
+    bad = (
+        source.groupBy(key_col)
+        .count()
+        .filter((F.col("count") > 1) | F.col(key_col).isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        if bad[0][key_col] is None:
+            raise ValueError(
+                f"source has NULL merge keys in {key_col!r}"
+            )
+        raise ValueError(
+            f"source is not key-unique on {key_col!r} "
+            f"(e.g. {bad[0][key_col]!r})"
+        )
+    active = snapshot_files(table_dir)
+    if source.limit(1).count() == 0:
+        return {
+            "version": None,
+            "n_updated": 0,
+            "n_inserted": 0,
+            "n_files_covered": 0,
+            "adds": [],
+            "dv": None,
+        }
+    logged = table_schema(table_dir)
+    reader = spark.read
+    if logged:
+        reader = reader.schema(_schema_ddl(logged))
+    if logged:
+        head_cols = [c for c, _ in logged]
+        head_types = dict(logged)
+    else:
+        # read_snapshot serves the schema even for an all-removed
+        # snapshot (filter-false scan of a historically-known file)
+        from .snapshot import read_snapshot
+
+        head = read_snapshot(spark, table_dir)
+        head_cols = list(head.columns)
+        head_types = dict(head.dtypes)
+    src_types = dict(source.dtypes)
+    missing = [c for c in head_cols if c not in src_types]
+    extra = sorted(set(src_types) - set(head_cols))
+    drift = [
+        (c, src_types.get(c), t)
+        for c, t in head_types.items()
+        if c in src_types and src_types[c] != t
+    ]
+    if missing or extra or drift:
+        raise ValueError(
+            "source schema must match the table exactly for the MOR "
+            f"upsert (missing {missing}, extra {extra}, drift {drift})"
+            " — use merge_into_snapshot(allow_evolution=True) to widen"
+        )
+    # log-first envelope cut: files whose envelope excludes EVERY
+    # source key are provably unmatched and never scanned.  NULL or
+    # uncastable envelopes keep the file — never skip blind.
+    rec = file_stats(table_dir)
+    from .snapshot import snapshot_zonemap
+
+    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=rec)
+    mismatched = (
+        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
+        .limit(1)
+        .collect()
+    )
+    if mismatched:
+        raise ValueError(
+            f"zone-map ordering mismatch on {key_col!r}: envelope "
+            f"built {mismatched[0]['ord']}, upsert cast {cast!r} "
+            f"compares {required}"
+        )
+    cmin = F.expr(f"try_cast(vmin as {cast})")
+    cmax = F.expr(f"try_cast(vmax as {cast})")
+    cand_rows = (
+        source.select(F.col(key_col).alias("_k"))
+        .join(
+            F.broadcast(zm),
+            F.col("vmin").isNull()
+            | cmin.isNull()
+            | cmax.isNull()
+            | ((cmin <= F.col("_k")) & (cmax >= F.col("_k"))),
+            "inner",
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    candidates = sorted(r["file"] for r in cand_rows)
+    tag = uuid.uuid4().hex[:8]
+    dv_name = None
+    covered: list[str] = []
+    n_updated = 0
+    if candidates:
+        scan = reader.parquet(
+            *[os.path.join(table_dir, f) for f in candidates]
+        )
+        live = strip_deleted_rows(
+            spark,
+            scan,
+            table_dir,
+            snapshot_dvs(table_dir),
+            candidates,
+            keep_tags=True,
+        )
+        hits = live.join(
+            source.select(key_col), on=key_col, how="left_semi"
+        ).select(F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos"))
+        staging = os.path.join(table_dir, f"_tmp_dv_{tag}")
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        parts = sorted(
+            p for p in os.listdir(staging) if p.endswith(".parquet")
+        )
+        if len(parts) != 1:
+            raise RuntimeError(f"expected one DV part, got {len(parts)}")
+        dv_name = f"dv-{tag}.parquet"
+        os.rename(
+            os.path.join(staging, parts[0]),
+            os.path.join(table_dir, dv_name),
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        per_file = (
+            spark.read.schema("file string, pos long")
+            .parquet(os.path.join(table_dir, dv_name))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # file-count bounded
+        if per_file:
+            covered = sorted(r["file"] for r in per_file)
+            n_updated = sum(int(r["n"]) for r in per_file)
+        else:
+            os.remove(os.path.join(table_dir, dv_name))
+            dv_name = None
+    # append the source as new files, projected onto the table's
+    # column order (never a source-ordered footer)
+    staging = os.path.join(table_dir, f"_tmp_upsert_{tag}")
+    source.select(*head_cols).write.mode("overwrite").parquet(staging)
+    adds = []
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"upsert-{tag}-{i:05d}.parquet"
+        os.rename(
+            os.path.join(staging, part), os.path.join(table_dir, name)
+        )
+        adds.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    pruned, n_src = [], 0
+    for name in adds:
+        n = pq.ParquetFile(os.path.join(table_dir, name)).metadata.num_rows
+        n_src += n
+        if n == 0:
+            os.remove(os.path.join(table_dir, name))
+        else:
+            pruned.append(name)
+    adds = pruned
+    try:
+        new_stats = stats_for_files(table_dir, adds, [key_col])
+        attach_key_blooms(
+            spark, table_dir, adds, key_col, new_stats, bloom_bits
+        )
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            stats=new_stats or None,
+            dv_adds={dv_name: covered} if dv_name else None,
+        )
+    except BaseException:
+        for name in adds + ([dv_name] if dv_name else []):
+            try:
+                os.remove(os.path.join(table_dir, name))
+            except OSError:
+                pass
+        raise
+    return {
+        "version": version,
+        "n_updated": n_updated,
+        "n_inserted": n_src - n_updated,
+        "n_files_covered": len(covered),
+        "adds": adds,
+        "dv": dv_name,
+    }
+
+
 def purge_dvs(
     spark: SparkSession,
     table_dir: str,

@@ -433,3 +433,155 @@ def test_torn_sidecar_refuses_instead_of_resurrecting(spark, tbl):
         f.write(b"PAR1garbage")
     with pytest.raises(Exception, match="sidecar"):
         read_snapshot(spark, tbl).count()
+
+
+def _rows(spark, d, version=None):
+    return sorted(
+        ((r["k"], r["amt"]) for r in read_snapshot(spark, d, version).collect()),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+
+
+def test_mor_upsert_matches_cow_merge(spark, tmp_path):
+    """The MOR upsert's logical result must be IDENTICAL to the COW
+    merge over the same table and batch — same keys win, table keys
+    stay unique — while rewriting ZERO existing data files."""
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    dirs = {}
+    for variant in ("mor", "cow"):
+        d = str(tmp_path / variant)
+        os.makedirs(d)
+        _write(d, "f0.parquet", list(range(0, 50)) + [None])
+        _write(d, "f1.parquet", list(range(50, 100)))
+        commit_version(d, adds=["f0.parquet", "f1.parquet"])
+        dirs[variant] = d
+    src = spark.createDataFrame(
+        [(40, -1.0), (60, -2.0), (200, -3.0)], "k long, amt double"
+    )
+    out = upsert_into_snapshot_mor(spark, dirs["mor"], src, "k")
+    merge_into_snapshot(spark, dirs["cow"], src, "k")
+    assert _rows(spark, dirs["mor"]) == _rows(spark, dirs["cow"])
+    assert out["n_updated"] == 2 and out["n_inserted"] == 1
+    assert out["n_files_covered"] == 2
+    # zero rewrites: both seed files still active, plus the appends
+    active = set(snapshot_files(dirs["mor"]))
+    assert {"f0.parquet", "f1.parquet"} <= active
+    assert set(out["adds"]) <= active
+    # time travel to v1 serves the pre-upsert rows
+    assert len(_rows(spark, dirs["mor"], 1)) == 101
+
+
+def test_mor_upsert_replay_converges(spark, tbl):
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+
+    src = spark.createDataFrame([(10, -7.0), (999, -8.0)], "k long, amt double")
+    upsert_into_snapshot_mor(spark, tbl, src, "k")
+    once = _rows(spark, tbl)
+    out2 = upsert_into_snapshot_mor(spark, tbl, src, "k")
+    # the replay tombstones the FIRST upsert's rows and re-inserts
+    # identical values: content converges (exactly-once EFFECT)
+    assert _rows(spark, tbl) == once
+    assert out2["n_updated"] == 2 and out2["n_inserted"] == 0
+
+
+def test_mor_upsert_over_mor_deleted_key_is_insert(spark, tbl):
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+
+    delete_from_snapshot_mor(spark, tbl, "k", 40, 60)
+    src = spark.createDataFrame([(45, -9.0)], "k long, amt double")
+    out = upsert_into_snapshot_mor(spark, tbl, src, "k")
+    # the old row 45 is already dead: nothing to tombstone
+    assert out["n_updated"] == 0 and out["n_inserted"] == 1
+    got = dict(_rows(spark, tbl))
+    assert got[45] == -9.0 and 44 not in got and 46 not in got
+
+
+def test_mor_upsert_envelope_minimality(spark, tbl):
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+
+    # keys land only in f2's envelope [100, 150): f0/f1 never covered
+    src = spark.createDataFrame([(120, -1.0), (130, -2.0)], "k long, amt double")
+    out = upsert_into_snapshot_mor(spark, tbl, src, "k")
+    assert out["n_files_covered"] == 1
+    assert snapshot_dvs(tbl)[out["dv"]] == ["f2.parquet"]
+
+
+def test_mor_upsert_cdf_emits_exact_update_images(spark, tbl):
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+
+    src = spark.createDataFrame([(10, -7.0), (999, -8.0)], "k long, amt double")
+    v = upsert_into_snapshot_mor(spark, tbl, src, "k")["version"]
+    tc = table_changes(spark, tbl, v - 1, v)
+    got = sorted(
+        (r["_change_type"], r["k"], r["amt"]) for r in tc.collect()
+    )
+    # delete = the OLD image of the updated key; inserts = new rows
+    assert got == [
+        ("delete", 10, 10.0),
+        ("insert", 10, -7.0),
+        ("insert", 999, -8.0),
+    ]
+
+
+def test_mor_upsert_rejects_bad_sources(spark, tbl):
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        upsert_into_snapshot_mor(
+            spark,
+            tbl,
+            spark.createDataFrame([(None, 1.0)], "k long, amt double"),
+            "k",
+        )
+    with pytest.raises(ValueError, match="key-unique"):
+        upsert_into_snapshot_mor(
+            spark,
+            tbl,
+            spark.createDataFrame(
+                [(1, 1.0), (1, 2.0)], "k long, amt double"
+            ),
+            "k",
+        )
+    with pytest.raises(ValueError, match="schema"):
+        upsert_into_snapshot_mor(
+            spark,
+            tbl,
+            spark.createDataFrame([(1, 1.0, "x")], "k long, amt double, z string"),
+            "k",
+        )
+    # empty source: clean no-op, no version minted, no sidecar
+    out = upsert_into_snapshot_mor(
+        spark,
+        tbl,
+        spark.createDataFrame([], "k long, amt double"),
+        "k",
+    )
+    assert out["version"] is None
+    assert not [f for f in os.listdir(tbl) if f.startswith("upsert-")]
+
+
+def test_mor_upsert_then_purge_folds_everything(spark, tbl):
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+
+    src = spark.createDataFrame([(10, -7.0)], "k long, amt double")
+    upsert_into_snapshot_mor(spark, tbl, src, "k")
+    pre = _rows(spark, tbl)
+    purge_dvs(spark, tbl, stats_cols=["k"])
+    assert snapshot_dvs(tbl) == {}
+    assert _rows(spark, tbl) == pre

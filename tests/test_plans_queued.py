@@ -655,3 +655,57 @@ def test_mor_delete_is_sidecar_only_and_read_is_broadcast_anti(
     purge_dvs(spark, str(tmp_path))
     clean = read_snapshot(spark, str(tmp_path))
     assert "Join" not in clean._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mor_upsert_appends_without_rewrites(spark, tmp_path):
+    """operators/mor.py upsert_into_snapshot_mor: the MERGE-ON-READ
+    upsert's commit is adds + dv_adds ONLY — every pre-existing data
+    file survives by NAME (cost scales with the batch, not the files
+    its keys touch), the post-upsert scan schedules old + new data
+    files with the tombstones applied as a broadcast anti-join, and
+    keys outside every envelope never put a file in the covered
+    set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        read_snapshot,
+        snapshot_dvs,
+        snapshot_files,
+        stats_for_files,
+    )
+
+    pq.write_table(
+        pa.table({"k": list(range(0, 50)), "v": list(range(0, 50))}),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": list(range(50, 100)), "v": list(range(50, 100))}),
+        str(tmp_path / "b.parquet"),
+    )
+    d = str(tmp_path)
+    commit_version(
+        d,
+        adds=["a.parquet", "b.parquet"],
+        stats=stats_for_files(d, ["a.parquet", "b.parquet"], ["k"]),
+    )
+    src = spark.createDataFrame(
+        [(10, -1), (200, -2)], "k bigint, v bigint"
+    )
+    out = upsert_into_snapshot_mor(spark, d, src, "k")
+    active = set(snapshot_files(d))
+    # zero rewrites; the batch appended; only a's envelope matched
+    assert {"a.parquet", "b.parquet"} <= active
+    assert set(out["adds"]) <= active
+    assert snapshot_dvs(d)[out["dv"]] == ["a.parquet"]
+    df = read_snapshot(spark, d).filter("k >= 5")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan
+    for node in PY_NODES:
+        assert node not in plan

@@ -2036,10 +2036,11 @@ def fuzz_cow_delete(spark, rng, trials: int) -> int:
 
 def fuzz_mor_dv(spark, rng, trials: int) -> int:
     """operators/mor.py merge-on-read DML (r10): random seed layouts
-    + random interleavings of MOR deletes, purges, and z-orders —
-    EVERY logged version's read equals a pure-Python model of the
-    logical table at that version (deletion vectors apply from their
-    commit on, never earlier), re-deletes count only live rows,
+    + random interleavings of MOR deletes, MOR upserts, purges, and
+    z-orders — EVERY logged version's read equals a pure-Python model
+    of the logical table at that version (deletion vectors apply from
+    their commit on, never earlier), re-deletes count only live rows,
+    upserts replace per key exactly like a dict update,
     purge/zorder never change logical content, and live DV coverage
     only ever names active files."""
     import os as _os
@@ -2052,6 +2053,7 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
     from survivor_processing_spark.operators.mor import (
         delete_from_snapshot_mor,
         purge_dvs,
+        upsert_into_snapshot_mor,
     )
     from survivor_processing_spark.operators.snapshot import (
         commit_version,
@@ -2098,7 +2100,7 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
             history = {1: sorted(logical, key=_key)}
             for _op in range(rng.randrange(2, 5)):
                 roll = rng.random()
-                if roll < 0.6:
+                if roll < 0.45:
                     dlo = rng.randrange(0, 400)
                     dhi = dlo + rng.randrange(0, 120)
                     out = delete_from_snapshot_mor(spark, d, "k", dlo, dhi)
@@ -2123,7 +2125,37 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
                         if t[0] is None or not (dlo <= t[0] <= dhi)
                     ]
                     history[out["version"]] = sorted(logical, key=_key)
-                elif roll < 0.85:
+                elif roll < 0.7:
+                    batch = {
+                        rng.randrange(0, 500): float(rng.randrange(-99, 0))
+                        for _ in range(rng.randrange(1, 10))
+                    }
+                    src = spark.createDataFrame(
+                        sorted(batch.items()), "k long, amt double"
+                    )
+                    out = upsert_into_snapshot_mor(spark, d, src, "k")
+                    live_hit = sum(
+                        1
+                        for t in logical
+                        if t[0] is not None and t[0] in batch
+                    )
+                    if out["n_updated"] != live_hit:
+                        fails += 1
+                        print(
+                            "MOR-UPSERT updated",
+                            out["n_updated"],
+                            live_hit,
+                        )
+                    if out["n_inserted"] != len(batch) - live_hit:
+                        fails += 1
+                        print("MOR-UPSERT inserted", out)
+                    logical = [
+                        t
+                        for t in logical
+                        if t[0] is None or t[0] not in batch
+                    ] + sorted(batch.items())
+                    history[out["version"]] = sorted(logical, key=_key)
+                elif roll < 0.9:
                     had = bool(snapshot_dvs(d))
                     out = purge_dvs(spark, d, stats_cols=["k"])
                     if had != (out["version"] is not None):
