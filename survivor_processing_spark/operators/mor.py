@@ -58,10 +58,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .snapshot import (
+    MOR_FILE_TAG as _FCOL,
+    MOR_POS_TAG as _PCOL,
+)
+from .snapshot import (
     _entry_path,
     _schema_ddl,
     commit_version,
     file_stats,
+    key_candidate_files,
     log_versions,
     range_candidate_files,
     snapshot_dvs,
@@ -71,7 +76,36 @@ from .snapshot import (
     table_schema,
 )
 
-_FCOL, _PCOL = "__sps_mor_file", "__sps_mor_pos"
+
+def _write_dv_sidecar(
+    spark: SparkSession, table_dir: str, hits: DataFrame, tag: str
+) -> tuple[str | None, list[str], int]:
+    """The shared deletion-vector sidecar protocol: land ``hits``
+    (``file``/``pos`` tombstones) as ONE parquet file via staging +
+    rename, then read the (tiny) sidecar back for per-file counts
+    instead of re-running the scan that produced it.  Returns
+    ``(sidecar_name, covered_files, n_rows)`` — ``(None, [], 0)``
+    when nothing matched, with no sidecar left behind."""
+    staging = os.path.join(table_dir, f"_tmp_dv_{tag}")
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    parts = sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    if len(parts) != 1:  # coalesce(1) guarantees this; never split a DV
+        raise RuntimeError(f"expected one DV part, got {len(parts)}")
+    name = f"dv-{tag}.parquet"
+    os.rename(os.path.join(staging, parts[0]), os.path.join(table_dir, name))
+    shutil.rmtree(staging, ignore_errors=True)
+    per_file = (
+        spark.read.schema("file string, pos long")
+        .parquet(os.path.join(table_dir, name))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # file-count bounded
+    if not per_file:
+        os.remove(os.path.join(table_dir, name))
+        return None, [], 0
+    covered = sorted(r["file"] for r in per_file)
+    return name, covered, sum(int(r["n"]) for r in per_file)
 
 
 def delete_from_snapshot_mor(
@@ -145,29 +179,11 @@ def delete_from_snapshot_mor(
     hits = live.where(pred).select(
         F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos")
     )
-    tag = uuid.uuid4().hex[:8]
-    staging = os.path.join(table_dir, f"_tmp_dv_{tag}")
-    # one job writes the sidecar; counts are then read back from the
-    # (tiny) sidecar itself rather than re-running the pruned scan
-    hits.coalesce(1).write.mode("overwrite").parquet(staging)
-    parts = sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
-    if len(parts) != 1:  # coalesce(1) guarantees this; never split a DV
-        raise RuntimeError(f"expected one DV part, got {len(parts)}")
-    name = f"dv-{tag}.parquet"
-    os.rename(os.path.join(staging, parts[0]), os.path.join(table_dir, name))
-    shutil.rmtree(staging, ignore_errors=True)
-    per_file = (
-        spark.read.schema("file string, pos long")
-        .parquet(os.path.join(table_dir, name))
-        .groupBy("file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )  # file-count bounded
-    if not per_file:
-        os.remove(os.path.join(table_dir, name))
+    name, covered, n_deleted = _write_dv_sidecar(
+        spark, table_dir, hits, uuid.uuid4().hex[:8]
+    )
+    if name is None:
         return noop
-    covered = sorted(r["file"] for r in per_file)
-    n_deleted = sum(int(r["n"]) for r in per_file)
     try:
         version = commit_version(table_dir, dv_adds={name: covered})
     except BaseException:
@@ -220,13 +236,14 @@ def upsert_into_snapshot_mor(
     COW rewrite can only over-report.
 
     Returns ``{"version", "n_updated", "n_inserted",
-    "n_files_covered", "adds", "dv"}``; an empty source is a clean
-    no-op."""
+    "n_files_covered", "n_untouched", "adds", "dv"}``; an empty
+    source is a clean no-op."""
     from .snapshot import attach_key_blooms
     from .zonemap import _CAST_ORD
 
-    required = _CAST_ORD.get(cast.lower().split("(")[0])
-    if required is None:
+    # fail an unsupported cast before the key-contract aggregate runs
+    # (key_candidate_files re-validates it against the envelopes)
+    if _CAST_ORD.get(cast.lower().split("(")[0]) is None:
         raise ValueError(f"unsupported merge key cast {cast!r}")
     # one aggregate adjudicates both key contracts (the COW merge's
     # rule): a NULL key matches nothing and would re-insert per run
@@ -253,6 +270,7 @@ def upsert_into_snapshot_mor(
             "n_updated": 0,
             "n_inserted": 0,
             "n_files_covered": 0,
+            "n_untouched": len(active),
             "adds": [],
             "dv": None,
         }
@@ -288,38 +306,14 @@ def upsert_into_snapshot_mor(
     # log-first envelope cut: files whose envelope excludes EVERY
     # source key are provably unmatched and never scanned.  NULL or
     # uncastable envelopes keep the file — never skip blind.
-    rec = file_stats(table_dir)
-    from .snapshot import snapshot_zonemap
-
-    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=rec)
-    mismatched = (
-        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
-        .limit(1)
-        .collect()
+    candidates = key_candidate_files(
+        spark,
+        table_dir,
+        key_col,
+        source,
+        cast,
+        recorded=file_stats(table_dir),
     )
-    if mismatched:
-        raise ValueError(
-            f"zone-map ordering mismatch on {key_col!r}: envelope "
-            f"built {mismatched[0]['ord']}, upsert cast {cast!r} "
-            f"compares {required}"
-        )
-    cmin = F.expr(f"try_cast(vmin as {cast})")
-    cmax = F.expr(f"try_cast(vmax as {cast})")
-    cand_rows = (
-        source.select(F.col(key_col).alias("_k"))
-        .join(
-            F.broadcast(zm),
-            F.col("vmin").isNull()
-            | cmin.isNull()
-            | cmax.isNull()
-            | ((cmin <= F.col("_k")) & (cmax >= F.col("_k"))),
-            "inner",
-        )
-        .select("file")
-        .distinct()
-        .collect()
-    )
-    candidates = sorted(r["file"] for r in cand_rows)
     tag = uuid.uuid4().hex[:8]
     dv_name = None
     covered: list[str] = []
@@ -339,32 +333,9 @@ def upsert_into_snapshot_mor(
         hits = live.join(
             source.select(key_col), on=key_col, how="left_semi"
         ).select(F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos"))
-        staging = os.path.join(table_dir, f"_tmp_dv_{tag}")
-        hits.coalesce(1).write.mode("overwrite").parquet(staging)
-        parts = sorted(
-            p for p in os.listdir(staging) if p.endswith(".parquet")
+        dv_name, covered, n_updated = _write_dv_sidecar(
+            spark, table_dir, hits, tag
         )
-        if len(parts) != 1:
-            raise RuntimeError(f"expected one DV part, got {len(parts)}")
-        dv_name = f"dv-{tag}.parquet"
-        os.rename(
-            os.path.join(staging, parts[0]),
-            os.path.join(table_dir, dv_name),
-        )
-        shutil.rmtree(staging, ignore_errors=True)
-        per_file = (
-            spark.read.schema("file string, pos long")
-            .parquet(os.path.join(table_dir, dv_name))
-            .groupBy("file")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )  # file-count bounded
-        if per_file:
-            covered = sorted(r["file"] for r in per_file)
-            n_updated = sum(int(r["n"]) for r in per_file)
-        else:
-            os.remove(os.path.join(table_dir, dv_name))
-            dv_name = None
     # append the source as new files, projected onto the table's
     # column order (never a source-ordered footer)
     staging = os.path.join(table_dir, f"_tmp_upsert_{tag}")
@@ -413,6 +384,7 @@ def upsert_into_snapshot_mor(
         "n_updated": n_updated,
         "n_inserted": n_src - n_updated,
         "n_files_covered": len(covered),
+        "n_untouched": len(active) - len(covered),
         "adds": adds,
         "dv": dv_name,
     }
@@ -588,6 +560,33 @@ def table_changes(
         with open(_entry_path(table_dir, n)) as f:
             e = json.load(f)
         emit = n > v_from and e.get("data_change") is not False
+        if emit and e.get("baseline"):
+            # an expiry baseline is history COMPACTION, not a data
+            # change: its adds re-state the files active at the cut,
+            # its removes name crash-window bookkeeping whose data
+            # files expiry already deleted from disk (scanning them
+            # would crash), and its dv_adds cover its own adds (a
+            # shape commit_version forbids for real commits).  Emit
+            # it as the feed's INITIAL SNAPSHOT: the live rows at the
+            # cut — adds with the baseline's own DVs applied — as
+            # 'insert', nothing else.
+            base_dvs = {
+                s: sorted(c) for s, c in (e.get("dv_adds") or {}).items()
+            }
+            img = _scan(sorted(e["adds"]))
+            if base_dvs:
+                img = strip_deleted_rows(
+                    spark, img, table_dir, base_dvs, sorted(e["adds"])
+                )
+            parts.append(_tail(img, "insert", n))
+            for s, covered in (e.get("dv_adds") or {}).items():
+                cov[s] = set(covered)
+            for name in e["removes"]:
+                for s in list(cov):
+                    cov[s].discard(name)
+                    if not cov[s]:
+                        del cov[s]
+            continue
         if emit and e["removes"]:
             # the removed files' LIVE rows at the parent version
             parent_dvs = {s: sorted(c) for s, c in cov.items()}

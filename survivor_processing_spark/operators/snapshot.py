@@ -43,6 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_sps_log"
 
+# internal row-identity tag columns shared by every merge-on-read
+# path (strip_deleted_rows here, the DML writers in operators/mor.py)
+# — one definition so the tag a writer records and the tag a reader
+# anti-joins can never drift
+MOR_FILE_TAG = "__sps_mor_file"
+MOR_POS_TAG = "__sps_mor_pos"
+
 
 class SnapshotConflictError(RuntimeError):
     """Raised when a commit cannot claim a version number — another
@@ -490,7 +497,10 @@ def pruned_snapshot_scan(
     intersects [lo, hi] — time travel and manifest pruning composed:
     the log says which files ARE the table at ``version``, the
     log-first zone map says which of those can match, and the exact
-    predicate still applies (and pushes down) inside the survivors."""
+    predicate still applies (and pushes down) inside the survivors.
+    Live deletion vectors apply exactly as in :func:`read_snapshot`
+    (merge-on-read — a pruned scan must never resurrect MOR-deleted
+    rows); the no-DV plan is the bare pruned scan, unchanged."""
     from .zonemap import prune_files
 
     zm = snapshot_zonemap(spark, table_dir, [col], version)
@@ -498,9 +508,14 @@ def pruned_snapshot_scan(
     files = [f for f in snapshot_files(table_dir, version) if f in keep]
     if not files:
         return read_snapshot(spark, table_dir, version).filter(F.lit(False))
-    return (
-        spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
-        .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    scan = spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in files]
+    )
+    dvs = snapshot_dvs(table_dir, version)
+    if dvs:
+        scan = strip_deleted_rows(spark, scan, table_dir, dvs, files)
+    return scan.filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
 
 
@@ -553,6 +568,56 @@ def range_candidate_files(
         | ((cmin <= F.lit(hi)) & (cmax >= F.lit(lo)))
     )
     return sorted(r["file"] for r in keep_rows.select("file").collect())
+
+
+def key_candidate_files(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: DataFrame,
+    cast: str = "bigint",
+    recorded: dict[str, dict] | None = None,
+) -> list[str]:
+    """Active files whose ``key_col`` envelope can possibly hold ANY
+    of the ``keys`` — the key-set sibling of
+    :func:`range_candidate_files` (the MOR upsert's pre-plan cut;
+    the COW merge keeps its richer envelope+bloom cut inline).  Same
+    guards: ordering mismatch raises, an uncastable or NULL envelope
+    keeps the file — never skip blind."""
+    from .zonemap import _CAST_ORD
+
+    required = _CAST_ORD.get(cast.lower().split("(")[0])
+    if required is None:
+        raise ValueError(f"unsupported merge key cast {cast!r}")
+    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=recorded)
+    mismatched = (
+        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
+        .limit(1)
+        .collect()
+    )
+    if mismatched:
+        raise ValueError(
+            f"zone-map ordering mismatch on {key_col!r}: envelope "
+            f"built {mismatched[0]['ord']}, key cast {cast!r} "
+            f"compares {required}"
+        )
+    cmin = F.expr(f"try_cast(vmin as {cast})")
+    cmax = F.expr(f"try_cast(vmax as {cast})")
+    rows = (
+        keys.select(F.col(key_col).alias("_k"))
+        .join(
+            F.broadcast(zm),
+            F.col("vmin").isNull()
+            | cmin.isNull()
+            | cmax.isNull()
+            | ((cmin <= F.col("_k")) & (cmax >= F.col("_k"))),
+            "inner",
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["file"] for r in rows)
 
 
 def stats_for_files(
@@ -659,9 +724,10 @@ def strip_deleted_rows(
     degrades to a shuffled anti-join rather than an executor OOM.
 
     ``keep_tags=True`` returns the frame WITH the internal
-    ``__sps_mor_file``/``__sps_mor_pos`` columns (the MOR delete
-    needs the positions it is about to record); default drops them."""
-    fcol, pcol = "__sps_mor_file", "__sps_mor_pos"
+    ``MOR_FILE_TAG``/``MOR_POS_TAG`` columns (the MOR DML writers
+    need the positions they are about to record); default drops
+    them."""
+    fcol, pcol = MOR_FILE_TAG, MOR_POS_TAG
     clash = [c for c in (fcol, pcol) if c in scan.columns]
     if clash:
         raise ValueError(f"scan already has internal columns {clash}")

@@ -585,3 +585,69 @@ def test_mor_upsert_then_purge_folds_everything(spark, tbl):
     purge_dvs(spark, tbl, stats_cols=["k"])
     assert snapshot_dvs(tbl) == {}
     assert _rows(spark, tbl) == pre
+
+
+def test_pruned_snapshot_scan_applies_dvs(spark, tbl):
+    """Review catch: the pruned range scan is a reader too — it must
+    anti-join live DVs like read_snapshot, or MOR-deleted rows
+    resurrect through the manifest-pruned path."""
+    from survivor_processing_spark.operators.snapshot import (
+        pruned_snapshot_scan,
+    )
+
+    delete_from_snapshot_mor(spark, tbl, "k", 40, 60)
+    got = sorted(
+        r["k"] for r in pruned_snapshot_scan(spark, tbl, "k", 30, 70).collect()
+    )
+    assert got == list(range(30, 40)) + list(range(61, 71))
+    # time travel through the pruned path still serves v1 raw
+    v1 = sorted(
+        r["k"]
+        for r in pruned_snapshot_scan(
+            spark, tbl, "k", 30, 70, version=1
+        ).collect()
+    )
+    assert v1 == list(range(30, 71))
+
+
+def test_table_changes_after_expiry_baseline(spark, tbl):
+    """Review catch: an expiry baseline re-states adds WITH dv_adds
+    covering them (a shape real commits forbid) and removes files
+    expiry deleted from disk.  The feed must emit it as ONE initial
+    snapshot — the live rows at the cut — never a double-count of
+    DV'd rows and never a scan of deleted files."""
+    delete_from_snapshot_mor(spark, tbl, "k", 40, 60)  # v2
+    # v3 rewrites everything so expiry has files to delete from disk
+    zorder_snapshot(spark, tbl, "k", "amt", n_files=2)
+    delete_from_snapshot_mor(spark, tbl, "k", 0, 9)  # v4
+    expire_snapshots(tbl, keep_last=2)  # baseline at v3
+    tc = table_changes(spark, tbl, 0, 4)
+    agg = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in tc.groupBy("_commit_version", "_change_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    # v3 baseline = initial snapshot of the 130 live rows (zorder is
+    # data_change=False in a real log, but the BASELINE re-statement
+    # is the feed's starting image); v4 deletes 10
+    assert agg == {(3, "insert"): 130, (4, "delete"): 10}
+    # resuming from the baseline yields only v4's delta
+    inc = sorted(r["k"] for r in table_changes(spark, tbl, 3, 4).collect())
+    assert inc == list(range(0, 10))
+
+
+def test_table_changes_baseline_with_live_dvs_emits_live_rows_once(
+    spark, tbl
+):
+    delete_from_snapshot_mor(spark, tbl, "k", 40, 60)  # v2
+    expire_snapshots(tbl, keep_last=1)  # baseline v2: adds + dv_adds
+    tc = table_changes(spark, tbl, 0, 2)
+    got = sorted(
+        (r["k"] for r in tc.collect()), key=lambda k: (k is None, k)
+    )
+    # exactly the 130 LIVE rows, each once, all 'insert' — the DV'd
+    # 21 appear neither as insert nor as delete
+    assert tc.filter("_change_type != 'insert'").count() == 0
+    assert len(got) == 130 and 40 not in got and 39 in got

@@ -175,7 +175,15 @@ def _ops(spark, sf_dir):
             summary["version"] == feed["_commit_version"],
             "left",
         ).select(
-            "version", "n_rows", "total", "n_feed_deletes"
+            "version",
+            "n_rows",
+            "total",
+            # versions with no feed rows (v1 below the range, the
+            # purge skipped as data_change=False) must read 0, not
+            # NULL — the closed-form oracle emits 0 for them
+            F.coalesce(F.col("n_feed_deletes"), F.lit(0))
+            .cast("long")
+            .alias("n_feed_deletes"),
         ).localCheckpoint(eager=True)
         shutil.rmtree(d, ignore_errors=True)
         return out
