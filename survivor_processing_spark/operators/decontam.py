@@ -113,12 +113,34 @@ def _quantized(
         f"transform(cast({vec_col} as array<double>),"
         f" x -> cast(floor(x * {float(scale)!r} + 0.5) as bigint))"
     )
+    # lane-level headroom guard, BELOW the norm: a lane with
+    # |q| > isqrt((2^63-1)/dim) can wrap x*x (or the running sum)
+    # inside the _n2 aggregate itself, and a wrapped _n2 may then
+    # slip PAST the downstream norm bound — the check must run on
+    # values that provably haven't overflowed yet.  Plain range
+    # comparisons (x > B OR x < -B) never wrap, unlike abs().
+    import math
+
+    lane_bound = math.isqrt((2**63 - 1) // max(int(dim), 1))
+    bad_lane = F.expr(
+        f"exists(_q, x -> x > {lane_bound}L OR x < -{lane_bound}L)"
+    )
+    n2 = F.expr("aggregate(transform(_q, x -> x*x), 0L, (a, x) -> a + x)")
     return df.where(clean).select(
         F.col(id_col),
         q.alias("_q"),
     ).withColumn(
         "_n2",
-        F.expr("aggregate(transform(_q, x -> x*x), 0L, (a, x) -> a + x)"),
+        F.when(
+            bad_lane,
+            F.raise_error(
+                F.lit(
+                    "semantic_decontaminate: a quantized lane exceeds "
+                    f"the int64 headroom bound {lane_bound} "
+                    f"(dim={dim}, scale={scale}); lower scale"
+                )
+            ).cast("long"),
+        ).otherwise(n2),
     )
 
 

@@ -237,7 +237,12 @@ def upsert_into_snapshot_mor(
 
     Returns ``{"version", "n_updated", "n_inserted",
     "n_files_covered", "n_untouched", "adds", "dv"}``; an empty
-    source is a clean no-op."""
+    source is a clean no-op.
+
+    CONCURRENCY: same file-level OCC contract as the COW merge —
+    writers over disjoint key sets compose; two concurrent upserts
+    of the SAME brand-new key both land as inserts (duplicate rows),
+    see ``merge_into_snapshot``'s CONCURRENCY note."""
     from .snapshot import attach_key_blooms
     from .zonemap import _CAST_ORD
 
@@ -444,19 +449,11 @@ def purge_dvs(
         )
         adds.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    # drop empty parts (a file whose every row was deleted): adding a
-    # 0-row file is legal but pure manifest noise
-    import pyarrow.parquet as pq
+    # drop empty parts (a file whose every row was deleted):
+    # NULL-stat files defeat pruning forever
+    from .snapshot import _drop_empty_parts
 
-    pruned = []
-    for name in adds:
-        if pq.ParquetFile(
-            os.path.join(table_dir, name)
-        ).metadata.num_rows == 0:
-            os.remove(os.path.join(table_dir, name))
-        else:
-            pruned.append(name)
-    adds = pruned
+    adds = _drop_empty_parts(table_dir, adds)
     try:
         cols = list(stats_cols or [])
         if bloom_key and bloom_key not in cols:

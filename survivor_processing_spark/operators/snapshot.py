@@ -248,6 +248,24 @@ def commit_version(
     )
 
 
+def _drop_empty_parts(table_dir: str, adds: list[str]) -> list[str]:
+    """Delete 0-row staged parts and return the survivors — shared by
+    every rewriter (compact/zorder/init/purge/COW delete).  A 0-row
+    file is worse than noise in the manifest: its envelope is
+    NULL-stat, and NULL-stat files are permanent 'never skip blind'
+    candidates that every later merge/delete rewrites forever."""
+    import pyarrow.parquet as _pq
+
+    kept = []
+    for name in adds:
+        path = os.path.join(table_dir, name)
+        if _pq.ParquetFile(path).metadata.num_rows == 0:
+            os.remove(path)
+        else:
+            kept.append(name)
+    return kept
+
+
 def file_stats(
     table_dir: str, version: int | None = None
 ) -> dict[str, dict]:
@@ -325,16 +343,23 @@ def snapshot_zonemap(
                     )
                 )
         else:
+            # ONE metadata open decides column presence and the row
+            # count; ONE stats walk covers every present column — not
+            # an open per column (at the million-footer scale this
+            # module budgets for, the multiplier is pure waste)
             path = os.path.join(table_dir, name)
-            for c in cols:
-                try:
-                    rows.extend(file_column_stats(path, [c]))
-                except ValueError:
-                    # column absent from this footer (pre-widening
-                    # file): NULL-stat row — unprunable, never wrong
-                    import pyarrow.parquet as _pq
+            import pyarrow.parquet as _pq
 
-                    n = _pq.ParquetFile(path).metadata.num_rows
+            pf = _pq.ParquetFile(path)
+            present = set(pf.schema_arrow.names)
+            n = pf.metadata.num_rows
+            want = [c for c in cols if c in present]
+            if want:
+                rows.extend(file_column_stats(path, want))
+            for c in cols:
+                if c not in present:
+                    # pre-widening file: NULL-stat row — unprunable,
+                    # never wrong
                     rows.append((name, c, int(n), None, None, None))
     return spark.createDataFrame(
         rows,
@@ -508,7 +533,14 @@ def pruned_snapshot_scan(
     files = [f for f in snapshot_files(table_dir, version) if f in keep]
     if not files:
         return read_snapshot(spark, table_dir, version).filter(F.lit(False))
-    scan = spark.read.parquet(
+    # schema-aware like every reader: on an evolved table a surviving
+    # pre-widening file must serve the new columns as NULL, not let a
+    # narrow footer win the inference and silently drop them
+    reader = spark.read
+    logged = table_schema(table_dir, version)
+    if logged:
+        reader = reader.schema(_schema_ddl(logged))
+    scan = reader.parquet(
         *[os.path.join(table_dir, f) for f in files]
     )
     dvs = snapshot_dvs(table_dir, version)
@@ -1008,6 +1040,10 @@ def compact_snapshot(
         shutil.rmtree(staging, ignore_errors=True)
         adds.append(name)
         removes.extend(sorted(fs))
+    # a bin whose every row was DV-deleted compacts to a 0-row file:
+    # its sources still leave the table, but the empty replacement
+    # must not enter the manifest (NULL-stat files defeat pruning)
+    adds = _drop_empty_parts(table_dir, adds)
     if not removes:
         return {
             "version": None,
@@ -1195,7 +1231,11 @@ def vacuum_orphans(
     VACUUM keeps a retention window for).  Run it with no concurrent
     writers, or pass ``grace_seconds`` > 0 to skip any candidate
     whose mtime is within the window (an in-flight writer's files are
-    seconds old; a crash orphan is reclaimed by the NEXT pass)."""
+    seconds old; a crash orphan is reclaimed by the NEXT pass).
+
+    Return shape: data files as bare names, reclaimed commit-claim
+    tmps as ``_sps_log/``-relative paths (they live in the log dir,
+    not the table dir) — one sorted list."""
     import time
 
     ever: set[str] = set()
@@ -1231,7 +1271,7 @@ def vacuum_orphans(
                 gone.append(os.path.join(LOG_DIR, f))
             except OSError:
                 pass
-    return gone
+    return sorted(gone)
 
 
 def zorder_snapshot(
@@ -1300,6 +1340,10 @@ def zorder_snapshot(
         )
         adds.append(name)
     shutil.rmtree(staging, ignore_errors=True)
+    # n_files above the populated z-range bins (or a fully-DV-deleted
+    # table) stages empty parts — never commit them (NULL-stat files
+    # defeat pruning forever)
+    adds = _drop_empty_parts(table_dir, adds)
     # swap + stats inside the same rollback scope as compact/merge: a
     # failed commit unwinds the renamed files (log-driven readers
     # never saw them); hard crashes are vacuum_orphans territory
@@ -1364,6 +1408,26 @@ def init_snapshot(
         )
         adds.append(name)
     shutil.rmtree(staging, ignore_errors=True)
+    # empty parts defeat pruning forever (NULL-stat envelopes) —
+    # drop them, EXCEPT when the whole bootstrap is empty: then one
+    # 0-row part stays as the table's schema holder
+    import pyarrow.parquet as _pq
+
+    nonempty = [
+        a
+        for a in adds
+        if _pq.ParquetFile(os.path.join(table_dir, a)).metadata.num_rows
+        > 0
+    ]
+    if nonempty:
+        for a in adds:
+            if a not in set(nonempty):
+                os.remove(os.path.join(table_dir, a))
+        adds = nonempty
+    elif len(adds) > 1:
+        for a in adds[1:]:
+            os.remove(os.path.join(table_dir, a))
+        adds = adds[:1]
     try:
         cols = list(stats_cols or [])
         if bloom_key and bloom_key not in cols:

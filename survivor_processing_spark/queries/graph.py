@@ -106,7 +106,6 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=triangle_counts_oracle(_EDGES_SQL),
 )
 def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = load_table(spark, sf_dir, "orders").selectExpr(
-        "o_custkey AS src", "o_orderkey % 100000 AS dst"
-    )
-    return _triangle_counts(edges)
+    # the SAME _edges every graph gate (and _EDGES_SQL oracle twin)
+    # shares — one derivation, no drift
+    return _triangle_counts(_edges(spark, sf_dir))

@@ -338,7 +338,19 @@ def merge_into_snapshot(
     columns and source-missing table columns stay rejected either
     way (a type change is corruption, not evolution, and this COW
     upsert replaces whole rows, so a missing source column would
-    silently NULL matched rows' existing values)."""
+    silently NULL matched rows' existing values).
+
+    CONCURRENCY: the commit protocol is FILE-level optimistic
+    concurrency (commit_version re-validates adds/removes against
+    the new head and rebases or raises) — the contract the racing-
+    merge tests pin is for writers over DISJOINT key sets.  Two
+    concurrent merges of the SAME brand-new key are both insert-only
+    (the key matches no envelope), conflict on no file, and BOTH
+    land — duplicate rows for that key, exactly like two blind
+    appends (Delta's WriteSerializable admits the same anomaly
+    without a ConcurrentAppend read-set check).  Serialize same-key
+    writers externally, or route them through one streaming
+    ``stream_into_snapshot`` pipeline."""
     from ..operators.bloom import _positions, _powers
     from ..operators.snapshot import (
         attach_key_blooms,
@@ -729,18 +741,19 @@ def delete_from_snapshot(
         os.rename(os.path.join(staging, part), os.path.join(table_dir, name))
         adds.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    # drop empty replacement parts (a bin whose every row matched):
-    # adding a 0-row file is legal but pure noise in the manifest
+    # ONE footer walk serves both the 0-row prune and the commit
+    # stats (a 0-row file would be a NULL-stat manifest entry that
+    # defeats pruning forever)
+    all_stats = stats_for_files(table_dir, adds, [key_col])
     pruned_adds = []
     for name in adds:
-        st = stats_for_files(table_dir, [name], [key_col])[name]
-        if int(st[key_col]["n_rows"]) == 0:
+        if int(all_stats[name][key_col]["n_rows"]) == 0:
             os.remove(os.path.join(table_dir, name))
         else:
             pruned_adds.append(name)
     adds = pruned_adds
     try:
-        new_stats = stats_for_files(table_dir, adds, [key_col])
+        new_stats = {f: all_stats[f] for f in adds}
         attach_key_blooms(
             spark, table_dir, adds, key_col, new_stats, bloom_bits
         )

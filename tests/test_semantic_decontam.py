@@ -144,3 +144,26 @@ def test_lane_magnitude_guard_raises_before_overflow(spark):
         semantic_decontaminate(small, big, dim=64).collect()
     # vectors inside the bound still pass end-to-end
     assert semantic_decontaminate(small, small, dim=64).count() == 1
+
+
+def test_lane_guard_catches_norm_wrap(spark):
+    """Review catch: a lane with |q| large enough that q*q (or the
+    running sum) wraps INSIDE the norm aggregate could slip a
+    wrapped _n2 past the downstream norm bound — the guard must run
+    on the lanes, below the norm, with wrap-proof comparisons."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    # |x| = 3.2e6 at scale 1e3 -> q ~ 3.2e9, q^2 ~ 1.0e19 > 2^63-1:
+    # the SUM wraps, so a norm-level check sees garbage; the
+    # lane-level check refuses before any multiplication
+    huge = spark.createDataFrame(
+        [(1, [3.2e6] * 64)], "vec_id long, embedding array<double>"
+    )
+    small = spark.createDataFrame(
+        [(2, [0.1] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="headroom"):
+        semantic_decontaminate(huge, small, dim=64).collect()
+    with pytest.raises(SparkRuntimeException, match="headroom"):
+        semantic_decontaminate(small, huge, dim=64).collect()

@@ -502,3 +502,54 @@ def test_vacuum_reclaims_stranded_claim_tmps(spark, table_dir):
         f.write("{}")
     assert vacuum_orphans(table_dir, grace_seconds=3600.0) == []
     assert os.path.exists(stranded)
+
+
+def test_pruned_scan_serves_evolved_schema(spark, tmp_path):
+    """Review catch: the manifest-pruned range scan must read with
+    the logged evolved schema like every other reader — a surviving
+    pre-widening file must serve the new column as NULL, never let a
+    narrow footer win the inference and drop it."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        pruned_snapshot_scan,
+        stats_for_files,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    d = str(tmp_path)
+    _write(d, "a.parquet", list(range(0, 10)))
+    commit_version(
+        d, adds=["a.parquet"], stats=stats_for_files(d, ["a.parquet"], ["k"])
+    )
+    src = spark.createDataFrame(
+        [(100, 1.0, "x")], "k long, amt double, tag string"
+    )
+    merge_into_snapshot(spark, d, src, "k", allow_evolution=True)
+    out = pruned_snapshot_scan(spark, d, "k", 0, 5)
+    assert "tag" in out.columns
+    rows = out.collect()
+    assert len(rows) == 6 and all(r["tag"] is None for r in rows)
+
+
+def test_zorder_never_commits_empty_parts(spark, tmp_path):
+    """Review catch: n_files above the populated z-range bins stages
+    0-row parts; committing one plants a NULL-stat manifest entry
+    that every later merge/delete treats as affected forever."""
+    import pyarrow.parquet as papq
+
+    from survivor_processing_spark.operators.snapshot import (
+        commit_version,
+        snapshot_files,
+        zorder_snapshot,
+    )
+
+    d = str(tmp_path)
+    _write(d, "a.parquet", [1, 2, 3])
+    commit_version(d, adds=["a.parquet"])
+    zorder_snapshot(spark, d, "k", "amt", n_files=6)
+    for f in snapshot_files(d):
+        assert (
+            papq.ParquetFile(os.path.join(d, f)).metadata.num_rows > 0
+        )

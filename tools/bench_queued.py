@@ -30,16 +30,10 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.bpe import bpe_token_budget
     from survivor_processing_spark.operators.curation import (
         ngram_coverage_score,
-        stratified_exact_split,
-    )
-    from survivor_processing_spark.operators.pq import (
-        pq_adc_topk,
-        pq_train_encode,
     )
     from survivor_processing_spark.operators.curation import (
         winsorize_group_stats,
     )
-    from survivor_processing_spark.operators.regression import ols_trend_exact
     from survivor_processing_spark.operators.retrieval import (
         bm25_doc_term_scores,
         inverted_postings,
@@ -54,7 +48,6 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.crawlplan import (
         crawl_schedule_summary,
     )
-    from survivor_processing_spark.operators.quantize import sq8_summary
     from survivor_processing_spark.operators.snapshot import (
         commit_version,
         snapshot_summary,
@@ -253,9 +246,6 @@ def _ops(spark, sf_dir):
         commit_version(d, adds=["f2.parquet"], removes=["f1.parquet"])
         return d
 
-    from survivor_processing_spark.operators.decontam import (
-        semantic_decontaminate,
-    )
     from survivor_processing_spark.operators.fingerprint import (
         content_fingerprint,
     )
@@ -264,13 +254,9 @@ def _ops(spark, sf_dir):
         mad_outlier_stats,
     )
     from survivor_processing_spark.operators.funnel import funnel_steps
-    from survivor_processing_spark.operators.graphstats import (
-        triangle_counts,
-    )
     from survivor_processing_spark.operators.sharding import (
         rendezvous_summary,
     )
-    from survivor_processing_spark.operators.zonemap import build_zonemap
     from survivor_processing_spark.operators.textnorm import (
         nfc_normalize_text,
     )
