@@ -651,3 +651,44 @@ def test_table_changes_baseline_with_live_dvs_emits_live_rows_once(
     # 21 appear neither as insert nor as delete
     assert tc.filter("_change_type != 'insert'").count() == 0
     assert len(got) == 130 and 40 not in got and 39 in got
+
+
+def test_mor_delete_and_read_on_evolved_table(spark, tbl):
+    """Schema evolution × merge-on-read: after a widening, a MOR
+    delete over pre-widening files must tombstone by position under
+    the EVOLVED schema, and every read — head, pruned, CDF — serves
+    the widened column as NULL for surviving pre-widening rows."""
+    from survivor_processing_spark.operators.mor import (
+        upsert_into_snapshot_mor,
+    )
+    from survivor_processing_spark.operators.snapshot import (
+        pruned_snapshot_scan,
+        table_schema,
+    )
+    from survivor_processing_spark.sinks.merge import merge_into_snapshot
+
+    widened = spark.createDataFrame(
+        [(500, 5.0, "new")], "k long, amt double, tag string"
+    )
+    merge_into_snapshot(spark, tbl, widened, "k", allow_evolution=True)
+    assert table_schema(tbl) is not None
+    out = delete_from_snapshot_mor(spark, tbl, "k", 40, 60)
+    assert out["n_deleted"] == 21
+    head = read_snapshot(spark, tbl)
+    assert head.columns == ["k", "amt", "tag"]
+    rows = {r["k"]: r["tag"] for r in head.collect()}
+    assert rows[500] == "new" and rows[39] is None and 40 not in rows
+    # the MOR upsert takes the evolved schema as the contract
+    src = spark.createDataFrame(
+        [(39, -1.0, "upd")], "k long, amt double, tag string"
+    )
+    up = upsert_into_snapshot_mor(spark, tbl, src, "k")
+    assert up["n_updated"] == 1
+    got = {r["k"]: r["tag"] for r in read_snapshot(spark, tbl).collect()}
+    assert got[39] == "upd"
+    # pruned range scan agrees with the head view
+    pr = {
+        r["k"]: r["tag"]
+        for r in pruned_snapshot_scan(spark, tbl, "k", 30, 70).collect()
+    }
+    assert pr[39] == "upd" and 45 not in pr and pr[61] is None
