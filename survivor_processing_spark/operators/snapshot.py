@@ -89,6 +89,7 @@ def commit_version(
     schema: list[list[str]] | None = None,
     dv_adds: dict[str, list[str]] | None = None,
     data_change: bool = True,
+    planned_version: int | None = None,
 ) -> int:
     """Append the next version to the log; returns its number.
 
@@ -145,7 +146,35 @@ def commit_version(
     is identical to its parent (compaction, z-order, DV purge — the
     Delta ``dataChange=false`` move), so an incremental change-feed
     reader (operators/mor.py ``table_changes``) can skip it instead
-    of emitting rewrite noise."""
+    of emitting rewrite noise.
+
+    ``planned_version`` (optional) is the READ-SET declaration — the
+    log version whose state (active files AND deletion vectors) this
+    commit's content was computed from.  With it, the commit performs
+    transaction-level conflict detection against every intervening
+    commit (``planned_version < n``), the second half of Delta-style
+    optimistic concurrency on top of the O_EXCL version claim:
+
+    - an intervening commit REMOVED a file this commit removes →
+      :class:`SnapshotConflictError` (two writers rewrote the same
+      file; replaying the loser would double-apply or resurrect);
+    - an intervening commit attached a DELETION VECTOR covering a
+      file this commit removes → :class:`SnapshotConflictError` (the
+      rewrite was computed with the OLDER DV set, so committing it
+      would resurrect the concurrently-deleted rows — sidecar-only
+      commits never change the active set, which is exactly why the
+      file-level re-validation alone cannot see them);
+    - an intervening commit removed a file this commit's ``dv_adds``
+      cover → :class:`SnapshotConflictError` (the tombstones name
+      positions in a file a concurrent rewrite just retired; the
+      re-validation would also reject this, but as a caller error —
+      with a read-set it is correctly a concurrency conflict).
+
+    The loser replans from the new head (all writers in
+    operators/mor.py / sinks/merge.py / compaction surface this by
+    raising; a retry re-reads the log and converges).  Without
+    ``planned_version`` the historical file-level checks still run,
+    but sidecar-only intervening commits are invisible to them."""
     adds = list(adds or [])
     removes = list(removes or [])
     dv_adds = {s: list(cov) for s, cov in (dv_adds or {}).items()}
@@ -188,6 +217,50 @@ def commit_version(
 
     for _ in range(max_attempts):
         versions = log_versions(table_dir)
+        if planned_version is not None:
+            if planned_version != 0 and planned_version not in versions:
+                raise ValueError(
+                    f"planned_version {planned_version} not in log"
+                )
+            # read-set conflict scan: every commit that landed after
+            # the version this commit's content was computed from
+            own_removes = set(removes)
+            own_covered = set(dv_covered)
+            for n in versions:
+                if n <= planned_version:
+                    continue
+                with open(_entry_path(table_dir, n)) as f:
+                    e = json.load(f)
+                their_removes = set(e["removes"])
+                their_covered = {
+                    f
+                    for cov in (e.get("dv_adds") or {}).values()
+                    for f in cov
+                }
+                clash_rm = sorted(own_removes & their_removes)
+                if clash_rm:
+                    raise SnapshotConflictError(
+                        f"conflict with v{n}: it removed files this "
+                        f"commit (planned at v{planned_version}) also "
+                        f"removes: {clash_rm} — replan from the head"
+                    )
+                clash_dv = sorted(own_removes & their_covered)
+                if clash_dv:
+                    raise SnapshotConflictError(
+                        f"conflict with v{n}: it deletion-vectored "
+                        f"rows in files this commit (planned at "
+                        f"v{planned_version}) rewrites without those "
+                        f"DVs: {clash_dv} — committing would "
+                        "resurrect the deleted rows; replan"
+                    )
+                clash_cov = sorted(own_covered & their_removes)
+                if clash_cov:
+                    raise SnapshotConflictError(
+                        f"conflict with v{n}: it removed files this "
+                        f"commit's deletion vectors (planned at "
+                        f"v{planned_version}) cover: {clash_cov} — "
+                        "the tombstone positions are stale; replan"
+                    )
         active = set(snapshot_files(table_dir)) if versions else set()
         dup = [a for a in adds if a in active]
         if dup:
@@ -987,6 +1060,9 @@ def compact_snapshot(
 
     from .compaction import compaction_plan
 
+    # read-set declaration for the commit's OCC conflict scan
+    # (commit_version docstring): captured before any plan-state read
+    planned = (log_versions(table_dir) or [0])[-1]
     active = snapshot_files(table_dir)
     manifest = spark.createDataFrame(
         [
@@ -1066,6 +1142,7 @@ def compact_snapshot(
                 if stats_cols
                 else None
             ),
+            planned_version=planned,
             # layout-only: logical content identical to the parent
             # (DVs applied above were already logically deleted), so
             # change-feed readers skip this commit
@@ -1313,6 +1390,9 @@ def zorder_snapshot(
 
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
+    # read-set declaration for the commit's OCC conflict scan
+    # (commit_version docstring): captured before any plan-state read
+    planned = (log_versions(table_dir) or [0])[-1]
     active = snapshot_files(table_dir)
     if not active:
         raise ValueError(f"snapshot at {table_dir!r} has no active files")
@@ -1360,6 +1440,7 @@ def zorder_snapshot(
             # every active file retires them (snapshot_dvs prunes) —
             # z-order doubles as a full DV purge
             data_change=False,
+            planned_version=planned,
         )
     except BaseException:
         for name in adds:

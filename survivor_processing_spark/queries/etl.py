@@ -822,3 +822,143 @@ def build_zonemap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = prune_files(zm, "o_orderkey", lo, hi, cast="bigint")
     out = zm.withColumn("kept", F.col("file").isin(kept))
     return _detach_and_cleanup(out, d)
+
+
+# --- snapshot DML + merge-on-read gates (r11 — VERDICT r10 #1) -------------
+
+from ..operators.mor import mor_summary_oracle  # noqa: E402
+from ..sinks.merge import dml_summary_oracle  # noqa: E402
+
+
+@register(
+    "snapshot_dml",
+    doc="copy-on-write row-level DML + OPTIMIZE ZORDER on the "
+    "snapshot log under driver gating (sinks/merge.py "
+    "delete_from_snapshot + operators/snapshot.py zorder_snapshot — "
+    "queued r10, registered r11 per VERDICT r10 #1): the gate stages "
+    "orders as a range-clustered 4-file snapshot table (v1), COW-"
+    "DELETEs o_orderkey in [1000, 5000] (v2 — the log-first zone-map "
+    "cut rewrites ONLY envelope-intersecting files that actually "
+    "hold matching rows; non-intersecting files survive by NAME), "
+    "then z-orders the table (v3, data_change=False, content-"
+    "identical), and summarizes EVERY version through the time-"
+    "travel read.  A wrong rewrite set, a dropped NULL key, a zorder "
+    "that loses/duplicates rows, or a broken replay all show up as "
+    "a wrong count or decimal sum.  Both DML writers declare their "
+    "read-set (planned_version) so concurrent commits conflict "
+    "loudly (tests/test_occ_conflicts.py).  Oracle is the closed-"
+    "form dml_summary_oracle from the same constants.  Reference "
+    "anchor: the staging full-replace contract "
+    "(survivor_processing load_helpers.py:28-33) this generalizes "
+    "to at-scale row-level DML.  (fuzz family `cow_delete`; plan "
+    "audit tests/test_plans_queued.py)",
+    oracle=dml_summary_oracle("o_orderkey", "o_totalprice", 1000, 5000),
+)
+def snapshot_dml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.snapshot import (
+        init_snapshot,
+        snapshot_summary,
+        zorder_snapshot,
+    )
+    from ..sinks.merge import delete_from_snapshot
+
+    d = tempfile.mkdtemp(prefix="sps_dml_gate_")
+    tbl = os.path.join(d, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    init_snapshot(
+        spark,
+        tbl,
+        orders.repartitionByRange(4, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+        prefix="base",
+        bloom_key="o_orderkey",
+    )
+    delete_from_snapshot(spark, tbl, "o_orderkey", 1000, 5000)
+    zorder_snapshot(
+        spark, tbl, "o_orderkey", "o_custkey", n_files=2,
+        stats_cols=["o_orderkey"],
+    )
+    out = snapshot_summary(spark, tbl, [1, 2, 3], "o_totalprice")
+    return _detach_and_cleanup(out, d)
+
+
+@register(
+    "snapshot_mor",
+    doc="MERGE-ON-READ row-level DML via deletion-vector sidecars + "
+    "change data feed under driver gating (operators/mor.py — "
+    "queued r10, registered r11 per VERDICT r10 #1; the Delta DV / "
+    "Iceberg v2 position-delete design on the repo's own log): the "
+    "gate stages orders as a range-clustered snapshot table (v1), "
+    "commits v2 = MOR DELETE [1000, 4000] through the r11 SHARDED "
+    "sidecar write (shards=2 — several disjoint-coverage sidecars "
+    "in one commit, the fix for VERDICT r10's single-task-funnel "
+    "finding), v3 = overlapping MOR DELETE [3000, 6000] (re-deletes "
+    "anti-joined out: only rows still LIVE count), v4 = purge_dvs "
+    "(REORG APPLY PURGE, data_change=False), then summarizes every "
+    "version through the DV-aware time-travel read AND counts the "
+    "change feed's per-commit delete rows over (1, 4] — v4 must "
+    "contribute ZERO feed rows (layout-only skip) and equal v3 "
+    "exactly.  Oracle is the closed-form mor_summary_oracle from "
+    "the same constants.  Reference anchor: load_helpers.py:28-33 "
+    "(the wholesale-replace pattern MOR replaces with row-"
+    "proportional cost).  (fuzz family `mor_dv`; 31 unit tests incl. "
+    "a DuckDB file_row_number position cross-check in "
+    "tests/test_mor.py; plan audit tests/test_plans_queued.py)",
+    oracle=mor_summary_oracle(
+        "o_orderkey", "o_totalprice", 1000, 4000, 3000, 6000
+    ),
+)
+def snapshot_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.mor import (
+        delete_from_snapshot_mor,
+        purge_dvs,
+        table_changes,
+    )
+    from ..operators.snapshot import init_snapshot, snapshot_summary
+
+    d = tempfile.mkdtemp(prefix="sps_mor_gate_")
+    tbl = os.path.join(d, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    init_snapshot(
+        spark,
+        tbl,
+        orders.repartitionByRange(4, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+        prefix="base",
+    )
+    delete_from_snapshot_mor(
+        spark, tbl, "o_orderkey", 1000, 4000, shards=2
+    )
+    delete_from_snapshot_mor(spark, tbl, "o_orderkey", 3000, 6000)
+    purge_dvs(spark, tbl, stats_cols=["o_orderkey"])
+    summ = snapshot_summary(spark, tbl, [1, 2, 3, 4], "o_totalprice")
+    feed = (
+        table_changes(spark, tbl, 1, 4)
+        .groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("_nfd"))
+    )
+    out = summ.join(
+        F.broadcast(feed),
+        summ["version"] == feed["_commit_version"],
+        "left",
+    ).select(
+        "version",
+        "n_rows",
+        "total",
+        F.coalesce(F.col("_nfd"), F.lit(0))
+        .cast("bigint")
+        .alias("n_feed_deletes"),
+    )
+    return _detach_and_cleanup(out, d)

@@ -739,3 +739,82 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sink,
     )
+
+
+# --- streaming ingestion INTO the snapshot log (r11 — VERDICT r10 #1) ------
+
+from ..streaming.lakehouse import (  # noqa: E402
+    stream_into_snapshot,
+    stream_into_snapshot_oracle,
+)
+
+
+@register(
+    "stream_snapshot_ingest",
+    doc="streaming ingestion INTO the snapshot-logged table format "
+    "(streaming/lakehouse.py:30 — queued r10, registered r11 per "
+    "VERDICT r10 #1): the gate stages the events table as three "
+    "key-sliced parquet files, replays them as an availableNow "
+    "stream with maxFilesPerTrigger=1 (one micro-batch per slice), "
+    "and each batch lands as ONE atomic log commit — the first "
+    "bootstraps the table with stats+blooms from commit 1, the rest "
+    "run the replay-convergent keyed copy-on-write MERGE (the "
+    "manifest envelopes+blooms bound each batch's rewrite to the "
+    "files its keys can actually touch).  The gate then reads the "
+    "FINAL table back through the log: batch boundaries, bootstrap-"
+    "vs-merge paths, and commit atomicity must all be invisible — "
+    "the content equals the plain projection of events, which is "
+    "exactly what the oracle states.  Exactly-once EFFECT is the "
+    "same idempotence contract the reference's ON CONFLICT upsert "
+    "gave its re-runs (SURVEY §2.N3; load_helpers.py:28-33).  "
+    "(fuzz family `cow_merge`; replay/bootstrap unit tests "
+    "tests/test_stream_lakehouse.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=stream_into_snapshot_oracle(),
+)
+def stream_snapshot_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.snapshot import read_snapshot
+
+    d = tempfile.mkdtemp(prefix="sps_stream_snap_gate_")
+    stage = os.path.join(d, "src")
+    tbl = os.path.join(d, "table")
+    ckpt = os.path.join(d, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # ONE staging job for all three slices (the build_zonemap
+    # pattern): repartition on the slice key + partitionBy, then
+    # flatten each slice's parts into the stream source dir
+    staging = os.path.join(d, "_stage")
+    (
+        ev.withColumn("_g", F.pmod(F.col("event_id"), F.lit(3)))
+        .repartition(3, "_g")
+        .write.partitionBy("_g")
+        .parquet(staging)
+    )
+    os.makedirs(stage, exist_ok=True)
+    for i in range(3):
+        gdir = os.path.join(staging, f"_g={i}")
+        for j, p in enumerate(
+            sorted(
+                f for f in os.listdir(gdir) if f.endswith(".parquet")
+            )
+        ):
+            os.rename(
+                os.path.join(gdir, p),
+                os.path.join(stage, f"s{i}_{j}.parquet"),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_into_snapshot(stream, tbl, "event_id", ckpt)
+    _await_or_die(q, 180)
+    out = read_snapshot(spark, tbl).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _detach_and_cleanup(out, d)

@@ -167,3 +167,51 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.50)), 2).alias("p50"),
         F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.75)), 2).alias("p75"),
     )
+
+
+# --- retrieval family (r11 registrations — VERDICT r10 #3) -----------------
+
+from ..operators.retrieval import (  # noqa: E402
+    bm25_doc_term_scores,
+    bm25_scores_oracle,
+    inverted_postings,
+    inverted_postings_oracle,
+)
+
+
+@register(
+    "inverted_postings",
+    doc="inverted index build (operators/retrieval.py:92 — queued "
+    "r7, registered r11 per VERDICT r10 #3): one tokenize+explode "
+    "pass, a map-side-combined (doc, token) tf aggregate, stopword-"
+    "class tokens cut by max_df on the document-frequency table "
+    "BEFORE posting assembly (the heavy hitters are exactly the "
+    "tokens whose postings dominate the shuffle and serve nothing), "
+    "then one groupBy(token) assembling the posting list as the "
+    "deterministic doc-sorted 'doc:tf' string.  The retrieval-based "
+    "curation / hard-negative-mining entry point.  Oracle EMITTED by "
+    "inverted_postings_oracle from the same parameters (fuzzed in "
+    "tools/fuzz_portables.py `retrieval`)",
+    oracle=inverted_postings_oracle(min_df=2, max_df=400),
+)
+def inverted_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_postings(
+        load_table(spark, sf_dir, "documents"), min_df=2, max_df=400
+    )
+
+
+@register(
+    "bm25_doc_term_scores",
+    doc="per-(doc, term) BM25 weights for each document's top-3 "
+    "terms (operators/retrieval.py:155 — queued r7, registered r11 "
+    "per VERDICT r10 #3): tf saturation carried as an EXACT integer "
+    "rational (BIGINT lanes, k1=6/5 b=3/4 multiplied through), the "
+    "only floats are single fixed-association expressions (idf ln + "
+    "one multiply) so both engines run the identical IEEE op "
+    "sequence; ranking keys are exact (tf desc, df asc, token) — "
+    "never a float.  Oracle EMITTED by bm25_scores_oracle from the "
+    "same parameters (fuzzed in tools/fuzz_portables.py `retrieval`)",
+    oracle=bm25_scores_oracle(),
+)
+def bm25_doc_term_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_doc_term_scores(load_table(spark, sf_dir, "documents"))

@@ -37,7 +37,9 @@ def main() -> int:
         stale_args += ["--max-stale-round", max_stale]
     failures = 0
     failures += run("staleness", stale_args) != 0
-    failures += run("doclint", ["tools/doclint.py"]) != 0
+    failures += run(
+        "doclint", ["tools/doclint.py", "SCALE.md", "COVERAGE.md"]
+    ) != 0
     failures += run("queue", ["tools/queue_check.py"]) != 0
     failures += run("sweep", ["tools/sweep.py", "--check"]) != 0
     print(f"round_check: {4 - failures}/4 gates green")
