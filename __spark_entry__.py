@@ -36,82 +36,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-10 window (executes VERDICT r09 "Next round" #1/#2/#6;
+# Round-11 window (executes VERDICT r10 "Next round" #1/#3/#4/#5;
 # cohort computed by tools/staleness.py, not asserted by hand —
-# accounting in ROTATION_r10.md): (b) the seven queue registrations
-# landed THIS round — pq_train_encode, pq_adc_topk,
-# stratified_exact_split, triangle_counts, build_zonemap,
-# ols_trend_exact (the named r10 tranche) and semantic_decontaminate
-# (VERDICT r09 #6, registered after the interpreted-HOF audit and
-# the ADVICE headroom guard) — each paired against a retirement of a
-# semantics twin FROM the r07-latest cohort (fuzzy_name_match,
-# asof_join_broadcast_dim, rollup_multilevel_agg, simhash_near_pairs,
-# embedding_lsh_pairs, near_dup_components; carriers named in the
-# RETIRED comments), which is what makes the window close: (c) the
-# ENTIRE remaining r07-latest cohort — 49 computed by the tool minus
-# the six retirees = 43 (this also lands the pre-committed r8 cedes
-# kmeans_clusters / multimodal_header_parse / multimodal_gif_frames;
-# multimodal_resize_pipeline re-verified r08 per the tool, so it is
-# r08-latest and due next round).  7 + 43 = 50 exactly; after this
-# round `python tools/staleness.py --max-stale-round 8` must exit 0
-# (floor r08, no r00 rows left).  Every r10 registration was
-# verified hash-green at sf0.01 AND sf0.1 this session before
-# entering the window.
+# accounting in ROTATION_r11.md): (b) the five queue registrations
+# landed THIS round — snapshot_dml, snapshot_mor,
+# stream_snapshot_ingest (the three r10 lakehouse gates VERDICT r10
+# #1 front-loads, registered after the sharded-DV-write fix and the
+# read-set OCC conflict scan) and inverted_postings +
+# bm25_doc_term_scores (the retrieval family, VERDICT r10 #3) —
+# each paired against a retirement of a semantics twin FROM the
+# r08-latest cohort (dataset_split_hash, semi_join_running_entities,
+# top_k_customers, distinct_dims, bpe_train_portable; carriers named
+# in the RETIRED comments), which is what makes the window close:
+# (c) the ENTIRE remaining r08-latest cohort — 50 computed by the
+# tool minus the five retirees = 45 (this lands the r10 note's due
+# item multimodal_resize_pipeline).  5 + 45 = 50 exactly; after this
+# round `python tools/staleness.py --max-stale-round 9` must exit 0
+# (floor moves to r09).  Every r11 registration was verified
+# hash-green at sf0.01 AND sf0.1 this session before entering the
+# window.
 _PRIORITY = [
-    # (b) new registrations this round (r10 queue tranche, VERDICT
-    # r09 #2/#6; oracles EMITTED by the operators' own generators
-    # except build_zonemap's closed-form ntile SQL)
-    "pq_train_encode",
-    "pq_adc_topk",
-    "semantic_decontaminate",
-    "stratified_exact_split",
-    "triangle_counts",
-    "build_zonemap",
-    "ols_trend_exact",
-    # (c) the full remaining r07-latest cohort (43)
-    "anti_join_new_entities",
-    "array_numbered_columns",
-    "asof_join_forward_keyed",
-    "asof_join_keyed",
-    "asof_join_nearest_broadcast",
-    "broadcast_lookup_join",
-    "containment_join_nullout",
-    "cosine_topk",
-    "date_parse_epoch",
-    "date_window_predicate",
-    "derivation_chain",
-    "embedding_near_dup_pairs",
-    "entity_resolution_cascade",
-    "exact_dedup_docs",
-    "explode_distinct_union",
-    "explode_map_of_arrays",
-    "flagship_contestant_stats",
-    "fuzzy_name_match_dist2",
-    "geo_mean_udaf",
-    "grouped_sum_all_measures",
-    "id_minting_sequential",
-    "interval_merge_islands",
-    "ivf_recall_bound",
-    "json_extract_payload",
-    "kmeans_clusters",
-    "merge_upsert_idempotent",
-    "multimodal_decode_features",
-    "multimodal_gif_frames",
-    "multimodal_header_parse",
-    "multiway_left_join",
-    "ngram_jaccard_pairs",
-    "null_normalize_unit_scale",
-    "scd2_order_history",
-    "schema_sync_project",
-    "session_window_agg",
-    "sliding_range_window",
-    "string_funcs_merge_key",
-    "text_quality_scores",
-    "to_json_roundtrip",
-    "token_budget_mix",
-    "unpivot_measures",
-    "weighted_sample_aes",
-    "window_rank_placement",
+    # (b) new registrations this round (r11 tranche, VERDICT r10
+    # #1/#3; closed-form oracles for the snapshot gates, EMITTED
+    # oracles for the retrieval pair)
+    "snapshot_dml",
+    "snapshot_mor",
+    "stream_snapshot_ingest",
+    "inverted_postings",
+    "bm25_doc_term_scores",
+    # (c) the full remaining r08-latest cohort (45)
+    "bfs_levels",
+    "bloom_prefilter_join",
+    "change_detection_incremental",
+    "coalesce_cascade_defaults",
+    "coalesce_default_agg",
+    "compaction_plan_binpack",
+    "conditional_flag_agg",
+    "decontaminate_ngram",
+    "doc_chunk_overlap",
+    "doc_length_quantiles",
+    "docx_confessional_scan",
+    "entity_match_quarantine",
+    "filter_project",
+    "filtered_group_sum",
+    "group_max_arithmetic",
+    "group_ordinal_appearance",
+    "heavy_hitters_mg",
+    "html_infobox_extract",
+    "html_link_extract",
+    "incremental_dedup_new_docs",
+    "intersect_except_sets",
+    "ivf_topk_exact",
+    "lang_id_heuristic",
+    "multi_pattern_first_match",
+    "multimodal_resize_pipeline",
+    "pack_sequences",
+    "pagerank_portable",
+    "paragraph_dedup",
+    "pii_redaction",
+    "quality_filter_chain",
+    "regex_extract_columns",
+    "repetition_stats",
+    "rest_keyset_scan",
+    "rolling_fingerprint",
+    "semantic_dedup_portable",
+    "simhash_portable_pairs",
+    "stratified_hash_sample",
+    "streaming_running_max",
+    "streaming_stateful_dedup",
+    "substring_dedup_spans",
+    "topk_per_group_salted",
+    "union_all_by_name",
+    "watermark_incremental",
+    "xlsx_region_scan",
+    "yaml_correction_map",
 ]
 
 

@@ -72,8 +72,8 @@ HEADLINE = [
     "semantic_dedup_portable",
     "compaction_plan_binpack",
     "heavy_hitters_mg",
-    # round 8 (queue registrations)
-    "bpe_train_portable",
+    # round 8 (queue registrations; bpe_train_portable left the set
+    # with its r11 retirement into bpe_token_budget's slot below)
     "pagerank_portable",
     "substring_dedup_spans",
     "bfs_levels",
@@ -97,6 +97,12 @@ HEADLINE = [
     "triangle_counts",
     "build_zonemap",
     "ols_trend_exact",
+    # round 11 (queue registrations — VERDICT r10 #1/#3)
+    "snapshot_dml",
+    "snapshot_mor",
+    "stream_snapshot_ingest",
+    "inverted_postings",
+    "bm25_doc_term_scores",
 ]
 
 

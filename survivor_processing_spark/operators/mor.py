@@ -164,7 +164,7 @@ def delete_from_snapshot_mor(
     lo,
     hi,
     cast: str = "bigint",
-    shards: int = 1,
+    shards: int | str = 1,
 ) -> dict:
     """MERGE-ON-READ range DELETE: record the matching rows'
     positions in a deletion-vector sidecar instead of rewriting any
@@ -193,12 +193,13 @@ def delete_from_snapshot_mor(
     SIZING CONTRACT: with the default ``shards=1`` the sidecar lands
     as ONE file through one task (``coalesce(1)``) — right for the
     sliver-of-rows deletes MOR exists for.  A delete whose tombstones
-    span many files fans the write out with ``shards > 1`` (or
-    ``_auto_dv_shards(len(candidates))``): the commit then carries
-    several sidecars with disjoint file-coverage, written in
-    parallel.  A delete big enough to push READS past the broadcast
-    cap in ``strip_deleted_rows`` still belongs on the COW path,
-    whose cost is proportional to files touched, not rows deleted."""
+    span many files fans the write out with ``shards > 1`` or
+    ``shards="auto"`` (``_auto_dv_shards`` over the candidate count,
+    the upsert's default policy): the commit then carries several
+    sidecars with disjoint file-coverage, written in parallel.  A
+    delete big enough to push READS past the broadcast cap in
+    ``strip_deleted_rows`` still belongs on the COW path, whose cost
+    is proportional to files touched, not rows deleted."""
     # read-set declaration for the commit's OCC conflict scan
     # (commit_version docstring): captured before any plan-state read
     planned = (log_versions(table_dir) or [0])[-1]
@@ -237,8 +238,13 @@ def delete_from_snapshot_mor(
     hits = live.where(pred).select(
         F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos")
     )
+    n_shards = (
+        _auto_dv_shards(len(candidates))
+        if shards == "auto"
+        else int(shards)
+    )
     sidecars, n_deleted = _write_dv_sidecar(
-        spark, table_dir, hits, uuid.uuid4().hex[:8], shards=shards
+        spark, table_dir, hits, uuid.uuid4().hex[:8], shards=n_shards
     )
     if not sidecars:
         return noop

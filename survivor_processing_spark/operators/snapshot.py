@@ -80,6 +80,63 @@ def log_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _ckpt_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_path(table_dir), f"ckpt-v{version:08d}.json")
+
+
+def log_checkpoints(table_dir: str) -> list[int]:
+    """Versions with a committed checkpoint, ascending (see
+    :func:`checkpoint_snapshot`)."""
+    d = _log_path(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("ckpt-v") and f.endswith(".json"):
+            try:
+                out.append(int(f[6:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+# (path -> (mtime, parsed state)): one plan touches the same
+# checkpoint through _replay, file_stats, snapshot_dvs AND
+# table_schema — mtime-keyed so an os.replace'd newer checkpoint
+# invalidates, bounded because a process reads a handful of tables
+_CKPT_CACHE: dict[str, tuple[float, dict]] = {}
+
+
+def _latest_ckpt(
+    table_dir: str, v: int, versions: list[int]
+) -> dict | None:
+    """The newest checkpoint at a version ≤ ``v`` that is still in
+    the log (a checkpoint whose version expired is skipped — its
+    delta entries may be gone, so replaying forward from it could
+    miss history; :func:`expire_snapshots` deletes those, this guard
+    covers the crash window).  Returns the loaded state or None."""
+    vset = set(versions)
+    for c in reversed(log_checkpoints(table_dir)):
+        if c <= v and c in vset:
+            path = _ckpt_path(table_dir, c)
+            try:
+                mtime = os.path.getmtime(path)
+                hit = _CKPT_CACHE.get(path)
+                if hit and hit[0] == mtime:
+                    ck = hit[1]
+                else:
+                    with open(path) as f:
+                        ck = json.load(f)
+                    if len(_CKPT_CACHE) > 16:
+                        _CKPT_CACHE.clear()
+                    _CKPT_CACHE[path] = (mtime, ck)
+            except (OSError, json.JSONDecodeError):
+                continue  # torn/foreign checkpoint: fall back
+            if ck.get("version") == c:
+                return ck
+    return None
+
+
 def commit_version(
     table_dir: str,
     adds: list[str] | None = None,
@@ -353,9 +410,19 @@ def file_stats(
     stats, removed, and later re-added with different content can
     never inherit the dead add's envelope/bloom (a stale envelope
     would let a later prune or merge skip a file that matches)."""
+    versions = log_versions(table_dir)
     active, v = _replay(table_dir, version)
     out: dict[str, dict] = {}
-    for n in log_versions(table_dir):
+    start = 0
+    ck = _latest_ckpt(table_dir, v, versions)
+    if ck:
+        # the checkpoint's stats map covers exactly its active set —
+        # the same state this loop would have built up to there
+        out = {f: dict(st) for f, st in ck.get("stats", {}).items()}
+        start = ck["version"]
+    for n in versions:
+        if n <= start:
+            continue
         if n > v:
             break
         with open(_entry_path(table_dir, n)) as f:
@@ -752,8 +819,18 @@ def _replay(table_dir: str, version: int | None) -> tuple[set[str], int]:
     v = head if version is None else int(version)
     if v not in versions:
         raise ValueError(f"version {v} not in log (head {head})")
+    # checkpoint-seeded: start from the newest checkpoint ≤ v and
+    # replay only the delta — head reads on a long-lived table cost
+    # O(commits since last checkpoint), not O(all commits)
     active: set[str] = set()
+    start = 0
+    ck = _latest_ckpt(table_dir, v, versions)
+    if ck:
+        active = set(ck["active"])
+        start = ck["version"]
     for n in versions:
+        if n <= start:
+            continue
         if n > v:
             break
         with open(_entry_path(table_dir, n)) as f:
@@ -784,9 +861,17 @@ def snapshot_dvs(
     construction, and a later re-add of a removed NAME can never
     resurrect a dead DV (the prune happened when the remove
     replayed).  Empty dict = copy-on-write reads, zero overhead."""
+    versions = log_versions(table_dir)
     _, v = _replay(table_dir, version)
     cov: dict[str, set[str]] = {}
-    for n in log_versions(table_dir):
+    start = 0
+    ck = _latest_ckpt(table_dir, v, versions)
+    if ck:
+        cov = {s: set(c) for s, c in ck.get("dvs", {}).items()}
+        start = ck["version"]
+    for n in versions:
+        if n <= start:
+            continue
         if n > v:
             break
         with open(_entry_path(table_dir, n)) as f:
@@ -906,9 +991,19 @@ def table_schema(
     schema-carrying entry ≤ v wins), or None when no entry ever
     recorded one — pre-evolution tables read footer schemas exactly
     as before."""
+    versions = log_versions(table_dir)
     _, v = _replay(table_dir, version)
     out: list[list[str]] | None = None
-    for n in log_versions(table_dir):
+    start = 0
+    ck = _latest_ckpt(table_dir, v, versions)
+    if ck:
+        out = (
+            [list(c) for c in ck["schema"]] if ck.get("schema") else None
+        )
+        start = ck["version"]
+    for n in versions:
+        if n <= start:
+            continue
         if n > v:
             break
         with open(_entry_path(table_dir, n)) as f:
@@ -1163,6 +1258,61 @@ def compact_snapshot(
     }
 
 
+def checkpoint_snapshot(table_dir: str) -> dict:
+    """Write a LOG CHECKPOINT at the current head — the Delta
+    ``_last_checkpoint`` move, without giving up any history: the
+    full replayed state (active files, per-file stats/blooms, live
+    deletion-vector coverage, evolved schema) lands as ONE
+    ``_sps_log/ckpt-v{N}.json``, and every reader
+    (:func:`snapshot_files`, :func:`file_stats`,
+    :func:`snapshot_dvs`, :func:`table_schema`, and everything built
+    on them) seeds its replay from the newest checkpoint ≤ the
+    requested version, paying O(commits since checkpoint) instead of
+    O(all commits).
+
+    Why this matters at 100 TB: a standing ingestion stream commits
+    a version per micro-batch — thousands of entries per day — and
+    WITHOUT a checkpoint every plan (merge candidate cut, pruned
+    scan, DV build) re-reads the whole entry chain driver-side.
+    Time travel is untouched: a read at a version BELOW a checkpoint
+    simply ignores it (only checkpoints ≤ the target seed a replay),
+    and unlike :func:`expire_snapshots` no history is deleted.
+
+    Idempotent and crash-safe: content is a pure function of the log
+    at version N, written tmp + ``os.replace`` (atomic; two racers
+    produce identical bytes).  A checkpoint whose version later
+    EXPIRES is deleted by ``expire_snapshots`` (and skipped by
+    readers in the crash window) because its forward deltas may be
+    gone.  Run it from maintenance (``expire_snapshots`` writes one
+    at the surviving head automatically) or every N commits on hot
+    tables.  Returns ``{"version", "n_active", "n_dvs"}``."""
+    versions = log_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshot log under {table_dir!r}")
+    head = versions[-1]
+    active = snapshot_files(table_dir, head)
+    ck = {
+        "version": head,
+        "active": active,
+        "stats": file_stats(table_dir, head),
+        "dvs": snapshot_dvs(table_dir, head),
+        "schema": table_schema(table_dir, head),
+    }
+    import uuid as _uuid
+
+    # the ".tmp-" suffix puts a crashed writer's debris under
+    # vacuum_orphans' existing claim-tmp reclaim pattern
+    tmp = _ckpt_path(table_dir, head) + f".tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, _ckpt_path(table_dir, head))
+    return {
+        "version": head,
+        "n_active": len(active),
+        "n_dvs": len(ck["dvs"]),
+    }
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     """Retention + log compaction in one maintenance pass — the
     remaining lifecycle half of a table format (Delta checkpoint +
@@ -1285,6 +1435,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
             os.remove(os.path.join(table_dir, name))
         except OSError:
             pass
+    # checkpoints at expired versions are now dead: their forward
+    # delta entries are gone, so seeding a replay from one would
+    # compute a silently stale state (readers already skip them via
+    # the version-in-log guard; this reclaims the files)
+    for c in log_checkpoints(table_dir):
+        if c < cut:
+            try:
+                os.remove(_ckpt_path(table_dir, c))
+            except OSError:
+                pass
+    # maintenance leaves a fresh checkpoint at the surviving head so
+    # post-expiry reads start O(1)-deep (checkpoint_snapshot doc)
+    checkpoint_snapshot(table_dir)
     return {
         "cut_version": cut,
         "n_expired_versions": len(expired),

@@ -15,10 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import load_table
 from ..functions.textstats import quality_score_exprs
 from ..operators.bpe import (
-    bpe_portable_oracle,
     bpe_token_budget,
     bpe_token_budget_oracle,
-    bpe_train,
 )
 from ..operators.curation import (
     stratified_exact_split as _stratified_split,
@@ -356,21 +354,18 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bpe_train_portable",
-    doc="distributed BPE tokenizer training (operators/bpe.py): 8 "
-    "merge rounds over the word-frequency table — each round is one "
-    "map-side-combined pair-count aggregate + a codegen'd fixpoint "
-    "merge expression over the (word, freq) vocab (vocab-sized, NOT "
-    "corpus-sized, after the first aggregation); ties break "
-    "(count desc, lhs, rhs).  Oracle is EMITTED by "
-    "bpe_portable_oracle — one (pairs, best, apply) CTE block per "
-    "merge from the same parameters (queued r7, fuzzed in "
-    "tools/fuzz_portables.py `bpe`)",
-    oracle=bpe_portable_oracle(n_merges=8),
-)
-def bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+# RETIRED r11 (VERDICT r10 #1/#5 pairing discipline):
+# q:bpe_train_portable — 8-round distributed BPE merge training.
+# Carried by q:bpe_token_budget (hash-green r10 — it RUNS the
+# identical bpe_train(n_merges=8) internally and its EMITTED oracle
+# replays the same per-merge (pairs, best, apply) CTE chain, so a
+# wrong learned merge, tiebreak, or application order flips the
+# budget gate's value hash just as it flipped this one) plus the
+# `bpe` and `bpe_encode` fuzz families (tools/fuzz_portables.py) and
+# the train-plan audit
+# tests/test_plans.py::test_bpe_train_registered_final_plan_is_tiny,
+# which now drives the operator directly.  Accounting:
+# ROTATION_r11.md.
 
 
 @register(

@@ -497,42 +497,16 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dataset_split_hash",
-    doc="deterministic content-keyed train/val/test split — the "
-    "holdout assignment a training pipeline needs to be stable "
-    "across re-runs and engines: first hex char of md5(doc_id) "
-    "buckets 16 ways (0-b train 75%, c-d val, e-f test), then "
-    "per-(lang, split) doc and char totals.  Pure projection + one "
-    "aggregation; md5 of the decimal id string is engine-portable "
-    "where xxhash64 is Spark-specific",
-    oracle="""
-SELECT lang,
-       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-                 THEN 'train'
-            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
-                 THEN 'val'
-            ELSE 'test' END AS split,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents
-GROUP BY lang, split
-""",
-)
-def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(c < "c", "train").when(c < "e", "val").otherwise("test")
-    )
-    return (
-        d.withColumn("split", split)
-        .groupBy("lang", "split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
+# RETIRED r11 (VERDICT r10 #1/#5 pairing discipline): q:dataset_split_hash
+# — the drift-tolerant md5-prefix train/val/test split.  Carried by
+# q:stratified_exact_split (registered r10, hash-green — the EXACT-
+# proportion split whose operator documents the hash split as its
+# drift-tolerant fallback, operators/curation.py:278, membership-
+# pinning COUNT+SUM(doc_id) oracle) and q:stratified_hash_sample
+# (stays gated — the identical md5-bucket hash-assignment machinery
+# over the identical table: deterministic md5 of the stringified id,
+# threshold on the hex prefix).  A third gate on the same md5-bucket
+# projection added no oracle coverage.  Accounting: ROTATION_r11.md.
 
 
 @register(

@@ -141,25 +141,17 @@ def anti_join_new_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semi_join_running_entities",
-    doc="reference extract_helpers.py:24-57 check_season_status — "
-    "keep entities with an open ('O') order, as a left_semi join",
-    oracle="""
-SELECT c.c_custkey, c.c_name
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
-""",
-)
-def semi_join_running_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(
-        o.filter(F.col("o_orderstatus") == "O"),
-        c.c_custkey == o.o_custkey,
-        "left_semi",
-    ).select("c_custkey", "c_name")
+# RETIRED r11 (VERDICT r10 #1/#5 pairing discipline):
+# q:semi_join_running_entities — EXISTS via left_semi (reference
+# extract_helpers.py:24-57 check_season_status).  Carried by
+# q:anti_join_new_entities (hash-green r10 — the identical join
+# machinery over the identical tables with the opposite polarity:
+# Spark lowers left_semi and left_anti to the same hash join with a
+# semi/anti build flag) and q:intersect_except_sets (stays gated —
+# INTERSECT lowers to an aggregate + LEFT SEMI hash join, so the
+# semi path keeps a full value oracle of its own), plus
+# q:entity_match_quarantine (left_semi production consumer).
+# Accounting: ROTATION_r11.md.
 
 
 # --- E2/E3/E4/E5: grouped aggregate family ---------------------------------
@@ -270,15 +262,17 @@ def grouped_sum_all_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "distinct_dims",
-    doc="reference db_funcs.py:49 SELECT DISTINCT / drop_duplicates (E9)",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "customer").select(
-        "c_mktsegment", "c_nationkey"
-    ).distinct()
+# RETIRED r11 (VERDICT r10 #1/#5 pairing discipline): q:distinct_dims
+# — SELECT DISTINCT over two dimension columns (reference
+# db_funcs.py:49 drop_duplicates, E9).  DISTINCT lowers to a
+# keys-only hash aggregate; that exact physical operator stays under
+# two full value oracles: q:intersect_except_sets (stays gated —
+# INTERSECT/EXCEPT lower to Distinct-aggregate + semi/anti join, so
+# the plan literally contains the retired query's HashAggregate) and
+# q:exact_dedup_docs (hash-green r10 — groupBy-dedup, the same
+# hash-aggregate dedup over a wider row).  A third gate on the same
+# keys-only aggregate added no oracle coverage.  Accounting:
+# ROTATION_r11.md.
 
 
 # --- F1-F4: window functions ----------------------------------------------
@@ -379,28 +373,17 @@ def group_max_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- G1/G3: sort + top-k ----------------------------------------------------
 
 
-@register(
-    "top_k_customers",
-    doc="reference G1 sort_values + LIMIT; deterministic tiebreak on key",
-    oracle="""
-SELECT c_custkey, c_name,
-       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
-FROM customer
-ORDER BY c_acctbal DESC, c_custkey
-LIMIT 25
-""",
-)
-def top_k_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-        .limit(25)
-        .select(
-            "c_custkey",
-            "c_name",
-            F.round(_dec("c_acctbal"), 2).cast("double").alias("acctbal"),
-        )
-    )
+# RETIRED r11 (VERDICT r10 #1/#5 pairing discipline):
+# q:top_k_customers — global ORDER BY + LIMIT 25 (reference G1
+# sort_values.head).  Carried by q:topk_per_group_salted (stays
+# gated — the GENERAL per-group top-k whose single-group degenerate
+# case IS the global top-k, same deterministic value-desc/key-asc
+# tiebreak discipline, full value oracle) and q:window_rank_placement
+# (hash-green r10 — the ordering/ranking machinery over the same
+# table).  The TakeOrderedAndProject physical plan stays pinned by
+# tests/test_plans.py::test_topk_is_take_ordered_not_global_sort
+# (drives q:cosine_topk, hash-green r10).  Accounting:
+# ROTATION_r11.md.
 
 
 # --- H1/C8: union-by-name ---------------------------------------------------

@@ -27,7 +27,8 @@ def test_bogus_sf_dir_raises_analysis_exception(spark):
         "flagship_contestant_stats",   # window over joined frame
         "window_rank_placement",       # explicit rank tiebreaks
         "minhash_lsh_pairs",           # hash-family determinism
-        "top_k_customers",             # global top-k ordering
+        "topk_per_group_salted",       # per-group top-k ordering
+                                       # (global twin RETIRED r11)
         "fuzzy_name_match_dist2",      # variant-join pair emission
                                        # (dist1 row RETIRED r10)
         "tfidf_top_terms",             # integer-keyed rank winners

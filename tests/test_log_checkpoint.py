@@ -1,0 +1,184 @@
+"""Snapshot-log CHECKPOINTS (r11, operators/snapshot.py
+``checkpoint_snapshot``): the Delta ``_last_checkpoint`` move without
+history loss — full replayed state (active set, per-file stats,
+deletion-vector coverage, evolved schema) at one version, so every
+reader seeds its replay from the newest checkpoint ≤ its target and
+pays O(commits since checkpoint).  Time travel below a checkpoint
+must ignore it; expiry must reclaim checkpoints whose forward deltas
+died; a checkpointed table must answer every question byte-identically
+to the checkpoint-free replay."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from survivor_processing_spark.operators.mor import (
+    delete_from_snapshot_mor,
+)
+from survivor_processing_spark.operators.snapshot import (
+    _ckpt_path,
+    checkpoint_snapshot,
+    commit_version,
+    expire_snapshots,
+    file_stats,
+    log_checkpoints,
+    read_snapshot,
+    snapshot_dvs,
+    snapshot_files,
+    table_schema,
+)
+
+
+def _write(d: str, name: str, keys: list[int]) -> str:
+    pq.write_table(
+        pa.table({"k": pa.array(keys, type=pa.int64())}),
+        os.path.join(d, name),
+    )
+    return name
+
+
+@pytest.fixture()
+def tbl():
+    d = tempfile.mkdtemp(prefix="sps_ckpt_")
+    for i in range(4):
+        _write(d, f"f{i}.parquet", list(range(i * 10, i * 10 + 10)))
+    commit_version(
+        d,
+        adds=["f0.parquet", "f1.parquet"],
+        stats={
+            "f0.parquet": {
+                "k": {"n_rows": 10, "vmin": "0", "vmax": "9",
+                      "ord": "numeric"}
+            }
+        },
+    )
+    commit_version(d, adds=["f2.parquet"], removes=["f0.parquet"])
+    commit_version(
+        d, adds=["f3.parquet"], schema=[["k", "bigint"]]
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _full_state(d, v=None):
+    return (
+        snapshot_files(d, v),
+        file_stats(d, v),
+        snapshot_dvs(d, v),
+        table_schema(d, v),
+    )
+
+
+def test_checkpoint_state_equals_full_replay(tbl):
+    before = {v: _full_state(tbl, v) for v in (1, 2, 3)}
+    out = checkpoint_snapshot(tbl)
+    assert out["version"] == 3 and out["n_active"] == 3
+    assert log_checkpoints(tbl) == [3]
+    # every version answers identically with the checkpoint present
+    for v in (1, 2, 3):
+        assert _full_state(tbl, v) == before[v], v
+    assert _full_state(tbl, None) == before[3]
+
+
+def test_checkpoint_seeds_later_replay(tbl):
+    checkpoint_snapshot(tbl)
+    _write(tbl, "f4.parquet", list(range(40, 50)))
+    commit_version(
+        tbl,
+        adds=["f4.parquet"],
+        removes=["f1.parquet"],
+        stats={
+            "f4.parquet": {
+                "k": {"n_rows": 10, "vmin": "40", "vmax": "49",
+                      "ord": "numeric"}
+            }
+        },
+    )
+    assert snapshot_files(tbl) == [
+        "f2.parquet", "f3.parquet", "f4.parquet"
+    ]
+    st = file_stats(tbl)
+    assert st["f4.parquet"]["k"]["vmax"] == "49"
+    assert st["f2.parquet"] == {}  # added without stats, pre-ckpt
+    assert table_schema(tbl) == [["k", "bigint"]]
+    # time travel below the checkpoint still exact
+    assert snapshot_files(tbl, 1) == ["f0.parquet", "f1.parquet"]
+    assert file_stats(tbl, 1)["f0.parquet"]["k"]["vmin"] == "0"
+
+
+def test_checkpoint_carries_dv_coverage(spark, tbl):
+    out = delete_from_snapshot_mor(spark, tbl, "k", 12, 14)
+    assert out["version"] == 4
+    dvs_before = snapshot_dvs(tbl)
+    rows_before = sorted(
+        r["k"] for r in read_snapshot(spark, tbl).collect()
+    )
+    checkpoint_snapshot(tbl)
+    assert snapshot_dvs(tbl) == dvs_before
+    assert (
+        sorted(r["k"] for r in read_snapshot(spark, tbl).collect())
+        == rows_before
+    )
+    # a post-checkpoint rewrite still retires the checkpointed DV
+    _write(tbl, "rw.parquet", [12, 13, 14, 15, 16, 17, 18, 19, 10, 11])
+    commit_version(
+        tbl, adds=["rw.parquet"], removes=["f1.parquet"],
+        planned_version=4,
+    )
+    assert snapshot_dvs(tbl) == {}
+
+
+def test_torn_checkpoint_falls_back_to_full_replay(tbl):
+    want = _full_state(tbl)
+    checkpoint_snapshot(tbl)
+    with open(_ckpt_path(tbl, 3), "w") as f:
+        f.write("{not json")
+    assert _full_state(tbl) == want
+
+
+def test_checkpoint_wrong_version_field_skipped(tbl):
+    want = _full_state(tbl)
+    checkpoint_snapshot(tbl)
+    with open(_ckpt_path(tbl, 3)) as f:
+        ck = json.load(f)
+    ck["version"] = 99
+    with open(_ckpt_path(tbl, 3), "w") as f:
+        json.dump(ck, f)
+    assert _full_state(tbl) == want
+
+
+def test_expire_reclaims_stale_checkpoints_and_writes_head(tbl):
+    checkpoint_snapshot(tbl)  # at v3
+    for i in range(5):
+        _write(tbl, f"g{i}.parquet", [100 + i])
+        commit_version(tbl, adds=[f"g{i}.parquet"])
+    checkpoint_snapshot(tbl)  # at v8
+    want = _full_state(tbl)
+    out = expire_snapshots(tbl, keep_last=3)
+    assert out["cut_version"] == 6
+    # the v3 checkpoint's delta entries died with expiry: reclaimed;
+    # expiry leaves a fresh checkpoint at the surviving head
+    assert log_checkpoints(tbl) == [8]
+    assert _full_state(tbl) == want
+    # and the remaining history still replays exactly
+    assert snapshot_files(tbl, 6) == sorted(
+        ["f1.parquet", "f2.parquet", "f3.parquet", "g0.parquet",
+         "g1.parquet", "g2.parquet"]
+    )
+
+
+def test_checkpoint_idempotent(tbl):
+    a = checkpoint_snapshot(tbl)
+    with open(_ckpt_path(tbl, 3)) as f:
+        payload_a = f.read()
+    b = checkpoint_snapshot(tbl)
+    with open(_ckpt_path(tbl, 3)) as f:
+        payload_b = f.read()
+    assert a == b and payload_a == payload_b

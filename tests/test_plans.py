@@ -385,10 +385,15 @@ def test_bfs_registered_no_cartesian_no_python(spark):
 
 def test_bpe_train_registered_final_plan_is_tiny(spark):
     """bpe_train's result is the driver-assembled merge table (k
-    rows) — the registered plan must be a bare scan of that local
-    RDD, with all heavy lifting inside the per-iteration jobs it
-    already ran."""
-    plan = plan_of(spark, "bpe_train_portable")
+    rows) — the final plan must be a bare scan of that local RDD,
+    with all heavy lifting inside the per-iteration jobs it already
+    ran.  Drives the operator directly since q:bpe_train_portable
+    retired into q:bpe_token_budget (r11, ROTATION_r11.md)."""
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.bpe import bpe_train
+
+    df = bpe_train(load_table(spark, SF, "documents"), n_merges=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "Exchange" not in plan
 

@@ -42,12 +42,14 @@ OPS = "survivor_processing_spark.operators"
 # r10 registrations REMOVED likewise: pq_train_encode, pq_adc_topk,
 # stratified_exact_split, triangle_counts, build_zonemap,
 # ols_trend_exact, semantic_decontaminate.
+# r11 registrations REMOVED likewise (VERDICT r10 #1/#3):
+# delete_from_snapshot (-> q:snapshot_dml), stream_into_snapshot
+# (-> q:stream_snapshot_ingest), delete_from_snapshot_mor
+# (-> q:snapshot_mor), inverted_postings, bm25_doc_term_scores.
 # oracle None = documented exemption; bench None = covered by a
 # sibling's bench row (stated in the notes column of ROTATION_r07.md)
 QUEUE = [
     ("ngram_coverage_score", "ngram_coverage_oracle", f"{OPS}.curation", "test_ngram_coverage.py", "ngram_coverage", "ngram_coverage"),
-    ("inverted_postings", "inverted_postings_oracle", f"{OPS}.retrieval", "test_retrieval.py", "retrieval", "inverted_postings"),
-    ("bm25_doc_term_scores", "bm25_scores_oracle", f"{OPS}.retrieval", "test_retrieval.py", "retrieval", "bm25_scores"),
     ("interpolate_linear", "interpolate_linear_oracle", f"{OPS}.timeseries", "test_interpolate.py", "interpolate", "interpolate"),
     ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
     ("nfc_normalize_text", "nfc_normalize_oracle", f"{OPS}.textnorm", "test_textnorm.py", "textnorm", "nfc_normalize"),
@@ -58,20 +60,6 @@ QUEUE = [
     ("url_canonicalize", "url_canonicalize_oracle", f"{OPS}.urlnorm", "test_urlnorm.py", "urlnorm", "url_canonicalize"),
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
-    # queued r10 (net-new 1 <= registered-2 cap — ROTATION_r10.md):
-    # the snapshot-DML gate (COW DELETE + OPTIMIZE ZORDER + version
-    # summaries; zorder_snapshot rides the same gate/artifacts)
-    ("delete_from_snapshot", "dml_summary_oracle", "survivor_processing_spark.sinks.merge", "test_snapshot_dml.py", "cow_delete", "snapshot_dml"),
-    # queued r10 (net-new 2 of cap 5): streaming ingestion INTO the
-    # snapshot log — per-batch atomic commits, bootstrap with
-    # stats+blooms, replay-convergent keyed merge
-    ("stream_into_snapshot", "stream_into_snapshot_oracle", "survivor_processing_spark.streaming.lakehouse", "test_stream_lakehouse.py", "cow_merge", "stream_snapshot_ingest"),
-    # queued r10 (net-new 3 of cap 5): MERGE-ON-READ row-level DML —
-    # deletion-vector sidecars (Delta DV / Iceberg v2 position-delete
-    # design), DV-aware reads everywhere, REORG-style purge, change
-    # data feed; q:snapshot_mor stages two MOR deletes + a purge and
-    # summarizes every version against the closed-form oracle
-    ("delete_from_snapshot_mor", "mor_summary_oracle", f"{OPS}.mor", "test_mor.py", "mor_dv", "snapshot_mor"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
     # apng/avi: bytes-level codecs (not DataFrame ops — no plan to
