@@ -35,6 +35,7 @@ def stream_into_snapshot(
     cast: str = "bigint",
     bloom_bits: int | str | None = "auto",
     available_now: bool = True,
+    log_checkpoint_every: int | None = 32,
 ):
     """Run a streaming DataFrame into a snapshot-logged table via
     ``foreachBatch`` → copy-on-write MERGE: one atomic log commit per
@@ -43,10 +44,22 @@ def stream_into_snapshot(
     key-unique on ``key_col`` (the merge's contract — pre-aggregate
     upstream if the stream can repeat a key within one batch).
 
+    ``log_checkpoint_every`` (default 32) writes a snapshot-log
+    CHECKPOINT (operators/snapshot.py ``checkpoint_snapshot``) after
+    every Nth commit: a standing stream mints a version per
+    micro-batch, and without checkpoints every merge's planning
+    replay grows with the table's entire commit history — the
+    exact workload the checkpoint layer exists for.  ``None``
+    disables (maintenance then owns the cadence).
+
     Returns the started ``StreamingQuery``; with
     ``available_now=True`` (the default, and the replay-testable
     mode) the caller awaits termination."""
-    from ..operators.snapshot import init_snapshot, log_versions
+    from ..operators.snapshot import (
+        checkpoint_snapshot,
+        init_snapshot,
+        log_versions,
+    )
     from ..sinks.merge import merge_into_snapshot
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -63,7 +76,7 @@ def stream_into_snapshot(
                 bloom_bits=bloom_bits,
             )
             return
-        merge_into_snapshot(
+        out = merge_into_snapshot(
             batch_df.sparkSession,
             table_dir,
             batch_df,
@@ -71,6 +84,19 @@ def stream_into_snapshot(
             cast=cast,
             bloom_bits=bloom_bits,
         )
+        v = out.get("version")
+        if (
+            log_checkpoint_every
+            and v is not None
+            and v % log_checkpoint_every == 0
+        ):
+            # best-effort maintenance: a failed checkpoint must not
+            # fail the batch (the commit already landed; the next
+            # cadence hit retries)
+            try:
+                checkpoint_snapshot(table_dir)
+            except OSError:
+                pass
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

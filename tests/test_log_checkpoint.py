@@ -182,3 +182,28 @@ def test_checkpoint_idempotent(tbl):
     with open(_ckpt_path(tbl, 3)) as f:
         payload_b = f.read()
     assert a == b and payload_a == payload_b
+
+
+def test_table_changes_seeds_from_checkpoint(spark, tbl):
+    """An incremental CDF read over a post-checkpoint window must
+    apply the checkpointed DV coverage (pre-window deletes stay
+    dead in delete images) and agree exactly with the
+    checkpoint-free feed."""
+    from survivor_processing_spark.operators.mor import table_changes
+
+    delete_from_snapshot_mor(spark, tbl, "k", 12, 14)  # v4 DV on f1
+    checkpoint_snapshot(tbl)  # at v4
+    delete_from_snapshot_mor(spark, tbl, "k", 15, 16)  # v5
+    want = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in table_changes(spark, tbl, 4, 5).collect()
+    )
+    # only the still-live rows of the second delete emit
+    assert want == [(15, "delete", 5), (16, "delete", 5)]
+    # remove the checkpoint: the feed must be identical without it
+    os.remove(_ckpt_path(tbl, 4))
+    bare = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in table_changes(spark, tbl, 4, 5).collect()
+    )
+    assert bare == want

@@ -155,3 +155,33 @@ def test_stream_then_maintenance_composes_on_one_log(spark, dirs):
         assert len(log_versions(table_dir)) == 4
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_writes_log_checkpoints_on_cadence(spark, dirs):
+    """log_checkpoint_every=2: the standing-ingestion shape writes a
+    snapshot-log checkpoint after every second commit, so a hot
+    table's planning replay stays O(commits since checkpoint)."""
+    from survivor_processing_spark.operators.snapshot import (
+        log_checkpoints,
+    )
+
+    table_dir, ckpt = dirs
+    stage = tempfile.mkdtemp(prefix="sps_stream_src_")
+    try:
+        _stage_slices(spark, stage, 4)
+        q = stream_into_snapshot(
+            _stream(spark, stage, 4),
+            table_dir,
+            "event_id",
+            ckpt,
+            log_checkpoint_every=2,
+        )
+        q.awaitTermination()
+        # 4 slices -> v1 bootstrap + 3 merges; cadence hits v2, v4
+        assert log_checkpoints(table_dir) == [2, 4]
+        # and the checkpointed table still reads exactly
+        got = read_snapshot(spark, table_dir).count()
+        want = spark.read.parquet(f"{SF}/events.parquet").count()
+        assert got == want
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
