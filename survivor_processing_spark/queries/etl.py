@@ -895,10 +895,10 @@ def snapshot_dml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queued r10, registered r11 per VERDICT r10 #1; the Delta DV / "
     "Iceberg v2 position-delete design on the repo's own log): the "
     "gate stages orders as a range-clustered snapshot table (v1), "
-    "commits v2 = MOR DELETE [1000, 4000] through the r11 SHARDED "
+    "commits v2 = MOR DELETE [200, 800] through the r11 SHARDED "
     "sidecar write (shards=2 — several disjoint-coverage sidecars "
     "in one commit, the fix for VERDICT r10's single-task-funnel "
-    "finding), v3 = overlapping MOR DELETE [3000, 6000] (re-deletes "
+    "finding), v3 = overlapping MOR DELETE [600, 1200] (re-deletes "
     "anti-joined out: only rows still LIVE count), v4 = purge_dvs "
     "(REORG APPLY PURGE, data_change=False), then summarizes every "
     "version through the DV-aware time-travel read AND counts the "
@@ -911,7 +911,7 @@ def snapshot_dml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a DuckDB file_row_number position cross-check in "
     "tests/test_mor.py; plan audit tests/test_plans_queued.py)",
     oracle=mor_summary_oracle(
-        "o_orderkey", "o_totalprice", 1000, 4000, 3000, 6000
+        "o_orderkey", "o_totalprice", 200, 800, 600, 1200
     ),
 )
 def snapshot_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,9 +939,9 @@ def snapshot_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="base",
     )
     delete_from_snapshot_mor(
-        spark, tbl, "o_orderkey", 1000, 4000, shards=2
+        spark, tbl, "o_orderkey", 200, 800, shards=2
     )
-    delete_from_snapshot_mor(spark, tbl, "o_orderkey", 3000, 6000)
+    delete_from_snapshot_mor(spark, tbl, "o_orderkey", 600, 1200)
     purge_dvs(spark, tbl, stats_cols=["o_orderkey"])
     summ = snapshot_summary(spark, tbl, [1, 2, 3, 4], "o_totalprice")
     feed = (
