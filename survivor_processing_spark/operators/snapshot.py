@@ -345,8 +345,14 @@ def commit_version(
                 )
         v = (versions[-1] + 1) if versions else 1
         os.makedirs(_log_path(table_dir), exist_ok=True)
+        import time as _time
+
         entry = {
             "version": v,
+            # commit wall-clock (seconds): the TIMESTAMP AS OF
+            # resolver keys on it (version_at_timestamp); replay
+            # semantics never read it
+            "ts": round(_time.time(), 3),
             "adds": sorted(adds),
             "removes": sorted(removes),
         }
@@ -1061,6 +1067,40 @@ def read_snapshot(
     raise ValueError(f"log under {table_dir!r} never added a file")
 
 
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """Resolve TIMESTAMP AS OF semantics (Delta's rule): the LATEST
+    version whose commit time is ≤ ``ts`` (epoch seconds).  Raises
+    when ``ts`` predates the first commit — "the table did not exist
+    yet" is an error, not an empty read.  Entries from before commit
+    timestamps existed (no ``ts`` field) are treated as committed in
+    the unknown past, so they resolve for any requested time — the
+    backward-compatible reading.  Expiry preserves the cut version's
+    ORIGINAL time on its baseline rewrite, so maintenance never
+    shifts resolution."""
+    versions = log_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshot log under {table_dir!r}")
+    best: int | None = None
+    for n in versions:
+        with open(_entry_path(table_dir, n)) as f:
+            e_ts = json.load(f).get("ts")
+        if e_ts is None or float(e_ts) <= float(ts):
+            best = n
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {table_dir!r}"
+        )
+    return best
+
+
+def read_snapshot_asof(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF ts``: scan the snapshot that was
+    current at ``ts`` (see :func:`version_at_timestamp`)."""
+    return read_snapshot(spark, table_dir, version_at_timestamp(table_dir, ts))
+
+
 def snapshot_history(
     spark: SparkSession, table_dir: str
 ) -> DataFrame:
@@ -1396,6 +1436,13 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
         "removes": sorted(active_before_cut - active_at_cut),
         "baseline": True,
     }
+    # the cut version's ORIGINAL commit time must survive the
+    # baseline rewrite, or TIMESTAMP AS OF resolution shifts under
+    # maintenance
+    with open(_entry_path(table_dir, cut)) as f:
+        _cut_ts = json.load(f).get("ts")
+    if _cut_ts is not None:
+        baseline["ts"] = _cut_ts
     carried = {
         f: st for f, st in stats_at_cut.items() if st
     }

@@ -36,6 +36,7 @@ def stream_into_snapshot(
     bloom_bits: int | str | None = "auto",
     available_now: bool = True,
     log_checkpoint_every: int | None = 32,
+    conflict_retries: int = 3,
 ):
     """Run a streaming DataFrame into a snapshot-logged table via
     ``foreachBatch`` → copy-on-write MERGE: one atomic log commit per
@@ -52,10 +53,20 @@ def stream_into_snapshot(
     exact workload the checkpoint layer exists for.  ``None``
     disables (maintenance then owns the cadence).
 
+    ``conflict_retries`` REPLANS a batch whose commit lost the
+    read-set OCC race (``SnapshotConflictError`` — e.g. a
+    maintenance purge/compaction committed mid-batch): the keyed
+    merge is exactly-once-EFFECT, so re-running it against the new
+    head converges instead of duplicating — the retry loop is the
+    streaming face of the replan-from-head contract every writer
+    documents.  Retries exhausted re-raise (the stream fails loudly
+    rather than dropping a batch).
+
     Returns the started ``StreamingQuery``; with
     ``available_now=True`` (the default, and the replay-testable
     mode) the caller awaits termination."""
     from ..operators.snapshot import (
+        SnapshotConflictError,
         checkpoint_snapshot,
         init_snapshot,
         log_versions,
@@ -76,14 +87,23 @@ def stream_into_snapshot(
                 bloom_bits=bloom_bits,
             )
             return
-        out = merge_into_snapshot(
-            batch_df.sparkSession,
-            table_dir,
-            batch_df,
-            key_col,
-            cast=cast,
-            bloom_bits=bloom_bits,
-        )
+        for attempt in range(conflict_retries + 1):
+            try:
+                out = merge_into_snapshot(
+                    batch_df.sparkSession,
+                    table_dir,
+                    batch_df,
+                    key_col,
+                    cast=cast,
+                    bloom_bits=bloom_bits,
+                )
+                break
+            except SnapshotConflictError:
+                # lost the OCC race to a concurrent maintenance
+                # commit: the merge rolled back; replan from the new
+                # head (idempotent — exactly-once EFFECT)
+                if attempt >= conflict_retries:
+                    raise
         v = out.get("version")
         if (
             log_checkpoint_every

@@ -1,0 +1,94 @@
+"""TIMESTAMP AS OF time travel (r11, operators/snapshot.py
+``version_at_timestamp``/``read_snapshot_asof``): commit entries
+carry their wall-clock, resolution follows Delta's rule (latest
+version committed ≤ the requested time; earlier than the first
+commit is an error), legacy entries without a timestamp resolve for
+any time, and expiry's baseline rewrite preserves the cut version's
+original commit time so maintenance never shifts resolution."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from survivor_processing_spark.operators.snapshot import (
+    _entry_path,
+    commit_version,
+    expire_snapshots,
+    read_snapshot_asof,
+    version_at_timestamp,
+)
+
+
+def _write(d: str, name: str, keys: list[int]) -> str:
+    pq.write_table(
+        pa.table({"k": pa.array(keys, type=pa.int64())}),
+        os.path.join(d, name),
+    )
+    return name
+
+
+def _entry_ts(d: str, v: int) -> float:
+    with open(_entry_path(d, v)) as f:
+        return float(json.load(f)["ts"])
+
+
+@pytest.fixture()
+def tbl():
+    d = tempfile.mkdtemp(prefix="sps_asof_ts_")
+    for i in range(3):
+        _write(d, f"f{i}.parquet", [i])
+        commit_version(d, adds=[f"f{i}.parquet"])
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resolution_follows_delta_rule(tbl):
+    t1, t2, t3 = (_entry_ts(tbl, v) for v in (1, 2, 3))
+    assert t1 <= t2 <= t3
+    assert version_at_timestamp(tbl, t1) == 1
+    assert version_at_timestamp(tbl, (t2 + t3) / 2) in (2, 3)
+    assert version_at_timestamp(tbl, t3) == 3
+    assert version_at_timestamp(tbl, t3 + 3600) == 3  # future = head
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(tbl, t1 - 3600)
+
+
+def test_asof_read_serves_the_resolved_snapshot(spark, tbl):
+    t1 = _entry_ts(tbl, 1)
+    assert sorted(
+        r["k"] for r in read_snapshot_asof(spark, tbl, t1).collect()
+    ) == [0]
+    t3 = _entry_ts(tbl, 3)
+    assert sorted(
+        r["k"] for r in read_snapshot_asof(spark, tbl, t3).collect()
+    ) == [0, 1, 2]
+
+
+def test_legacy_entries_without_ts_resolve_any_time(tbl):
+    # strip v1's ts (a pre-feature log)
+    p = _entry_path(tbl, 1)
+    with open(p) as f:
+        e = json.load(f)
+    del e["ts"]
+    with open(p, "w") as f:
+        json.dump(e, f)
+    t1_old = _entry_ts(tbl, 2) - 10_000
+    assert version_at_timestamp(tbl, t1_old) == 1  # unknown past
+
+
+def test_expiry_baseline_preserves_cut_timestamp(tbl):
+    for i in range(3, 6):
+        _write(tbl, f"f{i}.parquet", [i])
+        commit_version(tbl, adds=[f"f{i}.parquet"])
+    cut_ts_before = _entry_ts(tbl, 4)
+    out = expire_snapshots(tbl, keep_last=3)
+    assert out["cut_version"] == 4
+    assert _entry_ts(tbl, 4) == cut_ts_before
+    assert version_at_timestamp(tbl, cut_ts_before) == 4

@@ -185,3 +185,38 @@ def test_stream_writes_log_checkpoints_on_cadence(spark, dirs):
         assert got == want
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_batch_replans_on_occ_conflict(spark, dirs, monkeypatch):
+    """A batch whose merge loses the read-set OCC race replans from
+    the new head instead of failing the stream (the keyed merge is
+    exactly-once-EFFECT, so the retry converges)."""
+    import survivor_processing_spark.sinks.merge as merge_mod
+    from survivor_processing_spark.operators.snapshot import (
+        SnapshotConflictError,
+    )
+
+    table_dir, ckpt = dirs
+    stage = tempfile.mkdtemp(prefix="sps_stream_src_")
+    state = {"bombs": 2}
+    real_merge = merge_mod.merge_into_snapshot
+
+    def flaky_merge(*args, **kwargs):
+        if state["bombs"] > 0:
+            state["bombs"] -= 1
+            raise SnapshotConflictError("injected concurrent commit")
+        return real_merge(*args, **kwargs)
+
+    monkeypatch.setattr(merge_mod, "merge_into_snapshot", flaky_merge)
+    try:
+        _stage_slices(spark, stage, 3)
+        q = stream_into_snapshot(
+            _stream(spark, stage, 3), table_dir, "event_id", ckpt
+        )
+        q.awaitTermination()
+        assert state["bombs"] == 0  # both injections consumed
+        got = read_snapshot(spark, table_dir).count()
+        want = spark.read.parquet(f"{SF}/events.parquet").count()
+        assert got == want
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -1570,6 +1570,7 @@ def fuzz_snapshot(spark, rng, trials: int) -> int:
     import pyarrow.parquet as pq
 
     from survivor_processing_spark.operators.snapshot import (
+        checkpoint_snapshot,
         commit_version,
         snapshot_files,
         snapshot_summary,
@@ -1614,6 +1615,10 @@ def fuzz_snapshot(spark, rng, trials: int) -> int:
                 ref_active |= set(adds)
                 ref_active -= set(removes)
                 ref_by_version[v] = sorted(ref_active)
+                # r11: a randomly-placed log checkpoint must be
+                # invisible to every replay below
+                if rng.random() < 0.3:
+                    checkpoint_snapshot(d)
             if not ref_by_version:
                 continue
             ok = all(
@@ -2035,14 +2040,17 @@ def fuzz_cow_delete(spark, rng, trials: int) -> int:
 
 
 def fuzz_mor_dv(spark, rng, trials: int) -> int:
-    """operators/mor.py merge-on-read DML (r10): random seed layouts
-    + random interleavings of MOR deletes, MOR upserts, purges, and
-    z-orders — EVERY logged version's read equals a pure-Python model
-    of the logical table at that version (deletion vectors apply from
-    their commit on, never earlier), re-deletes count only live rows,
-    upserts replace per key exactly like a dict update,
-    purge/zorder never change logical content, and live DV coverage
-    only ever names active files."""
+    """operators/mor.py merge-on-read DML (r10; r11 additions): random
+    seed layouts + random interleavings of MOR deletes (randomly
+    SHARDED sidecar writes — multi-sidecar commits), MOR upserts
+    (random dv_shards), purges, z-orders, and randomly-placed LOG
+    CHECKPOINTS — EVERY logged version's read equals a pure-Python
+    model of the logical table at that version (deletion vectors
+    apply from their commit on, never earlier; a checkpoint must be
+    INVISIBLE to every read, current or historical), re-deletes count
+    only live rows, upserts replace per key exactly like a dict
+    update, purge/zorder never change logical content, and live DV
+    coverage only ever names active files."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -2056,7 +2064,10 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
         upsert_into_snapshot_mor,
     )
     from survivor_processing_spark.operators.snapshot import (
+        checkpoint_snapshot,
         commit_version,
+        compact_snapshot,
+        expire_snapshots,
         read_snapshot,
         snapshot_dvs,
         snapshot_files,
@@ -2099,11 +2110,19 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
             commit_version(d, adds=names)
             history = {1: sorted(logical, key=_key)}
             for _op in range(rng.randrange(2, 5)):
+                # r11: random checkpoint placement — must be invisible
+                # to every read at every version, and seeds all later
+                # replays in this trial
+                if rng.random() < 0.35:
+                    checkpoint_snapshot(d)
                 roll = rng.random()
                 if roll < 0.45:
                     dlo = rng.randrange(0, 400)
                     dhi = dlo + rng.randrange(0, 120)
-                    out = delete_from_snapshot_mor(spark, d, "k", dlo, dhi)
+                    out = delete_from_snapshot_mor(
+                        spark, d, "k", dlo, dhi,
+                        shards=rng.choice([1, 1, 2, 3]),
+                    )
                     live_hits = [
                         t
                         for t in logical
@@ -2133,7 +2152,10 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
                     src = spark.createDataFrame(
                         sorted(batch.items()), "k long, amt double"
                     )
-                    out = upsert_into_snapshot_mor(spark, d, src, "k")
+                    out = upsert_into_snapshot_mor(
+                        spark, d, src, "k",
+                        dv_shards=rng.choice(["auto", 1, 2]),
+                    )
                     live_hit = sum(
                         1
                         for t in logical
@@ -2155,7 +2177,7 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
                         if t[0] is None or t[0] not in batch
                     ] + sorted(batch.items())
                     history[out["version"]] = sorted(logical, key=_key)
-                elif roll < 0.9:
+                elif roll < 0.8:
                     had = bool(snapshot_dvs(d))
                     out = purge_dvs(spark, d, stats_cols=["k"])
                     if had != (out["version"] is not None):
@@ -2166,12 +2188,32 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
                     if snapshot_dvs(d):
                         fails += 1
                         print("MOR-DV purge left coverage")
-                else:
+                elif roll < 0.9:
                     out = zorder_snapshot(spark, d, "k", "amt", n_files=2)
                     history[out["version"]] = sorted(logical, key=_key)
                     if snapshot_dvs(d):
                         fails += 1
                         print("MOR-DV zorder left coverage")
+                elif roll < 0.95:
+                    # r11: compaction in the mix — layout-only, the
+                    # logical table at its version is its parent's
+                    out = compact_snapshot(
+                        spark, d, target_bytes=1 << 20, stats_cols=["k"]
+                    )
+                    if out["version"] is not None:
+                        history[out["version"]] = sorted(
+                            logical, key=_key
+                        )
+                else:
+                    # r11: expiry in the mix — versions below the cut
+                    # stop being queryable; the model prunes with it
+                    out = expire_snapshots(d, keep_last=2)
+                    if out["cut_version"] is not None:
+                        history = {
+                            v: want
+                            for v, want in history.items()
+                            if v >= out["cut_version"]
+                        }
             active = set(snapshot_files(d))
             for cov in snapshot_dvs(d).values():
                 if not set(cov) <= active:
