@@ -580,6 +580,122 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Exact ASYMMETRIC near-containment pairs over word n-gram
+    shingle sets: emit ``(src, dst, containment)`` for every ordered
+    pair with ``C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| >=
+    threshold`` (``src != dst``).
+
+    Why a separate operator from :func:`ngram_jaccard_pairs`: the
+    symmetric Jaccard misses SUBSET duplication — a short document
+    quoted wholesale inside a long one scores a tiny Jaccard (the
+    union is dominated by the long side) but containment ≈ 1 in the
+    short→long direction.  Pretraining curation needs exactly this
+    signal: quote-heavy pages, boilerplate-wrapped articles, and
+    excerpt mirrors are containment-dups, not Jaccard-dups (the
+    ExactSubstr paper's motivation restated at shingle granularity;
+    substring dedup removes the SPANS, this flags the DOCUMENTS).
+
+    Candidate generation is the same inverted-posting pair emission
+    as the Jaccard count strategy — one shuffle on the shingle, pair
+    counts combined MAP-SIDE, ``max_posting`` bounding boilerplate
+    postings (a shingle shared by >cap docs carries no containment
+    signal; ``None`` restores fully exact semantics).  Each
+    unordered candidate then emits BOTH directions against its own
+    denominator — one extra projection, no extra shuffle.  The
+    division is a single float op per row with identical association
+    in the generated oracle (``ngram_containment_oracle``), so the
+    gate hashes bit-exact.
+
+    Scale: identical posting-size cost profile to the Jaccard count
+    strategy (Θ(Σ m(m−1)/2)); at 100 TB the LSH families remain the
+    candidate source and this operator is the exact verifier over
+    their candidates or a partition-bounded corpus slice."""
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    inv = sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    posting = (
+        inv.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_posting is not None:
+        posting = posting.filter(F.size("ids") <= max_posting)
+    pairs = posting.select(
+        F.explode(pairs_from_posting("ids")).alias("p")
+    ).select("p.id1", "p.id2")
+    common = pairs.groupBy("id1", "id2").agg(F.count("*").alias("n_common"))
+    counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    c1 = counts.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    j = common.join(c1, "id1").join(c2, "id2")
+    fwd = j.select(
+        F.col("id1").alias("src"),
+        F.col("id2").alias("dst"),
+        (F.col("n_common") / F.col("n1")).alias("containment"),
+    )
+    rev = j.select(
+        F.col("id2").alias("src"),
+        F.col("id1").alias("dst"),
+        (F.col("n_common") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= threshold
+    )
+
+
+def ngram_containment_oracle(
+    threshold: float,
+    shingle_n: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mechanically generate the DuckDB SQL replaying
+    :func:`ngram_containment_pairs` from the same parameters (the
+    full unfiltered exact join — also proving the posting-emission
+    path loses nothing under the test-scale ``max_posting``).  The
+    division is written ``n_common * 1.0 / n`` — the identical
+    single IEEE division the Spark side runs on the same exact
+    integer operands."""
+    span = shingle_n - 1
+    return f"""WITH w AS (
+    SELECT {id_col} AS doc_id,
+           string_split(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'), ' ')
+               AS words
+    FROM {table}
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(words[i:i+{span}], ' ') AS shingle
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(words) - {span}, 1))) AS i
+        )
+    )
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), directed AS (
+    SELECT c.id1 AS src, c.id2 AS dst,
+           c.n_common * 1.0 / c1.n AS containment
+    FROM common c JOIN cnt c1 ON c1.doc_id = c.id1
+    UNION ALL
+    SELECT c.id2, c.id1, c.n_common * 1.0 / c2.n
+    FROM common c JOIN cnt c2 ON c2.doc_id = c.id2
+)
+SELECT src, dst, containment FROM directed
+WHERE containment >= {threshold}"""
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",

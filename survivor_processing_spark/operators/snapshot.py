@@ -1104,8 +1104,10 @@ def read_snapshot_asof(
 def snapshot_history(
     spark: SparkSession, table_dir: str
 ) -> DataFrame:
-    """One row per version: ``version, n_adds, n_removes, n_active``
-    — the DESCRIBE HISTORY shape, log-sized."""
+    """One row per version: ``version, ts, n_adds, n_removes,
+    n_active`` — the DESCRIBE HISTORY shape, log-sized (``ts`` is
+    the commit wall-clock in epoch seconds; NULL for entries from
+    before commit timestamps existed)."""
     rows = []
     active: set[str] = set()
     for n in log_versions(table_dir):
@@ -1113,9 +1115,19 @@ def snapshot_history(
             e = json.load(f)
         active |= set(e["adds"])
         active -= set(e["removes"])
-        rows.append((n, len(e["adds"]), len(e["removes"]), len(active)))
+        ts = e.get("ts")
+        rows.append(
+            (
+                n,
+                float(ts) if ts is not None else None,
+                len(e["adds"]),
+                len(e["removes"]),
+                len(active),
+            )
+        )
     return spark.createDataFrame(
-        rows, "version int, n_adds int, n_removes int, n_active int"
+        rows,
+        "version int, ts double, n_adds int, n_removes int, n_active int",
     )
 
 

@@ -709,3 +709,24 @@ def test_mor_upsert_appends_without_rewrites(spark, tmp_path):
     assert "PushedFilters: [" in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_containment_pairs_no_cartesian_mapside(spark):
+    """ngram_containment_pairs (queued r11): candidates come from the
+    posting-list pair emission — never a cartesian/nested-loop join —
+    and the pair counts combine MAP-SIDE so the shuffle carries
+    distinct pairs, not emissions; both directions come from one
+    projection pair over the same joined frame (no second shuffle of
+    the candidates)."""
+    from survivor_processing_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    plan = _plan(
+        ngram_containment_pairs(_docs(spark), "text", "doc_id", 0.5)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side pair-count combine
+    for node in PY_NODES:
+        assert node not in plan

@@ -117,7 +117,10 @@ def test_history_shape(spark, table_dir):
     commit_version(table_dir, adds=["a.parquet", "b.parquet"])
     commit_version(table_dir, removes=["a.parquet"])
     rows = [tuple(r) for r in snapshot_history(spark, table_dir).collect()]
-    assert rows == [(1, 2, 0, 2), (2, 0, 1, 1)]
+    # (version, ts, n_adds, n_removes, n_active) — ts is the commit
+    # wall-clock (r11), monotone across the two commits
+    assert [(r[0], *r[2:]) for r in rows] == [(1, 2, 0, 2), (2, 0, 1, 1)]
+    assert rows[0][1] is not None and rows[0][1] <= rows[1][1]
 
 
 def test_summary_matches_duckdb_oracle(spark, table_dir):

@@ -38,6 +38,9 @@ def _ops(spark, sf_dir):
         bm25_doc_term_scores,
         inverted_postings,
     )
+    from survivor_processing_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
     from survivor_processing_spark.operators.substring import (
         substring_dedup_clean,
     )
@@ -272,6 +275,9 @@ def _ops(spark, sf_dir):
     edges = orders.selectExpr("o_custkey AS src", "o_orderkey % 100000 AS dst")
     return {
         "substring_clean": lambda: substring_dedup_clean(docs, n=8),
+        "containment": lambda: ngram_containment_pairs(
+            docs, "text", "doc_id", 0.5
+        ),
         "bpe_token_budget": lambda: bpe_token_budget(docs, n_merges=8),
         "ngram_coverage": lambda: ngram_coverage_score(docs, n=2),
         "inverted_postings": lambda: inverted_postings(

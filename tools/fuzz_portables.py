@@ -760,6 +760,77 @@ def fuzz_ngram_coverage(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_containment(spark, rng, trials: int) -> int:
+    """operators/dedup.py ngram_containment_pairs (unit-gated, queued
+    r11): random small corpora with planted subset-duplication
+    (a short doc embedded verbatim in a long one), random thresholds
+    and shingle widths — the ordered pair set and every containment
+    value vs the generated oracle, plus the planted subset must
+    surface at containment 1.0 in the short->long direction."""
+    from survivor_processing_spark.operators.dedup import (
+        ngram_containment_oracle,
+        ngram_containment_pairs,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        vocab = [f"v{i}" for i in range(rng.randint(6, 16))]
+        texts = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 25))
+            )
+            for d in range(rng.randint(4, 20))
+        }
+        planted = None
+        if rng.random() < 0.6 and texts:
+            src = rng.choice(list(texts))
+            host = " ".join(
+                f"h{i}" for i in range(rng.randint(10, 25))
+            )
+            texts[900] = f"{host} {texts[src]} {host}"
+            planted = (src, 900)
+        t = rng.choice([0.25, 0.5, 0.75, 0.9])
+        n = rng.choice([2, 3])
+        df = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["src"], r["dst"]): round(r["containment"], 9)
+            for r in ngram_containment_pairs(
+                df, "text", "doc_id", t, shingle_n=n, max_posting=None
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want = {
+            (int(a), int(b)): round(float(c), 9)
+            for a, b, c in con.execute(
+                ngram_containment_oracle(t, shingle_n=n)
+            ).fetchall()
+        }
+        if got != want:
+            fails += 1
+            print(f"CONTAINMENT MISMATCH t={t} n={n}")
+        if planted and planted[0] != planted[1]:
+            src, host = planted
+            # the subset guarantee holds only for docs with >= n
+            # words: shorter docs degrade to a partial whole-doc
+            # shingle that never re-appears as a full n-gram of the
+            # host (shingles_from_words' short-doc contract)
+            if (
+                len(texts[src].split()) >= n
+                and got.get((src, host), 0.0) != 1.0
+            ):
+                fails += 1
+                print(f"CONTAINMENT planted subset missed {planted}")
+    return fails
+
+
 def fuzz_ols(spark, rng, trials: int) -> int:
     """operators/regression.py ols_trend_exact (unit-gated, queued):
     random grouped point clouds with planted perfect lines,
@@ -2267,6 +2338,7 @@ def main() -> int:
         ("bfs", fuzz_bfs),
         ("stratified_split", fuzz_stratified_split),
         ("ngram_coverage", fuzz_ngram_coverage),
+        ("containment", fuzz_containment),
         ("ols", fuzz_ols),
         ("retrieval", fuzz_retrieval),
         ("interpolate", fuzz_interpolate),

@@ -49,6 +49,12 @@ OPS = "survivor_processing_spark.operators"
 # oracle None = documented exemption; bench None = covered by a
 # sibling's bench row (stated in the notes column of ROTATION_r07.md)
 QUEUE = [
+    # queued r11 (net-new 1 of cap 3 — ROTATION_r11.md): asymmetric
+    # near-CONTAINMENT pairs (subset-duplication the symmetric
+    # Jaccard misses: quotes/boilerplate-wrapped mirrors); same
+    # posting-emission candidates as the Jaccard count strategy,
+    # both directions from one projection pair
+    ("ngram_containment_pairs", "ngram_containment_oracle", f"{OPS}.dedup", "test_containment_pairs.py", "containment", "containment"),
     ("ngram_coverage_score", "ngram_coverage_oracle", f"{OPS}.curation", "test_ngram_coverage.py", "ngram_coverage", "ngram_coverage"),
     ("interpolate_linear", "interpolate_linear_oracle", f"{OPS}.timeseries", "test_interpolate.py", "interpolate", "interpolate"),
     ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
