@@ -68,6 +68,7 @@ from .snapshot import (
     _entry_path,
     _schema_ddl,
     commit_version,
+    plan_head,
     file_stats,
     key_candidate_files,
     log_versions,
@@ -207,9 +208,7 @@ def delete_from_snapshot_mor(
     delete big enough to push READS past the broadcast cap in
     ``strip_deleted_rows`` still belongs on the COW path, whose cost
     is proportional to files touched, not rows deleted."""
-    # read-set declaration for the commit's OCC conflict scan
-    # (commit_version docstring): captured before any plan-state read
-    planned = (log_versions(table_dir) or [0])[-1]
+    planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     rec = file_stats(table_dir)
     candidates = range_candidate_files(
@@ -221,6 +220,7 @@ def delete_from_snapshot_mor(
         "n_files_covered": 0,
         "n_untouched": len(active),
         "dv": None,
+        "dvs": [],
     }
     if not candidates:
         return noop
@@ -334,14 +334,20 @@ def upsert_into_snapshot_mor(
     (each sidecar covers a disjoint file set; see
     ``_write_dv_sidecar``).
 
-    CONCURRENCY: same file-level OCC contract as the COW merge —
-    writers over disjoint key sets compose; two concurrent upserts
-    of the SAME brand-new key both land as inserts (duplicate rows),
-    see ``merge_into_snapshot``'s CONCURRENCY note.  The commit
-    declares its read-set (``planned_version``), so a concurrent
-    rewrite that retires a file these tombstones cover fails THIS
-    commit loudly (SnapshotConflictError → replan) instead of
-    landing stale positions."""
+    CONCURRENCY: the commit declares its read-set
+    (``planned_version``), so the loser of any overlapping race
+    fails loudly with SnapshotConflictError and replans: a
+    concurrent rewrite that retires a file these tombstones cover
+    (stale positions), AND — the DV-vs-DV rule, Delta's
+    ConcurrentDeleteDelete shape — a concurrent MOR delete/upsert
+    that tombstoned the SAME file from the same parent (silent
+    composition there would let two upserts of one EXISTING key both
+    append a replacement, breaking key uniqueness).  Writers over
+    files no other writer touched compose.  The one remaining
+    documented anomaly is the COW merge's: two concurrent upserts of
+    the SAME brand-new key both land as inserts (no file exists yet
+    for either to conflict on — see ``merge_into_snapshot``'s
+    CONCURRENCY note)."""
     from .snapshot import attach_key_blooms
     from .zonemap import _CAST_ORD
 
@@ -367,9 +373,7 @@ def upsert_into_snapshot_mor(
             f"source is not key-unique on {key_col!r} "
             f"(e.g. {bad[0][key_col]!r})"
         )
-    # read-set declaration for the commit's OCC conflict scan
-    # (commit_version docstring): captured before any plan-state read
-    planned = (log_versions(table_dir) or [0])[-1]
+    planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     if source.limit(1).count() == 0:
         return {
@@ -542,12 +546,11 @@ def purge_dvs(
     envelope-only.  Returns ``{"version", "n_rewritten",
     "n_untouched", "adds"}``; a table with no live DVs is a clean
     no-op."""
-    # read-set declaration for the commit's OCC conflict scan: a
-    # MOR delete that lands between this plan and this commit would
+    # a MOR delete landing between this plan and this commit would
     # otherwise have its fresh DV silently folded OUT by our rewrite
-    # (we read with the older DV set) — the exact resurrection race
-    # ADVICE r10 flagged; commit_version now fails us loudly instead
-    planned = (log_versions(table_dir) or [0])[-1]
+    # (the resurrection race ADVICE r10 flagged) — the read-set
+    # declaration makes commit_version fail us loudly instead
+    planned = plan_head(table_dir)
     dvs = snapshot_dvs(table_dir)
     active = snapshot_files(table_dir)
     if not dvs:

@@ -80,6 +80,16 @@ def log_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def plan_head(table_dir: str) -> int:
+    """The read-set declaration every DML/maintenance writer captures
+    BEFORE reading any plan state (active files, stats, DVs): the
+    current log head, or 0 for an empty log.  Passed to
+    ``commit_version(planned_version=)`` — capturing before the state
+    reads is conservative-safe: a commit landing between the capture
+    and a read can only raise a false conflict, never slip past one."""
+    return (log_versions(table_dir) or [0])[-1]
+
+
 def _ckpt_path(table_dir: str, version: int) -> str:
     return os.path.join(_log_path(table_dir), f"ckpt-v{version:08d}.json")
 
@@ -272,22 +282,49 @@ def commit_version(
             )
     import uuid
 
+    own_removes = set(removes)
+    own_covered = set(dv_covered)
+    # incremental scan state: entries are immutable once committed,
+    # so a lost-claim retry re-scans only versions appended since the
+    # previous attempt instead of re-walking the whole log (the
+    # conflict scan and the dv-name-freshness walk both reuse it)
+    scanned_up_to = planned_version if planned_version is not None else 0
+    used_names: set[str] = set()
+    names_scanned_up_to = 0
     for _ in range(max_attempts):
         versions = log_versions(table_dir)
         if planned_version is not None:
+            if versions and planned_version != 0 and (
+                planned_version < versions[0]
+            ):
+                # history was COMPACTED under us (concurrent
+                # expire_snapshots) — a maintenance race, not a
+                # caller bug: the loser replans from the new head
+                raise SnapshotConflictError(
+                    f"planned_version {planned_version} expired from "
+                    f"the log (head starts at v{versions[0]}) — a "
+                    "concurrent expire compacted history; replan"
+                )
             if planned_version != 0 and planned_version not in versions:
                 raise ValueError(
                     f"planned_version {planned_version} not in log"
                 )
             # read-set conflict scan: every commit that landed after
             # the version this commit's content was computed from
-            own_removes = set(removes)
-            own_covered = set(dv_covered)
             for n in versions:
-                if n <= planned_version:
+                if n <= scanned_up_to:
                     continue
-                with open(_entry_path(table_dir, n)) as f:
-                    e = json.load(f)
+                try:
+                    with open(_entry_path(table_dir, n)) as f:
+                        e = json.load(f)
+                except FileNotFoundError:
+                    # entry vanished between the listing and the
+                    # read: concurrent expiry — same maintenance
+                    # race as above
+                    raise SnapshotConflictError(
+                        f"log entry v{n} vanished mid-commit (a "
+                        "concurrent expire compacted history); replan"
+                    ) from None
                 their_removes = set(e["removes"])
                 their_covered = {
                     f
@@ -318,6 +355,27 @@ def commit_version(
                         f"v{planned_version}) cover: {clash_cov} — "
                         "the tombstone positions are stale; replan"
                     )
+                clash_cc = sorted(own_covered & their_covered)
+                if clash_cc:
+                    # DV-vs-DV on the same file (Delta's
+                    # ConcurrentDeleteDelete shape): two writers
+                    # tombstoned positions of one file from the same
+                    # parent — a concurrent overlapping MOR
+                    # delete/upsert.  For a delete the union would
+                    # still read correctly (n_deleted would double-
+                    # count), but for an UPSERT both writers append a
+                    # replacement for the same key, so silent
+                    # composition breaks key uniqueness — fail the
+                    # loser; the retry replans against the first
+                    # writer's tombstones
+                    raise SnapshotConflictError(
+                        f"conflict with v{n}: it attached deletion "
+                        f"vectors over files this commit (planned at "
+                        f"v{planned_version}) also tombstones: "
+                        f"{clash_cc} — concurrent row-level writers "
+                        "on the same file; replan"
+                    )
+                scanned_up_to = n
         active = set(snapshot_files(table_dir)) if versions else set()
         dup = [a for a in adds if a in active]
         if dup:
@@ -332,12 +390,20 @@ def commit_version(
                     "DV coverage of files not active after this "
                     f"commit: {bad_cov}"
                 )
-            used: set[str] = set()
             for n in versions:
-                with open(_entry_path(table_dir, n)) as f:
-                    e = json.load(f)
-                used |= set(e["adds"]) | set(e.get("dv_adds") or {})
-            stale = sorted(set(dv_names) & used)
+                if n <= names_scanned_up_to:
+                    continue
+                try:
+                    with open(_entry_path(table_dir, n)) as f:
+                        e = json.load(f)
+                except FileNotFoundError:
+                    raise SnapshotConflictError(
+                        f"log entry v{n} vanished mid-commit (a "
+                        "concurrent expire compacted history); replan"
+                    ) from None
+                used_names |= set(e["adds"]) | set(e.get("dv_adds") or {})
+                names_scanned_up_to = n
+            stale = sorted(set(dv_names) & used_names)
             if stale:
                 raise ValueError(
                     "DV sidecar names already used by the log "
@@ -1207,9 +1273,7 @@ def compact_snapshot(
 
     from .compaction import compaction_plan
 
-    # read-set declaration for the commit's OCC conflict scan
-    # (commit_version docstring): captured before any plan-state read
-    planned = (log_versions(table_dir) or [0])[-1]
+    planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     manifest = spark.createDataFrame(
         [
@@ -1342,13 +1406,53 @@ def checkpoint_snapshot(table_dir: str) -> dict:
     if not versions:
         raise ValueError(f"no snapshot log under {table_dir!r}")
     head = versions[-1]
-    active = snapshot_files(table_dir, head)
+    # ONE walk accumulates all four state facets (the four public
+    # readers each pay their own walk; a checkpoint on the streaming
+    # hot path should not pay it four times — review r11)
+    active: set[str] = set()
+    stats: dict[str, dict] = {}
+    cov: dict[str, set[str]] = {}
+    schema: list[list[str]] | None = None
+    start = 0
+    prior = _latest_ckpt(table_dir, head, versions)
+    if prior:
+        active = set(prior["active"])
+        stats = {f: dict(st) for f, st in prior.get("stats", {}).items()}
+        cov = {s: set(c) for s, c in prior.get("dvs", {}).items()}
+        schema = (
+            [list(c) for c in prior["schema"]]
+            if prior.get("schema")
+            else None
+        )
+        start = prior["version"]
+    for n in versions:
+        if n <= start:
+            continue
+        with open(_entry_path(table_dir, n)) as f:
+            e = json.load(f)
+        active |= set(e["adds"])
+        active -= set(e["removes"])
+        for name in e["adds"]:
+            stats[name] = {}
+        for name, st in (e.get("stats") or {}).items():
+            stats[name] = st
+        for name in e["removes"]:
+            stats.pop(name, None)
+        for s, files in (e.get("dv_adds") or {}).items():
+            cov[s] = set(files)
+        for name in e["removes"]:
+            for s in list(cov):
+                cov[s].discard(name)
+                if not cov[s]:
+                    del cov[s]
+        if e.get("schema"):
+            schema = [list(c) for c in e["schema"]]
     ck = {
         "version": head,
-        "active": active,
-        "stats": file_stats(table_dir, head),
-        "dvs": snapshot_dvs(table_dir, head),
-        "schema": table_schema(table_dir, head),
+        "active": sorted(active),
+        "stats": {f: stats.get(f, {}) for f in sorted(active)},
+        "dvs": {s: sorted(c) for s, c in cov.items()},
+        "schema": schema,
     }
     import uuid as _uuid
 
@@ -1612,9 +1716,7 @@ def zorder_snapshot(
 
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
-    # read-set declaration for the commit's OCC conflict scan
-    # (commit_version docstring): captured before any plan-state read
-    planned = (log_versions(table_dir) or [0])[-1]
+    planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     if not active:
         raise ValueError(f"snapshot at {table_dir!r} has no active files")

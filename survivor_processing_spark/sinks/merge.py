@@ -356,7 +356,7 @@ def merge_into_snapshot(
         attach_key_blooms,
         commit_version,
         file_stats,
-        log_versions,
+        plan_head,
         read_snapshot,
         snapshot_dvs,
         snapshot_files,
@@ -392,12 +392,7 @@ def merge_into_snapshot(
             f"source is not key-unique on {key_col!r} "
             f"(e.g. {bad[0][key_col]!r})"
         )
-    # read-set declaration for the commit's OCC conflict scan: every
-    # state read below (active files, stats, DVs) is as-of this
-    # version or later, so declaring it is conservative-safe — a
-    # concurrent commit between here and ours can only raise a false
-    # conflict, never slip past one
-    planned = (log_versions(table_dir) or [0])[-1]
+    planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     if source.limit(1).count() == 0:
         # an empty batch must be a clean no-op, not an empty commit
@@ -663,7 +658,7 @@ def delete_from_snapshot(
         attach_key_blooms,
         commit_version,
         file_stats,
-        log_versions,
+        plan_head,
         range_candidate_files,
         snapshot_dvs,
         snapshot_files,
@@ -671,9 +666,7 @@ def delete_from_snapshot(
         strip_deleted_rows,
     )
 
-    # read-set declaration for the commit's OCC conflict scan (see
-    # merge_into_snapshot) — captured before any plan-state read
-    planned = (log_versions(table_dir) or [0])[-1]
+    planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     rec = file_stats(table_dir)
     candidates = range_candidate_files(

@@ -335,3 +335,81 @@ def test_same_commit_overlapping_sidecars_feed_once(spark, tbl):
     feed = table_changes(spark, tbl, 1, 2).collect()
     assert len(feed) == 5  # not 6: the shared position emits once
     assert sorted(r["k"] for r in feed) == [1, 2, 3, 4, 5]
+
+
+def test_conflict_dv_vs_dv_same_file(spark, tbl, monkeypatch):
+    """Delta's ConcurrentDeleteDelete shape (review r11): two MOR
+    writers tombstoning the SAME file from the same parent must not
+    compose silently — for upserts both would append a replacement
+    for one existing key, breaking key uniqueness.  The loser raises
+    and a replan converges."""
+    from survivor_processing_spark.operators import mor as mor_mod
+
+    state = {"armed": True}
+    real_commit = mor_mod.commit_version
+
+    def racing_commit(table_dir, *args, **kwargs):
+        if state["armed"] and kwargs.get("dv_adds"):
+            state["armed"] = False
+            # concurrent writer upserts k=5 (also in f0) first
+            src = spark.createDataFrame([(5, 555.0)], "k long, amt double")
+            out = upsert_into_snapshot_mor(spark, tbl, src, "k")
+            assert out["version"] == 2
+        return real_commit(table_dir, *args, **kwargs)
+
+    monkeypatch.setattr(mor_mod, "commit_version", racing_commit)
+    src = spark.createDataFrame([(7, 777.0)], "k long, amt double")
+    with pytest.raises(SnapshotConflictError, match="deletion"):
+        upsert_into_snapshot_mor(spark, tbl, src, "k")
+    # loser rolled back: no duplicate keys, winner's update live
+    rows = {}
+    for r in read_snapshot(spark, tbl).collect():
+        if r["k"] is not None:
+            assert r["k"] not in rows, f"duplicate key {r['k']}"
+            rows[r["k"]] = r["amt"]
+    assert rows[5] == 555.0 and rows[7] == 7.0
+    # replay from the new head converges
+    out = upsert_into_snapshot_mor(spark, tbl, src, "k")
+    assert out["version"] == 3 and out["n_updated"] == 1
+    rows = {r["k"]: r["amt"] for r in read_snapshot(spark, tbl).collect()
+            if r["k"] is not None}
+    assert rows[7] == 777.0 and len(rows) == 150
+
+
+def test_conflict_dv_vs_dv_disjoint_files_compose(spark, tbl):
+    """The DV-vs-DV rule must not over-fire: sequential-planned-
+    stale writers over DISJOINT files still compose."""
+    delete_from_snapshot_mor(spark, tbl, "k", 10, 12)  # f0 only, v2
+    # a delete over f2 only, planned at v1 (stale but disjoint)
+    pq.write_table(
+        pa.table({"file": ["f2.parquet"],
+                  "pos": pa.array([0], pa.int64())}),
+        os.path.join(tbl, "dv-disjoint.parquet"),
+    )
+    v = commit_version(
+        tbl, dv_adds={"dv-disjoint.parquet": ["f2.parquet"]},
+        planned_version=1,
+    )
+    assert v == 3
+    assert len(_keys(spark, tbl)) == 151 - 4
+
+
+def test_conflict_expired_planned_version(spark, tbl):
+    """Review r11: a planned_version whose entry expired under a
+    concurrent maintenance pass is a CONFLICT (replan), not a caller
+    error — so the stream's conflict_retries survives mid-batch
+    expiry instead of dying on ValueError."""
+    from survivor_processing_spark.operators.snapshot import (
+        expire_snapshots,
+    )
+
+    for i in range(5):
+        _write(tbl, f"g{i}.parquet", [500 + i])
+        commit_version(tbl, adds=[f"g{i}.parquet"])
+    expire_snapshots(tbl, keep_last=2)  # cut = v5: v1..v4 expired
+    _write(tbl, "w.parquet", [999])
+    with pytest.raises(SnapshotConflictError, match="expired"):
+        commit_version(tbl, adds=["w.parquet"], planned_version=2)
+    # planning at a surviving version still works
+    v = commit_version(tbl, adds=["w.parquet"], planned_version=5)
+    assert v == 7
