@@ -1495,7 +1495,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
        pass reclaims them.
 
     Returns ``{"cut_version", "n_expired_versions",
-    "deleted_files"}``; a log shorter than ``keep_last`` no-ops."""
+    "deleted_files"}``; a log shorter than ``keep_last`` no-ops.
+
+    CONCURRENCY CONTRACT (same single-maintenance-writer rule as
+    ``vacuum_orphans``): concurrent WRITERS are protected — a commit
+    racing an expiry fails loudly (the read-set scan raises
+    SnapshotConflictError when its planned version or a mid-scan
+    entry expired; the claim loop re-validates) — but a concurrent
+    READER that listed versions just before the deletion loop can
+    hit FileNotFoundError on an expired entry mid-replay; it should
+    simply retry (the post-expiry log replays the identical state
+    for every surviving version, by the baseline construction
+    above).  Run expiry from the maintenance slot, not beside
+    latency-critical readers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = log_versions(table_dir)
