@@ -164,6 +164,41 @@ def _calibration(spark) -> float:
     return round(best, 3)
 
 
+def _queries_from_tail(tail: str) -> dict | None:
+    """Recover the per-query timing dict from a DRIVER-wrapped bench
+    artifact (``{"tail": "<truncated stdout>", "parsed": null}``) —
+    the driver truncates our JSON line from the FRONT, so the tail
+    starts mid-document but the ``"queries": {...}`` object survives
+    intact in every committed artifact (VERDICT r11 "What's wrong"
+    #2).  Finds the (possibly key-truncated) ``ueries": {`` marker,
+    brace-matches to the object's end, and json-parses just that
+    span.  None when the marker or a balanced object isn't there."""
+    i = tail.find('ueries"')
+    if i < 0:
+        return None
+    j = tail.find("{", i)
+    if j < 0:
+        return None
+    depth = 0
+    for k in range(j, len(tail)):
+        if tail[k] == "{":
+            depth += 1
+        elif tail[k] == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    d = json.loads(tail[j : k + 1])
+                except json.JSONDecodeError:
+                    return None
+                if not isinstance(d, dict):
+                    return None
+                try:
+                    return {str(q): float(v) for q, v in d.items()}
+                except (TypeError, ValueError):
+                    return None
+    return None
+
+
 def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
     """Common-subset comparison against the most recent committed
     BENCH_r{N}.json, computed in-harness so the round-over-round
@@ -193,6 +228,14 @@ def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
         parsed = doc.get("parsed") or doc
         prior = parsed.get("queries", {})
         prior_sf = parsed.get("sf", doc.get("sf"))
+        if not prior and isinstance(doc.get("tail"), str):
+            # driver artifacts ship parsed=null with the bench stdout
+            # truncated into "tail" — recover the queries dict from
+            # the tail string so the round-over-round ratio doesn't
+            # silently vanish (VERDICT r11 #2); the wrapper's own
+            # top-level "sf" is the scale the driver ran at
+            prior = _queries_from_tail(doc["tail"]) or {}
+            prior_sf = doc.get("sf")
         if prior_sf is not None and float(prior_sf) != float(sf):
             return None
         common = sorted(set(prior) & set(queries))

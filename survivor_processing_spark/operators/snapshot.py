@@ -110,11 +110,16 @@ def log_checkpoints(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-# (path -> (mtime, parsed state)): one plan touches the same
-# checkpoint through _replay, file_stats, snapshot_dvs AND
-# table_schema — mtime-keyed so an os.replace'd newer checkpoint
-# invalidates, bounded because a process reads a handful of tables
-_CKPT_CACHE: dict[str, tuple[float, dict]] = {}
+# (path -> ((mtime_ns, size, inode), parsed state)): one plan
+# touches the same checkpoint through _replay, file_stats,
+# snapshot_dvs AND table_schema.  The key is the file's full stat
+# identity, not bare mtime: a table directory deleted and recreated
+# at the same path within one process can mint a new ckpt-v{N}.json
+# at an identical path, and on coarse-mtime filesystems bare mtime
+# would serve the OLD table's parsed state for the new one —
+# mtime_ns + size + inode pins the exact file object.  Bounded
+# because a process reads a handful of tables.
+_CKPT_CACHE: dict[str, tuple[tuple[int, int, int], dict]] = {}
 
 
 def _latest_ckpt(
@@ -130,20 +135,27 @@ def _latest_ckpt(
         if c <= v and c in vset:
             path = _ckpt_path(table_dir, c)
             try:
-                mtime = os.path.getmtime(path)
+                st = os.stat(path)
+                ident = (st.st_mtime_ns, st.st_size, st.st_ino)
                 hit = _CKPT_CACHE.get(path)
-                if hit and hit[0] == mtime:
+                if hit and hit[0] == ident:
                     ck = hit[1]
                 else:
                     with open(path) as f:
                         ck = json.load(f)
                     if len(_CKPT_CACHE) > 16:
                         _CKPT_CACHE.clear()
-                    _CKPT_CACHE[path] = (mtime, ck)
+                    _CKPT_CACHE[path] = (ident, ck)
             except (OSError, json.JSONDecodeError):
                 continue  # torn/foreign checkpoint: fall back
             if ck.get("version") == c:
-                return ck
+                # deep copy so no caller can mutate the cached state
+                # in place (file_stats copies only one level; a
+                # mutated inner stat dict would poison the cache
+                # silently for every later read)
+                import copy as _copy
+
+                return _copy.deepcopy(ck)
     return None
 
 
@@ -413,12 +425,28 @@ def commit_version(
         os.makedirs(_log_path(table_dir), exist_ok=True)
         import time as _time
 
+        # commit wall-clock, CLAMPED to the parent entry's ts so the
+        # log's timestamps are monotone by construction (Delta's
+        # commit-timestamp adjustment): raw wall clock from whichever
+        # writer wins the claim can run backwards under clock skew /
+        # an NTP step, and a later version with an earlier ts would
+        # make the TIMESTAMP AS OF rule resolve past a version whose
+        # ts is in the future.  Monotonicity also legalizes the early
+        # break in version_at_timestamp.
+        ts = round(_time.time(), 3)
+        if versions:
+            try:
+                with open(_entry_path(table_dir, versions[-1])) as f:
+                    parent_ts = json.load(f).get("ts")
+            except (OSError, json.JSONDecodeError):
+                parent_ts = None  # expired/torn parent: keep wall clock
+            if parent_ts is not None:
+                ts = max(ts, float(parent_ts))
         entry = {
             "version": v,
-            # commit wall-clock (seconds): the TIMESTAMP AS OF
-            # resolver keys on it (version_at_timestamp); replay
-            # semantics never read it
-            "ts": round(_time.time(), 3),
+            # the TIMESTAMP AS OF resolver keys on it
+            # (version_at_timestamp); replay semantics never read it
+            "ts": ts,
             "adds": sorted(adds),
             "removes": sorted(removes),
         }
@@ -482,8 +510,8 @@ def file_stats(
     stats, removed, and later re-added with different content can
     never inherit the dead add's envelope/bloom (a stale envelope
     would let a later prune or merge skip a file that matches)."""
-    versions = log_versions(table_dir)
-    active, v = _replay(table_dir, version)
+    # single listing shared with _replay — see its docstring
+    active, v, versions = _replay(table_dir, version)
     out: dict[str, dict] = {}
     start = 0
     ck = _latest_ckpt(table_dir, v, versions)
@@ -883,7 +911,18 @@ def stats_for_files(
     return out
 
 
-def _replay(table_dir: str, version: int | None) -> tuple[set[str], int]:
+def _replay(
+    table_dir: str, version: int | None
+) -> tuple[set[str], int, list[int]]:
+    """Active set at ``version`` plus the resolved version AND the
+    single log listing it was computed from.  Every replay-style
+    reader (``file_stats``, ``snapshot_dvs``, ``table_schema``) MUST
+    drive its own delta loop from this returned listing rather than
+    re-listing the log: with ``version=None`` a commit landing
+    between two listings would make ``_replay`` resolve the NEWER
+    head while the caller's delta loop iterates a list that stops
+    short of it — silently missing the newest entry's dv_adds /
+    stats / schema (the loop-listing ⊇ replay-listing invariant)."""
     versions = log_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshot log under {table_dir!r}")
@@ -909,14 +948,14 @@ def _replay(table_dir: str, version: int | None) -> tuple[set[str], int]:
             e = json.load(f)
         active |= set(e["adds"])
         active -= set(e["removes"])
-    return active, v
+    return active, v, versions
 
 
 def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
     """Table-relative file names active at ``version`` (default:
     head), by replaying the log — sorted, so downstream plans are
     deterministic."""
-    active, _ = _replay(table_dir, version)
+    active, _, _ = _replay(table_dir, version)
     return sorted(active)
 
 
@@ -933,8 +972,10 @@ def snapshot_dvs(
     construction, and a later re-add of a removed NAME can never
     resurrect a dead DV (the prune happened when the remove
     replayed).  Empty dict = copy-on-write reads, zero overhead."""
-    versions = log_versions(table_dir)
-    _, v = _replay(table_dir, version)
+    # one log listing per read (the list _replay resolved against) —
+    # a second listing here could see a commit _replay's didn't,
+    # or vice versa with version=None (see _replay's docstring)
+    _, v, versions = _replay(table_dir, version)
     cov: dict[str, set[str]] = {}
     start = 0
     ck = _latest_ckpt(table_dir, v, versions)
@@ -1063,8 +1104,8 @@ def table_schema(
     schema-carrying entry ≤ v wins), or None when no entry ever
     recorded one — pre-evolution tables read footer schemas exactly
     as before."""
-    versions = log_versions(table_dir)
-    _, v = _replay(table_dir, version)
+    # single listing shared with _replay — see its docstring
+    _, v, versions = _replay(table_dir, version)
     out: list[list[str]] | None = None
     start = 0
     ck = _latest_ckpt(table_dir, v, versions)
@@ -1142,7 +1183,17 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
     the unknown past, so they resolve for any requested time — the
     backward-compatible reading.  Expiry preserves the cut version's
     ORIGINAL time on its baseline rewrite, so maintenance never
-    shifts resolution."""
+    shifts resolution.
+
+    Commit timestamps are monotone by construction
+    (``commit_version`` clamps each entry's ts to
+    ``max(parent_ts, wall clock)`` — Delta's commit-timestamp
+    adjustment), so the scan breaks at the first entry past ``ts``
+    instead of opening every entry: O(versions ≤ ts), exact even
+    under writer clock skew.  A log written before the clamp existed
+    could in principle hold a locally non-monotonic pair; the break
+    then resolves to the first run's boundary — the same order
+    Delta's adjusted clock would have recorded."""
     versions = log_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshot log under {table_dir!r}")
@@ -1152,6 +1203,8 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
             e_ts = json.load(f).get("ts")
         if e_ts is None or float(e_ts) <= float(ts):
             best = n
+        else:
+            break
     if best is None:
         raise ValueError(
             f"timestamp {ts} predates the first commit of {table_dir!r}"
@@ -1521,7 +1574,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     expired = [v for v in versions if v < cut]
     # active set + carried stats at the cut, and every file the
     # expired prefix ever added (candidates for deletion)
-    active_at_cut, _ = _replay(table_dir, cut)
+    active_at_cut, _, _ = _replay(table_dir, cut)
     stats_at_cut = file_stats(table_dir, cut)
     dv_at_cut = snapshot_dvs(table_dir, cut)
     ever_pre_cut: set[str] = set()
@@ -1557,7 +1610,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 7) -> dict:
     # active(cut) after the prefix is deleted (replay subtracts
     # without validating, so removes of already-absent names are
     # harmless there).
-    active_before_cut, _ = _replay(table_dir, expired[-1])
+    active_before_cut, _, _ = _replay(table_dir, expired[-1])
     baseline = {
         "version": cut,
         "adds": sorted(active_at_cut),

@@ -83,6 +83,28 @@ def test_legacy_entries_without_ts_resolve_any_time(tbl):
     assert version_at_timestamp(tbl, t1_old) == 1  # unknown past
 
 
+def test_commit_ts_monotone_under_backwards_clock(tbl, monkeypatch):
+    """ADVICE r11 (low): commit timestamps are clamped to
+    ``max(parent_ts, wall clock)`` — a writer whose clock stepped
+    backwards (skew between concurrent writers, an NTP step) can no
+    longer mint a later version with an earlier ts, which would make
+    the 'latest version with ts <= query' rule resolve PAST a
+    version whose ts is in the future."""
+    import time as _time
+
+    t3 = _entry_ts(tbl, 3)
+    monkeypatch.setattr(_time, "time", lambda: t3 - 500.0)
+    _write(tbl, "f3.parquet", [3])
+    commit_version(tbl, adds=["f3.parquet"])
+    t4 = _entry_ts(tbl, 4)
+    assert t4 >= t3  # clamped, monotone by construction
+    assert version_at_timestamp(tbl, t4) == 4
+    # the pre-clamp anomaly: v4's raw ts (t3 - 500) made a query from
+    # before the table existed resolve to v4; clamped, it predates
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(tbl, t3 - 250.0)
+
+
 def test_expiry_baseline_preserves_cut_timestamp(tbl):
     for i in range(3, 6):
         _write(tbl, f"f{i}.parquet", [i])

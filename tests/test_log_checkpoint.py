@@ -207,3 +207,102 @@ def test_table_changes_seeds_from_checkpoint(spark, tbl):
         for r in table_changes(spark, tbl, 4, 5).collect()
     )
     assert bare == want
+
+
+# --- ADVICE r11: one log listing per replay-style read ----------------------
+
+
+def test_replay_readers_list_log_exactly_once(tbl, monkeypatch):
+    """ADVICE r11 (medium): snapshot_dvs / file_stats / table_schema
+    used to list the log BEFORE _replay re-listed it internally — a
+    commit landing between the two listings made the delta loop
+    iterate a stale list while _replay resolved the newer head, so a
+    head read could silently miss the newest entry's dv_adds / stats
+    / schema.  The fix drives both from _replay's single listing;
+    this pins it structurally (exactly one listing per read)."""
+    import survivor_processing_spark.operators.snapshot as snap
+
+    calls: list[str] = []
+    real = snap.log_versions
+
+    def counting(d):
+        calls.append(d)
+        return real(d)
+
+    monkeypatch.setattr(snap, "log_versions", counting)
+    for fn in (snapshot_files, file_stats, snapshot_dvs, table_schema):
+        calls.clear()
+        fn(tbl)  # head read — the racy case was version=None
+        assert len(calls) == 1, fn.__name__
+
+
+def test_head_read_state_matches_resolved_version(spark, tbl, monkeypatch):
+    """The loop-listing ⊇ replay-listing invariant, behaviorally: a
+    commit that lands between two consecutive head reads is either
+    entirely invisible (old head) or entirely visible (new head) —
+    never a mixed read that claims the new head with the old DV
+    state (the pre-fix failure: MOR-deleted rows resurrecting)."""
+    import survivor_processing_spark.operators.snapshot as snap
+
+    delete_from_snapshot_mor(spark, tbl, "k", 12, 14)  # v4: adds a DV
+    want_v4 = snapshot_dvs(tbl, 4)
+    assert want_v4  # the DV is live at v4
+    real = snap.log_versions
+    # serve a STALE listing (pre-v4) for the first read, the full
+    # log afterwards — simulating the commit landing mid-sequence
+    served: list[list[int]] = [[1, 2, 3]]
+
+    def racy(d):
+        return served.pop(0) if served else real(d)
+
+    monkeypatch.setattr(snap, "log_versions", racy)
+    first = snapshot_dvs(tbl)  # one listing -> consistent v3 state
+    second = snapshot_dvs(tbl)  # fresh listing -> consistent v4 state
+    assert first == {} and second == want_v4
+
+
+# --- ADVICE r11: checkpoint cache identity + isolation ----------------------
+
+
+def test_ckpt_cache_invalidates_on_recreated_same_mtime_file(tbl):
+    """ADVICE r11 (low): a table dir deleted and recreated at the
+    same path can mint a new ckpt-v{N}.json at an identical path; on
+    coarse-mtime filesystems a bare-mtime cache key would serve the
+    OLD table's parsed state.  The key now pins (mtime_ns, size,
+    inode), so a recreated file — even with a byte-identical mtime —
+    is a cache miss."""
+    checkpoint_snapshot(tbl)
+    p = _ckpt_path(tbl, 3)
+    st = os.stat(p)
+    before = snapshot_files(tbl)  # primes the cache
+    with open(p) as f:
+        ck = json.load(f)
+    ck["active"] = ["other.parquet"]
+    tmp = p + ".new"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, p)  # new inode at the same path
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # identical mtime
+    assert snapshot_files(tbl) == ["other.parquet"] != before
+
+
+def test_ckpt_cache_state_is_isolated_from_caller_mutation(tbl):
+    """The cache must hand out copies: file_stats copies only one
+    level, so a caller mutating an inner per-column stat dict would
+    otherwise poison the cached parsed state for every later read."""
+    checkpoint_snapshot(tbl)
+    _write(tbl, "f9.parquet", [90])
+    commit_version(
+        tbl,
+        adds=["f9.parquet"],
+        stats={
+            "f9.parquet": {
+                "k": {"n_rows": 1, "vmin": "90", "vmax": "90",
+                      "ord": "numeric"}
+            }
+        },
+    )
+    checkpoint_snapshot(tbl)  # v4 checkpoint carries f9's stats
+    first = file_stats(tbl)
+    first["f9.parquet"]["k"]["vmax"] = "poisoned"
+    assert file_stats(tbl)["f9.parquet"]["k"]["vmax"] == "90"

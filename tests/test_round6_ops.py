@@ -314,6 +314,54 @@ def test_bench_prior_guards(tmp_path, monkeypatch):
     assert bench._prior_stretch({"q": 1.0}) is None
 
 
+def test_bench_prior_reads_driver_tail_wrapper(monkeypatch):
+    """VERDICT r11 #2: the driver commits BENCH_r{N}.json as
+    {"tail": "<front-truncated stdout>", "parsed": null} — the prior
+    ratio must be recovered from the tail string instead of silently
+    shipping prior_common=null."""
+    import io
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    inner = json.dumps(
+        {"metric": "x", "queries": {"q": 2.0, "r": 4.0}, "sf": 0.1}
+    )
+    wrapper = {
+        "n": 11,
+        "sf": 0.1,
+        # front-truncated mid-key, exactly the driver's shape
+        "tail": inner[inner.find("ueries") - 2 :],
+        "parsed": None,
+    }
+    monkeypatch.setattr(bench.os, "listdir", lambda _: ["BENCH_r11.json"])
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
+    real_open = open
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda p, *a, **kw: io.StringIO(json.dumps(wrapper))
+        if "BENCH_r" in str(p)
+        else real_open(p, *a, **kw),
+    )
+    out = bench._prior_common({"q": 1.0, "r": 1.0}, 0.1)
+    assert out == {
+        "prior_round": 11,
+        "n_common": 2,
+        "prior_sec": 6.0,
+        "this_sec": 2.0,
+        "ratio": 0.333,
+    }
+    # cross-sf wrapper is still rejected (the wrapper's own sf)
+    wrapper["sf"] = 0.01
+    assert bench._prior_common({"q": 1.0}, 0.1) is None
+    # a tail without a recoverable queries object degrades to None
+    wrapper["sf"] = 0.1
+    wrapper["tail"] = '{"truncated": true'
+    assert bench._prior_common({"q": 1.0}, 0.1) is None
+
+
 # --- quarantine MERGE replay ------------------------------------------------
 
 
