@@ -36,80 +36,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-11 window (executes VERDICT r10 "Next round" #1/#3/#4/#5;
+# Round-12 window (executes VERDICT r11 "Next round" #1/#2/#4/#5;
 # cohort computed by tools/staleness.py, not asserted by hand —
-# accounting in ROTATION_r11.md): (b) the five queue registrations
-# landed THIS round — snapshot_dml, snapshot_mor,
-# stream_snapshot_ingest (the three r10 lakehouse gates VERDICT r10
-# #1 front-loads, registered after the sharded-DV-write fix and the
-# read-set OCC conflict scan) and inverted_postings +
-# bm25_doc_term_scores (the retrieval family, VERDICT r10 #3) —
-# each paired against a retirement of a semantics twin FROM the
-# r08-latest cohort (dataset_split_hash, semi_join_running_entities,
-# top_k_customers, distinct_dims, bpe_train_portable; carriers named
-# in the RETIRED comments), which is what makes the window close:
-# (c) the ENTIRE remaining r08-latest cohort — 50 computed by the
-# tool minus the five retirees = 45 (this lands the r10 note's due
-# item multimodal_resize_pipeline).  5 + 45 = 50 exactly; after this
-# round `python tools/staleness.py --max-stale-round 9` must exit 0
-# (floor moves to r09).  Every r11 registration was verified
+# accounting in ROTATION_r12.md): (b) the SEVEN queue registrations
+# landed THIS round — ngram_containment_pairs (registered only AFTER
+# the idle-host scale adjudication VERDICT r11 "What's wrong" #1
+# demanded: cost-per-row at the 10x scaled corpus within 2x of
+# sf0.1, BENCH_QUEUED.json), ngram_coverage_score, interpolate_linear,
+# nfc_normalize_text (the documented vectorized-pandas-UDF case),
+# dice_collocations, bigram_fluency, url_canonicalize — each paired
+# against a retirement of a semantics twin FROM the r09-latest
+# cohort (substring_dedup_clean, gap_fill_forward_fill,
+# zorder_morton_keys, tfidf_top_terms, content_fingerprint,
+# snapshot_summary, entity_quarantine_roundtrip; carriers named in
+# the RETIRED comments), which is what makes the window close:
+# (c) the ENTIRE remaining r09-latest cohort — 50 computed by the
+# tool minus the seven retirees = 43.  7 + 43 = 50 exactly; after
+# this round `python tools/staleness.py --max-stale-round 10` must
+# exit 0 (floor moves to r10).  stream_snapshot_ingest (r11-green)
+# re-enters NEXT round's changed-gate front-load: its gate was
+# slimmed this round (VERDICT r11 #3) and re-verified hash-green at
+# sf0.01 this session.  Every r12 registration was verified
 # hash-green at sf0.01 AND sf0.1 this session before entering the
 # window.
 _PRIORITY = [
-    # (b) new registrations this round (r11 tranche, VERDICT r10
-    # #1/#3; closed-form oracles for the snapshot gates, EMITTED
-    # oracles for the retrieval pair)
-    "snapshot_dml",
-    "snapshot_mor",
-    "stream_snapshot_ingest",
-    "inverted_postings",
-    "bm25_doc_term_scores",
-    # (c) the full remaining r08-latest cohort (45)
-    "bfs_levels",
-    "bloom_prefilter_join",
-    "change_detection_incremental",
-    "coalesce_cascade_defaults",
-    "coalesce_default_agg",
-    "compaction_plan_binpack",
-    "conditional_flag_agg",
-    "decontaminate_ngram",
-    "doc_chunk_overlap",
-    "doc_length_quantiles",
-    "docx_confessional_scan",
-    "entity_match_quarantine",
-    "filter_project",
-    "filtered_group_sum",
-    "group_max_arithmetic",
-    "group_ordinal_appearance",
-    "heavy_hitters_mg",
-    "html_infobox_extract",
-    "html_link_extract",
-    "incremental_dedup_new_docs",
-    "intersect_except_sets",
-    "ivf_topk_exact",
-    "lang_id_heuristic",
-    "multi_pattern_first_match",
-    "multimodal_resize_pipeline",
-    "pack_sequences",
-    "pagerank_portable",
-    "paragraph_dedup",
-    "pii_redaction",
-    "quality_filter_chain",
-    "regex_extract_columns",
-    "repetition_stats",
-    "rest_keyset_scan",
-    "rolling_fingerprint",
-    "semantic_dedup_portable",
-    "simhash_portable_pairs",
-    "stratified_hash_sample",
-    "streaming_running_max",
-    "streaming_stateful_dedup",
-    "substring_dedup_spans",
-    "topk_per_group_salted",
-    "union_all_by_name",
-    "watermark_incremental",
-    "xlsx_region_scan",
-    "yaml_correction_map",
+    # (b) new registrations this round (r12 tranche, VERDICT r11 #1)
+    "ngram_containment_pairs",
+    "ngram_coverage_score",
+    "interpolate_linear",
+    "nfc_normalize_text",
+    "dice_collocations",
+    "bigram_fluency",
+    "url_canonicalize",
+    # (c) the full remaining r09-latest cohort (43)
+    "bpe_token_budget",
+    "bucketed_join_colocated",
+    "cdc_apply_changelog",
+    "cohort_retention",
+    "corpus_curation_pipeline",
+    "csv_scan_typed",
+    "cumulative_window_sums",
+    "domain_rebalance_sample",
+    "dq_constraint_audit",
+    "embedding_dim_stats",
+    "embedding_lsh_portable_pairs",
+    "event_transition_matrix",
+    "export_balanced_shards",
+    "filesync_modified_since",
+    "funnel_stage_counts",
+    "grouping_sets_agg",
+    "incremental_agg_merge",
+    "jsonl_scan",
+    "kmeans_lloyd_portable",
+    "minhash_lsh_pairs",
+    "mode_median_per_group",
+    "multimodal_wav_slice",
+    "near_dup_keep_best",
+    "ntile_decile_stats",
+    "orc_roundtrip_scan",
+    "partition_pruned_scan",
+    "pivot_event_type_wide",
+    "quality_model_score",
+    "range_join_binned",
+    "safe_math_try_ops",
+    "schema_evolution_scan",
+    "sketch_distinct_quantiles",
+    "skew_salted_join_agg",
+    "sq8_summary",
+    "stream_interval_join",
+    "stream_static_enrich_join",
+    "streaming_dedup_within_watermark",
+    "streaming_foreachbatch_merge",
+    "streaming_incremental_agg",
+    "streaming_session_windows",
+    "streaming_windowed_counts",
+    "value_histogram_equiwidth",
+    "variant_props_agg",
 ]
 
 

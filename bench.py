@@ -51,7 +51,6 @@ HEADLINE = [
     # round 3b
     "cdc_apply_changelog",
     "funnel_stage_counts",
-    "zorder_morton_keys",
     "incremental_agg_merge",
     # round 4
     "bloom_prefilter_join",
@@ -78,13 +77,13 @@ HEADLINE = [
     "substring_dedup_spans",
     "bfs_levels",
     # round 9 (queue registrations; vocab_top_terms left the set
-    # with its r9 retirement)
-    "substring_dedup_clean",
+    # with its r9 retirement; substring_dedup_clean /
+    # content_fingerprint / snapshot_summary / zorder_morton_keys
+    # left with their r12 retirements — carriers in the RETIRED
+    # comments; BENCH_QUEUED still measures the operators)
     "bpe_token_budget",
     "sq8_summary",
     "stream_interval_join",
-    "content_fingerprint",
-    "snapshot_summary",
     # round 10 (queue registrations; retired names left the set with
     # their r10 retirements: asof_join_broadcast_dim -> forward_keyed
     # slot, simhash_near_pairs -> simhash_portable_pairs slot,
@@ -103,6 +102,14 @@ HEADLINE = [
     "stream_snapshot_ingest",
     "inverted_postings",
     "bm25_doc_term_scores",
+    # round 12 (queue registrations — VERDICT r11 #1/#2)
+    "ngram_containment_pairs",
+    "ngram_coverage_score",
+    "interpolate_linear",
+    "nfc_normalize_text",
+    "dice_collocations",
+    "bigram_fluency",
+    "url_canonicalize",
 ]
 
 

@@ -863,3 +863,89 @@ def mor_summary_oracle(
             block(4, f" WHERE {k12}", "0"),
         ]
     )
+
+
+def mor_upsert_summary_oracle(
+    key_col: str,
+    agg_col: str,
+    u_lo: int,
+    u_hi: int,
+    bump: int,
+    i_lo: int,
+    i_hi: int,
+    d_lo: int,
+    d_hi: int,
+    table: str = "orders",
+) -> str:
+    """Closed-form DuckDB oracle for the queued MOR-UPSERT gate
+    (q:snapshot_mor_upsert — queued r12 per VERDICT r11 #4, the one
+    lakehouse DML writer without driver visibility; register r13).
+    The gate stages ``table`` as a snapshot table (v1), commits v2 =
+    ``upsert_into_snapshot_mor`` of a source holding (a) UPDATES —
+    every row with ``key_col`` in ``[u_lo, u_hi]`` re-valued to
+    ``agg_col + bump`` — and (b) INSERTS — brand-new keys
+    ``-key_col`` for rows in ``[i_lo, i_hi]``, value unchanged — in
+    ONE atomic commit (tombstone sidecars + appended files together),
+    then v3 = an OVERLAPPING copy-on-write DELETE of ``[d_lo, d_hi]``
+    whose rewrite must apply v2's deletion vectors (a rewrite that
+    ignored them would RESURRECT the pre-update row images).  Output:
+    every version's row count + decimal sum through the DV-aware
+    read, plus the CHANGE FEED over the upsert commit only —
+    ``table_changes(1, 2)`` emits the exact OLD row image per update
+    as ``delete`` and each source row as ``insert`` (row-exact CDC,
+    the thing a COW MERGE can only over-report), so the v2 row also
+    carries the feed's delete/insert counts and the delete images'
+    decimal sum.  Reference anchor: the ON CONFLICT upsert
+    (survivor_processing load_helpers.py:28-33) at row-proportional
+    cost."""
+    upd = f"{key_col} >= {int(u_lo)} AND {key_col} <= {int(u_hi)}"
+    ins = f"{key_col} >= {int(i_lo)} AND {key_col} <= {int(i_hi)}"
+    dead = f"{key_col} >= {int(d_lo)} AND {key_col} <= {int(d_hi)}"
+    v2 = (
+        f"SELECT {key_col} AS k, {agg_col} + {int(bump)} AS val"
+        f" FROM {table} WHERE {upd}"
+        f" UNION ALL SELECT -{key_col}, {agg_col} FROM {table}"
+        f" WHERE {ins}"
+        f" UNION ALL SELECT {key_col}, {agg_col} FROM {table}"
+        f" WHERE {key_col} IS NULL OR NOT ({upd})"
+    )
+    n_upd = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {table} WHERE {upd})"
+    n_src = (
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {table} WHERE {upd})"
+        f" + (SELECT CAST(COUNT(*) AS BIGINT) FROM {table} WHERE {ins})"
+    )
+    del_total = (
+        f"(SELECT CAST(COALESCE(SUM(CAST({agg_col} AS DECIMAL(18,2))),"
+        f" 0) AS DOUBLE) FROM {table} WHERE {upd})"
+    )
+
+    def block(
+        v: int, src: str, col: str, where: str, nfd: str, nfi: str,
+        fdt: str,
+    ) -> str:
+        return (
+            f"SELECT {v} AS version, CAST(COUNT(*) AS BIGINT) AS"
+            f" n_rows, CAST(COALESCE(SUM(CAST({col} AS"
+            f" DECIMAL(18,2))), 0) AS DOUBLE) AS total,"
+            f" CAST({nfd} AS BIGINT) AS n_feed_deletes,"
+            f" CAST({nfi} AS BIGINT) AS n_feed_inserts,"
+            f" CAST({fdt} AS DOUBLE) AS feed_del_total"
+            f" FROM {src}{where}"
+        )
+
+    return "\nUNION ALL\n".join(
+        [
+            block(1, table, agg_col, "", "0", "0", "0"),
+            block(2, f"({v2})", "val", "", n_upd, n_src, del_total),
+            block(
+                3,
+                f"({v2})",
+                "val",
+                f" WHERE k IS NULL OR NOT"
+                f" (k >= {int(d_lo)} AND k <= {int(d_hi)})",
+                "0",
+                "0",
+                "0",
+            ),
+        ]
+    )

@@ -1281,6 +1281,51 @@ def snapshot_summary_oracle(
     return "\nUNION ALL\n".join(parts)
 
 
+def time_travel_summary_oracle(
+    key_col: str,
+    agg_col: str,
+    m: int = 24,
+    probes: tuple[int, ...] = (8, 12, 18, 24, 26),
+    table: str = "orders",
+) -> str:
+    """Closed-form DuckDB oracle for the queued checkpoint +
+    TIMESTAMP AS OF gate (q:snapshot_time_travel — queued r12 per
+    VERDICT r11 #5; register r13).  The gate stages ``table`` as
+    ``m`` single-slice commits (commit v adds the rows with
+    ``key_col % m == v-1``), writes a LOG CHECKPOINT mid-stream (at
+    v = m/2), then commits v=m+1 removing slices {0,1} and v=m+2
+    removing slice {2}, and summarizes each probe version TWICE —
+    once via ``read_snapshot(version)`` and once via
+    ``read_snapshot_asof`` at the entry's pinned commit epoch — so
+    checkpoint-seeded replay ≡ full replay ≡ timestamp resolution
+    all land under the driver's one value hash (probes below the
+    checkpoint must ignore it; probes above must seed from it; every
+    as-of read must resolve to exactly its pinned version).  Content
+    at probe v ≤ m is ``key % m < v``; after the removes, v=m+1 is
+    ``key % m >= 2`` and v=m+2 is ``key % m >= 3``."""
+
+    def pred(v: int) -> str:
+        if v <= m:
+            return f"{key_col} % {m} < {v}"
+        if v == m + 1:
+            return f"{key_col} % {m} >= 2"
+        if v == m + 2:
+            return f"{key_col} % {m} >= 3"
+        raise ValueError(f"probe {v} beyond the staged history {m + 2}")
+
+    blocks = []
+    for v in probes:
+        for path in ("version", "asof"):
+            blocks.append(
+                f"SELECT {v} AS version, '{path}' AS path,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+                f" CAST(COALESCE(SUM(CAST({agg_col} AS"
+                f" DECIMAL(18,2))), 0) AS DOUBLE) AS total"
+                f" FROM {table} WHERE {pred(v)}"
+            )
+    return "\nUNION ALL\n".join(blocks)
+
+
 def snapshot_summary(
     spark: SparkSession,
     table_dir: str,

@@ -287,74 +287,19 @@ def export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-@register(
-    "tfidf_top_terms",
-    doc="per-document top-3 distinctive terms by TF-IDF: term "
-    "frequencies and document frequencies are two hash aggregates "
-    "over the exploded token stream (shuffle carries distinct "
-    "(doc, token) / (token) keys, map-side combined), the corpus "
-    "size rides a broadcast single-row join, and the per-doc top-3 "
-    "ranks on INTEGER keys (tf desc, df asc, token) so cross-engine "
-    "float ulps cannot reorder winners; the smoothed score "
-    "tf·ln((N+1)/(df+1)) is emitted rounded.  doc_id partitions are "
-    "single-document sized — the ranking window cannot be hot",
-    oracle="""
-WITH tok AS (
-    SELECT doc_id,
-           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
-                                              'g'), ' ')) AS token
-    FROM documents
-), tf AS (
-    SELECT doc_id, token, COUNT(*) AS tf
-    FROM tok WHERE token <> '' GROUP BY 1, 2
-), dfreq AS (
-    SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
-), n AS (SELECT COUNT(*) AS n FROM documents),
-scored AS (
-    SELECT t.doc_id, t.token, t.tf, d.df,
-           ROUND(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS score
-    FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
-)
-SELECT doc_id, token, tf, df, score FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                 ORDER BY tf DESC, df, token) AS r
-    FROM scored
-) WHERE r <= 3
-""",
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import tokens_expr
-
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(tokens_expr("text")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = d.agg(F.count("*").alias("n"))
-    scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "token",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tf").desc(), F.col("df"), F.col("token")
-    )
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 3)
-        .select("doc_id", "token", "tf", "df", "score")
-    )
+# RETIRED r12 (VERDICT r11 #1 pairing discipline, paired with the
+# q:ngram_coverage_score registration — both gate corpus-frequency
+# term statistics): q:tfidf_top_terms — per-document top-3 TF-IDF
+# terms.  Carried by q:inverted_postings (registered r11, hash-green
+# — the IDENTICAL tokenize -> (doc, token) tf aggregate -> df
+# aggregate skeleton, with min_df/max_df cuts pinning the df lane)
+# and q:bm25_doc_term_scores (registered r11 — BM25 IS tf-idf with
+# saturation: tf lane, df lane, and the per-(doc, term) join-back
+# all under an exact-rational value oracle strictly tighter than the
+# rounded-float score this gate emitted).  The only machinery here
+# the pair lacks is the per-doc top-3 ranking window, carried by
+# q:window_rank_placement and q:topk_per_group_salted (the general
+# ranked-per-group gates).  Accounting: ROTATION_r12.md.
 
 
 # RETIRED r9 (paired with the q:sq8_summary registration, VERDICT r08

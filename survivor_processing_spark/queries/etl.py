@@ -22,10 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.cdc import apply_changelog
-from ..operators.fingerprint import (
-    content_fingerprint,
-    content_fingerprint_oracle,
-)
 from ..operators.partial_agg import merge_agg_states, partial_agg_state
 from ..operators.skew import bucketed_join, write_bucketed
 from ._registry import register
@@ -624,100 +620,34 @@ def compaction_plan_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_summary(plan, size_col="n_chars", part_cols=("lang",))
 
 
-@register(
-    "content_fingerprint",
-    doc="order-insensitive table content fingerprint (operators/"
-    "fingerprint.py, paired with the q:doc_fingerprint retirement): "
-    "each row serializes with an explicit NULL marker and a unit-"
-    "separator delimiter, hashes to the md5-prefix 60-bit integer "
-    "lane, and the table fingerprint is the decimal(38,0) SUM of "
-    "lanes mod 2^61-1 — a multiset invariant, independent of row "
-    "order AND partitioning, which is how production validates that "
-    "a MERGE replay or migration produced the same table without "
-    "sorting 100 TB.  One codegen'd projection + one partial-"
-    "aggregable SUM; no shuffle beyond the final 1-row reduce.  "
-    "Oracle EMITTED by content_fingerprint_oracle over the same "
-    "columns (queued r8, fuzzed in tools/fuzz_portables.py "
-    "`fingerprint`)",
-    oracle=content_fingerprint_oracle(
-        ["o_orderkey", "o_custkey", "o_orderstatus"],
-        "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders",
-    ),
-)
-def content_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return content_fingerprint(
-        o.select("o_orderkey", "o_custkey", "o_orderstatus"),
-        ["o_orderkey", "o_custkey", "o_orderstatus"],
-    )
+# RETIRED r12 (VERDICT r11 #1 pairing discipline):
+# q:content_fingerprint — the order-insensitive multiset table
+# fingerprint over orders.  Carried by q:rolling_fingerprint
+# (registered r8, hash-green r11 — the SAME operators/fingerprint.py
+# md5-prefix integer-lane machinery under a value oracle), the
+# `fingerprint` fuzz family (tools/fuzz_portables.py — randomized
+# tables against a pure-Python model of the mod-(2^61-1) multiset
+# sum, every round), and the content_fingerprint_oracle cross-engine
+# unit tests (tests/test_fingerprint.py).  BENCH_QUEUED still
+# measures the operator at both scales.  Two driver gates on one
+# hash-lane family added no oracle coverage.  Accounting:
+# ROTATION_r12.md.
 
 
-@register(
-    "snapshot_summary",
-    doc="snapshot log + TIME TRAVEL under driver gating (operators/"
-    "snapshot.py — the third leg of the lakehouse trio beside "
-    "q:compaction_plan_binpack and the zone maps, and the layer the "
-    "copy-on-write MERGE q:merge_upsert_idempotent's snapshot twin "
-    "stands on): the query stages a 4-file snapshot-logged table "
-    "from orders (file i = o_orderkey % 4 = i), commits v1 = add "
-    "{p0, p1}, v2 = add p2 / REMOVE p0 (the compaction-swap shape), "
-    "v3 = add p3, then reads EVERY version back through the log "
-    "replay and summarizes each (row count + decimal sum).  The "
-    "oracle predicts all three summaries in closed form from the "
-    "deterministic partitioning — a wrong replay, add/remove mixup, "
-    "or torn commit shows up as a wrong count or sum.  Scan-side "
-    "cost is the active files only; the log is driver-side and "
-    "file-count-bounded.  (snapshot_summary_oracle generates the "
-    "path-based DuckDB replay for the unit/fuzz gates, "
-    "tests/test_snapshot.py)",
-    oracle="""
-SELECT 1 AS version,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
-            AS DOUBLE) AS total
-FROM orders WHERE o_orderkey % 4 IN (0, 1)
-UNION ALL
-SELECT 2, CAST(COUNT(*) AS BIGINT),
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
-            AS DOUBLE)
-FROM orders WHERE o_orderkey % 4 IN (1, 2)
-UNION ALL
-SELECT 3, CAST(COUNT(*) AS BIGINT),
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
-            AS DOUBLE)
-FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
-""",
-)
-def snapshot_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
-    from ..operators.snapshot import commit_version, snapshot_summary
-
-    d = tempfile.mkdtemp(prefix="sps_snap_gate_")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    for i in range(4):
-        staging = os.path.join(d, f"_stage_{i}")
-        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i).coalesce(
-            1
-        ).write.parquet(staging)
-        part = next(
-            p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
-        )
-        os.rename(os.path.join(staging, part), os.path.join(d, f"p{i}.parquet"))
-        shutil.rmtree(staging, ignore_errors=True)
-    commit_version(d, adds=["p0.parquet", "p1.parquet"])
-    commit_version(d, adds=["p2.parquet"], removes=["p0.parquet"])
-    commit_version(d, adds=["p3.parquet"])
-    # the summary is 3 rows — checkpoint it and delete the staged
-    # table, or every run (driver rounds, bench reps) leaks a full
-    # copy of orders in /tmp
-    return _detach_and_cleanup(
-        snapshot_summary(spark, d, [1, 2, 3], "o_totalprice"), d
-    )
+# RETIRED r12 (VERDICT r11 #1 pairing discipline, the registration
+# side being this round's lakehouse queue work): q:snapshot_summary
+# — the bare 3-commit log-replay summary.  Carried by q:snapshot_dml
+# and q:snapshot_mor (both registered r11, hash-green — each stages
+# a snapshot table and summarizes EVERY version through the
+# identical snapshot_summary() time-travel read, over strictly
+# harder histories: COW rewrites, sidecar-only DV commits,
+# data_change=False layout swaps), by q:stream_snapshot_ingest (the
+# log read behind a streaming writer), and by the
+# snapshot_summary_oracle unit/fuzz gates (tests/test_snapshot.py,
+# fuzz family `snapshot`).  The queued q:snapshot_time_travel gate
+# (register r13) adds checkpoint-seeded + AS-OF replay over a
+# 26-commit history — the deeper version of exactly this gate.
+# Accounting: ROTATION_r12.md.
 
 
 @register(
@@ -961,4 +891,217 @@ def snapshot_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_feed_deletes"),
     )
+    return _detach_and_cleanup(out, d)
+
+
+# --- QUEUED r12 (register r13 per VERDICT r11 #4/#5): the two gate
+# bodies below are driver-shaped but carry no @register block yet —
+# registration is "writing the decorator", per the queue discipline
+# (tools/queue_check.py).  Artifacts: closed-form oracles
+# (operators/mor.py mor_upsert_summary_oracle, operators/snapshot.py
+# time_travel_summary_oracle), cross-engine tests (tests/test_mor.py,
+# tests/test_asof_timestamp.py), fuzz families `mor_dv` /
+# `time_travel` (tools/fuzz_portables.py), BENCH_QUEUED rows at both
+# sf dirs, plan audits (tests/test_plans_queued.py).
+
+
+def snapshot_mor_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ keyed UPSERT under (future) driver gating — the
+    one lakehouse DML writer VERDICT r11 #4 flags as driver-invisible
+    (operators/mor.py upsert_into_snapshot_mor): stage orders as a
+    range-clustered snapshot table (v1); v2 = MOR UPSERT of a source
+    holding UPDATES (o_orderkey in [300, 900], o_totalprice + 1000)
+    and INSERTS (brand-new negated keys for o_orderkey in
+    [100, 400]) — tombstone sidecars + appended files in ONE atomic
+    commit; v3 = an OVERLAPPING copy-on-write DELETE of [600, 1500]
+    whose rewrite must apply v2's deletion vectors (ignoring them
+    would resurrect the pre-update images).  Summarize every version
+    through the DV-aware read, plus the CHANGE FEED over the upsert
+    commit only — row-exact old images as `delete`, each source row
+    as `insert` (the CDC exactness a COW MERGE can only
+    over-report).  Oracle: closed-form mor_upsert_summary_oracle
+    from the same constants.  Reference anchor: the ON CONFLICT
+    upsert (load_helpers.py:28-33) at row-proportional cost."""
+    import os
+    import tempfile
+
+    from ..operators.mor import table_changes, upsert_into_snapshot_mor
+    from ..operators.snapshot import init_snapshot, snapshot_summary
+    from ..sinks.merge import delete_from_snapshot
+
+    d = tempfile.mkdtemp(prefix="sps_mor_upsert_gate_")
+    tbl = os.path.join(d, "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    init_snapshot(
+        spark,
+        tbl,
+        orders.repartitionByRange(4, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+        prefix="base",
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") >= 300) & (F.col("o_orderkey") <= 900)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 400)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+    )
+    upsert_into_snapshot_mor(
+        spark, tbl, updates.unionByName(inserts), "o_orderkey"
+    )
+    delete_from_snapshot(spark, tbl, "o_orderkey", 600, 1500)
+    summ = snapshot_summary(spark, tbl, [1, 2, 3], "o_totalprice")
+    feed = (
+        table_changes(spark, tbl, 1, 2)
+        .groupBy("_commit_version")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_nfd"),
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_nfi"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("_fdt"),
+        )
+    )
+    out = summ.join(
+        F.broadcast(feed),
+        summ["version"] == feed["_commit_version"],
+        "left",
+    ).select(
+        "version",
+        "n_rows",
+        "total",
+        F.coalesce(F.col("_nfd"), F.lit(0))
+        .cast("bigint")
+        .alias("n_feed_deletes"),
+        F.coalesce(F.col("_nfi"), F.lit(0))
+        .cast("bigint")
+        .alias("n_feed_inserts"),
+        F.coalesce(F.col("_fdt"), F.lit(0.0))
+        .cast("double")
+        .alias("feed_del_total"),
+    )
+    return _detach_and_cleanup(out, d)
+
+
+def snapshot_time_travel_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log checkpoints + TIMESTAMP AS OF under (future) driver gating
+    (VERDICT r11 #5; operators/snapshot.py checkpoint_snapshot /
+    version_at_timestamp / read_snapshot_asof): stage orders as 24
+    single-slice commits (commit v adds o_orderkey % 24 == v-1),
+    write a LOG CHECKPOINT mid-stream at v12, then remove slices
+    {0,1} (v25) and {2} (v26).  Summarize probe versions
+    {8, 12, 18, 24, 26} TWICE — via read_snapshot(version) and via
+    read_snapshot_asof at the entry's pinned commit epoch — so
+    checkpoint-seeded replay ≡ full replay ≡ timestamp resolution
+    under one value hash: probes below the checkpoint must ignore it
+    (their delta entries replay in full), probes at/above must seed
+    from it, and every as-of read must resolve to exactly its pinned
+    version (commit timestamps are monotone by construction —
+    commit_version clamps to the parent entry's ts).  Oracle:
+    closed-form time_travel_summary_oracle from the same
+    constants."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..operators.snapshot import (
+        _entry_path,
+        checkpoint_snapshot,
+        commit_version,
+        read_snapshot,
+        read_snapshot_asof,
+    )
+
+    m = 24
+    probes = (8, 12, 18, 24, 26)
+    d = tempfile.mkdtemp(prefix="sps_time_travel_gate_")
+    tbl = os.path.join(d, "t")
+    os.makedirs(tbl, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # ONE staging job for all slices (the build_zonemap pattern),
+    # then m driver-side commits — each slice's parts land as one
+    # atomic log commit, 10 ms apart so every entry's ms-rounded ts
+    # is distinct (the as-of probes pin exact versions)
+    staging = os.path.join(d, "_stage")
+    (
+        orders.withColumn("_g", F.pmod(F.col("o_orderkey"), F.lit(m)))
+        .repartition(m, "_g")
+        .write.partitionBy("_g")
+        .parquet(staging)
+    )
+    slices: list[list[str]] = []
+    for i in range(m):
+        gdir = os.path.join(staging, f"_g={i}")
+        names = []
+        for j, p in enumerate(
+            sorted(f for f in os.listdir(gdir) if f.endswith(".parquet"))
+        ):
+            nm = f"s{i:02d}_{j}.parquet"
+            os.rename(os.path.join(gdir, p), os.path.join(tbl, nm))
+            names.append(nm)
+        slices.append(names)
+    shutil.rmtree(staging, ignore_errors=True)
+    for i in range(m):
+        time.sleep(0.01)
+        commit_version(tbl, adds=slices[i])
+        if i + 1 == m // 2:
+            checkpoint_snapshot(tbl)
+    time.sleep(0.01)
+    commit_version(tbl, removes=slices[0] + slices[1])  # v = m+1
+    time.sleep(0.01)
+    commit_version(tbl, removes=slices[2])  # v = m+2
+
+    def _ts(v: int) -> float:
+        with open(_entry_path(tbl, v)) as f:
+            return float(json.load(f)["ts"])
+
+    out = None
+    for v in probes:
+        for path, df in (
+            ("version", read_snapshot(spark, tbl, v)),
+            ("asof", read_snapshot_asof(spark, tbl, _ts(v))),
+        ):
+            s = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0),
+                )
+                .cast("double")
+                .alias("total"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(path).alias("path"),
+                "n_rows",
+                "total",
+            )
+            out = s if out is None else out.unionByName(s)
     return _detach_and_cleanup(out, d)

@@ -763,14 +763,18 @@ from ..streaming.lakehouse import (  # noqa: E402
     "files its keys can actually touch).  The gate then reads the "
     "FINAL table back through the log: batch boundaries, bootstrap-"
     "vs-merge paths, and commit atomicity must all be invisible — "
-    "the content equals the plain projection of events, which is "
-    "exactly what the oracle states.  Exactly-once EFFECT is the "
+    "the content equals the plain projection of the staged slice, "
+    "which is exactly what the oracle states.  The slice is a "
+    "deterministic 1/5 key-cut of events (r12 slimming, VERDICT r11 "
+    "#3: the gate dominated the driver window's wall-clock on pure "
+    "orchestration; the smaller slice exercises the identical "
+    "bootstrap/merge/replay machinery).  Exactly-once EFFECT is the "
     "same idempotence contract the reference's ON CONFLICT upsert "
     "gave its re-runs (SURVEY §2.N3; load_helpers.py:28-33).  "
     "(fuzz family `cow_merge`; replay/bootstrap unit tests "
     "tests/test_stream_lakehouse.py; plan audit "
     "tests/test_plans_queued.py)",
-    oracle=stream_into_snapshot_oracle(),
+    oracle=stream_into_snapshot_oracle(where="event_id % 5 = 0"),
 )
 def stream_snapshot_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -781,8 +785,10 @@ def stream_snapshot_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(d, "src")
     tbl = os.path.join(d, "table")
     ckpt = os.path.join(d, "ckpt")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .filter(F.col("event_id") % 5 == 0)
     )
     # ONE staging job for all three slices (the build_zonemap
     # pattern): repartition on the slice key + partitionBy, then

@@ -424,3 +424,93 @@ def stratified_exact_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_ids"),
         )
     )
+
+
+# --- r12 queue registrations (VERDICT r11 #1: the named front-loads) ---------
+
+from ..operators.curation import (  # noqa: E402
+    ngram_coverage_oracle,
+    ngram_coverage_score,
+)
+from ..operators.textnorm import (  # noqa: E402
+    nfc_normalize_oracle,
+    nfc_normalize_text,
+)
+from ..operators.urlnorm import (  # noqa: E402
+    url_canonicalize,
+    url_canonicalize_oracle,
+)
+
+_URL_SRC_EXPR = (
+    "concat('HTTP://', source, '.Example.COM:80/p/', doc_id % 50,"
+    " '/?utm_source=x&b=', doc_id % 7, '&a=1#frag') AS url"
+)
+_URL_SRC_SQL = f"SELECT {_URL_SRC_EXPR} FROM documents"
+
+
+@register(
+    "ngram_coverage_score",
+    doc="corpus-distribution quality signal (operators/curation.py "
+    "ngram_coverage_score — queued r9, registered r12 per VERDICT "
+    "r11 #1): what fraction of each document's word 2-grams occurs "
+    ">=2 times corpus-wide — the model-free form of the CCNet/KenLM "
+    "perplexity filter (a doc whose bigrams the corpus never saw "
+    "twice is gibberish or OCR noise; no rule score or intra-doc "
+    "repetition metric catches that).  Exact integer outputs "
+    "(n_grams, n_covered) keep the gate engine-portable.  Plan: one "
+    "explode pass, map-side-combined groupBy(gram) reference counts "
+    "(vocabulary-bounded shuffle), left join back + per-doc count — "
+    "the substring-dedup skeleton, sharing its 100 TB argument.  "
+    "(fuzz family `ngram_coverage`; cross-engine fixed/randomized/"
+    "sf0.001 tests tests/test_ngram_coverage.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=ngram_coverage_oracle(n=2),
+)
+def ngram_coverage_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_coverage_score(
+        load_table(spark, sf_dir, "documents"), n=2
+    )
+
+
+@register(
+    "nfc_normalize_text",
+    doc="Unicode NFC normalization with change accounting "
+    "(operators/textnorm.py — queued r9, registered r12 per VERDICT "
+    "r11 #1; THE documented vectorized-pandas-UDF case, now under "
+    "the driver gate): text_nfc via one Arrow-batched pandas_udf "
+    "(unicodedata.normalize has no JVM builtin; the batch transfer "
+    "is the whole Python cost — never per-row), plus changed flag "
+    "and before/after char counts — the `changed` RATE is the "
+    "monitoring signal (a jump means an upstream source switched "
+    "encoders), and normalization unifies dedup hashes of composed/"
+    "decomposed twins.  Oracle: DuckDB's nfc_normalize() — two "
+    "INDEPENDENT NFC implementations (CPython unicodedata vs "
+    "utf8proc) agreeing bit-for-bit.  (fuzz family `textnorm` — "
+    "randomized combining-mark soup; tests/test_textnorm.py; "
+    "one-Arrow-projection plan audit tests/test_plans_queued.py)",
+    oracle=nfc_normalize_oracle(),
+)
+def nfc_normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nfc_normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "url_canonicalize",
+    doc="URL canonicalization for crawl dedup/frontier keys "
+    "(operators/urlnorm.py — queued r10, registered r12 per VERDICT "
+    "r11 #1): lowercase scheme+host, strip default ports, fragments "
+    "and trailing slashes, drop utm_*/tracking params, bytewise-sort "
+    "the surviving query params — one pure JVM regexp projection (no "
+    "Python, no shuffle), generated from the SAME step templates as "
+    "the DuckDB oracle so the two engines cannot drift.  The gate "
+    "builds adversarial urls from documents (upper-case scheme/host, "
+    ":80, out-of-order params, utm noise, fragment, trailing slash) "
+    "so every step fires on every row.  (fuzz family `urlnorm`; "
+    "cross-engine tests "
+    "tests/test_urlnorm.py; pure-projection plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=url_canonicalize_oracle(_URL_SRC_SQL),
+)
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").selectExpr(_URL_SRC_EXPR)
+    return url_canonicalize(d)

@@ -16,11 +16,11 @@ from ..catalog import load_table
 from ..operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    ngram_containment_oracle,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
 )
 from ..operators.similarity import all_pairs_above
-from ..operators.substring import substring_clean_oracle
-from ..operators.substring import substring_dedup_clean as _substr_clean
 from ..operators.substring import substring_dedup_spans as _substr_spans
 from ..operators.substring import substring_spans_oracle
 from ._registry import register
@@ -534,25 +534,50 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RETIRED r12 (VERDICT r11 #1 pairing discipline, paired with the
+# q:ngram_containment_pairs registration below — both gate the
+# SUBSET-duplication signal): q:substring_dedup_clean — the CUT half
+# of ExactSubstr dedup.  Carried by q:substring_dedup_spans (stays
+# gated, hash-green r11 — the clean variant RUNS the identical
+# duplicated-8-gram span computation, operators/substring.py:173,
+# and only then cuts: a wrong span flips the spans gate's hash
+# first), the `substring` fuzz family (tools/fuzz_portables.py —
+# randomized corpora exercise the cut itself against a pure-Python
+# model every round), and the substring_clean_oracle cross-engine
+# unit tests (tests/test_substring.py).  A second driver gate on the
+# same span machinery added no oracle coverage beyond the cut
+# projection, which the fuzz family pins tighter.  The fuzz family
+# and BENCH_QUEUED rows still drive the operator directly.
+# Accounting: ROTATION_r12.md.
+
+
 @register(
-    "substring_dedup_clean",
-    doc="ExactSubstr dedup, the CUT half (operators/substring.py "
-    "substring_dedup_clean, completing q:substring_dedup_spans): "
-    "every duplicated-8-gram merged span is cut out of its document "
-    "by a JVM filter(words, (w, i) -> ...) against the doc's own "
-    "span list (collected per doc — doc-length-bounded arrays), "
-    "joined back; token order preserved, pure-boilerplate docs come "
-    "back empty, no Python in the hot path.  Oracle EMITTED by "
-    "substring_clean_oracle from the same parameters (queued r8, "
-    "fuzzed in tools/fuzz_portables.py `substring`)",
-    oracle=substring_clean_oracle(n=8, min_count=2),
+    "ngram_containment_pairs",
+    doc="exact ASYMMETRIC word-3-gram near-CONTAINMENT pairs at "
+    ">=0.5 (operators/dedup.py ngram_containment_pairs — queued r11, "
+    "registered r12 after the idle-host scale adjudication VERDICT "
+    "r11 'What's wrong' #1 demanded: cost-per-row at the 10x scaled "
+    "corpus matches sf0.1, i.e. linear — BENCH_QUEUED.json): "
+    "C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| flags SUBSET "
+    "duplication the symmetric Jaccard structurally misses — a short "
+    "doc quoted wholesale inside a long one is a containment-dup at "
+    "≈1.0 but a Jaccard-dup at ≈0 (quote pages, boilerplate-wrapped "
+    "mirrors, excerpt farms; the ExactSubstr motivation at shingle "
+    "granularity — substring dedup removes the SPANS, this flags the "
+    "DOCUMENTS).  Candidates ride the SAME single-shuffle inverted-"
+    "posting pair emission as q:ngram_jaccard_pairs; both directions "
+    "come from one extra projection against each side's own "
+    "denominator, no extra shuffle.  At 100 TB the LSH families "
+    "remain the candidate source; max_posting bounds boilerplate "
+    "postings (never binds at gate scale, keeping the oracle byte-"
+    "exact).  (fuzz family `containment` with planted subset-"
+    "duplication; containment-dominates-jaccard property tests "
+    "tests/test_containment_pairs.py; no-cartesian/map-side plan "
+    "audit tests/test_plans_queued.py)",
+    oracle=ngram_containment_oracle(0.5),
 )
-def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _substr_clean(load_table(spark, sf_dir, "documents"), n=8)
-    # sizes are int32 Spark-side; DuckDB len()/COUNT() emit BIGINT
-    return out.select(
-        "doc_id",
-        "clean_text",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
-    )
+def ngram_containment_pairs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, "text", "doc_id", 0.5)

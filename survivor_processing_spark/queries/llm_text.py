@@ -215,3 +215,62 @@ def inverted_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm25_doc_term_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_doc_term_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- r12 queue registrations (VERDICT r11 #1) --------------------------------
+
+from ..operators.collocation import (  # noqa: E402
+    bigram_fluency,
+    bigram_fluency_oracle,
+    dice_collocations,
+    dice_collocations_oracle,
+)
+
+_DOCS_TEXT_SQL = "SELECT text FROM documents"
+_DOCS_ID_TEXT_SQL = "SELECT doc_id, text FROM documents"
+
+
+@register(
+    "dice_collocations",
+    doc="corpus bigram Dice association mining "
+    "(operators/collocation.py dice_collocations — queued r10, "
+    "registered r12 per VERDICT r11 #1): adjacent-pair counts over "
+    "maximal [a-z0-9]+ tokens of the lowercased corpus, Dice = "
+    "2·c_ab/(c_a+c_b) on an exact INTEGER lane (scaled DIV — "
+    "engine-portable, no float association drift), min_count "
+    "cutting the singleton tail.  Collocation strength is the "
+    "phrase-detection signal pretraining tokenization and boilerplate "
+    "analysis both consume (Manning & Schütze ch.5 is the public "
+    "reference).  Plan: one explode for unigrams + one for adjacent "
+    "pairs, both map-side combined; the unigram join-back is "
+    "broadcast-size (vocabulary-bounded).  (fuzz family "
+    "`collocation`; cross-engine tests tests/test_collocation.py; "
+    "map-side/no-Python plan audit tests/test_plans_queued.py)",
+    oracle=dice_collocations_oracle(_DOCS_TEXT_SQL, min_count=2),
+)
+def dice_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return dice_collocations(d, min_count=2)
+
+
+@register(
+    "bigram_fluency",
+    doc="per-document fluency score from the corpus's OWN bigram "
+    "statistics (operators/collocation.py bigram_fluency — queued "
+    "r10, registered r12 per VERDICT r11 #1): mean conditional "
+    "bigram frequency P(w2|w1) per doc on an exact integer lane "
+    "(scaled DIV of sums) — the model-free language-model quality "
+    "proxy of the public curation recipes (word salad scores low "
+    "because its adjacent pairs are rare GIVEN their prefix; fluent "
+    "text repeats the corpus's transitions).  Complements "
+    "q:ngram_coverage_score: coverage asks 'seen at all?', fluency "
+    "asks 'how probable given the prefix?'.  Plan: bigram lanes are "
+    "map-side combined, the per-doc join-back is on the "
+    "vocabulary-bounded lane table.  (fuzz family `bigram_fluency`; "
+    "cross-engine tests tests/test_bigram_fluency.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=bigram_fluency_oracle(_DOCS_ID_TEXT_SQL),
+)
+def bigram_fluency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_fluency(d)

@@ -289,82 +289,17 @@ def entity_match_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "entity_quarantine_roundtrip",
-    doc="the D9 residue ROUND-TRIPPED through the B1 sink: cascade "
-    "residue rows merge_upsert into a keyed quarantine table (key = "
-    "doc_id), the SAME batch merges again (the reference's re-run of "
-    "a manual-additions workflow, episodes_transform.py:218-240 + "
-    "confessional_transform.py:39-59), and the table is read back "
-    "and summarized.  The oracle is the residue aggregate computed "
-    "directly — equal output proves the replayed MERGE is idempotent "
-    "(a duplicating sink would inflate n_quarantined); "
-    "tests/test_round6_ops.py holds the unit-level replay assertions",
-    oracle="""
-SELECT d.lang AS unresolved_key,
-       COUNT(*) AS n_quarantined,
-       MIN(d.doc_id) AS sample_doc_id
-FROM documents d
-LEFT JOIN (VALUES ('en', 'English'), ('de', 'German')) p(lang, lang_name)
-       ON p.lang = d.lang
-LEFT JOIN (VALUES ('es', 'Spanish'), ('zh', 'Chinese'), ('de', 'Deutsch'))
-       f(lang, lang_name)
-       ON f.lang = d.lang
-WHERE p.lang_name IS NULL AND f.lang_name IS NULL
-GROUP BY d.lang
-""",
-)
-def entity_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..sinks.merge import merge_upsert
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    primary = [("en", "English"), ("de", "German")]
-    fallback = [("es", "Spanish"), ("zh", "Chinese"), ("de", "Deutsch")]
-    schema = ["lang", "lang_name"]
-    p_df = d.sparkSession.createDataFrame(primary, schema)
-    f_df = d.sparkSession.createDataFrame(fallback, schema)
-    residue = resolve_cascade(
-        d,
-        [(p_df, ["lang"], "lang_name"), (f_df, ["lang"], "lang_name")],
-        out_col="lang_name",
-        default="unknown",
-    ).filter(F.col("lang_name_resolved_by") == -1)
-
-    qtable = os.path.join(
-        tempfile.gettempdir(), f"sps_quarantine_{uuid.uuid4().hex[:8]}"
-    )
-    try:
-        merge_upsert(spark, qtable, residue, keys=["doc_id"])
-        merge_upsert(spark, qtable, residue, keys=["doc_id"])  # replay
-        return (
-            spark.read.parquet(qtable)
-            .groupBy(F.col("lang").alias("unresolved_key"))
-            .agg(
-                F.count(F.lit(1)).alias("n_quarantined"),
-                F.min("doc_id").alias("sample_doc_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(qtable, ignore_errors=True)
-
-
-# --- C7: schema sync against a target schema --------------------------------
-
-_SYNC_TARGET = StructType(
-    [
-        StructField("l_orderkey", LongType()),
-        StructField("l_linenumber", IntegerType()),
-        StructField("l_quantity", IntegerType()),  # catalog-driven cast
-        StructField("l_extendedprice", DoubleType()),
-        StructField("load_comment", StringType()),  # missing → NULL
-    ]
-)
+# RETIRED r12 (VERDICT r11 #1 pairing discipline):
+# q:entity_quarantine_roundtrip — D9 cascade residue round-tripped
+# through the B1 MERGE sink twice.  Carried by
+# q:entity_match_quarantine (registered, hash-green r11 — the SAME
+# cascade-residue quarantine surface under a value oracle),
+# q:merge_upsert_idempotent (the replayed-MERGE idempotence contract
+# this gate re-proved, under its own driver gate), and the
+# unit-level replay assertions tests/test_round6_ops.py
+# test_quarantine_merge_replay_idempotent.  Three driver gates on
+# the residue->MERGE->re-merge path added no oracle coverage beyond
+# those two.  Accounting: ROTATION_r12.md.
 
 
 @register(

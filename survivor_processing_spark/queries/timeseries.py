@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..operators.timeseries import resample_daily_ffill
-from ..operators.zorder import zvalue
 from ._registry import register
 
 
@@ -27,64 +26,17 @@ def _dec(c: str):
 # --- gap fill + forward fill -------------------------------------------------
 
 
-@register(
-    "gap_fill_forward_fill",
-    doc="per-user daily spend densified to a complete January "
-    "calendar and forward-filled (operators/timeseries.py): the "
-    "dense skeleton is sequence()+explode per key (no driver "
-    "calendar, no cross join), the fill is last(ignorenulls) over "
-    "one key-partitioned window — resample+ffill as a single "
-    "shuffle; oracle is the identical densify+window in SQL",
-    oracle="""
-WITH daily AS (
-    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-           SUM(CAST(value AS DECIMAL(18,2))) AS daily_value
-    FROM events WHERE user_id % 20 = 0
-    GROUP BY 1, 2
-), skel AS (
-    SELECT u.user_id, d.day
-    FROM (SELECT DISTINCT user_id FROM daily) u
-    CROSS JOIN (
-        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
-                                           DATE '2024-01-30',
-                                           INTERVAL 1 DAY)) AS DATE) AS day
-    ) d
-), j AS (
-    -- presence marker, not value-NULLness: a present day whose
-    -- aggregated value is NULL must still read was_gap = false
-    SELECT s.user_id, s.day, dv.daily_value,
-           dv.day IS NULL AS was_gap
-    FROM skel s LEFT JOIN daily dv
-      ON s.user_id = dv.user_id AND s.day = dv.day
-)
-SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-       was_gap,
-       CAST(LAST_VALUE(daily_value IGNORE NULLS) OVER (
-                PARTITION BY user_id ORDER BY day
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS daily_value
-FROM j
-""",
-)
-def gap_fill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(F.sum(_dec("value")).alias("daily_value"))
-    filled = resample_daily_ffill(
-        daily,
-        keys=["user_id"],
-        date_col="day",
-        value_cols=["daily_value"],
-        span_lo="2024-01-01",
-        span_hi="2024-01-30",
-    )
-    return filled.select(
-        "user_id",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "was_gap",
-        F.col("daily_value").cast("double").alias("daily_value"),
-    )
+# RETIRED r12 (VERDICT r11 #1 pairing discipline, paired with the
+# q:interpolate_linear registration below): q:gap_fill_forward_fill
+# — calendar densify + forward fill.  Carried by
+# q:interpolate_linear (registered r12, hash-green — the SAME
+# keyed-series gap machinery, strictly harder semantics: forward
+# fill is interpolation's t0-only degenerate case, and the operator
+# family lives in the same operators/timeseries.py), by
+# q:cumulative_window_sums (the key-partitioned running-window
+# machinery the fill rides), and by the resample_daily_ffill unit
+# tests (tests/test_operators.py) which pin densify+ffill against a
+# pure-Python calendar model.  Accounting: ROTATION_r12.md.
 
 
 # --- behavioral: event-type transition matrix --------------------------------
@@ -164,34 +116,19 @@ def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- layout: Morton (z-order) keys -------------------------------------------
 
 
-@register(
-    "zorder_morton_keys",
-    doc="Morton z-value per event interleaving (user_id, floor(value)) "
-    "bits (operators/zorder.py): the clustering key behind "
-    "OPTIMIZE ZORDER, computed as one codegen'd shift/mask fold — "
-    "writing the table sorted by it gives row-group min/max pruning "
-    "on BOTH dimensions (tests/test_round3_ops.py measures the stats "
-    "tightening); oracle recomputes the interleave arithmetically",
-    oracle="""
-SELECT event_id,
-       CAST(SUM(((user_id >> i) & 1) << (2 * i))
-          + SUM(((v >> i) & 1) << (2 * i + 1)) AS BIGINT) AS zval
-FROM (SELECT event_id, user_id,
-             CAST(floor(value) AS BIGINT) AS v
-      FROM events),
-     (SELECT unnest(range(16)) AS i)
-GROUP BY event_id
-""",
-)
-def zorder_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.floor("value").cast("bigint").alias("v"),
-    )
-    return ev.select(
-        "event_id", zvalue("user_id", "v", bits=16).alias("zval")
-    )
+# RETIRED r12 (VERDICT r11 #1 pairing discipline): q:zorder_morton_keys
+# — the bare Morton-interleave projection.  Carried by
+# q:snapshot_dml (registered r11, hash-green — its OPTIMIZE ZORDER
+# step EXECUTES zorder_snapshot, which range-partitions the table by
+# the identical operators/zorder.py zvalue() interleave: a wrong
+# Morton fold reorders the rewrite and flips that gate's per-version
+# hash), by q:build_zonemap (the min/max envelope machinery whose
+# tightening is z-ordering's entire point, with the
+# tests/test_round3_ops.py measurement pinning the tightening), and
+# by the zvalue bit-twiddling unit tests (tests/test_round3_ops.py)
+# against an arithmetic model.  A standalone projection gate on the
+# same shift/mask fold added no oracle coverage.  Accounting:
+# ROTATION_r12.md.
 
 
 # --- cohort retention --------------------------------------------------------
@@ -302,3 +239,49 @@ def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("island_end").alias("island_end_s"),
         F.col("n_intervals").alias("n_events"),
     )
+
+
+# --- r12 queue registration (VERDICT r11 #1) ---------------------------------
+
+from ..operators.timeseries import (  # noqa: E402
+    interpolate_linear,
+    interpolate_linear_oracle,
+)
+
+_INTERP_EXPRS = [
+    "o_custkey % 50 AS k",
+    "o_orderkey AS t",
+    # integer lanes only: a double->bigint cast would expose the
+    # engines' different rounding (Spark truncates, DuckDB rounds)
+    "CASE WHEN o_orderkey % 3 = 0 THEN NULL"
+    " ELSE o_custkey * 13 % 997 END AS yq",
+]
+_INTERP_SRC_SQL = f"SELECT {', '.join(_INTERP_EXPRS)} FROM orders"
+
+
+@register(
+    "interpolate_linear",
+    doc="linear interpolation of NULL gaps in keyed integer-lane "
+    "series (operators/timeseries.py interpolate_linear — queued "
+    "r9, registered r12 per VERDICT r11 #1, paired with the "
+    "q:gap_fill_forward_fill retirement: interpolation is the "
+    "resample companion where carrying the last value forward is a "
+    "lie — sensor readings, prices, rates).  Exact rational output "
+    "(y_num, y_den) instead of a float division, so the gate is "
+    "engine-portable bit-for-bit; leading/trailing NULLs (no "
+    "bracketing neighbors) stay NULL with was_interpolated=false.  "
+    "Plan: the four neighbor lookups (last/first non-null value and "
+    "time) are window functions SHARING one key-partitioned "
+    "Exchange — one shuffle total, no self-join (the plan audit "
+    "pins the single Exchange).  One in three order rows is "
+    "NULLed by key arithmetic so every interpolation path fires.  "
+    "(fuzz family `interpolate`; cross-engine tests "
+    "tests/test_interpolate.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=interpolate_linear_oracle(
+        ["k"], "t", "yq", _INTERP_SRC_SQL
+    ),
+)
+def interpolate_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").selectExpr(*_INTERP_EXPRS)
+    return interpolate_linear(d, ["k"], "t", "yq")

@@ -127,12 +127,20 @@ def stream_into_snapshot(
 
 
 def stream_into_snapshot_oracle(
-    cols: list[str] | None = None, table: str = "events"
+    cols: list[str] | None = None,
+    table: str = "events",
+    where: str | None = None,
 ) -> str:
-    """DuckDB oracle for the planned q:stream_snapshot_ingest gate:
-    after an availableNow run over slices of ``table``, the snapshot
-    content equals the full projection — batch boundaries, bootstrap
-    vs merge paths, and replay must all be invisible in the final
-    table."""
+    """DuckDB oracle for the q:stream_snapshot_ingest gate: after an
+    availableNow run over slices of ``table``, the snapshot content
+    equals the plain projection — batch boundaries, bootstrap vs
+    merge paths, and replay must all be invisible in the final
+    table.  ``where`` mirrors the gate's staging filter (the r12
+    slimming keeps the three-batch semantics on a deterministic
+    key-slice of the table instead of all of it — VERDICT r11
+    "What's wrong" #3: the gate was 18% of the driver window's
+    wall-clock, all orchestration, none of it exercising anything
+    the smaller slice doesn't)."""
     cs = ", ".join(cols or ["event_id", "user_id", "event_type"])
-    return f"SELECT {cs} FROM {table}"
+    w = f" WHERE {where}" if where else ""
+    return f"SELECT {cs} FROM {table}{w}"

@@ -114,3 +114,41 @@ def test_expiry_baseline_preserves_cut_timestamp(tbl):
     assert out["cut_version"] == 4
     assert _entry_ts(tbl, 4) == cut_ts_before
     assert version_at_timestamp(tbl, cut_ts_before) == 4
+
+
+# --- queued r12 gate: checkpoints + TIMESTAMP AS OF under one hash ----------
+
+
+def test_time_travel_gate_matches_closed_form_oracle(spark):
+    """VERDICT r11 #5: the queued q:snapshot_time_travel gate
+    (queries/etl.py snapshot_time_travel_gate) must hash-match its
+    closed-form oracle — checkpoint-seeded replay ≡ full replay ≡
+    timestamp resolution for every probe, under the exact comparison
+    the driver runs."""
+    import duckdb
+
+    from survivor_processing_spark.operators.snapshot import (
+        time_travel_summary_oracle,
+    )
+    from survivor_processing_spark.queries.etl import (
+        snapshot_time_travel_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["version"], r["path"], r["n_rows"], r["total"])
+        for r in snapshot_time_travel_gate(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+    )
+    want = sorted(
+        tuple(row)
+        for row in con.execute(
+            time_travel_summary_oracle("o_orderkey", "o_totalprice")
+        ).fetchall()
+    )
+    assert got == want
+    # both read paths present for every probe, all non-empty
+    assert len(got) == 10 and all(r[2] > 0 for r in got)

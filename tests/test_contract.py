@@ -31,7 +31,9 @@ def test_bogus_sf_dir_raises_analysis_exception(spark):
                                        # (global twin RETIRED r11)
         "fuzzy_name_match_dist2",      # variant-join pair emission
                                        # (dist1 row RETIRED r10)
-        "tfidf_top_terms",             # integer-keyed rank winners
+        "bm25_doc_term_scores",        # integer-keyed term lanes
+                                       # (tfidf_top_terms RETIRED r12
+                                       # into this + inverted_postings)
     ],
 )
 def test_query_rerun_is_value_stable(spark, name):

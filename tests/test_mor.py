@@ -692,3 +692,52 @@ def test_mor_delete_and_read_on_evolved_table(spark, tbl):
         for r in pruned_snapshot_scan(spark, tbl, "k", 30, 70).collect()
     }
     assert pr[39] == "upd" and 45 not in pr and pr[61] is None
+
+
+# --- queued r12 gate: MOR UPSERT under the (future) driver hash -------------
+
+
+def test_mor_upsert_gate_matches_closed_form_oracle(spark):
+    """VERDICT r11 #4: the queued q:snapshot_mor_upsert gate
+    (queries/etl.py snapshot_mor_upsert_gate) must hash-match its
+    closed-form oracle (mor_upsert_summary_oracle) exactly the way
+    the driver will compare them — per-version counts + decimal sums
+    through the DV-aware read, plus the row-exact change-feed images
+    over the upsert commit."""
+    from survivor_processing_spark.operators.mor import (
+        mor_upsert_summary_oracle,
+    )
+    from survivor_processing_spark.queries.etl import (
+        snapshot_mor_upsert_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (
+            r["version"],
+            r["n_rows"],
+            r["total"],
+            r["n_feed_deletes"],
+            r["n_feed_inserts"],
+            r["feed_del_total"],
+        )
+        for r in snapshot_mor_upsert_gate(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+    )
+    want = sorted(
+        tuple(row)
+        for row in con.execute(
+            mor_upsert_summary_oracle(
+                "o_orderkey", "o_totalprice", 300, 900, 1000,
+                100, 400, 600, 1500,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    # the upsert commit's feed is non-trivial at this sf (updates
+    # exist, inserts exist) — guards against a vacuously-green gate
+    v2 = next(r for r in got if r[0] == 2)
+    assert v2[3] > 0 and v2[4] > v2[3] and v2[5] > 0.0

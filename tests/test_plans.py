@@ -318,8 +318,24 @@ def test_fuzzy_join_is_hash_equijoin(spark):
 
 
 def test_zorder_keys_scan_only(spark):
-    """The Morton key is a pure projection — no shuffle at all."""
-    plan = plan_of(spark, "zorder_morton_keys")
+    """The Morton key is a pure projection — no shuffle at all.
+    Drives the operator directly (q:zorder_morton_keys RETIRED r12
+    into q:snapshot_dml's OPTIMIZE ZORDER; the interleave expression
+    itself still plan-audits here)."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.zorder import zvalue
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor("value").cast("bigint").alias("v"),
+        )
+        .select("event_id", zvalue("user_id", "v", bits=16).alias("zval"))
+    )
+    plan = ev._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 

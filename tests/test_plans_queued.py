@@ -421,6 +421,42 @@ def test_snapshot_read_schedules_only_active_files(spark, tmp_path):
         assert node not in plan
 
 
+def test_asof_read_schedules_only_resolved_version_files(spark, tmp_path):
+    """read_snapshot_asof (queued r12 — q:snapshot_time_travel): the
+    TIMESTAMP AS OF read is pre-plan pruned exactly like the version
+    read — the resolver is driver-side log metadata, and the scan it
+    plans lists ONLY the files active at the resolved version (no
+    footer sweep, no post-scan filtering by file)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        _entry_path,
+        commit_version,
+        read_snapshot_asof,
+    )
+
+    for nm in ("a", "b", "c"):
+        pq.write_table(
+            pa.table({"k": [1, 2, 3]}), str(tmp_path / f"{nm}.parquet")
+        )
+    commit_version(str(tmp_path), adds=["a.parquet", "b.parquet"])
+    commit_version(
+        str(tmp_path), adds=["c.parquet"], removes=["a.parquet"]
+    )
+    with open(_entry_path(str(tmp_path), 2)) as f:
+        ts2 = float(json.load(f)["ts"])
+    df = read_snapshot_asof(spark, str(tmp_path), ts2).filter("k > 1")
+    files = sorted(f.rsplit("/", 1)[-1] for f in df.inputFiles())
+    assert files == ["b.parquet", "c.parquet"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for node in PY_NODES:
+        assert node not in plan
+
+
 def test_stream_interval_join_is_hash_partitioned_not_cartesian(spark):
     import pyspark.sql.functions as F
 

@@ -26,6 +26,22 @@ def _execute(df) -> int:
     return df._jdf.queryExecution().toRdd().count()
 
 
+def _mor_upsert_gate(spark, sf_dir):
+    from survivor_processing_spark.queries.etl import (
+        snapshot_mor_upsert_gate,
+    )
+
+    return snapshot_mor_upsert_gate(spark, sf_dir)
+
+
+def _time_travel_gate(spark, sf_dir):
+    from survivor_processing_spark.queries.etl import (
+        snapshot_time_travel_gate,
+    )
+
+    return snapshot_time_travel_gate(spark, sf_dir)
+
+
 def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.bpe import bpe_token_budget
     from survivor_processing_spark.operators.curation import (
@@ -366,6 +382,10 @@ def _ops(spark, sf_dir):
         "snapshot_dml": lambda: _dml_roundtrip(sf_dir),
         "snapshot_mor": lambda: _mor_roundtrip(sf_dir),
         "stream_snapshot_ingest": lambda: _stream_ingest(sf_dir),
+        # queued r12 (VERDICT r11 #4/#5): the gate bodies themselves
+        # — driver-shaped cost, measured before registration
+        "snapshot_mor_upsert": lambda: _mor_upsert_gate(spark, sf_dir),
+        "snapshot_time_travel": lambda: _time_travel_gate(spark, sf_dir),
     }
 
 

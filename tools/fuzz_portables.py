@@ -2306,6 +2306,100 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_time_travel(spark, rng, trials: int) -> int:
+    """operators/snapshot.py TIMESTAMP AS OF + checkpoint resolution
+    (queued r12 — q:snapshot_time_travel): random commit sequences
+    (adds/removes) with randomly-placed checkpoints and a randomly
+    SKEWED writer clock (time.time monkey-patched to jitter backwards
+    — the clamp must keep entry ts monotone), then for EVERY version:
+    (a) ``version_at_timestamp(entry_ts(v))`` resolves to the latest
+    version sharing that clamped ts (Delta's rule under ties), and
+    (b) the as-of read's ACTIVE SET equals the pure-Python model at
+    the resolved version, checkpoint present or not."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from survivor_processing_spark.operators.snapshot import (
+        _entry_path,
+        checkpoint_snapshot,
+        commit_version,
+        log_versions,
+        snapshot_files,
+        version_at_timestamp,
+    )
+
+    fails = 0
+    real_time = _time.time
+    for _ in range(trials):
+        d = _tempfile.mkdtemp()
+        base = real_time()
+        # frozen, randomly NON-monotonic wall clock: the clamp alone
+        # must produce a monotone, deterministic log
+        offsets = [rng.uniform(-5.0, 5.0) for _ in range(12)]
+        step = iter(offsets)
+
+        def fake_time():
+            try:
+                return base + next(step)
+            except StopIteration:
+                return base + 10.0
+
+        _time.time = fake_time
+        try:
+            model: dict[int, set[str]] = {}
+            active: set[str] = set()
+            n_commits = rng.randrange(4, 9)
+            for i in range(n_commits):
+                nm = f"f{i}.parquet"
+                pq.write_table(
+                    pa.table({"k": pa.array([i], type=pa.int64())}),
+                    _os.path.join(d, nm),
+                )
+                removes = (
+                    [rng.choice(sorted(active))]
+                    if active and rng.random() < 0.4
+                    else []
+                )
+                commit_version(d, adds=[nm], removes=removes)
+                active = (active | {nm}) - set(removes)
+                model[i + 1] = set(active)
+                if rng.random() < 0.3:
+                    checkpoint_snapshot(d)
+            entry_ts = {}
+            for v in log_versions(d):
+                with open(_entry_path(d, v)) as f:
+                    entry_ts[v] = float(_json.load(f)["ts"])
+            tss = list(entry_ts.values())
+            if tss != sorted(tss):
+                fails += 1
+                print("TIME-TRAVEL non-monotone ts", tss)
+                continue
+            for v, ts in entry_ts.items():
+                # Delta's rule under clamp ties: latest version whose
+                # ts <= this entry's ts
+                want_v = max(
+                    u for u, t in entry_ts.items() if t <= ts
+                )
+                got_v = version_at_timestamp(d, ts)
+                if got_v != want_v:
+                    fails += 1
+                    print("TIME-TRAVEL resolve", v, got_v, want_v)
+                    continue
+                if set(snapshot_files(d, got_v)) != model[got_v]:
+                    fails += 1
+                    print("TIME-TRAVEL state", got_v)
+        finally:
+            _time.time = real_time
+            _shutil.rmtree(d, ignore_errors=True)
+    return fails
+
+
 def main() -> int:
     # usage: fuzz_portables.py [seed] [trials] [--only fam1,fam2]
     # NOTE with --only, skipped families still advance nothing — the
@@ -2362,6 +2456,7 @@ def main() -> int:
         ("cow_delete", fuzz_cow_delete),
         ("semantic_decontam", fuzz_semantic_decontam),
         ("mor_dv", fuzz_mor_dv),
+        ("time_travel", fuzz_time_travel),
     ):
         if only is not None and name not in only:
             continue

@@ -48,22 +48,23 @@ OPS = "survivor_processing_spark.operators"
 # (-> q:snapshot_mor), inverted_postings, bm25_doc_term_scores.
 # oracle None = documented exemption; bench None = covered by a
 # sibling's bench row (stated in the notes column of ROTATION_r07.md)
+# r12 registrations REMOVED likewise (VERDICT r11 #1 + the r11
+# containment adjudication, VERDICT r11 "What's wrong" #1):
+# ngram_containment_pairs, ngram_coverage_score, interpolate_linear,
+# nfc_normalize_text, dice_collocations, bigram_fluency,
+# url_canonicalize.
 QUEUE = [
-    # queued r11 (net-new 1 of cap 3 — ROTATION_r11.md): asymmetric
-    # near-CONTAINMENT pairs (subset-duplication the symmetric
-    # Jaccard misses: quotes/boilerplate-wrapped mirrors); same
-    # posting-emission candidates as the Jaccard count strategy,
-    # both directions from one projection pair
-    ("ngram_containment_pairs", "ngram_containment_oracle", f"{OPS}.dedup", "test_containment_pairs.py", "containment", "containment"),
-    ("ngram_coverage_score", "ngram_coverage_oracle", f"{OPS}.curation", "test_ngram_coverage.py", "ngram_coverage", "ngram_coverage"),
-    ("interpolate_linear", "interpolate_linear_oracle", f"{OPS}.timeseries", "test_interpolate.py", "interpolate", "interpolate"),
+    # queued r12 (net-new 2 of cap 5 = registrations 7 − 2 —
+    # ROTATION_r12.md; VERDICT r11 #4/#5): the two driver-invisible
+    # lakehouse surfaces.  Gate bodies already written
+    # (queries/etl.py snapshot_mor_upsert_gate /
+    # snapshot_time_travel_gate) — registering r13 = writing the
+    # @register block.
+    ("upsert_into_snapshot_mor", "mor_upsert_summary_oracle", f"{OPS}.mor", "test_mor.py", "mor_dv", "snapshot_mor_upsert"),
+    ("read_snapshot_asof", "time_travel_summary_oracle", f"{OPS}.snapshot", "test_asof_timestamp.py", "time_travel", "snapshot_time_travel"),
     ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
-    ("nfc_normalize_text", "nfc_normalize_oracle", f"{OPS}.textnorm", "test_textnorm.py", "textnorm", "nfc_normalize"),
-    ("dice_collocations", "dice_collocations_oracle", f"{OPS}.collocation", "test_collocation.py", "collocation", "collocations"),
-    ("bigram_fluency", "bigram_fluency_oracle", f"{OPS}.collocation", "test_bigram_fluency.py", "bigram_fluency", "bigram_fluency"),
     ("mad_outlier_stats", "mad_outlier_oracle", f"{OPS}.curation", "test_mad_outliers.py", "mad", "mad_outliers"),
     ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
-    ("url_canonicalize", "url_canonicalize_oracle", f"{OPS}.urlnorm", "test_urlnorm.py", "urlnorm", "url_canonicalize"),
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
