@@ -302,6 +302,19 @@ def entity_match_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # those two.  Accounting: ROTATION_r12.md.
 
 
+# --- C7: schema sync against a target schema --------------------------------
+
+_SYNC_TARGET = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("l_linenumber", IntegerType()),
+        StructField("l_quantity", IntegerType()),  # catalog-driven cast
+        StructField("l_extendedprice", DoubleType()),
+        StructField("load_comment", StringType()),  # missing → NULL
+    ]
+)
+
+
 @register(
     "schema_sync_project",
     doc="reference transform_helpers.py:5-39 sync_with_remote — add missing "
