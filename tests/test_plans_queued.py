@@ -766,3 +766,28 @@ def test_containment_pairs_no_cartesian_mapside(spark):
     assert "partial_count" in plan  # map-side pair-count combine
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_dsir_broadcast_lane_mapside_no_python(spark):
+    """operators/dsir.py dsir_importance_weights (queued r12): the
+    lane table (≤ n_buckets rows by construction) must BROADCAST into
+    the per-doc count join — never a shuffled join against state that
+    is O(corpus); the bucket aggregates must partial-aggregate
+    map-side; everything stays JVM-side (md5 lanes, no Python)."""
+    from survivor_processing_spark.operators.dsir import (
+        dsir_importance_weights,
+    )
+
+    docs = _docs(spark)
+    out = dsir_importance_weights(
+        docs.select("doc_id", "text"),
+        docs.filter("lang = 'en'").select("doc_id", "text"),
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # map-side combine on the bucket aggregates: partial_count before
+    # the exchange
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    for node in PY_NODES:
+        assert node not in plan

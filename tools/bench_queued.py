@@ -26,6 +26,16 @@ def _execute(df) -> int:
     return df._jdf.queryExecution().toRdd().count()
 
 
+def _dsir_weights(raw, target):
+    from survivor_processing_spark.operators.dsir import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(
+        raw.select("doc_id", "text"), target.select("doc_id", "text")
+    )
+
+
 def _mor_upsert_gate(spark, sf_dir):
     from survivor_processing_spark.queries.etl import (
         snapshot_mor_upsert_gate,
@@ -386,6 +396,11 @@ def _ops(spark, sf_dir):
         # — driver-shaped cost, measured before registration
         "snapshot_mor_upsert": lambda: _mor_upsert_gate(spark, sf_dir),
         "snapshot_time_travel": lambda: _time_travel_gate(spark, sf_dir),
+        # queued r12 net-new: DSIR importance lanes, target = the
+        # corpus's own English slice
+        "dsir_weights": lambda: _dsir_weights(
+            docs, docs.filter("lang = 'en'")
+        ),
     }
 
 

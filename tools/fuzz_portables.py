@@ -2306,6 +2306,98 @@ def fuzz_mor_dv(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_dsir(spark, rng, trials: int) -> int:
+    """operators/dsir.py dsir_importance_weights (queued r12):
+    random raw/target corpora with a planted target-heavy doc,
+    random (n, n_buckets, scale, ratio_cap) — lanes vs the generated
+    oracle, plus the monotone-tilt property (a doc drawn from the
+    target vocabulary never scores below a doc drawn from the
+    disjoint noise vocabulary)."""
+    from survivor_processing_spark.operators.dsir import (
+        dsir_importance_oracle,
+        dsir_importance_weights,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        tgt_vocab = [f"t{i}" for i in range(rng.randint(4, 12))]
+        noise_vocab = [f"n{i}" for i in range(rng.randint(4, 12))]
+
+        def doc(vocab, k):
+            return " ".join(rng.choice(vocab) for _ in range(k))
+
+        raw = {
+            d: doc(
+                tgt_vocab if rng.random() < 0.5 else noise_vocab,
+                rng.randint(0, 25),
+            )
+            for d in range(rng.randint(5, 30))
+        }
+        raw[900] = doc(tgt_vocab, 20)  # planted target-like
+        raw[901] = doc(noise_vocab, 20)  # planted noise
+        tgt = {
+            d: doc(tgt_vocab, rng.randint(2, 25))
+            for d in range(rng.randint(2, 10))
+        }
+        kw = {
+            "n": rng.randint(1, 3),
+            "n_buckets": rng.choice([16, 64, 4096]),
+            "scale": rng.choice([1000, 1_000_000]),
+            "ratio_cap": rng.choice([2, 1000]),
+        }
+        raw_df = spark.createDataFrame(
+            sorted(raw.items()), "doc_id long, text string"
+        )
+        tgt_df = spark.createDataFrame(
+            sorted(tgt.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["weight_lane"], r["score_lane"])
+            for r in dsir_importance_weights(raw_df, tgt_df, **kw).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "raw_t",
+            pd.DataFrame({"doc_id": list(raw), "text": list(raw.values())}),
+        )
+        con.register(
+            "tgt_t",
+            pd.DataFrame({"doc_id": list(tgt), "text": list(tgt.values())}),
+        )
+        want = {}
+        for i, g, w, s in con.execute(
+            dsir_importance_oracle(
+                "SELECT doc_id, text FROM raw_t",
+                "SELECT doc_id, text FROM tgt_t",
+                **kw,
+            )
+        ).fetchall():
+            want[int(i)] = (
+                int(g),
+                int(w) if w is not None else None,
+                int(s) if s is not None else None,
+            )
+        if got != want:
+            fails += 1
+            print(f"DSIR MISMATCH kw={kw}")
+            continue
+        # monotone tilt — asserted only where nothing blurs it:
+        # large bucket space (collisions rare), short grams (the
+        # target corpus covers them), and the PERMISSIVE cap (a tight
+        # ratio_cap compresses the target-lane advantage below the
+        # noise lanes' 1/(q+1) floor by design — observed at cap=2)
+        if (
+            kw["n_buckets"] == 4096
+            and kw["n"] <= 2
+            and kw["ratio_cap"] == 1000
+        ):
+            s_t, s_n = got[900][2], got[901][2]
+            if s_t is not None and s_n is not None and s_t < s_n:
+                fails += 1
+                print(f"DSIR TILT INVERTED kw={kw}: {s_t} < {s_n}")
+    return fails
+
+
 def fuzz_time_travel(spark, rng, trials: int) -> int:
     """operators/snapshot.py TIMESTAMP AS OF + checkpoint resolution
     (queued r12 — q:snapshot_time_travel): random commit sequences
@@ -2457,6 +2549,7 @@ def main() -> int:
         ("semantic_decontam", fuzz_semantic_decontam),
         ("mor_dv", fuzz_mor_dv),
         ("time_travel", fuzz_time_travel),
+        ("dsir", fuzz_dsir),
     ):
         if only is not None and name not in only:
             continue

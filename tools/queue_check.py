@@ -62,6 +62,11 @@ QUEUE = [
     # @register block.
     ("upsert_into_snapshot_mor", "mor_upsert_summary_oracle", f"{OPS}.mor", "test_mor.py", "mor_dv", "snapshot_mor_upsert"),
     ("read_snapshot_asof", "time_travel_summary_oracle", f"{OPS}.snapshot", "test_asof_timestamp.py", "time_travel", "snapshot_time_travel"),
+    # queued r12 net-new 3 of 5: DSIR-style hashed n-gram importance
+    # weighting (Xie et al. 2023) — the data-SELECTION operator the
+    # LLM-pipeline layer lacked; exact integer ratio lanes, two
+    # bucket aggregates + one broadcast lane join
+    ("dsir_importance_weights", "dsir_importance_oracle", f"{OPS}.dsir", "test_dsir.py", "dsir", "dsir_weights"),
     ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
     ("mad_outlier_stats", "mad_outlier_oracle", f"{OPS}.curation", "test_mad_outliers.py", "mad", "mad_outliers"),
     ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
