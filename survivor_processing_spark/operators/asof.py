@@ -379,17 +379,28 @@ def _asof_union(left, right, left_on, right_on, by, direction="backward"):
         F.struct(*right_cols).alias("_rpay"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*by).orderBy("_ts", "_tag")
-        if by
-        else Window.orderBy("_ts", "_tag")
-    )
+    # BOTH directions run as RUNNING frames (UNBOUNDED PRECEDING →
+    # CURRENT ROW): Spark's WindowExec computes a running frame in
+    # O(n) per partition, but a (CURRENT ROW → UNBOUNDED FOLLOWING)
+    # frame by rescanning to the partition end for every row — O(n²),
+    # quadratic ruin on a hot key's timeline at scale (the same
+    # landmine operators/timeseries.py interpolate_linear hit).  The
+    # forward fill is the backward fill over the REVERSED (_ts, _tag)
+    # order: rows after the current one in ascending order are
+    # exactly the rows at-or-before it in descending order, and
+    # last(ignorenulls) picks the nearest — tie semantics unchanged
+    # (at equal ts the right row still sits on the looked-at side of
+    # the left row, per the tag assignment above).
     if fwd:
-        w = w.rowsBetween(0, Window.unboundedFollowing)
-        filled_pay = F.first("_rpay", ignorenulls=True).over(w)
+        order = [F.col("_ts").desc(), F.col("_tag").desc()]
     else:
-        w = w.rowsBetween(Window.unboundedPreceding, 0)
-        filled_pay = F.last("_rpay", ignorenulls=True).over(w)
+        order = [F.col("_ts").asc(), F.col("_tag").asc()]
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        if by
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    filled_pay = F.last("_rpay", ignorenulls=True).over(w)
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("_tag"),

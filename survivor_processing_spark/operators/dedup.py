@@ -237,6 +237,106 @@ def dedup_paragraphs(
     )
 
 
+def strip_boilerplate_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    delim: str = "\n\n",
+) -> DataFrame:
+    """Remove BOILERPLATE paragraphs: any paragraph appearing in at
+    least ``min_docs`` DISTINCT documents is dropped from EVERY
+    document (navigation chrome, cookie banners, license headers —
+    the CCNet/RefinedWeb curation step).  The complement of
+    :func:`dedup_paragraphs`, which keeps the globally FIRST copy:
+    keep-first preserves one copy of genuinely duplicated CONTENT,
+    while boilerplate is noise in its first document too — a corpus
+    needs both passes, in either order (they commute on disjoint
+    paragraph sets).
+
+    Returns ``(id_col, n_paras, n_kept, text_clean)`` for every
+    input document (``text_clean`` is '' when every paragraph is
+    boilerplate).  ``delim`` is a LITERAL separator (regex-quoted).
+
+    Scale shape (mirrors dedup_paragraphs): the document-frequency
+    count is a map-side-combinable two-phase distinct aggregate on
+    the paragraph key — a banner repeated a billion times costs one
+    partial per task; the flag-back join reuses the same paragraph
+    partitioning (AQE skew-split covers pathological banners) and
+    the boilerplate side carries ONLY paragraphs past the cut (a
+    tiny fraction of the corpus), so the join's build side is small
+    by construction; reassembly is one per-doc aggregate with a
+    ``struct(pos, para)`` sort — no global sort, no window, no
+    Python."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), f"\\Q{delim}\\E", -1)
+        ).alias("_pos", "_para"),
+    )
+    boiler = (
+        e.groupBy("_para")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_para", F.lit(True).alias("_boiler"))
+    )
+    j = e.join(boiler, "_para", "left")
+    kept = F.col("_boiler").isNull()
+    return (
+        j.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("_pos", "_para"))
+                        )
+                    ),
+                    lambda x: x["_para"],
+                ),
+                delim,
+            ).alias("text_clean"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def boilerplate_strip_oracle(
+    min_docs: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim_sql: str = "chr(10)",
+) -> str:
+    """Mechanically generate the DuckDB replay of
+    :func:`strip_boilerplate_paragraphs` from the same parameters.
+    ``delim_sql`` is a DuckDB expression for the literal delimiter
+    (the split AND the reassembly join use it)."""
+    split = f"string_split({text_col}, {delim_sql})"
+    return f"""WITH p AS (
+    SELECT {id_col} AS doc_id,
+           unnest({split}) AS para,
+           generate_subscripts({split}, 1) AS pos
+    FROM {table}
+), b AS (
+    SELECT para FROM p GROUP BY para
+    HAVING COUNT(DISTINCT doc_id) >= {int(min_docs)}
+), k AS (
+    SELECT p.doc_id, p.para, p.pos, b.para IS NULL AS kept
+    FROM p LEFT JOIN b ON b.para = p.para
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(para, {delim_sql} ORDER BY pos)
+                    FILTER (WHERE kept), '') AS text_clean
+FROM k GROUP BY doc_id"""
+
+
 def shingle_table(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
 ) -> DataFrame:

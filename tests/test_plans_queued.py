@@ -791,3 +791,30 @@ def test_dsir_broadcast_lane_mapside_no_python(spark):
     assert "partial_count" in plan or "partial count" in plan.lower()
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_boilerplate_strip_mapside_df_small_build_side(spark):
+    """operators/dedup.py strip_boilerplate_paragraphs (queued r12):
+    the document-frequency count must partial-aggregate map-side (a
+    billion-copy banner costs one partial per task, never a hot
+    window), the flag-back join must not cartesian, and everything
+    stays JVM-side."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.dedup import (
+        strip_boilerplate_paragraphs,
+    )
+
+    d = _docs(spark).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text"),
+    )
+    plan = _plan(
+        strip_boilerplate_paragraphs(d, "text", "doc_id", delim="\n")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # min-struct/df aggregates, no window
+    assert "partial_count" in plan
+    for node in PY_NODES:
+        assert node not in plan

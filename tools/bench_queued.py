@@ -26,6 +26,22 @@ def _execute(df) -> int:
     return df._jdf.queryExecution().toRdd().count()
 
 
+def _boilerplate_strip(docs):
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.dedup import (
+        strip_boilerplate_paragraphs,
+    )
+
+    d = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias(
+            "text"
+        ),
+    )
+    return strip_boilerplate_paragraphs(d, "text", "doc_id", delim="\n")
+
+
 def _dsir_weights(raw, target):
     from survivor_processing_spark.operators.dsir import (
         dsir_importance_weights,
@@ -401,6 +417,9 @@ def _ops(spark, sf_dir):
         "dsir_weights": lambda: _dsir_weights(
             docs, docs.filter("lang = 'en'")
         ),
+        # queued r12 net-new: boilerplate paragraph strip over the
+        # same derived-paragraph corpus the paragraph_dedup gate uses
+        "boilerplate_strip": lambda: _boilerplate_strip(docs),
     }
 
 

@@ -2398,6 +2398,70 @@ def fuzz_dsir(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_boilerplate(spark, rng, trials: int) -> int:
+    """operators/dedup.py strip_boilerplate_paragraphs (queued r12):
+    random corpora from a shared paragraph pool with planted banners,
+    random min_docs — full output vs the generated oracle, plus the
+    df-contract property (a paragraph's survival depends ONLY on its
+    distinct-doc count vs the cut, checked against a pure-Python
+    document-frequency model)."""
+    from survivor_processing_spark.operators.dedup import (
+        boilerplate_strip_oracle,
+        strip_boilerplate_paragraphs,
+    )
+
+    fails = 0
+    for _ in range(trials):
+        pool = [f"p{i}" for i in range(rng.randint(5, 20))]
+        texts = {
+            d: "\n".join(
+                rng.choice(pool) for _ in range(rng.randint(0, 8))
+            )
+            for d in range(rng.randint(3, 30))
+        }
+        min_docs = rng.choice([2, 3, 5])
+        df = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+            for r in strip_boilerplate_paragraphs(
+                df, "text", "doc_id", min_docs=min_docs, delim="\n"
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want = {
+            int(i): (int(p), int(k), t)
+            for i, p, k, t in con.execute(
+                boilerplate_strip_oracle(min_docs=min_docs)
+            ).fetchall()
+        }
+        if got != want:
+            fails += 1
+            print(f"BOILERPLATE MISMATCH min_docs={min_docs}")
+            continue
+        # pure-Python df model: exact survivor set per doc
+        dfreq: dict[str, set] = {}
+        for d, t in texts.items():
+            for para in t.split("\n"):
+                dfreq.setdefault(para, set()).add(d)
+        for d, t in texts.items():
+            model = [
+                p for p in t.split("\n") if len(dfreq[p]) < min_docs
+            ]
+            if got[d][2] != "\n".join(model):
+                fails += 1
+                print(f"BOILERPLATE MODEL DIVERGED doc={d}")
+                break
+    return fails
+
+
 def fuzz_time_travel(spark, rng, trials: int) -> int:
     """operators/snapshot.py TIMESTAMP AS OF + checkpoint resolution
     (queued r12 — q:snapshot_time_travel): random commit sequences
@@ -2550,6 +2614,7 @@ def main() -> int:
         ("mor_dv", fuzz_mor_dv),
         ("time_travel", fuzz_time_travel),
         ("dsir", fuzz_dsir),
+        ("boilerplate", fuzz_boilerplate),
     ):
         if only is not None and name not in only:
             continue

@@ -67,6 +67,11 @@ QUEUE = [
     # LLM-pipeline layer lacked; exact integer ratio lanes, two
     # bucket aggregates + one broadcast lane join
     ("dsir_importance_weights", "dsir_importance_oracle", f"{OPS}.dsir", "test_dsir.py", "dsir", "dsir_weights"),
+    # queued r12 net-new 4 of 5: document-frequency boilerplate
+    # paragraph stripping (CCNet/RefinedWeb pass) — the complement of
+    # the keep-first paragraph dedup; df count map-side combined,
+    # boilerplate join build side tiny by construction
+    ("strip_boilerplate_paragraphs", "boilerplate_strip_oracle", f"{OPS}.dedup", "test_boilerplate.py", "boilerplate", "boilerplate_strip"),
     ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
     ("mad_outlier_stats", "mad_outlier_oracle", f"{OPS}.curation", "test_mad_outliers.py", "mad", "mad_outliers"),
     ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
