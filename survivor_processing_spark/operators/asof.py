@@ -351,10 +351,15 @@ def _asof_union(left, right, left_on, right_on, by, direction="backward"):
 
     right_cols = [c for c in right.columns if c not in by]
     left_cols = left.columns
-    # backward: right rows (tag 0) sort BEFORE left rows at equal ts and
-    # last() looks back — exact ties match.  forward: right rows (tag 1)
-    # sort AFTER left rows and first() looks ahead — again, exact ties
-    # match.  Either way: ONE shuffle on the by-keys, no cartesian.
+    # Tag assignment places the right row on the LOOKED-AT side of a
+    # left row with the same ts, so exact ties match in both
+    # directions.  backward: right rows (tag 0) sort before left rows
+    # in the ascending (_ts, _tag) order and last() looks back.
+    # forward: right rows (tag 1) sort after left rows ascending — and
+    # the fill runs over the REVERSED (_ts desc, _tag desc) order (see
+    # the window note below), where they sort BEFORE the left row and
+    # last() again looks back.  Either way: ONE shuffle on the
+    # by-keys, no cartesian.
     #
     # The right payload travels as ONE struct, filled with a single
     # first/last(ignorenulls): filling each column independently would

@@ -255,8 +255,12 @@ def strip_boilerplate_paragraphs(
     paragraph sets).
 
     Returns ``(id_col, n_paras, n_kept, text_clean)`` for every
-    input document (``text_clean`` is '' when every paragraph is
-    boilerplate).  ``delim`` is a LITERAL separator (regex-quoted).
+    input document: ``text_clean`` is '' when every paragraph is
+    boilerplate, and a NULL-text document emits ``(0, 0, NULL)`` —
+    nothing to strip is not an empty result (the Spark split of NULL
+    and the DuckDB unnest of NULL disagree row-wise, so NULL rows
+    are handled explicitly on both sides to keep the oracle exact).
+    ``delim`` is a LITERAL separator (regex-quoted).
 
     Scale shape (mirrors dedup_paragraphs): the document-frequency
     count is a map-side-combinable two-phase distinct aggregate on
@@ -270,9 +274,13 @@ def strip_boilerplate_paragraphs(
     Python."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # inner explode (NULL text contributes no paragraph rows — a
+    # posexplode_outer would mint a phantom NULL paragraph that the
+    # oracle's unnest never sees); NULL-text docs re-enter via the
+    # final left join back on the input ids
     e = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode_outer(
+        F.posexplode(
             F.split(F.col(text_col), f"\\Q{delim}\\E", -1)
         ).alias("_pos", "_para"),
     )
@@ -284,7 +292,7 @@ def strip_boilerplate_paragraphs(
     )
     j = e.join(boiler, "_para", "left")
     kept = F.col("_boiler").isNull()
-    return (
+    per_doc = (
         j.groupBy("_id")
         .agg(
             F.count("*").alias("n_paras"),
@@ -301,7 +309,16 @@ def strip_boilerplate_paragraphs(
                 delim,
             ).alias("text_clean"),
         )
-        .withColumnRenamed("_id", id_col)
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            "text_clean",
+        )
     )
 
 
@@ -328,13 +345,20 @@ def boilerplate_strip_oracle(
 ), k AS (
     SELECT p.doc_id, p.para, p.pos, b.para IS NULL AS kept
     FROM p LEFT JOIN b ON b.para = p.para
+), per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           COALESCE(string_agg(para, {delim_sql} ORDER BY pos)
+                        FILTER (WHERE kept), '') AS text_clean
+    FROM k GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*) AS n_paras,
-       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       COALESCE(string_agg(para, {delim_sql} ORDER BY pos)
-                    FILTER (WHERE kept), '') AS text_clean
-FROM k GROUP BY doc_id"""
+SELECT d.{id_col} AS doc_id,
+       COALESCE(p.n_paras, 0) AS n_paras,
+       COALESCE(p.n_kept, 0) AS n_kept,
+       p.text_clean
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}"""
 
 
 def shingle_table(

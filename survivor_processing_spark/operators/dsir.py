@@ -90,7 +90,13 @@ def dsir_importance_weights(
     b = _bucket_expr(n_buckets)
     raw_g = _grams(raw, text_col, id_col, n).withColumn("b", F.expr(b))
     tgt_g = _grams(target, text_col, id_col, n).withColumn("b", F.expr(b))
-    q = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("q"))
+    # ONE pass over the raw corpus (the 100 TB side): the per-doc
+    # bucket counts are aggregated first, and the corpus-wide bucket
+    # totals derive from THEM — aggregating q from raw_g directly
+    # would tokenize, explode, and md5 the whole corpus a second
+    # time (Spark recomputes un-cached lineage per action branch)
+    cnt = raw_g.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    q = cnt.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("q"))
     p = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("p"))
     # every bucket a raw doc references has a q row by construction;
     # buckets the target never hit smooth to p = 0
@@ -104,7 +110,6 @@ def dsir_importance_weights(
             ).alias("r"),
         )
     )
-    cnt = raw_g.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         cnt.join(F.broadcast(lane), "b")
         .groupBy("doc_id")

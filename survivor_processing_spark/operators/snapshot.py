@@ -149,13 +149,16 @@ def _latest_ckpt(
             except (OSError, json.JSONDecodeError):
                 continue  # torn/foreign checkpoint: fall back
             if ck.get("version") == c:
-                # deep copy so no caller can mutate the cached state
-                # in place (file_stats copies only one level; a
-                # mutated inner stat dict would poison the cache
-                # silently for every later read)
-                import copy as _copy
-
-                return _copy.deepcopy(ck)
+                # READ-ONLY CONTRACT: the returned object IS the
+                # cached parsed state — callers must copy anything
+                # they mutate or hand out (a mutated inner dict would
+                # poison the cache for every later read).  _replay /
+                # snapshot_dvs / table_schema already build fresh
+                # sets/lists from it; file_stats deep-copies the stat
+                # dicts it returns.  A defensive deepcopy here would
+                # cost O(files) per call — more than the json.load
+                # the cache exists to avoid.
+                return ck
     return None
 
 
@@ -425,14 +428,17 @@ def commit_version(
         os.makedirs(_log_path(table_dir), exist_ok=True)
         import time as _time
 
-        # commit wall-clock, CLAMPED to the parent entry's ts so the
-        # log's timestamps are monotone by construction (Delta's
-        # commit-timestamp adjustment): raw wall clock from whichever
-        # writer wins the claim can run backwards under clock skew /
-        # an NTP step, and a later version with an earlier ts would
-        # make the TIMESTAMP AS OF rule resolve past a version whose
-        # ts is in the future.  Monotonicity also legalizes the early
-        # break in version_at_timestamp.
+        # commit wall-clock, clamped STRICTLY ABOVE the parent
+        # entry's ts (parent + 1 ms — Delta's commit-timestamp
+        # adjustment bumps the same way): raw wall clock from
+        # whichever writer wins the claim can run backwards under
+        # clock skew / an NTP step, and even a healthy clock lands
+        # consecutive commits in the same ms-rounded instant — a TIE
+        # would make 'latest version with ts <= query' resolve a
+        # version's OWN commit time to its child (observed as a
+        # flaky as-of read before the strict bump).  Strict
+        # monotonicity also legalizes the early break in
+        # version_at_timestamp.
         ts = round(_time.time(), 3)
         if versions:
             try:
@@ -441,7 +447,7 @@ def commit_version(
             except (OSError, json.JSONDecodeError):
                 parent_ts = None  # expired/torn parent: keep wall clock
             if parent_ts is not None:
-                ts = max(ts, float(parent_ts))
+                ts = round(max(ts, float(parent_ts) + 0.001), 3)
         entry = {
             "version": v,
             # the TIMESTAMP AS OF resolver keys on it
@@ -517,8 +523,15 @@ def file_stats(
     ck = _latest_ckpt(table_dir, v, versions)
     if ck:
         # the checkpoint's stats map covers exactly its active set —
-        # the same state this loop would have built up to there
-        out = {f: dict(st) for f, st in ck.get("stats", {}).items()}
+        # the same state this loop would have built up to there.
+        # TWO-level copy (file dict AND per-column dicts): the
+        # checkpoint cache hands out its parsed state by reference
+        # (read-only contract), and this function's result escapes to
+        # callers who may mutate the inner stat dicts.
+        out = {
+            f: {c: dict(s) for c, s in st.items()}
+            for f, st in ck.get("stats", {}).items()
+        }
         start = ck["version"]
     for n in versions:
         if n <= start:
@@ -1178,22 +1191,27 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
     """Resolve TIMESTAMP AS OF semantics (Delta's rule): the LATEST
     version whose commit time is ≤ ``ts`` (epoch seconds).  Raises
     when ``ts`` predates the first commit — "the table did not exist
-    yet" is an error, not an empty read.  Entries from before commit
-    timestamps existed (no ``ts`` field) are treated as committed in
-    the unknown past, so they resolve for any requested time — the
-    backward-compatible reading.  Expiry preserves the cut version's
-    ORIGINAL time on its baseline rewrite, so maintenance never
-    shifts resolution.
+    yet" is an error, not an empty read.  Entries with no ``ts``
+    field (written before commit timestamps existed) INHERIT their
+    parent's commit time causally: a no-ts PREFIX is treated as the
+    unknown past (resolves for any requested time — the
+    backward-compatible reading for wholly-legacy logs), while a
+    no-ts entry that FOLLOWS a timestamped one cannot predate its
+    parent — it resolves only for times its parent also resolves
+    for.  (The alternative — treating a late legacy entry as the
+    unknown past — would let a query time from before the table
+    existed resolve to one of its newest versions.)  Expiry
+    preserves the cut version's ORIGINAL time on its baseline
+    rewrite, so maintenance never shifts resolution.
 
-    Commit timestamps are monotone by construction
+    Commit timestamps are STRICTLY increasing by construction
     (``commit_version`` clamps each entry's ts to
-    ``max(parent_ts, wall clock)`` — Delta's commit-timestamp
-    adjustment), so the scan breaks at the first entry past ``ts``
-    instead of opening every entry: O(versions ≤ ts), exact even
-    under writer clock skew.  A log written before the clamp existed
-    could in principle hold a locally non-monotonic pair; the break
-    then resolves to the first run's boundary — the same order
-    Delta's adjusted clock would have recorded."""
+    ``max(wall clock, parent_ts + 1 ms)`` — Delta's commit-timestamp
+    adjustment, tie-proof even for same-millisecond commits), so the
+    scan breaks at the first entry past ``ts`` instead of opening
+    every entry: O(versions ≤ ts), exact even under writer clock
+    skew, and exact for inherited legacy entries too (an entry after
+    the break inherits a time past the break by causality)."""
     versions = log_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshot log under {table_dir!r}")

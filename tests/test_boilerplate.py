@@ -56,6 +56,8 @@ FIX = {
     3: f"{BANNER}\nunique content three",
     4: "an island document",
     5: BANNER,  # pure boilerplate
+    6: None,  # NULL text: nothing to strip, not an empty result
+    7: "",  # empty string: ONE empty paragraph (df=1, survives)
 }
 
 
@@ -71,6 +73,11 @@ def test_fixed_cross_engine_and_semantics(spark):
     # a pure-boilerplate doc empties, an island is untouched
     assert got[5] == (1, 0, "")
     assert got[4] == (1, 1, "an island document")
+    # NULL text: (0, 0, NULL) on BOTH engines (Spark's split(NULL)
+    # and DuckDB's unnest(NULL) disagree row-wise — handled
+    # explicitly); empty string is one real empty paragraph
+    assert got[6] == (0, 0, None)
+    assert got[7] == (1, 1, "")
 
 
 def test_within_doc_repeats_do_not_count(spark):
@@ -90,6 +97,8 @@ def test_randomized_cross_engine(spark, seed):
         d: "\n".join(
             rng.choice(pool) for _ in range(rng.randint(0, 8))
         )
+        if rng.random() > 0.1
+        else None  # NULL docs ride along
         for d in range(30)
     }
     kw = {"min_docs": rng.choice([2, 3, 5])}

@@ -2417,6 +2417,8 @@ def fuzz_boilerplate(spark, rng, trials: int) -> int:
             d: "\n".join(
                 rng.choice(pool) for _ in range(rng.randint(0, 8))
             )
+            if rng.random() > 0.1
+            else None  # NULL docs: (0, 0, NULL) on both engines
             for d in range(rng.randint(3, 30))
         }
         min_docs = rng.choice([2, 3, 5])
@@ -2449,9 +2451,17 @@ def fuzz_boilerplate(spark, rng, trials: int) -> int:
         # pure-Python df model: exact survivor set per doc
         dfreq: dict[str, set] = {}
         for d, t in texts.items():
+            if t is None:
+                continue
             for para in t.split("\n"):
                 dfreq.setdefault(para, set()).add(d)
         for d, t in texts.items():
+            if t is None:
+                if got[d] != (0, 0, None):
+                    fails += 1
+                    print(f"BOILERPLATE NULL DOC diverged doc={d}")
+                    break
+                continue
             model = [
                 p for p in t.split("\n") if len(dfreq[p]) < min_docs
             ]
