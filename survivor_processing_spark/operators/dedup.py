@@ -193,8 +193,14 @@ def dedup_paragraphs(
 
     Returns (id_col, n_paras, n_kept, text_dedup) for every input
     document (``text_dedup`` is '' when every paragraph already
-    appeared earlier in the corpus).  ``delim`` is treated as a
-    LITERAL separator (regex-quoted internally).
+    appeared earlier in the corpus, and a NULL-text document emits
+    ``(0, 0, NULL)`` — same NULL contract as
+    :func:`strip_boilerplate_paragraphs`: Spark's
+    ``posexplode_outer(split(NULL))`` would mint a phantom NULL
+    paragraph that DuckDB's ``unnest`` never emits, so NULL rows are
+    excluded from the paragraph lattice by an INNER explode and
+    re-enter via a left join back on the input ids).  ``delim`` is
+    treated as a LITERAL separator (regex-quoted internally).
 
     Scale shape: the winner per paragraph is a ``min(struct(doc_id,
     pos))`` hash AGGREGATE — map-side combinable, so a boilerplate
@@ -207,7 +213,7 @@ def dedup_paragraphs(
     a doc rides a ``struct(pos, para)`` sort — no global sort."""
     e = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode_outer(
+        F.posexplode(
             F.split(F.col(text_col), f"\\Q{delim}\\E", -1)
         ).alias("_pos", "_para"),
     )
@@ -216,7 +222,7 @@ def dedup_paragraphs(
     )
     j = e.join(winners, "_para")
     kept = F.struct("_id", "_pos") == F.col("_w")
-    return (
+    per_doc = (
         j.groupBy("_id")
         .agg(
             F.count("*").alias("n_paras"),
@@ -233,7 +239,16 @@ def dedup_paragraphs(
                 delim,
             ).alias("text_dedup"),
         )
-        .withColumnRenamed("_id", id_col)
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            "text_dedup",
+        )
     )
 
 

@@ -220,28 +220,40 @@ def decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CCNet-style paragraph-level exact dedup: global keep-first per "
     "paragraph (min (doc_id, pos)), docs reassembled in original order; "
     "winner via map-side-combinable min-struct aggregate (NOT a "
-    "row_number window, which single-tasks hot boilerplate paragraphs)",
+    "row_number window, which single-tasks hot boilerplate paragraphs); "
+    "NULL-text docs (a deterministic 1/37 slice here, so the path can "
+    "never silently regress) emit (0, 0, NULL) via inner explode + "
+    "left-join-back — posexplode_outer would mint a phantom NULL "
+    "paragraph DuckDB's unnest never emits (ROTATION_r12 latent fix)",
     oracle="""
-WITH p AS (
+WITH src AS (
     SELECT doc_id,
-           unnest(string_split(replace(text, ' the ', chr(10)), chr(10)))
-               AS para,
-           generate_subscripts(
-               string_split(replace(text, ' the ', chr(10)), chr(10)), 1)
-               AS pos
+           CASE WHEN doc_id % 37 = 0 THEN NULL
+                ELSE replace(text, ' the ', chr(10)) END AS text
     FROM documents
+), p AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS para,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+    FROM src
 ), k AS (
     SELECT doc_id, para, pos,
            row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
                AS kept
     FROM p
+), g AS (
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE kept), '') AS text_dedup
+    FROM k GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*) AS n_paras,
-       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       COALESCE(string_agg(para, chr(10) ORDER BY pos)
-                    FILTER (WHERE kept), '') AS text_dedup
-FROM k GROUP BY doc_id
+SELECT s.doc_id,
+       COALESCE(g.n_paras, 0) AS n_paras,
+       COALESCE(g.n_kept, 0) AS n_kept,
+       g.text_dedup
+FROM src s LEFT JOIN g USING (doc_id)
 """,
 )
 def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,8 +261,15 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The synthetic corpus has no newlines; derive paragraph breaks
     # deterministically (identical literal replace in both engines).
+    # A 1/37 slice is NULLed in BOTH engines so the NULL-text contract
+    # (emit (0, 0, NULL), not a phantom paragraph) stays gate-exercised.
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n"))
+        ).alias("text"),
     )
     return dedup_paragraphs(d, "text", "doc_id", "\n")
 

@@ -657,7 +657,9 @@ def test_ngram_decontaminate_planted(spark):
 
 def test_dedup_paragraphs_keep_first(spark):
     """Global keep-first by (doc_id, pos); docs reassembled in original
-    order; a doc whose every paragraph appeared earlier keeps ''."""
+    order; a doc whose every paragraph appeared earlier keeps ''; a
+    NULL-text doc emits (0, 0, NULL) — NOT a phantom NULL paragraph
+    (the posexplode_outer divergence ROTATION_r12 flagged)."""
     from survivor_processing_spark.operators.dedup import dedup_paragraphs
 
     p = spark.createDataFrame(
@@ -666,6 +668,7 @@ def test_dedup_paragraphs_keep_first(spark):
             (2, "beta\ndelta\nbeta"),
             (3, "gamma\nalpha"),
             (4, "delta\nepsilon\nalpha"),
+            (5, None),
         ],
         "doc_id long, text string",
     )
@@ -678,6 +681,7 @@ def test_dedup_paragraphs_keep_first(spark):
         2: (3, 1, "delta"),
         3: (2, 0, ""),
         4: (3, 1, "epsilon"),
+        5: (0, 0, None),
     }
 
 
