@@ -756,7 +756,11 @@ def build_zonemap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- snapshot DML + merge-on-read gates (r11 — VERDICT r10 #1) -------------
 
-from ..operators.mor import mor_summary_oracle  # noqa: E402
+from ..operators.mor import (  # noqa: E402
+    mor_summary_oracle,
+    mor_upsert_summary_oracle,
+)
+from ..operators.snapshot import time_travel_summary_oracle  # noqa: E402
 from ..sinks.merge import dml_summary_oracle  # noqa: E402
 
 
@@ -894,20 +898,39 @@ def snapshot_mor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detach_and_cleanup(out, d)
 
 
-# --- QUEUED r12 (register r13 per VERDICT r11 #4/#5): the two gate
-# bodies below are driver-shaped but carry no @register block yet —
-# registration is "writing the decorator", per the queue discipline
-# (tools/queue_check.py).  Artifacts: closed-form oracles
-# (operators/mor.py mor_upsert_summary_oracle, operators/snapshot.py
+# --- Queued r12, REGISTERED r13 (VERDICT r11 #4/#5 -> VERDICT r12
+# "Next round" #2): registration = the @register block, nothing more —
+# both gate bodies, closed-form oracles (operators/mor.py
+# mor_upsert_summary_oracle, operators/snapshot.py
 # time_travel_summary_oracle), cross-engine tests (tests/test_mor.py,
 # tests/test_asof_timestamp.py), fuzz families `mor_dv` /
 # `time_travel` (tools/fuzz_portables.py), BENCH_QUEUED rows at both
-# sf dirs, plan audits (tests/test_plans_queued.py).
+# sf dirs, and plan audits (tests/test_plans_queued.py) landed in r12.
 
 
+@register(
+    "snapshot_mor_upsert",
+    doc="MERGE-ON-READ keyed UPSERT under driver gating (queued r12, "
+    "registered r13 per VERDICT r11 #4 / r12 #2 — the one lakehouse "
+    "DML writer that was driver-invisible; operators/mor.py "
+    "upsert_into_snapshot_mor): v2 = one atomic commit of tombstone "
+    "sidecars for matched keys + appended update/insert files; v3 = "
+    "an OVERLAPPING copy-on-write DELETE whose rewrite must apply "
+    "v2's deletion vectors (ignoring them would resurrect pre-update "
+    "row images); every version summarized through the DV-aware "
+    "time-travel read plus the row-exact change feed over the upsert "
+    "commit.  Oracle: closed-form mor_upsert_summary_oracle from the "
+    "same constants.  Reference anchor: the ON CONFLICT upsert "
+    "(load_helpers.py:28-33) at row-proportional cost.  (fuzz family "
+    "`mor_dv`; cross-engine tests tests/test_mor.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=mor_upsert_summary_oracle(
+        "o_orderkey", "o_totalprice", 300, 900, 1000, 100, 400, 600, 1500
+    ),
+)
 def snapshot_mor_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE-ON-READ keyed UPSERT under (future) driver gating — the
-    one lakehouse DML writer VERDICT r11 #4 flags as driver-invisible
+    """MERGE-ON-READ keyed UPSERT under driver gating (registered
+    r13) — the lakehouse DML writer VERDICT r11 #4 flagged as invisible
     (operators/mor.py upsert_into_snapshot_mor): stage orders as a
     range-clustered snapshot table (v1); v2 = MOR UPSERT of a source
     holding UPDATES (o_orderkey in [300, 900], o_totalprice + 1000)
@@ -1005,10 +1028,31 @@ def snapshot_mor_upsert_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detach_and_cleanup(out, d)
 
 
+@register(
+    "snapshot_time_travel",
+    doc="log checkpoints + TIMESTAMP AS OF under driver gating (queued "
+    "r12, registered r13 per VERDICT r11 #5 / r12 #2; "
+    "operators/snapshot.py checkpoint_snapshot / version_at_timestamp "
+    "/ read_snapshot_asof): 24 single-slice commits with a LOG "
+    "CHECKPOINT mid-stream at v12, removes at v25/v26; probe versions "
+    "{8, 12, 18, 24, 26} each summarized TWICE — read_snapshot(v) and "
+    "read_snapshot_asof(pinned commit epoch) — so checkpoint-seeded "
+    "replay == full replay == timestamp resolution under one value "
+    "hash (probes below the checkpoint must ignore it, probes at/above "
+    "must seed from it, and every as-of read must resolve to exactly "
+    "its pinned version; commit timestamps are monotone by "
+    "construction — commit_version clamps to the parent entry's ts).  "
+    "Oracle: closed-form time_travel_summary_oracle from the same "
+    "constants.  (fuzz family `time_travel`; cross-engine tests "
+    "tests/test_asof_timestamp.py; plan audit: as-of reads are "
+    "pre-plan pruned to the resolved version's files, "
+    "tests/test_plans_queued.py)",
+    oracle=time_travel_summary_oracle("o_orderkey", "o_totalprice"),
+)
 def snapshot_time_travel_gate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Log checkpoints + TIMESTAMP AS OF under (future) driver gating
+    """Log checkpoints + TIMESTAMP AS OF under driver gating (r13)
     (VERDICT r11 #5; operators/snapshot.py checkpoint_snapshot /
     version_at_timestamp / read_snapshot_asof): stage orders as 24
     single-slice commits (commit v adds o_orderkey % 24 == v-1),

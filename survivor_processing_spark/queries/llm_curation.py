@@ -533,3 +533,182 @@ def nfc_normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").selectExpr(_URL_SRC_EXPR)
     return url_canonicalize(d)
+
+
+from ..operators.dedup import (  # noqa: E402
+    boilerplate_strip_oracle,
+    strip_boilerplate_paragraphs,
+)
+from ..operators.dsir import (  # noqa: E402
+    dsir_importance_oracle,
+    dsir_importance_weights,
+)
+
+# Shared derivation for the two paragraph-lattice gates below: the
+# synthetic corpus has no newlines, so paragraph breaks derive from a
+# literal ' the ' replace (the paragraph_dedup trick), and a
+# deterministic 1/37 doc slice is NULLed in BOTH engines so the
+# NULL-text contract — (0, 0, NULL), never a phantom paragraph — stays
+# gate-exercised (the ROTATION_r12 divergence class).
+_PARA_SRC_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN NULL"
+    " ELSE replace(text, ' the ', chr(10)) END AS text FROM documents)"
+)
+
+
+def _para_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n"))
+        ).alias("text"),
+    )
+
+
+@register(
+    "boilerplate_strip",
+    doc="document-frequency boilerplate paragraph stripping — the "
+    "CCNet/RefinedWeb curation pass and the complement of the "
+    "keep-first q:paragraph_dedup (operators/dedup.py "
+    "strip_boilerplate_paragraphs — queued r12, registered r13 per "
+    "VERDICT r12 #3): a paragraph in >= 3 DISTINCT docs is dropped "
+    "from EVERY document including its first.  The df count is a "
+    "map-side-combinable two-phase distinct aggregate on the "
+    "paragraph key (a billion-copy banner costs one partial per "
+    "task); the flag-back join's build side carries ONLY paragraphs "
+    "past the cut; NULL-text docs (the 1/37 slice) emit (0, 0, NULL) "
+    "via inner explode + left-join-back.  BENCH_QUEUED: sub-linear "
+    "cost-per-row at the 10x corpus (0.32x).  (fuzz family "
+    "`boilerplate`; cross-engine tests tests/test_boilerplate.py; "
+    "no-window/map-side plan audit tests/test_plans_queued.py)",
+    oracle=boilerplate_strip_oracle(min_docs=3, table=_PARA_SRC_SQL),
+)
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_boilerplate_paragraphs(
+        _para_src(spark, sf_dir), "text", "doc_id", min_docs=3, delim="\n"
+    )
+
+
+@register(
+    "dsir_weights",
+    doc="DSIR-style hashed n-gram importance weighting (Xie et al. "
+    "2023) — the data-SELECTION pass that tilts a web-scale crawl "
+    "toward a target distribution before pretraining "
+    "(operators/dsir.py dsir_importance_weights — queued r12, "
+    "registered r13 per VERDICT r12 #3): raw = documents, target = "
+    "the deterministic 1/17 doc slice; exact integer ratio lanes "
+    "(md5-bucketed bigram features, add-1 smoothing, BIGINT-headroom "
+    "ratio cap) both engines replay bit-for-bit.  Scale shape: two "
+    "map-side bucket aggregates + ONE broadcast lane join — "
+    "O(n_buckets) state regardless of corpus size, the reason DSIR's "
+    "hashed features work at 100 TB where raw vocabularies do not; "
+    "the raw corpus is tokenized ONCE (corpus totals derive from the "
+    "per-doc bucket counts, single-scan pinned by the plan audit).  "
+    "BENCH_QUEUED: sub-linear cost-per-row at the 10x corpus "
+    "(0.67x).  (fuzz family `dsir`; cross-engine + monotone-tilt + "
+    "cap-binds tests tests/test_dsir.py; broadcast-lane/map-side/"
+    "no-Python plan audit tests/test_plans_queued.py)",
+    oracle=dsir_importance_oracle(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0",
+    ),
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, d.filter(F.col("doc_id") % 17 == 0)
+    )
+
+
+from ..operators.curation import (  # noqa: E402
+    k_anonymity_oracle,
+    k_anonymity_stats,
+    mad_outlier_oracle,
+    mad_outlier_stats,
+    winsorize_group_stats,
+    winsorize_oracle,
+)
+
+# Shared integer-lane quantization for the two robust-stats gates:
+# value is DOUBLE, and a raw double->bigint cast DIVERGES between
+# engines (Spark truncates toward zero, DuckDB rounds), so both
+# sides floor() first — IEEE multiply + floor + integral cast are
+# bit-identical.
+_ROBUST_SRC_SQL = (
+    "SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS v"
+    " FROM events"
+)
+
+
+def _robust_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").selectExpr(
+        "event_type AS g", "cast(floor(value * 1000) as bigint) AS v"
+    )
+
+
+@register(
+    "winsorize_group_stats",
+    doc="winsorized robust statistics per group — the outlier-clipping "
+    "quality signal for mixture planning (operators/curation.py "
+    "winsorize_group_stats — queued r11, registered r13 per VERDICT "
+    "r12 #6 drain order): nearest-rank p5/p95 bounds as exact "
+    "rational (num, den) BIGINT arithmetic on an integer lane "
+    "(doubles floored before the cast — raw double->bigint casts "
+    "diverge between engines), clip counts and winsorized sum exact "
+    "and tie-invariant.  Scale shape: ONE shuffle on the group key — "
+    "ranking window, bound extraction, and final aggregate share the "
+    "partitioning.  (fuzz family `winsorize`; cross-engine tests "
+    "tests/test_winsorize.py; plan audit tests/test_plans_queued.py)",
+    oracle=winsorize_oracle(["g"], "v", _ROBUST_SRC_SQL),
+)
+def winsorize_group_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorize_group_stats(_robust_src(spark, sf_dir), ["g"], "v")
+
+
+@register(
+    "mad_outlier_stats",
+    doc="median-absolute-deviation outlier statistics per group — the "
+    "robust sibling of q:winsorize_group_stats for heavy-tailed "
+    "quality signals where mean±k·stddev is dragged by the outliers "
+    "it should catch (operators/curation.py mad_outlier_stats — "
+    "queued r11, registered r13 per VERDICT r12 #6): nearest-rank "
+    "lower median, MAD as the same rank statistic over |v − med|, "
+    "outlier test cross-multiplied (d·1 > 3·mad) so everything is "
+    "BIGINT adds/compares, tie-invariant, engine-portable.  ONE "
+    "shuffle on the group key (both ranking windows + the aggregate "
+    "reuse the exchange).  (fuzz family `mad`; cross-engine tests "
+    "tests/test_mad_outliers.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=mad_outlier_oracle(["g"], "v", _ROBUST_SRC_SQL),
+)
+def mad_outlier_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outlier_stats(_robust_src(spark, sf_dir), ["g"], "v")
+
+
+@register(
+    "k_anonymity_stats",
+    doc="k-anonymity release audit — groups/rows suppressed at k=3 "
+    "over the quasi-identifier (o_orderpriority, o_custkey % 500) "
+    "(operators/curation.py k_anonymity_stats — queued r11, "
+    "registered r13 per VERDICT r12 #6): the release-gate a "
+    "training-data pipeline applies before publishing user-derived "
+    "tables — redaction hides VALUES (q:pii_redaction), suppression "
+    "hides MEMBERSHIP.  ONE shuffle on the quasi-key, then a scalar "
+    "aggregate over the group-sized table; skewed quasi-groups are "
+    "harmless (the aggregate only counts).  (fuzz family `kanon`; "
+    "unit + row-level-vs-summary agreement tests "
+    "tests/test_k_anonymity.py; plan audit "
+    "tests/test_plans_queued.py)",
+    oracle=k_anonymity_oracle(
+        ["p", "c"],
+        3,
+        "SELECT o_orderpriority AS p, o_custkey % 500 AS c FROM orders",
+    ),
+)
+def k_anonymity_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS p", "o_custkey % 500 AS c"
+    )
+    return k_anonymity_stats(src, ["p", "c"], 3)

@@ -53,28 +53,13 @@ OPS = "survivor_processing_spark.operators"
 # ngram_containment_pairs, ngram_coverage_score, interpolate_linear,
 # nfc_normalize_text, dice_collocations, bigram_fluency,
 # url_canonicalize.
+# r13 registrations REMOVED likewise (VERDICT r12 #2/#3/#6):
+# upsert_into_snapshot_mor (-> q:snapshot_mor_upsert),
+# read_snapshot_asof (-> q:snapshot_time_travel),
+# dsir_importance_weights (-> q:dsir_weights),
+# strip_boilerplate_paragraphs (-> q:boilerplate_strip),
+# winsorize_group_stats, mad_outlier_stats, k_anonymity_stats.
 QUEUE = [
-    # queued r12 (net-new 2 of cap 5 = registrations 7 − 2 —
-    # ROTATION_r12.md; VERDICT r11 #4/#5): the two driver-invisible
-    # lakehouse surfaces.  Gate bodies already written
-    # (queries/etl.py snapshot_mor_upsert_gate /
-    # snapshot_time_travel_gate) — registering r13 = writing the
-    # @register block.
-    ("upsert_into_snapshot_mor", "mor_upsert_summary_oracle", f"{OPS}.mor", "test_mor.py", "mor_dv", "snapshot_mor_upsert"),
-    ("read_snapshot_asof", "time_travel_summary_oracle", f"{OPS}.snapshot", "test_asof_timestamp.py", "time_travel", "snapshot_time_travel"),
-    # queued r12 net-new 3 of 5: DSIR-style hashed n-gram importance
-    # weighting (Xie et al. 2023) — the data-SELECTION operator the
-    # LLM-pipeline layer lacked; exact integer ratio lanes, two
-    # bucket aggregates + one broadcast lane join
-    ("dsir_importance_weights", "dsir_importance_oracle", f"{OPS}.dsir", "test_dsir.py", "dsir", "dsir_weights"),
-    # queued r12 net-new 4 of 5: document-frequency boilerplate
-    # paragraph stripping (CCNet/RefinedWeb pass) — the complement of
-    # the keep-first paragraph dedup; df count map-side combined,
-    # boilerplate join build side tiny by construction
-    ("strip_boilerplate_paragraphs", "boilerplate_strip_oracle", f"{OPS}.dedup", "test_boilerplate.py", "boilerplate", "boilerplate_strip"),
-    ("winsorize_group_stats", "winsorize_oracle", f"{OPS}.curation", "test_winsorize.py", "winsorize", "winsorize"),
-    ("mad_outlier_stats", "mad_outlier_oracle", f"{OPS}.curation", "test_mad_outliers.py", "mad", "mad_outliers"),
-    ("k_anonymity_stats", "k_anonymity_oracle", f"{OPS}.curation", "test_k_anonymity.py", "kanon", "k_anonymity"),
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
