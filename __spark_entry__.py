@@ -36,82 +36,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # query gets driver visibility, and anything the driver flagged
 # re-verifies next round.
 #
-# Round-12 window (executes VERDICT r11 "Next round" #1/#2/#4/#5;
+# Round-13 window (executes VERDICT r12 "Next round" #1/#2/#3/#4/#8;
 # cohort computed by tools/staleness.py, not asserted by hand —
-# accounting in ROTATION_r12.md): (b) the SEVEN queue registrations
-# landed THIS round — ngram_containment_pairs (registered only AFTER
-# the idle-host scale adjudication VERDICT r11 "What's wrong" #1
-# demanded: cost-per-row at the 10x scaled corpus within 2x of
-# sf0.1, BENCH_QUEUED.json), ngram_coverage_score, interpolate_linear,
-# nfc_normalize_text (the documented vectorized-pandas-UDF case),
-# dice_collocations, bigram_fluency, url_canonicalize — each paired
-# against a retirement of a semantics twin FROM the r09-latest
-# cohort (substring_dedup_clean, gap_fill_forward_fill,
-# zorder_morton_keys, tfidf_top_terms, content_fingerprint,
-# snapshot_summary, entity_quarantine_roundtrip; carriers named in
-# the RETIRED comments), which is what makes the window close:
-# (c) the ENTIRE remaining r09-latest cohort — 50 computed by the
-# tool minus the seven retirees = 43.  7 + 43 = 50 exactly; after
-# this round `python tools/staleness.py --max-stale-round 10` must
-# exit 0 (floor moves to r10).  stream_snapshot_ingest (r11-green)
-# re-enters NEXT round's changed-gate front-load: its gate was
-# slimmed this round (VERDICT r11 #3) and re-verified hash-green at
-# sf0.01 this session.  Every r12 registration was verified
-# hash-green at sf0.01 AND sf0.1 this session before entering the
-# window.
+# accounting in ROTATION_r13.md): (a) TWO changed-gate front-loads —
+# paragraph_dedup (its registered SEMANTICS changed this round: the
+# latent NULL-text divergence VERDICT r12 "What's wrong" #1 named is
+# fixed via inner explode + left-join-back, the gate now NULLs a
+# deterministic 1/37 doc slice in both engines, oracle updated in
+# lockstep) and stream_snapshot_ingest (its gate was slimmed r12 per
+# VERDICT r11 #3; ROTATION_r12 names it for this window); (b) the
+# SEVEN queue registrations landed THIS round — snapshot_mor_upsert,
+# snapshot_time_travel (VERDICT r12 #2), dsir_weights,
+# boilerplate_strip (VERDICT r12 #3), winsorize_group_stats,
+# mad_outlier_stats, k_anonymity_stats (VERDICT r12 #6 drain order)
+# — paired against NINE retirements from the r10-latest cohort
+# (merge_upsert_idempotent, exact_dedup_docs, pq_train_encode,
+# multimodal_decode_features, ngram_jaccard_pairs,
+# embedding_near_dup_pairs, token_budget_mix, ivf_recall_bound,
+# json_extract_payload; carriers named in the RETIRED comments —
+# two MORE retirements than registrations because the two
+# changed-gate front-loads consume window slots the cohort can't
+# cede: 2 + 7 + (50 − 9) = 50 exactly, registry 150 → 148); (c) the
+# ENTIRE remaining r10-latest cohort — 41 computed by the tool.
+# After this round `python tools/staleness.py --max-stale-round 11`
+# must exit 0 (floor moves to r11).  Every r13 registration AND both
+# changed gates were verified hash-green at sf0.01 AND sf0.1 this
+# session before entering the window.
 _PRIORITY = [
-    # (b) new registrations this round (r12 tranche, VERDICT r11 #1)
-    "ngram_containment_pairs",
-    "ngram_coverage_score",
-    "interpolate_linear",
-    "nfc_normalize_text",
-    "dice_collocations",
-    "bigram_fluency",
-    "url_canonicalize",
-    # (c) the full remaining r09-latest cohort (43)
-    "bpe_token_budget",
-    "bucketed_join_colocated",
-    "cdc_apply_changelog",
-    "cohort_retention",
-    "corpus_curation_pipeline",
-    "csv_scan_typed",
-    "cumulative_window_sums",
-    "domain_rebalance_sample",
-    "dq_constraint_audit",
-    "embedding_dim_stats",
-    "embedding_lsh_portable_pairs",
-    "event_transition_matrix",
-    "export_balanced_shards",
-    "filesync_modified_since",
-    "funnel_stage_counts",
-    "grouping_sets_agg",
-    "incremental_agg_merge",
-    "jsonl_scan",
-    "kmeans_lloyd_portable",
-    "minhash_lsh_pairs",
-    "mode_median_per_group",
-    "multimodal_wav_slice",
-    "near_dup_keep_best",
-    "ntile_decile_stats",
-    "orc_roundtrip_scan",
-    "partition_pruned_scan",
-    "pivot_event_type_wide",
-    "quality_model_score",
-    "range_join_binned",
-    "safe_math_try_ops",
-    "schema_evolution_scan",
-    "sketch_distinct_quantiles",
-    "skew_salted_join_agg",
-    "sq8_summary",
-    "stream_interval_join",
-    "stream_static_enrich_join",
-    "streaming_dedup_within_watermark",
-    "streaming_foreachbatch_merge",
-    "streaming_incremental_agg",
-    "streaming_session_windows",
-    "streaming_windowed_counts",
-    "value_histogram_equiwidth",
-    "variant_props_agg",
+    # (a) changed-gate front-loads (semantics changed this round)
+    "paragraph_dedup",
+    "stream_snapshot_ingest",
+    # (b) new registrations this round (r13 tranche, VERDICT r12
+    # #2/#3/#6)
+    "snapshot_mor_upsert",
+    "snapshot_time_travel",
+    "dsir_weights",
+    "boilerplate_strip",
+    "winsorize_group_stats",
+    "mad_outlier_stats",
+    "k_anonymity_stats",
+    # (c) the full remaining r10-latest cohort (41)
+    "anti_join_new_entities",
+    "array_numbered_columns",
+    "asof_join_forward_keyed",
+    "asof_join_keyed",
+    "asof_join_nearest_broadcast",
+    "broadcast_lookup_join",
+    "build_zonemap",
+    "containment_join_nullout",
+    "cosine_topk",
+    "date_parse_epoch",
+    "date_window_predicate",
+    "derivation_chain",
+    "entity_resolution_cascade",
+    "explode_distinct_union",
+    "explode_map_of_arrays",
+    "flagship_contestant_stats",
+    "fuzzy_name_match_dist2",
+    "geo_mean_udaf",
+    "grouped_sum_all_measures",
+    "id_minting_sequential",
+    "interval_merge_islands",
+    "kmeans_clusters",
+    "multimodal_gif_frames",
+    "multimodal_header_parse",
+    "multiway_left_join",
+    "null_normalize_unit_scale",
+    "ols_trend_exact",
+    "pq_adc_topk",
+    "scd2_order_history",
+    "schema_sync_project",
+    "semantic_decontaminate",
+    "session_window_agg",
+    "sliding_range_window",
+    "stratified_exact_split",
+    "string_funcs_merge_key",
+    "text_quality_scores",
+    "to_json_roundtrip",
+    "triangle_counts",
+    "unpivot_measures",
+    "weighted_sample_aes",
+    "window_rank_placement",
 ]
 
 

@@ -33,10 +33,7 @@ HEADLINE = [
     "asof_join_forward_keyed",
     "containment_join_nullout",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
     "simhash_portable_pairs",
-    "exact_dedup_docs",
-    "embedding_near_dup_pairs",
     "cosine_topk",
     "text_quality_scores",
     "session_window_agg",
@@ -64,8 +61,9 @@ HEADLINE = [
     # round 6
     "kmeans_lloyd_portable",
     "multimodal_wav_slice",
-    # round 7
-    "ivf_recall_bound",
+    # round 7 (ivf_recall_bound left the set with its r13 retirement —
+    # carrier q:ivf_topk_exact above; the sf1 stretch tier still
+    # measures the exact-Jaccard operator directly)
     "kmeans_clusters",
     "multimodal_gif_frames",
     "semantic_dedup_portable",
@@ -89,7 +87,8 @@ HEADLINE = [
     # slot, simhash_near_pairs -> simhash_portable_pairs slot,
     # rollup_multilevel_agg -> grouping_sets_agg slot,
     # fuzzy_name_match dropped)
-    "pq_train_encode",
+    # (pq_train_encode left with its r13 retirement — q:pq_adc_topk
+    # executes the identical train+encode inside)
     "pq_adc_topk",
     "semantic_decontaminate",
     "stratified_exact_split",
@@ -110,6 +109,17 @@ HEADLINE = [
     "dice_collocations",
     "bigram_fluency",
     "url_canonicalize",
+    # round 13 (queue registrations — VERDICT r12 #2/#3/#6; the five
+    # r13 retirements above — ngram_jaccard_pairs, exact_dedup_docs,
+    # embedding_near_dup_pairs, ivf_recall_bound, pq_train_encode —
+    # left the set with carriers named in their RETIRED comments)
+    "snapshot_mor_upsert",
+    "snapshot_time_travel",
+    "dsir_weights",
+    "boilerplate_strip",
+    "winsorize_group_stats",
+    "mad_outlier_stats",
+    "k_anonymity_stats",
 ]
 
 
@@ -125,7 +135,11 @@ HEADLINE = [
 # near-dup default remains MinHash-LSH, operators/dedup.py).  The
 # sf0.1 driver-shape tier keeps them in the headline: they are cheap
 # there and the round-over-round series stays unbroken.
-STRETCH_EXACT_GATES = ["ngram_jaccard_pairs"]
+# r13: the q:ngram_jaccard_pairs registration retired (carrier
+# q:ngram_containment_pairs); the stretch tier keeps measuring the
+# OPERATOR directly under the same keys so the sf1 series stays
+# unbroken.
+STRETCH_EXACT_GATES: list[str] = []
 
 
 def _execute(df) -> None:
@@ -171,39 +185,54 @@ def _calibration(spark) -> float:
     return round(best, 3)
 
 
+def _job_overhead(spark) -> float:
+    """Second calibration probe (VERDICT r12 "What's wrong" #2): the
+    xxhash64 probe is pure compute and blind to PER-JOB scheduling/IO
+    drift — the exact class that moved sub-second multi-job gates
+    6-8x in the r12 idle artifact while the compute probe read
+    identical.  This one measures orchestration: best-of-3 wall for
+    50 trivial single-task jobs, so a bench artifact now separates
+    CPU-bound movement (calibration_sec) from per-job-overhead
+    movement (job_overhead_sec) mechanically."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _j in range(50):
+            spark.range(0, 1, numPartitions=1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _queries_from_tail(tail: str) -> dict | None:
     """Recover the per-query timing dict from a DRIVER-wrapped bench
     artifact (``{"tail": "<truncated stdout>", "parsed": null}``) —
     the driver truncates our JSON line from the FRONT, so the tail
     starts mid-document but the ``"queries": {...}`` object survives
     intact in every committed artifact (VERDICT r11 "What's wrong"
-    #2).  Finds the (possibly key-truncated) ``ueries": {`` marker,
-    brace-matches to the object's end, and json-parses just that
-    span.  None when the marker or a balanced object isn't there."""
+    #2).  Finds the (possibly key-truncated) ``ueries": {`` marker
+    and raw_decodes ONE JSON value from the first ``{`` after it —
+    string-context-aware, so a brace inside any key or value cannot
+    unbalance the parse the way the old hand-rolled brace matcher
+    could (ADVICE r12).  None when the marker is missing or the span
+    doesn't parse as a dict."""
     i = tail.find('ueries"')
     if i < 0:
         return None
     j = tail.find("{", i)
     if j < 0:
         return None
-    depth = 0
-    for k in range(j, len(tail)):
-        if tail[k] == "{":
-            depth += 1
-        elif tail[k] == "}":
-            depth -= 1
-            if depth == 0:
-                try:
-                    d = json.loads(tail[j : k + 1])
-                except json.JSONDecodeError:
-                    return None
-                if not isinstance(d, dict):
-                    return None
-                try:
-                    return {str(q): float(v) for q, v in d.items()}
-                except (TypeError, ValueError):
-                    return None
-    return None
+    try:
+        d, _ = json.JSONDecoder().raw_decode(tail, j)
+    except json.JSONDecodeError:
+        return None
+    if not isinstance(d, dict):
+        return None
+    try:
+        return {str(q): float(v) for q, v in d.items()}
+    except (TypeError, ValueError):
+        return None
 
 
 def _prior_common(queries: dict[str, float], sf: float) -> dict | None:
@@ -374,6 +403,7 @@ def main() -> None:
     for name in HEADLINE:  # warm-up: JVM, codegen, file listing
         _execute(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
     cal = _calibration(spark)
+    job_ovh = _job_overhead(spark)
 
     measured = (
         [n for n in HEADLINE if n not in STRETCH_EXACT_GATES]
@@ -391,22 +421,25 @@ def main() -> None:
             ngram_jaccard_pairs,
         )
 
-        for name in STRETCH_EXACT_GATES:
-            exact_gates[f"{name}_gate"] = round(
-                run_one(spark, name, sf_dir, reps=2), 3
-            )
-        # the documented production-shaped configuration beside it
         docs = load_table(spark, sf_dir, "documents")
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _execute(
-                ngram_jaccard_pairs(
-                    docs, "text", "doc_id", threshold=0.5, max_posting=256
+        # the retired gate's exact configuration AND the documented
+        # production-shaped cap, both through the operator (keys
+        # unchanged from the pre-r13 series)
+        for key, cap in (
+            ("ngram_jaccard_pairs_gate", 1000),
+            ("ngram_jaccard_pairs_cap256", 256),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _execute(
+                    ngram_jaccard_pairs(
+                        docs, "text", "doc_id",
+                        threshold=0.5, max_posting=cap,
+                    )
                 )
-            )
-            best = min(best, time.perf_counter() - t0)
-        exact_gates["ngram_jaccard_pairs_cap256"] = round(best, 3)
+                best = min(best, time.perf_counter() - t0)
+            exact_gates[key] = round(best, 3)
     out = {
         "metric": (
             "headline_queries_total_wall_stretch"
@@ -419,6 +452,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "calibration_sec": cal,
+        "job_overhead_sec": job_ovh,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "prior_common": (

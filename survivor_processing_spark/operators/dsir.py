@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 from .dedup import ngrams_from_words, tokens_expr
 
@@ -94,8 +95,19 @@ def dsir_importance_weights(
     # bucket counts are aggregated first, and the corpus-wide bucket
     # totals derive from THEM — aggregating q from raw_g directly
     # would tokenize, explode, and md5 the whole corpus a second
-    # time (Spark recomputes un-cached lineage per action branch)
-    cnt = raw_g.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    # time.  The derivation only holds if cnt is MATERIALIZED: its
+    # subtree feeds two consumers (the q aggregate and the per_doc
+    # join) and Spark recomputes un-cached lineage per branch — the
+    # two branches even canonicalize differently (a join-side
+    # isnotnull), so ReusedExchange never fires (ADVICE r12).
+    # persist() pins it: integer-only (doc, bucket, cnt) rows, orders
+    # of magnitude under the raw text, MEMORY_AND_DISK spills at
+    # scale; the plan audit asserts the single text scan.
+    cnt = (
+        raw_g.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     q = cnt.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("q"))
     p = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("p"))
     # every bucket a raw doc references has a q row by construction;

@@ -1204,25 +1204,38 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
     preserves the cut version's ORIGINAL time on its baseline
     rewrite, so maintenance never shifts resolution.
 
-    Commit timestamps are STRICTLY increasing by construction
-    (``commit_version`` clamps each entry's ts to
-    ``max(wall clock, parent_ts + 1 ms)`` — Delta's commit-timestamp
-    adjustment, tie-proof even for same-millisecond commits), so the
-    scan breaks at the first entry past ``ts`` instead of opening
-    every entry: O(versions ≤ ts), exact even under writer clock
-    skew, and exact for inherited legacy entries too (an entry after
-    the break inherits a time past the break by causality)."""
+    Commit timestamps are STRICTLY increasing by construction for
+    every log this engine writes (``commit_version`` clamps each
+    entry's ts to ``max(wall clock, parent_ts + 1 ms)`` — Delta's
+    commit-timestamp adjustment, tie-proof even for same-millisecond
+    commits).  LEGACY logs written before the clamp (raw wall clock)
+    can carry NON-monotone timestamps under writer clock skew, and a
+    break at the first entry past ``ts`` — the r12 fast path — would
+    either misresolve or raise on a query time sitting between
+    out-of-order entries; a later dip is undetectable without
+    reading past the break, so no early-exit scheme is exact for
+    them (ADVICE r12).  The resolver therefore reads EVERY entry's
+    timestamp: latest version with effective ts ≤ ``ts`` over the
+    whole log, exact for clamped and legacy logs alike.  Cost
+    context: this is one tiny JSON read per version — metadata of
+    the same order the log listing itself touches, and far below the
+    checkpoint-seeded DATA replay the resolved read then performs —
+    so exactness is bought for noise."""
     versions = log_versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshot log under {table_dir!r}")
     best: int | None = None
+    eff: float | None = None  # effective ts after legacy inheritance
     for n in versions:
         with open(_entry_path(table_dir, n)) as f:
             e_ts = json.load(f).get("ts")
-        if e_ts is None or float(e_ts) <= float(ts):
+        if e_ts is not None:
+            eff = float(e_ts)
+        # a no-ts entry keeps the previous eff (inherits its
+        # parent's commit time; a wholly-None prefix keeps None =
+        # the unknown past, which resolves for any query time)
+        if eff is None or eff <= float(ts):
             best = n
-        else:
-            break
     if best is None:
         raise ValueError(
             f"timestamp {ts} predates the first commit of {table_dir!r}"

@@ -132,72 +132,19 @@ def domain_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "source")
 
 
-LANG_TOKEN_BUDGETS = {
-    "en": 5000,
-    "es": 2000,
-    "de": 2000,
-    "fr": 2000,
-    "zh": 2000,
-}
-DEFAULT_LANG_BUDGET = 2000  # oracle CASE's ELSE branch — keep in sync
+# RETIRED r13 (VERDICT r12 #3 pairing discipline, paired with the
+# q:dsir_weights registration — the data-selection gate replacing
+# it): q:token_budget_mix — per-language token budgets via an
+# md5-ordered cumulative window.  Carried by
+# q:domain_rebalance_sample (r12-green — the SAME deterministic
+# md5(doc_id)-order per-group draw, through the skew-proof salted
+# top-k), by q:cumulative_window_sums (r12-green — the
+# key-partitioned running-window machinery the budget rides), by
+# q:dsir_weights (registered r13, hash-green — the importance-scored
+# selection pass a mixture planner feeds), and by the
+# token_count_expr lattice under q:text_quality_scores and the
+# packing gate.  Accounting: ROTATION_r13.md.
 
-
-@register(
-    "token_budget_mix",
-    doc="training-mix construction: per-language TOKEN budgets (not doc "
-    "counts) — docs draw in md5(doc_id) order per language until the "
-    "language's running token total would stay under budget.  The "
-    "running total is one cumulative window per language partition; "
-    "the deterministic draw makes the mix reproducible across engines "
-    "and reruns.  Hot languages (en at 60%+ of a crawl) sort within "
-    "their own partition only; for truly giant single-language corpora "
-    "pre-filter by hash range before the window",
-    oracle="""
-WITH t AS (
-    SELECT doc_id, lang,
-           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                            ' ')) AS n_tokens
-    FROM documents
-), c AS (
-    SELECT doc_id, lang, n_tokens,
-           CAST(SUM(n_tokens) OVER (PARTITION BY lang
-                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-    FROM t
-)
-SELECT doc_id, lang, n_tokens, cum_tokens
-FROM c
-WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000 ELSE 2000 END
-""",
-)
-def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textstats import token_count_expr
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("_h"),
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("_h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    budget = F.create_map(
-        *[F.lit(x) for kv in LANG_TOKEN_BUDGETS.items() for x in kv]
-    )
-    return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        # coalesce mirrors the oracle's CASE ELSE branch: a lang absent
-        # from LANG_TOKEN_BUDGETS gets the default non-en budget rather
-        # than a NULL comparison that silently drops every doc
-        .filter(
-            F.col("cum_tokens")
-            <= F.coalesce(budget[F.col("lang")], F.lit(DEFAULT_LANG_BUDGET))
-        )
-        .select("doc_id", "lang", "n_tokens", "cum_tokens")
-    )
 
 
 @register(

@@ -65,61 +65,21 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- B1/N3: MERGE upsert + idempotent replay --------------------------------
 
 
-@register(
-    "merge_upsert_idempotent",
-    doc="reference load_helpers.py:4-39 ON CONFLICT upsert + N3 idempotent "
-    "replay — MERGE an update batch TWICE into a real parquet table and "
-    "return the end state; oracle computes updates-win semantics in SQL",
-    oracle="""
-WITH initial AS (
-    -- (l_orderkey, l_linenumber) is NOT unique in the raw data;
-    -- aggregate first so merge inputs have deterministic unique keys
-    SELECT l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-    FROM lineitem WHERE l_linenumber <= 2
-    GROUP BY l_orderkey, l_linenumber
-), updates AS (
-    SELECT l_orderkey, l_linenumber, qty * 2 AS qty
-    FROM initial WHERE l_linenumber = 2
-    UNION ALL
-    SELECT CAST(-1 AS BIGINT), CAST(1 AS INTEGER), CAST(99.0 AS DOUBLE)
-)
-SELECT * FROM updates
-UNION ALL
-SELECT i.* FROM initial i
-WHERE NOT EXISTS (
-    SELECT 1 FROM updates u
-    WHERE u.l_orderkey = i.l_orderkey AND u.l_linenumber = i.l_linenumber
-)
-""",
-)
-def merge_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    initial = (
-        li.filter(F.col("l_linenumber") <= 2)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("qty")
-        )
-    )
-    updates = (
-        initial.filter(F.col("l_linenumber") == 2)
-        .select("l_orderkey", "l_linenumber", (F.col("qty") * 2).alias("qty"))
-        .unionByName(
-            spark.createDataFrame(
-                [(-1, 1, 99.0)], "l_orderkey long, l_linenumber int, qty double"
-            )
-        )
-    )
-    path = f"{tempfile.gettempdir()}/spark_graft_merge_{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(path, ignore_errors=True)
-    keys = ["l_orderkey", "l_linenumber"]
-    merge_upsert(spark, path, initial, keys)
-    merge_upsert(spark, path, updates, keys)
-    merge_upsert(spark, path, updates, keys)  # replay: must be a no-op
-    return _detach_and_cleanup(spark.read.parquet(path), path)
+# RETIRED r13 (VERDICT r12 #2/#6 pairing discipline, paired with the
+# q:snapshot_mor_upsert registration): q:merge_upsert_idempotent —
+# MERGE an update batch TWICE into a parquet table, updates-win end
+# state (B1/N3).  Carried by q:snapshot_mor_upsert (registered r13,
+# hash-green — the strictly harder keyed upsert over the snapshot
+# log: tombstone DVs + appended files in one atomic commit, replay
+# idempotence enforced by the log's OCC), by
+# q:streaming_foreachbatch_merge (r12-green — the IDENTICAL
+# sinks/merge.py merge_upsert executed per micro-batch over a
+# pre-seeded table, updates-win under the same oracle shape), and by
+# the unit replay test (tests/test_round6_ops.py) pinning
+# double-merge == single-merge.  The N3 §2 row keeps two registered
+# gates (foreachbatch + stream_snapshot_ingest).  Accounting:
+# ROTATION_r13.md.
+
 
 
 # --- N1 streaming: watermark + tumbling-window aggregation ------------------

@@ -20,13 +20,10 @@ from ..operators.decontam import (
 )
 from ..operators.pq import pq_adc_topk as _pq_adc_topk
 from ..operators.pq import pq_adc_topk_oracle as _pq_adc_oracle
-from ..operators.pq import pq_portable_oracle as _pq_oracle
-from ..operators.pq import pq_train_encode as _pq_train_encode
 from ..operators.quantize import sq8_summary as _sq8_summary
 from ..operators.quantize import sq8_summary_oracle as _sq8_oracle
 from ..operators.similarity import (
     brute_force_topk,
-    ivf_recall_bound,
     ivf_topk,
 )
 from ._registry import register
@@ -167,8 +164,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted list is probed, so the result is bit-identical to exact "
     "brute-force top-10 and the full value-hash oracle applies.  This "
     "hash-gates the IVF machinery itself; the approximate n_probe=4 "
-    "configuration is adjudicated by q:ivf_recall_bound (its "
-    "partial-row registration was RETIRED r8).  The "
+    "configuration is adjudicated by the ivf_recall_bound unit "
+    "test (its gate RETIRED r13, the contract pinned in pytest).  The "
     "degrades-to-exact property is also pinned in "
     "tests/test_operators.py",
     oracle="""
@@ -191,36 +188,17 @@ def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ivf_recall_bound",
-    doc="the IVF-Flat accuracy CONTRACT as a checkable row (queued in "
-    "ROTATION_r06.md; the same error-bound technique that turned the "
-    "sketch row hash-green in r6): run the approximate n_probe=4 IVF "
-    "top-10 AND the exact brute-force top-10 in one pipeline over the "
-    "serving config (n_probe=4 of 16 lists — the partial-row "
-    "q:ivf_topk registration this gate replaced, RETIRED r8), "
-    "semi-join the id sets, and emit "
-    "(k, recall >= ceil(0.5*k)) — ANN result SETS are never "
-    "bit-comparable across engines, their recall floor is.  Both arms "
-    "share the corpus scan; the join is k-vs-k row counts, "
-    "driver-free and output-bounded.  operators/similarity.py:295",
-    oracle="""
-SELECT 10 AS k, TRUE AS recall_above_floor
-""",
-)
-def ivf_recall_bound_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    )
-    return ivf_recall_bound(
-        e,
-        [float(x) for x in qvec],
-        k=10,
-        n_centroids=16,
-        n_probe=4,
-        min_recall=0.5,
-    )
+# RETIRED r13 (VERDICT r12 pairing discipline): q:ivf_recall_bound —
+# the n_probe=4 recall-floor contract row (constant-row oracle, the
+# weakest oracle in the r10 cohort).  Carried by q:ivf_topk_exact
+# (r11-green — the SAME IVF-Flat code path hash-gated end-to-end in
+# its degraded-to-exact n_probe=n_centroids configuration under a
+# full value oracle), by the degrades-to-exact pin and the
+# ivf_recall_bound unit test (tests/test_operators.py) which keep the
+# approximate-config recall floor asserted every pytest run, and by
+# q:kmeans_lloyd_portable (the coarse quantizer under its own value
+# oracle).  Accounting: ROTATION_r13.md.
+
 
 
 @register(
@@ -269,33 +247,18 @@ def _codes_str_oracle(inner: str) -> str:
     )
 
 
-@register(
-    "pq_train_encode",
-    doc="product quantization train+encode under driver gating "
-    "(operators/pq.py:62 — Jégou et al. 2011, the compression half "
-    "of IVF-PQ; queued since r7, registered r10): m=4 sub-codebooks "
-    "of k=8 centroids trained in 2 ENGINE-PORTABLE Lloyd rounds "
-    "(integer lanes, md5 seed order, floor-division means — the "
-    "kmeans_lloyd_portable recipe with the subspace as a DATA "
-    "dimension: all 4 sub-quantizers share the SAME two distributed "
-    "passes per iteration, driver traffic = the k x dim lane-sum "
-    "matrix), then every vector encodes to 4 codes + the exact "
-    "integer reconstruction error.  64 x compression for a 100 TB "
-    "embedding corpus.  Oracle EMITTED by pq_portable_oracle from "
-    "the same parameters (fuzzed in tools/fuzz_portables.py `pq`); "
-    "codes rendered '|'-joined so both engines hash one "
-    "representation",
-    oracle=_codes_str_oracle(
-        _pq_oracle(m=4, k=8, iters=2, dim=64)
-    ),
-)
-def pq_train_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _codes_str(
-        _pq_train_encode(
-            load_table(spark, sf_dir, "embeddings"),
-            m=4, k=8, iters=2, dim=64,
-        )
-    )
+# RETIRED r13 (VERDICT r12 pairing discipline, paired with the
+# q:snapshot_time_travel registration): q:pq_train_encode — PQ
+# codebook train + encode + reconstruction error.  Carried by
+# q:pq_adc_topk (r10/r12-green — its gate EXECUTES the identical
+# operators/pq.py train+encode with the same constants (m=4, k=8,
+# iters=2) before the ADC ranking, so a wrong Lloyd round, seed
+# order, or code assignment flips that gate's hash), by the `pq`
+# fuzz family (tools/fuzz_portables.py — randomized train/encode vs
+# the generated oracle every round), and by q:sq8_summary +
+# q:kmeans_lloyd_portable (the shared integer-lane Lloyd recipe
+# under their own value oracles).  Accounting: ROTATION_r13.md.
+
 
 
 @register(

@@ -14,13 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.dedup import (
-    exact_dedup,
     minhash_dedup_pairs,
     ngram_containment_oracle,
     ngram_containment_pairs,
-    ngram_jaccard_pairs,
 )
-from ..operators.similarity import all_pairs_above
 from ..operators.substring import substring_dedup_spans as _substr_spans
 from ..operators.substring import substring_spans_oracle
 from ._registry import register
@@ -29,67 +26,32 @@ from ._registry import register
 # --- dedup -------------------------------------------------------------------
 
 
-@register(
-    "exact_dedup_docs",
-    doc="exact dedup: hash-groupBy on normalized text, min-id representative",
-    oracle="""
-SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-FROM (SELECT doc_id,
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-      FROM documents)
-GROUP BY norm
-""",
-)
-def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return exact_dedup(d, "text", "doc_id")
+# RETIRED r13 (VERDICT r12 #3 pairing discipline, paired with the
+# q:boilerplate_strip registration): q:exact_dedup_docs — hash-groupBy
+# exact dedup, min-id representative.  Carried by q:paragraph_dedup
+# (the SAME keep-first min-struct aggregate machinery at paragraph
+# grain, strictly harder — re-registered this round with the NULL-text
+# contract), by q:near_dup_keep_best (r12-green — keep-best
+# representative selection under a value oracle), and by
+# q:intersect_except_sets (the E9 distinct machinery).  The
+# normalize_text/tokens_expr lattice it exercised runs inside a dozen
+# registered text gates every round.  Accounting: ROTATION_r13.md.
 
 
-@register(
-    "ngram_jaccard_pairs",
-    doc="exact word-3-gram Jaccard near-dup pairs at >=0.5 via "
-    "prefix-filtered inverted index (AllPairs/SSJoin): only each doc's "
-    "rarest n-ceil(t*n)+1 shingles are indexed — recall provably exact "
-    "at the threshold, candidate volume output-sensitive instead of "
-    "quadratic (the uncapped index measured 137M candidate pairs and a "
-    "20x super-linear bench step at ~sf1)",
-    oracle="""
-WITH w AS (
-    SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
-               AS words
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               array_to_string(words[i:i+2], ' ') AS shingle
-        FROM w, LATERAL (
-            SELECT unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
-        )
-    )
-), cnt AS (
-    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-), common AS (
-    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
-SELECT id1, id2,
-       n_common * 1.0 / (c1.n + c2.n - n_common) AS jaccard
-FROM common
-JOIN cnt c1 ON c1.doc_id = id1
-JOIN cnt c2 ON c2.doc_id = id2
-WHERE n_common * 1.0 / (c1.n + c2.n - n_common) >= 0.5
-""",
-)
-def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # threshold 0.5 = the realistic near-dup semantic (same as the
-    # MinHash query's verify threshold); the oracle computes the FULL
-    # unfiltered exact join, so it also proves the prefix filter's
-    # exact-recall claim.  max_posting (operator default 1000) never
-    # binds at test scale, keeping the oracle byte-exact.
-    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+
+# RETIRED r13 (VERDICT r12 pairing discipline, paired with the
+# q:dsir_weights registration): q:ngram_jaccard_pairs — exact word-
+# 3-gram Jaccard pairs at >=0.5 via the prefix-filtered inverted
+# index.  Carried by q:ngram_containment_pairs (registered r12,
+# hash-green — the IDENTICAL shingle -> posting -> pairs_from_posting
+# candidate machinery in operators/dedup.py with the intersection
+# count under the harder asymmetric denominator; a broken posting
+# emission or prefix filter flips that gate), by q:minhash_lsh_pairs
+# (the declared 100 TB scale path, whose verify stage recomputes the
+# SAME exact Jaccard on candidates), and by the `containment` fuzz
+# family + SWEEP_SF1 rows still measuring the operator.  Accounting:
+# ROTATION_r13.md.
+
 
 
 @register(
@@ -215,19 +177,16 @@ def simhash_portable_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a path graph).  Accounting: ROTATION_r10.md.
 
 
-@register(
-    "embedding_near_dup_pairs",
-    doc="embedding-cosine near-dup pairs (>=0.5), brute-force verify",
-    oracle="""
-SELECT a.vec_id AS id1, b.vec_id AS id2
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
-""",
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return all_pairs_above(e, threshold=0.5)
+# RETIRED r13 (VERDICT r12 pairing discipline): q:embedding_near_dup_pairs
+# — brute cosine near-dup pairs over the block-pair grid.  Carried by
+# q:embedding_lsh_portable_pairs (registered r12, hash-green — the
+# LSH-bucketed variant of the same cosine pair emission with
+# per-bucket caps, the operator's own documented 100 TB path), by
+# q:semantic_dedup_portable (r11-green — cluster-capped cosine pairs
+# through the same operators/similarity.py kernels), and by
+# q:cosine_topk (the exact cosine kernel under its own value oracle).
+# Accounting: ROTATION_r13.md.
+
 
 
 # RETIRED r10 (paired with the q:build_zonemap registration, VERDICT

@@ -13,27 +13,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table, table_rows
 from ..operators.dedup import spread_rows
-from ..operators.multimodal import decode_media, frame_sample, text_as_media
+from ..operators.multimodal import decode_media, frame_sample
 from ._registry import register
 
 
 
-@register(
-    "multimodal_decode_features",
-    doc="binary media column + mapInPandas Arrow-batched decode (stub "
-    "codec: byte length + md5 digest + digest-derived features); the "
-    "Spark-side plumbing (schema, batching, partition parallelism) is real",
-    oracle="""
-SELECT CAST(doc_id AS BIGINT) AS asset_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS digest
-FROM documents
-""",
-)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    media = text_as_media(d, "doc_id", "text")
-    return decode_media(media, fake=True).select("asset_id", "n_bytes", "digest")
+# RETIRED r13 (VERDICT r12 pairing discipline, paired with the
+# q:winsorize_group_stats registration): q:multimodal_decode_features
+# — the STUB decode path (fake=True: byte length + md5 digest
+# features).  Carried by q:multimodal_header_parse (r10-green and in
+# this round's window — the REAL decode through the same
+# decode_media entry and mapInPandas Arrow plumbing, strictly
+# harder: synthesized valid PNG/GIF/WAV containers parsed back), by
+# q:multimodal_wav_slice (r12-green) and q:multimodal_gif_frames
+# (content-checksum codecs over the same media schema), and by the
+# fake-path unit tests (tests/test_operators.py) pinning the stub
+# contract.  Accounting: ROTATION_r13.md.
+
 
 
 @register(

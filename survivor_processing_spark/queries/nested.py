@@ -16,23 +16,17 @@ from ._registry import register
 # --- L4: JSON payload → typed columns --------------------------------------
 
 
-@register(
-    "json_extract_payload",
-    doc="reference reddit_extract.py:43 pd.DataFrame(r.json()['data']) — "
-    "JSON string cells to typed columns, JVM-side",
-    oracle="""
-SELECT event_id, event_type,
-       CAST(props->>'k' AS INTEGER) AS k
-FROM events
-""",
-)
-def json_extract_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
+# RETIRED r13 (VERDICT r12 pairing discipline, paired with the
+# q:k_anonymity_stats registration): q:json_extract_payload — L4
+# JSON-string cells to typed columns via get_json_object.  Carried
+# by q:to_json_roundtrip (r10-green and in this round's window — its
+# gate embeds the IDENTICAL get_json_object(props, '$.k') extraction
+# before the L5 re-serialization, so a broken JSON path read flips
+# that gate's hash), and by q:variant_props_agg (r12-green — the
+# parse-once VARIANT path whose doc names this gate as its
+# string-path twin; the L4 §2 row re-anchors there).  Accounting:
+# ROTATION_r13.md.
+
 
 
 # --- L1: explode map-of-arrays → rows --------------------------------------

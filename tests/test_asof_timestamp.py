@@ -152,3 +152,27 @@ def test_time_travel_gate_matches_closed_form_oracle(spark):
     assert got == want
     # both read paths present for every probe, all non-empty
     assert len(got) == 10 and all(r[2] > 0 for r in got)
+
+
+def test_legacy_nonmonotone_log_full_scans(tbl):
+    """ADVICE r12: a pre-clamp log whose raw wall-clock timestamps
+    regressed under clock skew must resolve like the old full scan —
+    latest version with ts <= query over ALL entries — not raise or
+    resolve early off the out-of-order entry."""
+    # rewrite the 3-entry log as a legacy skewed sequence:
+    # v1 @ 100.0, v2 @ 50.0 (clock jumped back), v3 @ 120.0
+    for v, t in ((1, 100.0), (2, 50.0), (3, 120.0)):
+        p = _entry_path(tbl, v)
+        with open(p) as f:
+            e = json.load(f)
+        e["ts"] = t
+        with open(p, "w") as f:
+            json.dump(e, f)
+    # between the out-of-order pair: v2 (ts 50) is the latest <= 75
+    assert version_at_timestamp(tbl, 75.0) == 2
+    # past everything -> newest; at 100 -> v2 (50 <= 100, 120 > 100)
+    assert version_at_timestamp(tbl, 130.0) == 3
+    assert version_at_timestamp(tbl, 100.0) == 2
+    # before everything still raises
+    with pytest.raises(ValueError):
+        version_at_timestamp(tbl, 10.0)

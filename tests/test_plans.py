@@ -111,7 +111,16 @@ def test_simhash_partial_aggregation_no_python_hot_path(spark):
 
 
 def test_ngram_jaccard_no_cross_product(spark):
-    plan = plan_of(spark, "ngram_jaccard_pairs")
+    # gate retired r13 (carrier q:ngram_containment_pairs) — the plan
+    # contract stays pinned on the operator itself
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, SF, "documents")
+    df = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -283,7 +292,35 @@ def test_partition_pruned_scan_has_partition_filters(spark):
 
 
 def test_token_budget_mix_no_global_sort(spark):
-    plan = plan_of(spark, "token_budget_mix")
+    # gate retired r13 (carriers q:domain_rebalance_sample /
+    # q:cumulative_window_sums / q:dsir_weights) — the per-partition
+    # cumulative-window shape stays pinned on an inline rebuild of
+    # the retired gate's exact query
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.functions.textstats import (
+        token_count_expr,
+    )
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "lang",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 5000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "Sort " in line and "global=true" in line:
             raise AssertionError(f"global sort in plan: {line}")

@@ -791,6 +791,23 @@ def test_dsir_broadcast_lane_mapside_no_python(spark):
     assert "partial_count" in plan or "partial count" in plan.lower()
     for node in PY_NODES:
         assert node not in plan
+    # single-pass contract (ADVICE r12): the per-(doc, bucket) count
+    # is persisted, so BOTH its consumers (the corpus-total aggregate
+    # and the per-doc lane join) read the cache and the raw corpus's
+    # tokenize+explode+md5 lineage executes ONCE.  The plan PRINTS
+    # the cached lineage under every InMemoryRelation reference, so
+    # the text-scan budget is 1 live (target) + one per cached-plan
+    # print; without the persist, InMemoryRelation vanishes and the
+    # raw side's second live scan trips the bound.
+    assert plan.count("InMemoryTableScan") >= 2
+    text_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if ("FileScan" in ln or "Scan parquet" in ln) and "text#" in ln
+    )
+    assert text_scans <= 1 + plan.count("InMemoryRelation"), (
+        f"raw corpus tokenized more than once:\n{plan}"
+    )
 
 
 def test_boilerplate_strip_mapside_df_small_build_side(spark):

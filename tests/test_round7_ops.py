@@ -120,9 +120,27 @@ def _one_row(df):
 
 
 def test_ivf_recall_bound_gate(spark, sf_dir):
-    from survivor_processing_spark.queries import REGISTRY
+    # the q:ivf_recall_bound registration retired r13 (carrier
+    # q:ivf_topk_exact); this test keeps the retired gate's exact
+    # serving-config contract (n_probe=4 of 16, floor 0.5) pinned by
+    # driving the operator with the same parameters
+    import pyspark.sql.functions as F
 
-    r = _one_row(REGISTRY["ivf_recall_bound"].fn(spark, sf_dir))
+    from survivor_processing_spark.catalog import load_table
+    from survivor_processing_spark.operators.similarity import (
+        ivf_recall_bound,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    r = _one_row(
+        ivf_recall_bound(
+            e, [float(x) for x in qvec],
+            k=10, n_centroids=16, n_probe=4, min_recall=0.5,
+        )
+    )
     assert r["k"] == 10 and r["recall_above_floor"] is True
 
 
