@@ -778,6 +778,13 @@ def test_dsir_broadcast_lane_mapside_no_python(spark):
         dsir_importance_weights,
     )
 
+    # earlier suites (test_dsir.py) leave their own persisted cnt
+    # entries behind, and CacheManager substitutes matching cached
+    # fragments into new plans — nested InMemoryRelation prints then
+    # inflate the text-scan count nondeterministically.  Clear the
+    # cache so this audit sees the operator's OWN plan regardless of
+    # suite order.
+    spark.catalog.clearCache()
     docs = _docs(spark)
     out = dsir_importance_weights(
         docs.select("doc_id", "text"),
@@ -833,5 +840,22 @@ def test_boilerplate_strip_mapside_df_small_build_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan  # min-struct/df aggregates, no window
     assert "partial_count" in plan
+    for node in PY_NODES:
+        assert node not in plan
+
+
+def test_script_mix_pure_projection_no_shuffle_no_python(spark):
+    """operators/scripts.py script_mix_stats (queued r13): a pure
+    per-row projection — the 11 regexp class counts, the CASE
+    dominant, and the integer mixed flag must all fuse into the scan:
+    no Exchange, no Sort, no Python eval node."""
+    from survivor_processing_spark.operators.scripts import (
+        script_mix_stats,
+    )
+
+    out = script_mix_stats(_docs(spark).select("doc_id", "text"))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
     for node in PY_NODES:
         assert node not in plan

@@ -308,6 +308,9 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.timeseries import (
         interpolate_linear,
     )
+    from survivor_processing_spark.operators.scripts import (
+        script_mix_stats,
+    )
     from survivor_processing_spark.operators.urlnorm import url_canonicalize
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -420,6 +423,17 @@ def _ops(spark, sf_dir):
         # queued r12 net-new: boilerplate paragraph strip over the
         # same derived-paragraph corpus the paragraph_dedup gate uses
         "boilerplate_strip": lambda: _boilerplate_strip(docs),
+        # queued r13 net-new: script-composition stats (map-only
+        # projection; suffixes planted so every class fires)
+        "script_mix": lambda: script_mix_stats(
+            docs.selectExpr(
+                "doc_id",
+                "concat(text, case cast(doc_id % 5 as int)"
+                " when 0 then '' when 1 then ' Привет мир'"
+                " when 2 then ' 汉字文本' when 3 then ' αβγ δεζ'"
+                " else ' カタカナ' end) AS text"
+            )
+        ),
     }
 
 

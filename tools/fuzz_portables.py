@@ -1280,6 +1280,86 @@ def fuzz_kanon(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_script_mix(spark, rng, trials: int) -> int:
+    """operators/scripts.py script_mix_stats (unit-gated, queued r13):
+    random multi-script soup (incl. NULLs, excluded x/division signs,
+    threshold-straddling mixes) — Spark vs the generated DuckDB
+    oracle vs a pure-Python replay of the same range table."""
+    from survivor_processing_spark.operators.scripts import (
+        _EXTRA_CLASSES,
+        LETTER_SCRIPTS,
+        MIN_LETTERS,
+        MIX_DEN,
+        SCRIPT_RANGES,
+        script_mix_oracle,
+        script_mix_stats,
+    )
+
+    classes = (*SCRIPT_RANGES, *_EXTRA_CLASSES)
+    pools = [
+        "abcdef ", "\u0430\u0431\u0432\u0433 ", "\u03b1\u03b2\u03b3 ",
+        "\u6c49\u5b57\u6587 ", "\u30a2\u30a4\u30a6 ", "01234 ",
+        "\u00e9\u00e8\u00ea ", "\u00d7\u00f7 ", "\u05d0\u05d1 ",
+        "\u0627\u0628 ", "\u0915\u0916 ", "\uac00\uac01 ",
+    ]
+    fails = 0
+    for _ in range(trials):
+        texts = {
+            d: None
+            if rng.random() < 0.1
+            else "".join(
+                rng.choice(rng.choice(pools))
+                for _ in range(rng.randrange(0, 50))
+            )
+            for d in range(rng.randrange(2, 30))
+        }
+        df = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in script_mix_stats(df).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "src_t",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want = {
+            int(r[0]): tuple(r)[1:]
+            for r in con.execute(
+                script_mix_oracle("SELECT doc_id, text FROM src_t")
+            ).fetchall()
+        }
+        # pure-Python model from the same table
+        model = {}
+        for d, t in texts.items():
+            t = t or ""
+            cnt = [
+                sum(
+                    1 for ch in t
+                    if any(lo <= ord(ch) <= hi for lo, hi in ranges)
+                )
+                for _, ranges in classes
+            ]
+            letters = sum(cnt[: len(LETTER_SCRIPTS)])
+            dom, best = "none", 0
+            for i, n in enumerate(LETTER_SCRIPTS):
+                if cnt[i] > best:
+                    best, dom = cnt[i], n
+            mixed = (
+                letters >= MIN_LETTERS
+                and (letters - best) * MIX_DEN >= letters
+            )
+            model[d] = (len(t), *cnt, letters, dom, mixed)
+        if got != want or got != model:
+            fails += 1
+            print("SCRIPT_MIX MISMATCH")
+    return fails
+
+
 def fuzz_urlnorm(spark, rng, trials: int) -> int:
     """operators/urlnorm.py url_canonicalize (unit-gated, queued):
     adversarial fragment-soup URLs (metachars, stray separators,
@@ -2625,6 +2705,7 @@ def main() -> int:
         ("time_travel", fuzz_time_travel),
         ("dsir", fuzz_dsir),
         ("boilerplate", fuzz_boilerplate),
+        ("script_mix", fuzz_script_mix),
     ):
         if only is not None and name not in only:
             continue

@@ -61,6 +61,11 @@ OPS = "survivor_processing_spark.operators"
 # winsorize_group_stats, mad_outlier_stats, k_anonymity_stats.
 QUEUE = [
     ("crawl_schedule_summary", "crawl_schedule_oracle", f"{OPS}.crawlplan", "test_crawlplan.py", "crawlplan", "crawl_schedule"),
+    # queued r13 net-new 1 of cap 5 (= registrations 7 − 2): Unicode
+    # script-composition stats — the mixed-script/wrong-langid
+    # curation signal (CCNet/RefinedWeb gate class); one shared range
+    # table emits the Java AND RE2 classes, map-only projection
+    ("script_mix_stats", "script_mix_oracle", f"{OPS}.scripts", "test_script_mix.py", "script_mix", "script_mix"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
