@@ -859,3 +859,19 @@ def test_script_mix_pure_projection_no_shuffle_no_python(spark):
     assert "Sort" not in plan
     for node in PY_NODES:
         assert node not in plan
+
+
+def test_mojibake_pure_projection_no_shuffle_no_python(spark):
+    """operators/mojibake.py mojibake_stats (queued r13): the three
+    regexp counts, the integer lane, and the suspect flag fuse into
+    the scan — no Exchange, no Sort, no Python eval node."""
+    from survivor_processing_spark.operators.mojibake import (
+        mojibake_stats,
+    )
+
+    out = mojibake_stats(_docs(spark).select("doc_id", "text"))
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+    for node in PY_NODES:
+        assert node not in plan

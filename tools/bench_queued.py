@@ -308,6 +308,9 @@ def _ops(spark, sf_dir):
     from survivor_processing_spark.operators.timeseries import (
         interpolate_linear,
     )
+    from survivor_processing_spark.operators.mojibake import (
+        mojibake_stats,
+    )
     from survivor_processing_spark.operators.scripts import (
         script_mix_stats,
     )
@@ -423,6 +426,17 @@ def _ops(spark, sf_dir):
         # queued r12 net-new: boilerplate paragraph strip over the
         # same derived-paragraph corpus the paragraph_dedup gate uses
         "boilerplate_strip": lambda: _boilerplate_strip(docs),
+        # queued r13 net-new: encoding-damage stats (map-only
+        # projection; damage planted on deterministic slices)
+        "mojibake": lambda: mojibake_stats(
+            docs.selectExpr(
+                "doc_id",
+                "concat(text, case cast(doc_id % 4 as int)"
+                " when 0 then '' when 1 then ' cafÃ© visit'"
+                " when 2 then ' lost \uFFFD char'"
+                " else ' donâ€™t' end) AS text"
+            )
+        ),
         # queued r13 net-new: script-composition stats (map-only
         # projection; suffixes planted so every class fires)
         "script_mix": lambda: script_mix_stats(

@@ -1360,6 +1360,80 @@ def fuzz_script_mix(spark, rng, trials: int) -> int:
     return fails
 
 
+def fuzz_mojibake(spark, rng, trials: int) -> int:
+    """operators/mojibake.py mojibake_stats (unit-gated, queued r13):
+    random damage soup (digraphs, replacement chars, C1 controls,
+    near-miss single bytes, NULLs) — Spark vs the generated DuckDB
+    oracle vs a pure-Python non-overlapping scan."""
+    from survivor_processing_spark.operators.mojibake import (
+        LANE_DEN,
+        LANE_THRESHOLD,
+        UTF8_DIGRAPHS,
+        mojibake_oracle,
+        mojibake_stats,
+    )
+
+    repl = chr(0xFFFD)
+    frags = [
+        "text ", "a", " ", repl, chr(0x85), chr(0x92), "\u00c3\u00a9",
+        "\u00c3\u00bc", "\u00e2\u20ac", "\u00c3", "\u00c2", "\u00e2", "\u20ac", "\u00e9",
+        "\u00c2\u00b0",
+    ]
+    fails = 0
+    for _ in range(trials):
+        texts = {
+            d: None
+            if rng.random() < 0.1
+            else "".join(
+                rng.choice(frags) for _ in range(rng.randrange(0, 40))
+            )
+            for d in range(rng.randrange(2, 25))
+        }
+        df = spark.createDataFrame(
+            sorted(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: tuple(r)[1:] for r in mojibake_stats(df).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "src_t",
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            ),
+        )
+        want = {
+            int(r[0]): tuple(r)[1:]
+            for r in con.execute(
+                mojibake_oracle("SELECT doc_id, text FROM src_t")
+            ).fetchall()
+        }
+        model = {}
+        for d, t in texts.items():
+            t = t or ""
+            n_repl = t.count(repl)
+            n_c1 = sum(1 for ch in t if 0x80 <= ord(ch) <= 0x9F)
+            n_dig, j = 0, 0
+            while j < len(t) - 1:
+                if t[j:j + 2] in UTF8_DIGRAPHS:
+                    n_dig += 1
+                    j += 2
+                else:
+                    j += 1
+            lane = (
+                0 if not t
+                else (n_repl + n_c1 + n_dig) * LANE_DEN // len(t)
+            )
+            model[d] = (
+                len(t), n_repl, n_c1, n_dig, lane,
+                n_repl > 0 or lane >= LANE_THRESHOLD,
+            )
+        if got != want or got != model:
+            fails += 1
+            print("MOJIBAKE MISMATCH")
+    return fails
+
+
 def fuzz_urlnorm(spark, rng, trials: int) -> int:
     """operators/urlnorm.py url_canonicalize (unit-gated, queued):
     adversarial fragment-soup URLs (metachars, stray separators,
@@ -2706,6 +2780,7 @@ def main() -> int:
         ("dsir", fuzz_dsir),
         ("boilerplate", fuzz_boilerplate),
         ("script_mix", fuzz_script_mix),
+        ("mojibake", fuzz_mojibake),
     ):
         if only is not None and name not in only:
             continue

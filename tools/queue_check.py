@@ -66,6 +66,11 @@ QUEUE = [
     # curation signal (CCNet/RefinedWeb gate class); one shared range
     # table emits the Java AND RE2 classes, map-only projection
     ("script_mix_stats", "script_mix_oracle", f"{OPS}.scripts", "test_script_mix.py", "script_mix", "script_mix"),
+    # queued r13 net-new 2 of cap 5: encoding-damage (mojibake)
+    # detection — U+FFFD / C1-control / UTF-8-as-cp1252 digraph
+    # counts + integer damage lane; the curation pass that flags
+    # mangled docs before they poison near-dup clusters
+    ("mojibake_stats", "mojibake_oracle", f"{OPS}.mojibake", "test_mojibake.py", "mojibake", "mojibake"),
     ("rendezvous_summary", "rendezvous_oracle", f"{OPS}.sharding", "test_sharding.py", "sharding", "rendezvous"),
     # unit-only BY CHOICE (semantics twin of gated q:funnel_stage_counts)
     ("funnel_steps", "funnel_oracle", f"{OPS}.funnel", "test_funnel.py", "funnel", "funnel_steps"),
