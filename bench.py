@@ -155,9 +155,18 @@ def _execute(df) -> None:
 def run_one(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     """Best-of-N wall time: each rep re-builds the DataFrame (so
     planning is billed) and executes to completion; min over reps
-    removes scheduler/GC noise without hiding real cost."""
+    removes scheduler/GC noise without hiding real cost.  The
+    DataFrame cache is cleared BEFORE every rep: an operator that
+    persists an intermediate (dsir_weights' bucket counts) would
+    otherwise hand reps 2..N the materialized cache via CacheManager
+    plan substitution, and min-over-reps would report a cache read
+    as the query's cost (r13 self-review finding — the r13 idle/
+    stretch artifacts were re-measured under this rule).  JVM/codegen
+    warmth legitimately carries across reps; materialized data does
+    not."""
     best = float("inf")
     for _ in range(reps):
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _execute(REGISTRY[name].fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)

@@ -72,6 +72,7 @@ def dsir_importance_weights(
     n_buckets: int = 4096,
     scale: int = 1_000_000,
     ratio_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-RAW-document DSIR importance lanes against ``target``.
 
@@ -81,7 +82,15 @@ def dsir_importance_weights(
     ngram_coverage_score's short-doc convention).  ``score_lane`` is
     the length-normalized selection key: rank raw docs by it
     descending and keep the top slice.  Oracle:
-    :func:`dsir_importance_oracle` from the same constants."""
+    :func:`dsir_importance_oracle` from the same constants.
+
+    ``materialize=True`` persists the per-(doc, bucket) counts so
+    the raw corpus tokenizes ONCE (see the inline comment); the
+    cache entry lives until the session drops it — one entry per
+    distinct invocation plan, so callers looping over many SMALL
+    corpora (fuzz harnesses, unit sweeps) should pass
+    ``materialize=False`` and accept the second tokenize pass
+    instead of accumulating session-lifetime cache entries."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n_buckets < 2:
@@ -103,11 +112,9 @@ def dsir_importance_weights(
     # persist() pins it: integer-only (doc, bucket, cnt) rows, orders
     # of magnitude under the raw text, MEMORY_AND_DISK spills at
     # scale; the plan audit asserts the single text scan.
-    cnt = (
-        raw_g.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cnt = raw_g.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize:
+        cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
     q = cnt.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("q"))
     p = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("p"))
     # every bucket a raw doc references has a q row by construction;

@@ -109,22 +109,25 @@ def mojibake_stats(
         .cast("bigint")
         .alias("n_utf8_digraphs"),
     )
-    return base.select(
+    # two-step projection (the scripts.py n_letter pattern): the lane
+    # formula exists ONCE on the Spark side, and suspect derives from
+    # the projected column — no duplicated expression to drift
+    return base.withColumn(
+        "damage_lane",
+        F.expr(
+            "if(n_chars = 0, cast(0 as bigint),"
+            " ((n_replacement + n_c1_controls + n_utf8_digraphs)"
+            f" * {LANE_DEN}) DIV n_chars)"
+        ),
+    ).select(
         "doc_id",
         "n_chars",
         "n_replacement",
         "n_c1_controls",
         "n_utf8_digraphs",
+        "damage_lane",
         F.expr(
-            "if(n_chars = 0, cast(0 as bigint),"
-            " ((n_replacement + n_c1_controls + n_utf8_digraphs)"
-            f" * {LANE_DEN}) DIV n_chars)"
-        ).alias("damage_lane"),
-        F.expr(
-            "n_replacement > 0 OR"
-            " if(n_chars = 0, cast(0 as bigint),"
-            " ((n_replacement + n_c1_controls + n_utf8_digraphs)"
-            f" * {LANE_DEN}) DIV n_chars) >= {LANE_THRESHOLD}"
+            f"n_replacement > 0 OR damage_lane >= {LANE_THRESHOLD}"
         ).alias("suspect"),
     )
 

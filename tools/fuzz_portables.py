@@ -2507,7 +2507,7 @@ def fuzz_dsir(spark, rng, trials: int) -> int:
         )
         got = {
             r["doc_id"]: (r["n_grams"], r["weight_lane"], r["score_lane"])
-            for r in dsir_importance_weights(raw_df, tgt_df, **kw).collect()
+            for r in dsir_importance_weights(raw_df, tgt_df, materialize=False, **kw).collect()
         }
         con = duckdb.connect()
         con.register(
