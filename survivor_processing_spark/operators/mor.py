@@ -348,6 +348,9 @@ def upsert_into_snapshot_mor(
     the SAME brand-new key both land as inserts (no file exists yet
     for either to conflict on — see ``merge_into_snapshot``'s
     CONCURRENCY note)."""
+    from pyspark import StorageLevel
+
+    from ..sinks.merge import check_merge_source
     from .snapshot import attach_key_blooms
     from .zonemap import _CAST_ORD
 
@@ -355,172 +358,167 @@ def upsert_into_snapshot_mor(
     # (key_candidate_files re-validates it against the envelopes)
     if _CAST_ORD.get(cast.lower().split("(")[0]) is None:
         raise ValueError(f"unsupported merge key cast {cast!r}")
-    # one aggregate adjudicates both key contracts (the COW merge's
-    # rule): a NULL key matches nothing and would re-insert per run
-    bad = (
-        source.groupBy(key_col)
-        .count()
-        .filter((F.col("count") > 1) | F.col(key_col).isNull())
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        if bad[0][key_col] is None:
-            raise ValueError(
-                f"source has NULL merge keys in {key_col!r}"
-            )
-        raise ValueError(
-            f"source is not key-unique on {key_col!r} "
-            f"(e.g. {bad[0][key_col]!r})"
-        )
-    planned = plan_head(table_dir)
-    active = snapshot_files(table_dir)
-    if source.limit(1).count() == 0:
-        return {
-            "version": None,
-            "n_updated": 0,
-            "n_inserted": 0,
-            "n_files_covered": 0,
-            "n_untouched": len(active),
-            "adds": [],
-            "dv": None,
-            "dvs": [],
-        }
-    logged = table_schema(table_dir)
-    reader = spark.read
-    if logged:
-        reader = reader.schema(_schema_ddl(logged))
-    if logged:
-        head_cols = [c for c, _ in logged]
-        head_types = dict(logged)
-    else:
-        # read_snapshot serves the schema even for an all-removed
-        # snapshot (filter-false scan of a historically-known file)
-        from .snapshot import read_snapshot
-
-        head = read_snapshot(spark, table_dir)
-        head_cols = list(head.columns)
-        head_types = dict(head.dtypes)
-    src_types = dict(source.dtypes)
-    missing = [c for c in head_cols if c not in src_types]
-    extra = sorted(set(src_types) - set(head_cols))
-    drift = [
-        (c, src_types.get(c), t)
-        for c, t in head_types.items()
-        if c in src_types and src_types[c] != t
-    ]
-    if missing or extra or drift:
-        raise ValueError(
-            "source schema must match the table exactly for the MOR "
-            f"upsert (missing {missing}, extra {extra}, drift {drift})"
-            " — use merge_into_snapshot(allow_evolution=True) to widen"
-        )
-    # log-first envelope cut: files whose envelope excludes EVERY
-    # source key are provably unmatched and never scanned.  NULL or
-    # uncastable envelopes keep the file — never skip blind.
-    candidates = key_candidate_files(
-        spark,
-        table_dir,
-        key_col,
-        source,
-        cast,
-        recorded=file_stats(table_dir),
-    )
-    tag = uuid.uuid4().hex[:8]
-    sidecars: dict[str, list[str]] = {}
-    n_updated = 0
-    if candidates:
-        scan = reader.parquet(
-            *[os.path.join(table_dir, f) for f in candidates]
-        )
-        live = strip_deleted_rows(
-            spark,
-            scan,
-            table_dir,
-            snapshot_dvs(table_dir),
-            candidates,
-            keep_tags=True,
-        )
-        hits = live.join(
-            source.select(key_col), on=key_col, how="left_semi"
-        ).select(F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos"))
-        shards = (
-            _auto_dv_shards(len(candidates))
-            if dv_shards == "auto"
-            else int(dv_shards)
-        )
-        sidecars, n_updated = _write_dv_sidecar(
-            spark, table_dir, hits, tag, shards=shards
-        )
-    covered = sorted({f for cov in sidecars.values() for f in cov})
-    # everything from here to the commit sits inside ONE rollback
-    # scope: a failure in the staging write, the renames, the footer
-    # counts, the stats/bloom build, or the commit itself must unwind
-    # the renamed data files AND the committed-looking sidecars — an
-    # uncommitted sidecar must not linger for vacuum to explain (the
-    # invariant delete_from_snapshot_mor enforces)
-    staging = os.path.join(table_dir, f"_tmp_upsert_{tag}")
-    adds: list[str] = []
+    # MATERIALIZE the source once (the COW merge's rule, the public
+    # Delta MERGE move): the key-contract aggregate, the candidate
+    # probe, the tombstone semi-join, and the append write all
+    # consume it — unpersisted in the finally; every action completes
+    # before return.
+    source = source.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # append the source as new files, projected onto the table's
-        # column order (never a source-ordered footer)
-        source.select(*head_cols).write.mode("overwrite").parquet(staging)
-        for i, part in enumerate(
-            sorted(
-                p for p in os.listdir(staging) if p.endswith(".parquet")
-            )
-        ):
-            name = f"upsert-{tag}-{i:05d}.parquet"
-            os.rename(
-                os.path.join(staging, part), os.path.join(table_dir, name)
-            )
-            adds.append(name)
-        shutil.rmtree(staging, ignore_errors=True)
-        import pyarrow.parquet as pq
+        # one aggregate adjudicates emptiness + both key contracts
+        # (sinks/merge.py check_merge_source): a NULL key matches
+        # nothing and would re-insert per run
+        n_in_source = check_merge_source(source, key_col)
+        planned = plan_head(table_dir)
+        active = snapshot_files(table_dir)
+        if n_in_source == 0:
+            return {
+                "version": None,
+                "n_updated": 0,
+                "n_inserted": 0,
+                "n_files_covered": 0,
+                "n_untouched": len(active),
+                "adds": [],
+                "dv": None,
+                "dvs": [],
+            }
+        logged = table_schema(table_dir)
+        reader = spark.read
+        if logged:
+            reader = reader.schema(_schema_ddl(logged))
+        if logged:
+            head_cols = [c for c, _ in logged]
+            head_types = dict(logged)
+        else:
+            # read_snapshot serves the schema even for an all-removed
+            # snapshot (filter-false scan of a historically-known file)
+            from .snapshot import read_snapshot
 
-        pruned, n_src = [], 0
-        for name in adds:
-            n = pq.ParquetFile(
-                os.path.join(table_dir, name)
-            ).metadata.num_rows
-            n_src += n
-            if n == 0:
-                os.remove(os.path.join(table_dir, name))
-            else:
-                pruned.append(name)
-        adds = pruned
-        new_stats = stats_for_files(table_dir, adds, [key_col])
-        attach_key_blooms(
-            spark, table_dir, adds, key_col, new_stats, bloom_bits
-        )
-        version = commit_version(
+            head = read_snapshot(spark, table_dir)
+            head_cols = list(head.columns)
+            head_types = dict(head.dtypes)
+        src_types = dict(source.dtypes)
+        missing = [c for c in head_cols if c not in src_types]
+        extra = sorted(set(src_types) - set(head_cols))
+        drift = [
+            (c, src_types.get(c), t)
+            for c, t in head_types.items()
+            if c in src_types and src_types[c] != t
+        ]
+        if missing or extra or drift:
+            raise ValueError(
+                "source schema must match the table exactly for the MOR "
+                f"upsert (missing {missing}, extra {extra}, drift {drift})"
+                " — use merge_into_snapshot(allow_evolution=True) to widen"
+            )
+        # log-first envelope cut: files whose envelope excludes EVERY
+        # source key are provably unmatched and never scanned.  NULL or
+        # uncastable envelopes keep the file — never skip blind.
+        candidates = key_candidate_files(
+            spark,
             table_dir,
-            adds=adds,
-            stats=new_stats or None,
-            dv_adds=sidecars or None,
-            planned_version=planned,
+            key_col,
+            source,
+            cast,
+            recorded=file_stats(table_dir),
         )
-    except BaseException:
-        for name in adds + list(sidecars):
-            try:
-                os.remove(os.path.join(table_dir, name))
-            except OSError:
-                pass
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    return {
-        "version": version,
-        "n_updated": n_updated,
-        # exact under the key-uniqueness invariant; clamped-approx
-        # if pre-existing duplicate live rows inflate n_updated (see
-        # docstring)
-        "n_inserted": max(0, n_src - n_updated),
-        "n_files_covered": len(covered),
-        "n_untouched": len(active) - len(covered),
-        "adds": adds,
-        "dv": next(iter(sidecars)) if len(sidecars) == 1 else None,
-        "dvs": sorted(sidecars),
-    }
+        tag = uuid.uuid4().hex[:8]
+        sidecars: dict[str, list[str]] = {}
+        n_updated = 0
+        if candidates:
+            scan = reader.parquet(
+                *[os.path.join(table_dir, f) for f in candidates]
+            )
+            live = strip_deleted_rows(
+                spark,
+                scan,
+                table_dir,
+                snapshot_dvs(table_dir),
+                candidates,
+                keep_tags=True,
+            )
+            hits = live.join(
+                source.select(key_col), on=key_col, how="left_semi"
+            ).select(F.col(_FCOL).alias("file"), F.col(_PCOL).alias("pos"))
+            shards = (
+                _auto_dv_shards(len(candidates))
+                if dv_shards == "auto"
+                else int(dv_shards)
+            )
+            sidecars, n_updated = _write_dv_sidecar(
+                spark, table_dir, hits, tag, shards=shards
+            )
+        covered = sorted({f for cov in sidecars.values() for f in cov})
+        # everything from here to the commit sits inside ONE rollback
+        # scope: a failure in the staging write, the renames, the footer
+        # counts, the stats/bloom build, or the commit itself must unwind
+        # the renamed data files AND the committed-looking sidecars — an
+        # uncommitted sidecar must not linger for vacuum to explain (the
+        # invariant delete_from_snapshot_mor enforces)
+        staging = os.path.join(table_dir, f"_tmp_upsert_{tag}")
+        adds: list[str] = []
+        try:
+            # append the source as new files, projected onto the table's
+            # column order (never a source-ordered footer)
+            source.select(*head_cols).write.mode("overwrite").parquet(staging)
+            for i, part in enumerate(
+                sorted(
+                    p for p in os.listdir(staging) if p.endswith(".parquet")
+                )
+            ):
+                name = f"upsert-{tag}-{i:05d}.parquet"
+                os.rename(
+                    os.path.join(staging, part), os.path.join(table_dir, name)
+                )
+                adds.append(name)
+            shutil.rmtree(staging, ignore_errors=True)
+            import pyarrow.parquet as pq
+
+            pruned, n_src = [], 0
+            for name in adds:
+                n = pq.ParquetFile(
+                    os.path.join(table_dir, name)
+                ).metadata.num_rows
+                n_src += n
+                if n == 0:
+                    os.remove(os.path.join(table_dir, name))
+                else:
+                    pruned.append(name)
+            adds = pruned
+            new_stats = stats_for_files(table_dir, adds, [key_col])
+            attach_key_blooms(
+                spark, table_dir, adds, key_col, new_stats, bloom_bits
+            )
+            version = commit_version(
+                table_dir,
+                adds=adds,
+                stats=new_stats or None,
+                dv_adds=sidecars or None,
+                planned_version=planned,
+            )
+        except BaseException:
+            for name in adds + list(sidecars):
+                try:
+                    os.remove(os.path.join(table_dir, name))
+                except OSError:
+                    pass
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return {
+            "version": version,
+            "n_updated": n_updated,
+            # exact under the key-uniqueness invariant; clamped-approx
+            # if pre-existing duplicate live rows inflate n_updated (see
+            # docstring)
+            "n_inserted": max(0, n_src - n_updated),
+            "n_files_covered": len(covered),
+            "n_untouched": len(active) - len(covered),
+            "adds": adds,
+            "dv": next(iter(sidecars)) if len(sidecars) == 1 else None,
+            "dvs": sorted(sidecars),
+        }
+    finally:
+        source.unpersist()
 
 
 def purge_dvs(

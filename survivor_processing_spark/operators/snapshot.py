@@ -549,29 +549,18 @@ def file_stats(
     return {f: out.get(f, {}) for f in active}
 
 
-def snapshot_zonemap(
-    spark: SparkSession,
+def snapshot_zonemap_rows(
     table_dir: str,
     cols: list[str],
     version: int | None = None,
     recorded: dict[str, dict] | None = None,
-) -> DataFrame:
-    """Zone-map manifest for a snapshot, LOG-FIRST: files whose
-    commit recorded stats for every requested column are served from
-    the log (zero footer reads — the 100 TB fast path); the rest
-    fall back to :func:`operators.zonemap.file_column_stats` footer
-    walks, so mixed logs (pre-stats commits, foreign writers) stay
-    exactly correct, just slower for those files.  Output schema is
-    identical to ``build_zonemap`` and feeds the same
-    ``prune_files``/``pruned_scan``.
-
-    SCHEMA EVOLUTION interaction: a file written BEFORE a widening
-    has no footer entry for the evolved column — its rows hold NULL
-    there, which matches no range predicate and no join key, so the
-    file gets a NULL-stat manifest row (unprunable-by-envelope,
-    never skipped blind; the read side sees the NULLs).  Raising
-    here instead would make every merge/delete on an evolved column
-    crash against pre-widening files."""
+) -> list[tuple]:
+    """Driver-side rows of :func:`snapshot_zonemap` — ``(file, col,
+    n_rows, vmin, vmax, ord)`` tuples.  Split out so callers that
+    need a DRIVER-side look at the manifest (the writers' ordering
+    guards — a string-equality check over a file-count-sized list)
+    can read it without minting a Spark job; the manifest is
+    file-count-sized driver data either way."""
     from .zonemap import file_column_stats
 
     # ``recorded`` lets a caller that already replayed the log (the
@@ -614,11 +603,56 @@ def snapshot_zonemap(
                     # pre-widening file: NULL-stat row — unprunable,
                     # never wrong
                     rows.append((name, c, int(n), None, None, None))
+    return rows
+
+
+def snapshot_zonemap(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    version: int | None = None,
+    recorded: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Zone-map manifest for a snapshot, LOG-FIRST: files whose
+    commit recorded stats for every requested column are served from
+    the log (zero footer reads — the 100 TB fast path); the rest
+    fall back to :func:`operators.zonemap.file_column_stats` footer
+    walks, so mixed logs (pre-stats commits, foreign writers) stay
+    exactly correct, just slower for those files.  Output schema is
+    identical to ``build_zonemap`` and feeds the same
+    ``prune_files``/``pruned_scan``.
+
+    SCHEMA EVOLUTION interaction: a file written BEFORE a widening
+    has no footer entry for the evolved column — its rows hold NULL
+    there, which matches no range predicate and no join key, so the
+    file gets a NULL-stat manifest row (unprunable-by-envelope,
+    never skipped blind; the read side sees the NULLs).  Raising
+    here instead would make every merge/delete on an evolved column
+    crash against pre-widening files."""
     return spark.createDataFrame(
-        rows,
+        snapshot_zonemap_rows(table_dir, cols, version, recorded),
         "file string, col string, n_rows long, "
         "vmin string, vmax string, ord string",
     )
+
+
+def guard_zonemap_ordering(
+    rows: list[tuple], key_col: str, cast: str, required: str, verb: str
+) -> None:
+    """Shared DRIVER-side ordering guard over zone-map rows: an
+    envelope whose recorded comparison ordering disagrees with the
+    cast's class raises (never a silent wrong prune).  A pure string
+    equality over file-count-sized driver data — running it as a
+    Spark filter+collect would bill a whole job for a list scan."""
+    bad = next(
+        (r for r in rows if r[5] is not None and r[5] != required), None
+    )
+    if bad is not None:
+        raise ValueError(
+            f"zone-map ordering mismatch on {key_col!r}: envelope "
+            f"built {bad[5]}, {verb} cast {cast!r} "
+            f"compares {required}"
+        )
 
 
 def _pack_words(words: list[int]) -> str:
@@ -830,20 +864,13 @@ def range_candidate_files(
         raise ValueError(f"unsupported delete key cast {cast!r}")
     if lo is None or hi is None:
         raise ValueError("delete bounds must be non-NULL")
-    zm = snapshot_zonemap(
-        spark, table_dir, [key_col], recorded=recorded
+    zrows = snapshot_zonemap_rows(table_dir, [key_col], recorded=recorded)
+    guard_zonemap_ordering(zrows, key_col, cast, required, "delete")
+    zm = spark.createDataFrame(
+        zrows,
+        "file string, col string, n_rows long, "
+        "vmin string, vmax string, ord string",
     )
-    mismatched = (
-        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
-        .limit(1)
-        .collect()
-    )
-    if mismatched:
-        raise ValueError(
-            f"zone-map ordering mismatch on {key_col!r}: envelope "
-            f"built {mismatched[0]['ord']}, delete cast {cast!r} "
-            f"compares {required}"
-        )
     cmin = F.expr(f"try_cast(vmin as {cast})")
     cmax = F.expr(f"try_cast(vmax as {cast})")
     keep_rows = zm.filter(
@@ -874,18 +901,13 @@ def key_candidate_files(
     required = _CAST_ORD.get(cast.lower().split("(")[0])
     if required is None:
         raise ValueError(f"unsupported merge key cast {cast!r}")
-    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=recorded)
-    mismatched = (
-        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
-        .limit(1)
-        .collect()
+    zrows = snapshot_zonemap_rows(table_dir, [key_col], recorded=recorded)
+    guard_zonemap_ordering(zrows, key_col, cast, required, "key")
+    zm = spark.createDataFrame(
+        zrows,
+        "file string, col string, n_rows long, "
+        "vmin string, vmax string, ord string",
     )
-    if mismatched:
-        raise ValueError(
-            f"zone-map ordering mismatch on {key_col!r}: envelope "
-            f"built {mismatched[0]['ord']}, key cast {cast!r} "
-            f"compares {required}"
-        )
     cmin = F.expr(f"try_cast(vmin as {cast})")
     cmax = F.expr(f"try_cast(vmax as {cast})")
     rows = (

@@ -28,6 +28,7 @@ import shutil
 import uuid
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
@@ -351,50 +352,105 @@ def merge_into_snapshot(
     without a ConcurrentAppend read-set check).  Serialize same-key
     writers externally, or route them through one streaming
     ``stream_into_snapshot`` pipeline."""
-    from ..operators.bloom import _positions, _powers
-    from ..operators.snapshot import (
-        attach_key_blooms,
-        commit_version,
-        file_stats,
-        plan_head,
-        read_snapshot,
-        snapshot_dvs,
-        snapshot_files,
-        snapshot_zonemap,
-        stats_for_files,
-        strip_deleted_rows,
-        unpack_words,
-    )
     from ..operators.zonemap import _CAST_ORD
 
     required = _CAST_ORD.get(cast.lower().split("(")[0])
     if required is None:
         raise ValueError(f"unsupported merge key cast {cast!r}")
-    # one aggregate adjudicates BOTH key contracts: uniqueness, and
-    # no NULL keys.  A NULL key would match no zone-map envelope and
-    # no left_anti row, so the same row re-inserts on every run —
-    # silently breaking the idempotency the upsert promises.  Reject,
-    # don't guess.
-    bad = (
+    # MATERIALIZE the source once (the public Delta MERGE move): the
+    # plan below consumes it four times — the key-contract aggregate,
+    # the candidate probe, the left_anti, and the union write — and
+    # at 100 TB recomputing an arbitrary source lineage four times
+    # costs more than one spill-capable materialization.  Unpersisted
+    # in the finally; every action completes before return.
+    source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _merge_into_snapshot_impl(
+            spark,
+            table_dir,
+            source,
+            key_col,
+            cast,
+            bloom_bits,
+            allow_evolution,
+            required,
+        )
+    finally:
+        source.unpersist()
+
+
+def check_merge_source(source: DataFrame, key_col: str) -> int:
+    """ONE aggregate job adjudicates the whole merge-source key
+    contract — emptiness, NULL keys, key-uniqueness — and returns the
+    source row count.  A NULL key would match no zone-map envelope
+    and no left_anti row, so the same row re-inserts on every run —
+    silently breaking the idempotency the upsert promises; a
+    duplicate key would make 'source wins per key' ambiguous.
+    Reject, don't guess.  The example-key lookup that makes the
+    duplicate error actionable runs a second job on the FAILURE path
+    only — the green path is one job (shared by the COW merge and
+    the MOR upsert; previously each ran a separate uniqueness probe
+    plus an emptiness probe per call)."""
+    row = (
         source.groupBy(key_col)
-        .count()
-        .filter((F.col("count") > 1) | F.col(key_col).isNull())
-        .limit(1)
-        .collect()
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n"),
+            F.coalesce(F.max("_c"), F.lit(0)).alias("max_c"),
+            F.max(F.col(key_col).isNull()).alias("has_null"),
+        )
+        .first()
     )
-    if bad:
-        if bad[0][key_col] is None:
-            raise ValueError(
-                f"source has NULL merge keys in {key_col!r} — a NULL "
-                "key matches nothing and would re-insert every run"
-            )
+    if row["has_null"]:
+        raise ValueError(
+            f"source has NULL merge keys in {key_col!r} — a NULL "
+            "key matches nothing and would re-insert every run"
+        )
+    if row["max_c"] > 1:
+        bad = (
+            source.groupBy(key_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
         raise ValueError(
             f"source is not key-unique on {key_col!r} "
             f"(e.g. {bad[0][key_col]!r})"
         )
+    return int(row["n"])
+
+
+def _merge_into_snapshot_impl(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_col: str,
+    cast: str,
+    bloom_bits: int | str | None,
+    allow_evolution: bool,
+    required: str,
+) -> dict:
+    from ..operators.bloom import _positions, _powers
+    from ..operators.snapshot import (
+        attach_key_blooms,
+        commit_version,
+        file_stats,
+        guard_zonemap_ordering,
+        plan_head,
+        read_snapshot,
+        snapshot_dvs,
+        snapshot_files,
+        snapshot_zonemap_rows,
+        stats_for_files,
+        strip_deleted_rows,
+        unpack_words,
+    )
+
+    n_src = check_merge_source(source, key_col)
     planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
-    if source.limit(1).count() == 0:
+    if n_src == 0:
         # an empty batch must be a clean no-op, not an empty commit
         return {
             "version": None,
@@ -438,18 +494,13 @@ def merge_into_snapshot(
     # to a footer walk inside snapshot_zonemap (correct, slower).
     # ONE log replay feeds both the envelopes and the bloom probe.
     rec = file_stats(table_dir)
-    zm = snapshot_zonemap(spark, table_dir, [key_col], recorded=rec)
-    mismatched = (
-        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
-        .limit(1)
-        .collect()
+    zrows = snapshot_zonemap_rows(table_dir, [key_col], recorded=rec)
+    guard_zonemap_ordering(zrows, key_col, cast, required, "merge")
+    zm = spark.createDataFrame(
+        zrows,
+        "file string, col string, n_rows long, "
+        "vmin string, vmax string, ord string",
     )
-    if mismatched:
-        raise ValueError(
-            f"zone-map ordering mismatch on {key_col!r}: envelope "
-            f"built {mismatched[0]['ord']}, merge cast {cast!r} "
-            f"compares {required}"
-        )
     # try_cast with NULL-keeps-the-file semantics, mirroring
     # prune_files: the ordering guard above proves the comparison
     # CLASS agrees, but a width-losing cast (cast='int' over a bigint

@@ -74,9 +74,9 @@ def stream_into_snapshot(
     from ..sinks.merge import merge_into_snapshot
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # an empty batch must not mint a commit
         if not log_versions(table_dir):
+            if batch_df.isEmpty():
+                return  # an empty batch must not bootstrap the table
             init_snapshot(
                 batch_df.sparkSession,
                 table_dir,
