@@ -116,21 +116,42 @@ def _write_dv_sidecar(
     parts = sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
     if shards <= 1 and len(parts) != 1:
         raise RuntimeError(f"expected one DV part, got {len(parts)}")
-    # one read of the KB-scale staging dir maps each part to its
-    # per-file tombstone counts — output is file-count bounded
-    rows = (
-        spark.read.schema("file string, pos long")
-        .parquet(staging)
-        .select("file", F.col("_metadata.file_name").alias("part"))
-        .groupBy("part", "file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    # map each part to its per-file tombstone counts.  The staging
+    # dir is KB-scale by the MOR sizing contract, so the counts come
+    # from a driver-side pyarrow read of the `file` column (saves a
+    # whole Spark job per DV write); a tombstone set past 64 MB —
+    # outside the contract but possible via shards on a huge upsert —
+    # keeps the distributed read so the driver never loads it.
     by_part: dict[str, list[str]] = {}
     n_rows = 0
-    for r in rows:
-        by_part.setdefault(r["part"], []).append(r["file"])
-        n_rows += int(r["n"])
+    staged_bytes = sum(
+        os.path.getsize(os.path.join(staging, p)) for p in parts
+    )
+    if staged_bytes <= (64 << 20):
+        import pyarrow.parquet as _pq
+
+        for part in parts:
+            col = _pq.read_table(
+                os.path.join(staging, part), columns=["file"]
+            ).column("file")
+            counts = col.value_counts()
+            for rec in counts:
+                by_part.setdefault(part, []).append(
+                    rec["values"].as_py()
+                )
+                n_rows += int(rec["counts"].as_py())
+    else:
+        rows = (
+            spark.read.schema("file string, pos long")
+            .parquet(staging)
+            .select("file", F.col("_metadata.file_name").alias("part"))
+            .groupBy("part", "file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in rows:
+            by_part.setdefault(r["part"], []).append(r["file"])
+            n_rows += int(r["n"])
     if not by_part:
         shutil.rmtree(staging, ignore_errors=True)
         return {}, 0

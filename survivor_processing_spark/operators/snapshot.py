@@ -679,7 +679,7 @@ def unpack_words(b64: str) -> list[int]:
 def file_key_blooms(
     spark: SparkSession,
     table_dir: str,
-    files: list[str],
+    files: list[str] | dict[str, int],
     key_col: str,
     num_bits: int = 1 << 13,
     num_hashes: int = 3,
@@ -699,22 +699,51 @@ def file_key_blooms(
     Kirsch-Mitzenmacher family (operators/bloom.py ``_positions``)
     the probe uses — shared code, so the family can't drift.
 
-    ONE distributed job for all files: read key_col of the new
-    files, explode the k probe positions, word-level ``bit_or``
-    grouped by (input file, word index).  NULL keys contribute no
-    bits (a NULL in a file can never equal a source key — sources
-    reject NULL keys outright)."""
+    ONE distributed job for ALL files, even at mixed sizes: pass a
+    ``{file: num_bits}`` dict to size each file's filter
+    independently — the per-row m comes from a broadcast file→m map
+    (the same per-row-m arithmetic the merge PROBE uses, so mixed
+    sizes share one build exactly like they share one probe).  A
+    list builds every file at the scalar ``num_bits``.  The job
+    reads key_col of the new files, explodes the k probe positions,
+    word-level ``bit_or`` grouped by (input file, word index).  NULL
+    keys contribute no bits (a NULL in a file can never equal a
+    source key — sources reject NULL keys outright)."""
     from .bloom import _positions, _powers
 
-    if num_bits < 64 or num_bits % 64:
-        # the packed form is whole int64 words; a ragged tail word
-        # would make a probe position index past the dense array
-        # (NULL under legacy, an error under ANSI — either way not a
-        # filter).  Reject at build time, never at probe time.
-        raise ValueError(
-            f"num_bits must be a positive multiple of 64, got {num_bits}"
+    if isinstance(files, dict):
+        bits_by_file = dict(files)
+        file_names = sorted(bits_by_file)
+    else:
+        file_names = list(files)
+        bits_by_file = {f: num_bits for f in file_names}
+    for f, m in bits_by_file.items():
+        if m < 64 or m % 64:
+            # the packed form is whole int64 words; a ragged tail word
+            # would make a probe position index past the dense array
+            # (NULL under legacy, an error under ANSI — either way not
+            # a filter).  Reject at build time, never at probe time.
+            raise ValueError(
+                f"num_bits must be a positive multiple of 64, got {m}"
+                f" (file {f!r})"
+            )
+    paths = [os.path.join(table_dir, f) for f in file_names]
+    sizes = set(bits_by_file.values())
+    if len(sizes) == 1:
+        m_expr = F.lit(next(iter(sizes)))
+    else:
+        # per-row filter size from a literal file→m map: one build
+        # job for every size class (previously one job per class)
+        m_expr = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for f in file_names
+                    for c in (F.lit(f), F.lit(bits_by_file[f]))
+                ]
+            ),
+            F.col("_f"),
         )
-    paths = [os.path.join(table_dir, f) for f in files]
     pos = (
         spark.read.parquet(*paths)
         .select(
@@ -727,7 +756,7 @@ def file_key_blooms(
         .select(
             "_f",
             F.explode(
-                F.array(*_positions(F.col("_k"), num_bits, num_hashes))
+                F.array(*_positions(F.col("_k"), m_expr, num_hashes))
             ).alias("p"),
         )
     )
@@ -744,15 +773,15 @@ def file_key_blooms(
         .agg(F.bit_or("b").alias("word"))
         .collect()
     )
-    sparse: dict[str, dict[int, int]] = {f: {} for f in files}
+    sparse: dict[str, dict[int, int]] = {f: {} for f in file_names}
     for r in rows:
         sparse[r["_f"]][int(r["w"])] = int(r["word"])
     out = {}
-    n_words = num_bits // 64
-    for f in files:
+    for f in file_names:
+        n_words = bits_by_file[f] // 64
         dense = [sparse[f].get(w, 0) for w in range(n_words)]
         out[f] = {
-            "m": num_bits,
+            "m": bits_by_file[f],
             "k": num_hashes,
             "b64": _pack_words(dense),
         }
@@ -770,28 +799,28 @@ def attach_key_blooms(
     """Mutates ``new_stats`` in place: per-file key blooms for
     ``adds``, sized "auto" at ~10 bits/key from the row count the
     stats pass measured (clamped to [2^13, 2^17] bits — the log
-    grows with the FILTER, not the data).  Files needing the same
-    size share one distributed build job; mixed sizes coexist
-    because the probe reads m per row.  The single bloom-sizing
-    policy for every writer (merge, delete, streaming bootstrap)."""
+    grows with the FILTER, not the data).  ONE distributed build job
+    for every file regardless of size mix (``file_key_blooms`` takes
+    the per-file sizing dict; previously each size class ran its own
+    job — a mixed-size commit paid the whole job fixed cost twice).
+    The single bloom-sizing policy for every writer (merge, delete,
+    streaming bootstrap)."""
     if not bloom_bits or not adds:
         return new_stats
-    groups: dict[int, list[str]] = {}
+    bits: dict[str, int] = {}
     for fname in adds:
         if bloom_bits == "auto":
             n = int(new_stats[fname][key_col]["n_rows"])
-            m = min(
+            bits[fname] = min(
                 1 << 17,
                 max(1 << 13, 1 << (10 * max(n, 1)).bit_length()),
             )
         else:
-            m = int(bloom_bits)
-        groups.setdefault(m, []).append(fname)
-    for m, fs in groups.items():
-        for fname, b in file_key_blooms(
-            spark, table_dir, fs, key_col, num_bits=m
-        ).items():
-            new_stats[fname][key_col]["bloom"] = b
+            bits[fname] = int(bloom_bits)
+    for fname, b in file_key_blooms(
+        spark, table_dir, bits, key_col
+    ).items():
+        new_stats[fname][key_col]["bloom"] = b
     return new_stats
 
 
@@ -859,6 +888,8 @@ def range_candidate_files(
     never skip blind."""
     from .zonemap import _CAST_ORD
 
+    from .zonemap import prune_file_rows
+
     required = _CAST_ORD.get(cast.lower().split("(")[0])
     if required is None:
         raise ValueError(f"unsupported delete key cast {cast!r}")
@@ -866,6 +897,15 @@ def range_candidate_files(
         raise ValueError("delete bounds must be non-NULL")
     zrows = snapshot_zonemap_rows(table_dir, [key_col], recorded=recorded)
     guard_zonemap_ordering(zrows, key_col, cast, required, "delete")
+    # driver-side fast path: the envelope-vs-range cut is a few
+    # integer compares over file-count-sized driver data — minting a
+    # Spark job for it bills ~0.3-0.4 s of analysis per DELETE plan.
+    # Exact-or-bail (zonemap.prune_file_rows): falls through to the
+    # expression path whenever a stat is outside the verified
+    # try_cast grammar.
+    fast = prune_file_rows(zrows, key_col, lo, hi, cast)
+    if fast is not None:
+        return fast
     zm = spark.createDataFrame(
         zrows,
         "file string, col string, n_rows long, "

@@ -183,6 +183,80 @@ _CAST_ORD = {
     "timestamp": "temporal",
 }
 
+# value range per integral cast — Spark's try_cast returns NULL on
+# overflow, and the driver-side fast path must reproduce that exactly
+_INT_CAST_RANGE = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "integer": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+    "long": (-(1 << 63), (1 << 63) - 1),
+}
+
+# Spark try_cast(string AS <integral>) accepts ASCII-whitespace-
+# trimmed [+-]?digits ONLY (decimals, exponents, hex, non-ASCII
+# digits all yield NULL under ANSI try_cast — verified against
+# Spark 4.1); anything outside this shape makes the fast path bail
+# to the expression path rather than guess
+_INT_STR = __import__("re").compile(
+    r"[ \t\r\n\f\v]*([+-]?[0-9]+)[ \t\r\n\f\v]*"
+)
+
+
+def _try_cast_int(s: str | None, cast: str):
+    """Driver-side replica of ``try_cast(s AS cast)`` for integral
+    casts.  Returns ``(evaluable, value)``: ``(True, int|None)`` when
+    the result provably matches Spark's (None = SQL NULL), or
+    ``(False, None)`` when the string's shape is outside the verified
+    grammar and the caller must fall back to the Spark expression."""
+    if s is None:
+        return True, None
+    m = _INT_STR.fullmatch(s)
+    if not m:
+        return False, None
+    v = int(m.group(1))
+    lo, hi = _INT_CAST_RANGE[cast]
+    return True, (v if lo <= v <= hi else None)
+
+
+def prune_file_rows(
+    zrows: list[tuple], col: str, lo, hi, cast: str = "bigint"
+) -> list[str] | None:
+    """DRIVER-side fast path of :func:`prune_files` over already-
+    collected zone-map rows ``(file, col, n_rows, vmin, vmax, ord)``:
+    the envelope-vs-range comparison is a handful of integer
+    compares per file, and running it as a Spark filter+collect
+    bills a whole analysis/collect round-trip (~0.3-0.4 s here) for
+    a list scan.  Exact-or-bail: integral casts only, every non-NULL
+    stat must parse under the verified try_cast grammar and the
+    bounds must be Python ints — anything else returns ``None`` and
+    the caller keeps the Spark expression path, so the fast path can
+    never *diverge*, only decline.  Semantics mirror
+    :func:`prune_files` exactly: NULL stats and NULL-casting stats
+    KEEP the file (never skip blind)."""
+    base = cast.lower().split("(")[0]
+    if base not in _INT_CAST_RANGE:
+        return None
+    if not isinstance(lo, int) or not isinstance(hi, int):
+        return None
+    keep = []
+    for r in zrows:
+        if r[1] != col:
+            continue
+        ok_min, cmin = _try_cast_int(r[3], base)
+        ok_max, cmax = _try_cast_int(r[4], base)
+        if not (ok_min and ok_max):
+            return None
+        if (
+            r[3] is None
+            or cmin is None
+            or cmax is None
+            or (cmin <= hi and cmax >= lo)
+        ):
+            keep.append(r[0])
+    return sorted(keep)
+
 
 def prune_files(
     zonemap: DataFrame, col: str, lo, hi, cast: str = "bigint"
@@ -198,19 +272,27 @@ def prune_files(
     required = _CAST_ORD.get(cast.lower().split("(")[0])
     if required is None:
         raise ValueError(f"unsupported prune cast {cast!r}")
-    zm = zonemap.filter(F.col("col") == col)
-    mismatched = (
-        zm.filter(F.col("ord").isNotNull() & (F.col("ord") != required))
-        .select("file", "ord")
-        .limit(1)
-        .collect()
+    # ONE manifest-sized collect serves the ordering guard AND the
+    # driver-side prune fast path (previously: one Spark round-trip
+    # for the guard, a second for the keep-filter — ~0.3-0.4 s of
+    # pure analysis overhead per call on a list-sized manifest)
+    zrows = [
+        (r["file"], r["col"], r["n_rows"], r["vmin"], r["vmax"], r["ord"])
+        for r in zonemap.filter(F.col("col") == col).collect()
+    ]
+    mismatched = next(
+        (r for r in zrows if r[5] is not None and r[5] != required), None
     )
     if mismatched:
         raise ValueError(
             f"zone-map ordering mismatch on {col!r}: envelope built "
-            f"{mismatched[0]['ord']}, prune cast {cast!r} compares "
-            f"{required} (file {mismatched[0]['file']})"
+            f"{mismatched[5]}, prune cast {cast!r} compares "
+            f"{required} (file {mismatched[0]})"
         )
+    fast = prune_file_rows(zrows, col, lo, hi, cast)
+    if fast is not None:
+        return fast
+    zm = zonemap.filter(F.col("col") == col)
     # try_cast, and a NULL result KEEPS the file: the ordering guard
     # above proves comparison semantics agree, but a cast can still
     # fail on WIDTH (cast='int' against a bigint envelope whose stats
