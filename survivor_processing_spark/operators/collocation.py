@@ -36,7 +36,7 @@ codegen'd JVM expressions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 TOKEN_PATTERN = "[a-z0-9]+"
 
@@ -60,35 +60,48 @@ def dice_collocations(
         raise ValueError(f"scale must be in (0, 1e9]: {scale}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1: {min_count}")
-    toks = docs.select(
+    # ONE corpus scan (r13 optimization; previously three — the two
+    # unigram join branches each re-tokenized the corpus): every
+    # token emits a (w, NULL) unigram marker next to the (w1, w2)
+    # bigrams, one grouped count collapses corpus → vocab, and the
+    # VOCAB-SIZED count table is persisted so its two branches
+    # (unigram lookups, bigram rows) never recompute the corpus
+    # lineage — the dsir precedent of pinning a small integer-lane
+    # aggregate, orders of magnitude under the raw text.
+    # sequence(1, size-1) flips direction when size < 2 — the if()
+    # guards it.
+    from pyspark.storagelevel import StorageLevel
+
+    rows = docs.select(
         F.expr(
             f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
         ).alias("_t")
-    )
-    uni = (
-        toks.select(F.explode("_t").alias("w"))
-        .groupBy("w")
+    ).select(
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(_t, w ->"
+                "   struct(w AS w1, CAST(NULL AS STRING) AS w2)),"
+                " if(size(_t) >= 2,"
+                "    transform(sequence(1, size(_t) - 1),"
+                "      i -> struct(_t[i-1] AS w1, _t[i] AS w2)),"
+                "    array()))"
+            )
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    counts = (
+        rows.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # sequence(1, size-1) flips direction when size < 2 — guard first
-    big = (
-        toks.filter(F.size("_t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(_t) - 1),"
-                    " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
-                )
-            ).alias("_p")
-        )
-        .groupBy(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
-    )
+    big = counts.filter(
+        F.col("w2").isNotNull() & (F.col("c") >= min_count)
+    ).select("w1", "w2", F.col("c").alias("c_ab"))
+    uni = counts.filter(F.col("w2").isNull()).select("w1", "c")
     # vocab-sized sides: let AQE broadcast; keys renamed pre-join so
     # the plan stays unambiguous under self-join of `uni`
-    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
-    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    ua = uni.select("w1", F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w1").alias("w2"), F.col("c").alias("c_b"))
     return (
         big.join(ua, "w1")
         .join(ub, "w2")
@@ -175,43 +188,53 @@ def bigram_fluency(
     """
     if not (0 < scale <= 1_000_000_000):
         raise ValueError(f"scale must be in (0, 1e9]: {scale}")
-    toks = docs.select(
+    # ONE corpus scan (r13 optimization; previously three — the
+    # doc-bigram lineage fed both the lane build and the per-doc
+    # join, and the unigram branch re-tokenized a third time): every
+    # token emits a (w, NULL) unigram marker (NULL doc — markers
+    # never reach the per-doc aggregate), bigrams emit (id, w1, w2);
+    # c_ab and c_a are WINDOW counts over the bigram / prefix
+    # partitions, so the lane arithmetic runs in-stream with zero
+    # joins.  sequence(1, size-1) flips direction when size < 2 —
+    # the if() guards it.
+    rows = docs.select(
         F.col(id_col),
         F.expr(
             f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
         ).alias("_t"),
-    )
-    doc_bigrams = (
-        toks.filter(F.size("_t") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(_t) - 1),"
-                    " i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
-                )
-            ).alias("_p"),
+    ).select(
+        F.explode(
+            F.expr(
+                f"concat("
+                f" transform(_t, w -> struct("
+                f"   {id_col} AS _id,"
+                f"   w AS w1, CAST(NULL AS STRING) AS w2)),"
+                f" if(size(_t) >= 2,"
+                f"    transform(sequence(1, size(_t) - 1),"
+                f"      i -> struct({id_col} AS _id,"
+                f"                  _t[i-1] AS w1, _t[i] AS w2)),"
+                f"    array()))"
+            )
+        ).alias("_p")
+    ).select("_p._id", "_p.w1", "_p.w2")
+    scored = (
+        rows.withColumn(
+            "c_a",
+            F.count(F.when(F.col("w2").isNull(), True)).over(
+                Window.partitionBy("w1")
+            ),
         )
-        .select(id_col, "_p.w1", "_p.w2")
-    )
-    uni = (
-        toks.select(F.explode("_t").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_a"))
-    )
-    lanes = (
-        doc_bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .join(uni, "w1")
-        .select(
-            "w1",
-            "w2",
-            F.expr(f"({int(scale)} * c_ab) DIV c_a").alias("_lane"),
+        .filter(F.col("w2").isNotNull())
+        .withColumn(
+            "c_ab",
+            F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")),
+        )
+        .withColumn(
+            "_lane", F.expr(f"({int(scale)} * c_ab) DIV c_a")
         )
     )
     return (
-        doc_bigrams.join(lanes, ["w1", "w2"])
-        .groupBy(id_col)
+        scored.groupBy(F.col("_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.expr("sum(_lane) DIV count(1)").alias("fluency_lane"),

@@ -107,18 +107,26 @@ def inverted_postings(
     postings are useless for retrieval and dominate the shuffle.
     Serving note: a petabyte index additionally range-shards each
     posting list by doc_id; the sorted-string contract makes that a
-    substring split, not a re-sort."""
+    substring split, not a re-sort.
+
+    Plan shape (r13 optimization): ``df_docs``/``cf`` are WINDOW
+    aggregates over the token partition instead of a separate
+    ``groupBy(token)`` joined back — the corpus is scanned+tokenized
+    ONCE (the join-back plan tokenized it twice: Spark recomputes
+    un-cached lineage per branch), the join disappears, and the
+    final posting ``groupBy(token, ...)`` reuses the window's
+    partitioning (no extra exchange)."""
     tf = term_frequencies(df, text_col, id_col)
-    stats = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df_docs"),
-        F.sum("tf").alias("cf"),
+    w_tok = Window.partitionBy("token")
+    keep = (
+        tf.withColumn("df_docs", F.count(F.lit(1)).over(w_tok))
+        .withColumn("cf", F.sum("tf").over(w_tok))
+        .filter(F.col("df_docs") >= min_df)
     )
-    keep = stats.filter(F.col("df_docs") >= min_df)
     if max_df is not None:
         keep = keep.filter(F.col("df_docs") <= max_df)
     return (
-        tf.join(keep, "token")
-        .groupBy("token", "df_docs", "cf")
+        keep.groupBy("token", "df_docs", "cf")
         .agg(
             F.array_join(
                 F.transform(
@@ -173,17 +181,44 @@ def bm25_doc_term_scores(
     The float columns are single fixed-association expressions, so
     both engines run the identical IEEE op sequence (the tfidf
     precedent); the rational lanes let downstream recombine exactly.
-    """
+
+    Plan shape (r13 optimization): ``df_docs`` and ``dl`` are WINDOW
+    aggregates over the token / doc partitions instead of separate
+    ``groupBy`` branches joined back — the un-cached join-back plan
+    tokenized the corpus FOUR times (Spark recomputes lineage per
+    branch; r13 plan audit).  The corpus totals (n_docs, sum_dl) come
+    from one extra LIGHT pass that never explodes tokens — per-doc
+    token counts are ``size(filter(tokens, ...))`` — and broadcast
+    into the stream.  Window order matters: the token window runs
+    first so the doc window leaves the stream partitioned by doc_id
+    and the final top-terms ranking window adds NO exchange.  Net:
+    4 corpus tokenizations + 2 joins → 1 tokenization + 1 light
+    scan, zero equi-joins."""
     cn, cd_tf, cd_const, cd_dl = _sat_coeffs(k1_num, k1_den, b_num, b_den)
     tf = term_frequencies(df, text_col, id_col)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
-    totals = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # totals replayed WITHOUT the token explode: dl per doc is the
+    # count of non-empty tokens (identical to sum(tf) — tf partitions
+    # that count by token); docs with zero non-empty tokens have no
+    # tf rows, so they contribute to neither n_docs nor sum_dl.
+    # size() is -1 for a NULL array (NULL text) — greatest(..., 0)
+    # pins that contribution to the 0 the tf lineage produces.
+    n_tok = F.greatest(
+        F.size(F.filter(tokens_expr(text_col), lambda t: t != "")),
+        F.lit(0),
+    )
+    totals = (
+        spread(df)
+        .select(n_tok.alias("_n"))
+        .agg(
+            F.count(F.when(F.col("_n") > 0, True)).alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("sum_dl"),
+        )
     )
     scored = (
-        tf.join(dfreq, "token")
-        .join(dl, "doc_id")
+        tf.withColumn(
+            "df_docs", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
