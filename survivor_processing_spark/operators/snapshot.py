@@ -683,6 +683,7 @@ def file_key_blooms(
     key_col: str,
     num_bits: int = 1 << 13,
     num_hashes: int = 3,
+    key_type: str | None = None,
 ) -> dict[str, dict]:
     """Per-FILE Bloom filter over ``key_col``, in the
     ``commit_version(stats=...)`` bloom shape: ``{file: {"m", "k",
@@ -728,6 +729,22 @@ def file_key_blooms(
                 f" (file {f!r})"
             )
     paths = [os.path.join(table_dir, f) for f in file_names]
+    # explicit single-column read schema (r13 optimization): the
+    # build only touches key_col, and its type is either handed in by
+    # the writer (who just produced the files) or logged — footer
+    # inference here cost ~0.1 s of driver work per commit for a
+    # fact the caller already knows.  Unknown type falls back to
+    # inference, never guesses; a table with no log yet (bootstrap
+    # commit, direct builds over bare files) has nothing to consult.
+    if key_type is None and log_versions(table_dir):
+        logged = table_schema(table_dir)
+        if logged:
+            key_type = dict(logged).get(key_col)
+    reader = (
+        spark.read.schema(f"`{key_col}` {key_type}")
+        if key_type
+        else spark.read
+    )
     sizes = set(bits_by_file.values())
     if len(sizes) == 1:
         m_expr = F.lit(next(iter(sizes)))
@@ -745,7 +762,7 @@ def file_key_blooms(
             F.col("_f"),
         )
     pos = (
-        spark.read.parquet(*paths)
+        reader.parquet(*paths)
         .select(
             F.element_at(
                 F.split(F.input_file_name(), "/"), -1
@@ -795,6 +812,7 @@ def attach_key_blooms(
     key_col: str,
     new_stats: dict[str, dict],
     bloom_bits: int | str | None = "auto",
+    key_type: str | None = None,
 ) -> dict[str, dict]:
     """Mutates ``new_stats`` in place: per-file key blooms for
     ``adds``, sized "auto" at ~10 bits/key from the row count the
@@ -818,7 +836,7 @@ def attach_key_blooms(
         else:
             bits[fname] = int(bloom_bits)
     for fname, b in file_key_blooms(
-        spark, table_dir, bits, key_col
+        spark, table_dir, bits, key_col, key_type=key_type
     ).items():
         new_stats[fname][key_col]["bloom"] = b
     return new_stats
@@ -2043,11 +2061,30 @@ def init_snapshot(
         new_stats = (
             stats_for_files(table_dir, adds, cols) if cols else None
         )
+        types = dict(df.dtypes)
         if bloom_key and new_stats:
             attach_key_blooms(
-                spark, table_dir, adds, bloom_key, new_stats, bloom_bits
+                spark,
+                table_dir,
+                adds,
+                bloom_key,
+                new_stats,
+                bloom_bits,
+                key_type=types.get(bloom_key),
             )
-        version = commit_version(table_dir, adds=adds, stats=new_stats)
+        # schema-in-the-log from commit 1 (r13 optimization, guide
+        # §1.2/§6): the writer KNOWS df's schema, and recording it
+        # makes every later read — summaries, DML rewrites, bloom
+        # builds, time travel — an explicit-schema parquet scan
+        # instead of a footer-inference pass (~80-115 ms of driver
+        # work per un-schema'd read at local scale; at 100 TB the
+        # inference job reopens footers the log already describes).
+        version = commit_version(
+            table_dir,
+            adds=adds,
+            stats=new_stats,
+            schema=[[c, t] for c, t in df.dtypes],
+        )
     except BaseException:
         for name in adds:
             try:

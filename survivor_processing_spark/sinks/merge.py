@@ -640,7 +640,13 @@ def _merge_into_snapshot_impl(
         # 1-16 KiB per entry); shared policy with every other writer
         # — operators/snapshot.py attach_key_blooms
         attach_key_blooms(
-            spark, table_dir, adds, key_col, new_stats, bloom_bits
+            spark,
+            table_dir,
+            adds,
+            key_col,
+            new_stats,
+            bloom_bits,
+            key_type=dict(merged.dtypes).get(key_col),
         )
         version = commit_version(
             table_dir,
