@@ -1161,6 +1161,31 @@ def resize_media(df: DataFrame, width: int, height: int, fake: bool = False) -> 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def sample_frames_real(b: bytes, every_s: float) -> list:
+    """Row core of real-mode :func:`frame_sample`: one media blob →
+    ``[(frame_idx, ts_s, frame_bytes), ...]`` through the same codec
+    dispatch order (WAV slice, then GIF / APNG / MJPEG-AVI; anything
+    else raises).  Shared by the DataFrame operator and the fused
+    single-stage query paths so the two can never diverge."""
+    if wav_info(b) is not None:
+        return wav_slice_frames(b, every_s)
+    frames = gif_slice_frames(b, every_s)
+    if frames is None:
+        frames = apng_slice_frames(b, every_s)
+    if frames is None:
+        frames = avi_slice_frames(b, every_s)
+    if frames is None:
+        raise NotImplementedError(
+            "real frame sampling decodes WAV audio, "
+            "GIF/(A)PNG animation, and MJPEG AVI "
+            "containers; compressed video codecs "
+            "need ffmpeg (absent here) — pass "
+            "fake=True for the deterministic stub "
+            "sampler"
+        )
+    return frames
+
+
 def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> DataFrame:
     """Media frame sampling: ONE media row → N frame rows (UDTF-style
     1→N emit through mapInPandas, SURVEY §2 M3).  Frames at t = 0,
@@ -1187,24 +1212,7 @@ def frame_sample(df: DataFrame, every_s: float = 1.0, fake: bool = False) -> Dat
                 rows = []
                 for asset_id, blob in zip(pdf["asset_id"], pdf["media"]):
                     b = bytes(blob) if blob is not None else b""
-                    if wav_info(b) is not None:
-                        frames = wav_slice_frames(b, every_s)
-                    else:
-                        frames = gif_slice_frames(b, every_s)
-                        if frames is None:
-                            frames = apng_slice_frames(b, every_s)
-                        if frames is None:
-                            frames = avi_slice_frames(b, every_s)
-                        if frames is None:
-                            raise NotImplementedError(
-                                "real frame sampling decodes WAV audio, "
-                                "GIF/(A)PNG animation, and MJPEG AVI "
-                                "containers; compressed video codecs "
-                                "need ffmpeg (absent here) — pass "
-                                "fake=True for the deterministic stub "
-                                "sampler"
-                            )
-                    for idx, ts, seg in frames:
+                    for idx, ts, seg in sample_frames_real(b, every_s):
                         rows.append((asset_id, idx, ts, seg))
                 yield pd.DataFrame(
                     rows, columns=["asset_id", "frame_idx", "ts_s", "frame"]

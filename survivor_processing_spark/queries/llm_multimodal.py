@@ -8,12 +8,10 @@ byte-identical to its pre-split form.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table, table_rows
 from ..operators.dedup import spread_rows
-from ..operators.multimodal import decode_media, frame_sample
 from ._registry import register
 
 
@@ -64,15 +62,8 @@ FROM documents
 def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..operators.multimodal import (
-        MEDIA_SCHEMA,
-        synth_gif,
-        synth_png,
-        synth_wav,
-    )
-
     # CPU-bound Python codec over a tiny id column: row-aware spread
-    # before the first mapInPandas — the sf1 doc table is one parquet
+    # before the mapInPandas — the sf1 doc table is one parquet
     # split (the GIF-query lesson) so it must widen, but a fixed
     # 32-way spread doubles the tiny-SF wall time on task overhead;
     # footer row count sizes the stage instead (clamps to all cores
@@ -82,7 +73,20 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_rows(sf_dir, "documents"),
     )
 
-    def synth(batches):
+    # r13: synth → decode_media fused into ONE mapInPandas (guide §4):
+    # the container blob never crosses the JVM↔Python boundary, and
+    # the md5 digest decode_media computes for its wider contract —
+    # dropped by the .select() here anyway — is no longer paid.  The
+    # header walk is the operator's own parse_media_header, so the
+    # parse stays hash-gated; output rows identical.
+    def fused(batches):
+        from ..operators.multimodal import (
+            parse_media_header,
+            synth_gif,
+            synth_png,
+            synth_wav,
+        )
+
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -94,14 +98,17 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = synth_gif(i % 100 + 1, i % 80 + 1)
                 else:
                     blob = synth_wav((i % 500) * 16)
-                rows.append((i, blob, None))
+                mime, w, h, dur = parse_media_header(blob)
+                rows.append((i, mime, w, h, dur))
             yield pd.DataFrame(
-                rows, columns=["asset_id", "media", "media_meta"]
+                rows,
+                columns=["asset_id", "mime", "width", "height", "duration_s"],
             )
 
-    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    return decode_media(media, fake=False).select(
-        "asset_id", "mime", "width", "height", "duration_s"
+    return d.mapInPandas(
+        fused,
+        schema="asset_id long, mime string, width int, height int, "
+        "duration_s double",
     )
 
 
@@ -133,15 +140,8 @@ GROUP BY d.doc_id
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..operators.multimodal import (
-        MEDIA_SCHEMA,
-        png_decode,
-        png_encode,
-        resize_media_nn,
-    )
-
     # CPU-bound Python codec over a tiny id column: row-aware spread
-    # before the first mapInPandas — the sf1 doc table is one parquet
+    # before the mapInPandas — the sf1 doc table is one parquet
     # split (the GIF-query lesson) so it must widen, but a fixed
     # 32-way spread doubles the tiny-SF wall time on task overhead;
     # footer row count sizes the stage instead (clamps to all cores
@@ -151,7 +151,20 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_rows(sf_dir, "documents"),
     )
 
-    def synth(batches):
+    # r13: synth → resize_media_nn → checksum fused into ONE
+    # mapInPandas (guide §4): the PNG blob used to cross the
+    # JVM↔Python boundary four more times (synth out, resize in/out,
+    # checksum in).  The resize is the operator's own codec row core
+    # (png_resize_nn — exactly what resize_media_nn maps over the
+    # frame), so the zlib/unfilter/sample/re-encode path stays
+    # hash-gated; output rows identical.
+    def fused(batches):
+        from ..operators.multimodal import (
+            png_decode,
+            png_encode,
+            png_resize_nn,
+        )
+
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -162,28 +175,16 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 )
-                rows.append((i, png_encode(w, h, 1, px), None))
-            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
-
-    def checksum(batches):
-        for pdf in batches:
-            rows = []
-            for asset_id, blob, meta in zip(
-                pdf["asset_id"], pdf["media"], pdf["media_meta"]
-            ):
-                w, h, _nch, px = png_decode(bytes(blob))
-                rows.append(
-                    (asset_id, meta["mime"], w, h, sum(px))
-                )
+                resized = png_resize_nn(png_encode(w, h, 1, px), 4, 3)
+                ow, oh, _nch, opx = png_decode(resized)
+                rows.append((i, "image/png", ow, oh, sum(opx)))
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "mime", "out_w", "out_h", "pixel_sum"],
             )
 
-    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    resized = resize_media_nn(media, 4, 3)
-    return resized.mapInPandas(
-        checksum,
+    return d.mapInPandas(
+        fused,
         schema="asset_id long, mime string, out_w int, out_h int, "
         "pixel_sum long",
     )
@@ -243,7 +244,7 @@ GROUP BY fr.asset_id, fr.frame_idx, fr.n
 def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..operators.multimodal import MEDIA_SCHEMA, wav_info
+    from ..operators.multimodal import wav_info
 
     # CPU-bound Python codec over a tiny id column: row-aware spread
     # before the first mapInPandas — the sf1 doc table is one parquet
@@ -256,12 +257,17 @@ def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_rows(sf_dir, "documents"),
     )
 
-    def synth(batches):
+    # r13: synth → frame_sample → checksum fused into ONE mapInPandas
+    # (guide §4 — same shape as the GIF query: two fewer JVM↔Python
+    # blob round trips, one worker per task instead of three).  Frame
+    # slicing runs through the operator's own row core
+    # (sample_frames_real), so the RIFF walk stays hash-gated.
+    def fused(batches):
         import struct as _s
 
         import numpy as np
 
-        from ..operators.multimodal import wav_encode
+        from ..operators.multimodal import sample_frames_real, wav_encode
 
         fmt = _s.pack("<HHIIHH", 1, 1, 800, 1600, 2, 16)
         for pdf in batches:
@@ -273,26 +279,17 @@ def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # little-endian lane layout, no per-sample Python loop)
                 vals = ((i * 31 + np.arange(n, dtype=np.int64) * 7) % 65536
                         - 32768).astype("<i2")
-                rows.append((i, wav_encode(fmt, vals.tobytes()), None))
-            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
-
-    def checksum(batches):
-        import numpy as np
-
-        for pdf in batches:
-            rows = []
-            for asset_id, frame_idx, ts_s, blob in zip(
-                pdf["asset_id"], pdf["frame_idx"], pdf["ts_s"], pdf["frame"]
-            ):
-                b = bytes(blob)
-                info = wav_info(b)
-                n = info["n_samples"]
-                vals = np.frombuffer(
-                    b, dtype="<i2", count=n, offset=info["data_off"]
-                )
-                rows.append(
-                    (asset_id, frame_idx, ts_s, n, int(vals.sum(dtype=np.int64)))
-                )
+                blob = wav_encode(fmt, vals.tobytes())
+                for frame_idx, ts_s, seg in sample_frames_real(blob, 0.5):
+                    b = bytes(seg)
+                    info = wav_info(b)
+                    nf = info["n_samples"]
+                    fvals = np.frombuffer(
+                        b, dtype="<i2", count=nf, offset=info["data_off"]
+                    )
+                    rows.append(
+                        (i, frame_idx, ts_s, nf, int(fvals.sum(dtype=np.int64)))
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -301,10 +298,8 @@ def multimodal_wav_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    frames = frame_sample(media, every_s=0.5, fake=False)
-    return frames.mapInPandas(
-        checksum,
+    return d.mapInPandas(
+        fused,
         schema="asset_id long, frame_idx int, ts_s double, "
         "n_frame_samples int, sample_sum long",
     )
@@ -354,12 +349,10 @@ GROUP BY fr.asset_id, fr.frame_idx, fr.w, fr.h
 def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..operators.multimodal import MEDIA_SCHEMA, gif_frames
-
     # the codec stages are CPU-bound Python over tiny input bytes, so
     # the scan's byte-based split count (ONE partition for the whole
     # sf1 doc-id column) is the wrong parallelism — row-aware spread
-    # before the first mapInPandas (measured 38 s -> ~3 s at sf1;
+    # before the mapInPandas (measured 38 s -> ~3 s at sf1;
     # hash-identical output).  The LZW decode is the heaviest codec
     # here (~0.45 ms/row), so its chunk is smaller: 300 rows/task
     # keeps sf0.1 at ~17 tasks (measured sweet spot) and still clamps
@@ -370,10 +363,22 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_task=300,
     )
 
-    def synth(batches):
+    # r13: synth → frame_sample → checksum fused into ONE mapInPandas
+    # (guide §4: the former three chained Python stages each ran in
+    # their own worker, shipping every GIF blob JVM→Python→JVM twice
+    # more than needed, and with one Arrow batch per partition the
+    # downstream workers sat blocked on the upstream's whole
+    # partition).  The frame slicing goes through the SAME row core
+    # the frame_sample operator uses (sample_frames_real), so the
+    # codec path stays hash-gated end to end; output rows identical.
+    def fused(batches):
         import numpy as np
 
-        from ..operators.multimodal import gif_encode_frames
+        from ..operators.multimodal import (
+            gif_encode_frames,
+            gif_frames,
+            sample_frames_real,
+        )
 
         for pdf in batches:
             rows = []
@@ -389,23 +394,14 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .tobytes()
                     for f in range(nf)
                 ]
-                rows.append((i, gif_encode_frames(w, h, frames), None))
-            yield pd.DataFrame(rows, columns=["asset_id", "media", "media_meta"])
-
-    def checksum(batches):
-        import numpy as np
-
-        for pdf in batches:
-            rows = []
-            for asset_id, frame_idx, blob in zip(
-                pdf["asset_id"], pdf["frame_idx"], pdf["frame"]
-            ):
-                doc = gif_frames(bytes(blob))
-                _l, _t, fw, fh, idx = doc["frames"][0]
-                s = int(
-                    np.frombuffer(idx, dtype=np.uint8).sum(dtype=np.int64)
-                )
-                rows.append((asset_id, frame_idx, fw, fh, len(idx), s))
+                blob = gif_encode_frames(w, h, frames)
+                for frame_idx, _ts, seg in sample_frames_real(blob, 1.0):
+                    doc = gif_frames(bytes(seg))
+                    _l, _t, fw, fh, idx = doc["frames"][0]
+                    s = int(
+                        np.frombuffer(idx, dtype=np.uint8).sum(dtype=np.int64)
+                    )
+                    rows.append((i, frame_idx, fw, fh, len(idx), s))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -414,10 +410,8 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = d.mapInPandas(synth, schema=MEDIA_SCHEMA)
-    frames = frame_sample(media, every_s=1.0, fake=False)
-    return frames.mapInPandas(
-        checksum,
+    return d.mapInPandas(
+        fused,
         schema="asset_id long, frame_idx int, width int, height int, "
         "n_pixels int, index_sum long",
     )
