@@ -137,10 +137,37 @@ def bpe_train(
     order.  Stops early (fewer rows) only if the vocabulary runs
     out of adjacent pairs, which no realistic corpus does at the
     gate configs."""
+    merges = _bpe_train_merges(
+        df,
+        text_col=text_col,
+        n_merges=n_merges,
+        max_word_len=max_word_len,
+        max_vocab=max_vocab,
+        fixpoint_passes=fixpoint_passes,
+    )
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_len: int = 16,
+    max_vocab: int | None = None,
+    fixpoint_passes: int | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """The training loop itself, returning the merge table as the
+    driver-local list it natively is (``n_merges`` rows — ONE row
+    crosses to the driver per iteration).  ``bpe_train`` wraps it in
+    a DataFrame for the public API; ``bpe_token_budget`` consumes
+    the list directly, skipping a createDataFrame → sort → collect
+    round trip over the default-parallelism partitioning (3 driver
+    jobs for 8 rows)."""
     passes = (
         fixpoint_passes if fixpoint_passes is not None else max_word_len // 2
     )
-    spark = df.sparkSession
     vocab = word_frequencies(
         df, text_col=text_col, max_word_len=max_word_len, max_vocab=max_vocab
     ).withColumn(
@@ -150,7 +177,15 @@ def bpe_train(
 
     merges: list[tuple[int, str, str, int]] = []
     for t in range(n_merges):
-        vocab = vocab.localCheckpoint()
+        # truncate lineage every FOURTH iteration, not every one: a
+        # checkpoint is a driver job + materialization round trip
+        # (~0.15 s each locally), while letting up to 3 merge
+        # applications re-run per collect is vocabulary-bounded JVM
+        # work (measured at sf0.1: per-iteration checkpointing 1.8 s,
+        # every-4 1.35 s, same merge table; unbounded lineage is the
+        # plan-growth risk at high n_merges, so not never)
+        if t % 4 == 0:
+            vocab = vocab.localCheckpoint()
         best = (
             vocab.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
             .groupBy(
@@ -167,9 +202,7 @@ def bpe_train(
         merges.append((t, lhs, rhs, int(cnt)))
         vocab = vocab.withColumn("seq", F.expr(_merge_expr(lhs, rhs, passes)))
 
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
-    )
+    return merges
 
 
 def bpe_encode_counts(
@@ -231,6 +264,14 @@ def bpe_encode_counts(
         .filter(F.length("word") >= 1)
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # dw feeds BOTH the eligible-vocabulary derivation and the
+        # final join; without pinning, each consumer re-runs the full
+        # corpus tokenize + shuffle (the plan showed two parquet
+        # scans of the corpus, no ReusedExchange).  A lazy local
+        # checkpoint materializes the doc-word counts once at first
+        # use — on a cluster this is the persist(MEMORY_AND_DISK)
+        # point (same note as the train loop / Lloyd)
+        .localCheckpoint(eager=False)
     )
     eligible = (
         dw.select("word")
@@ -289,7 +330,7 @@ def bpe_token_budget(
     the corpus, then tokenize it — the registered-query shape (the
     token-budget accounting a training-data pipeline runs after
     tokenizer training).  See :func:`bpe_encode_counts`."""
-    merges = bpe_train(
+    merges = _bpe_train_merges(
         df,
         text_col=text_col,
         n_merges=n_merges,
@@ -298,7 +339,7 @@ def bpe_token_budget(
     )
     return bpe_encode_counts(
         df,
-        merges,
+        [(lhs, rhs) for _rank, lhs, rhs, _cnt in merges],
         text_col=text_col,
         id_col=id_col,
         encode_max_len=encode_max_len,
