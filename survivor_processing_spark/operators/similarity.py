@@ -648,7 +648,41 @@ def semantic_dedup_portable(
             F.expr("aggregate(transform(_q, x -> x*x), 0L, (a, x) -> a + x)"),
         )
     )
-    seed_rows = qdf.orderBy("_m", id_col).limit(k).select("_q").collect()
+    # seed selection in two cheap jobs instead of one expensive one:
+    # the ordering (md5, id) never looks at the vector, but a single
+    # TakeOrdered over qdf evaluates the 64-lane quantize transform
+    # for EVERY row below the sort (plan-verified; 1.25 s at sf0.1).
+    # Job 1 ranks ids by (md5, id) alone; job 2 re-reads just those
+    # rows (isin pushdown) and quantizes k vectors.  Quantization
+    # stays the same Spark expression — no cross-language float
+    # replay — and ordering semantics are unchanged.
+    seed_ids = [
+        r[0]
+        for r in emb.where(clean)
+        .select(
+            F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("_m")
+        )
+        .orderBy("_m", id_col)
+        .limit(k)
+        .select(id_col)
+        .collect()
+    ]
+    seed_pred = F.col(id_col).isin(
+        [i for i in seed_ids if i is not None]
+    )
+    if any(i is None for i in seed_ids):
+        # a NULL id ranks first under NULLS FIRST md5 ordering but
+        # never matches isin — keep it reachable for job 2
+        seed_pred = seed_pred | F.col(id_col).isNull()
+    seed_rows = (
+        qdf.filter(seed_pred)
+        .orderBy("_m", id_col)
+        .limit(k)
+        .select("_q")
+        .collect()
+        if seed_ids
+        else []
+    )
     if not seed_rows:
         return emb.sparkSession.createDataFrame(
             [],
@@ -692,44 +726,57 @@ def semantic_dedup_portable(
         .filter(F.col("_r") <= max_cluster)
         .drop("_r")
     )
-    a = capped.select(
-        F.col("cluster_idx"),
-        F.col(id_col).alias("_ida"),
-        F.col("_m").alias("_ma"),
-        F.col("_q").alias("_qa"),
-        F.col("_n2").alias("_n2a"),
-    )
-    b = capped.select(
-        F.col("cluster_idx"),
-        F.col(id_col).alias("_idb"),
-        F.col("_m").alias("_mb"),
-        F.col("_q").alias("_qb"),
-        F.col("_n2").alias("_n2b"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(_qa, _qb, (x, y) -> x*y), 0L, (acc, x) -> acc + x)"
-    )
-    pairs = (
-        a.join(b, "cluster_idx")
-        .filter(
-            (F.col("_ma") < F.col("_mb"))
-            | ((F.col("_ma") == F.col("_mb")) & (F.col("_ida") < F.col("_idb")))
+    # r13: the pair stage was a capped self-join whose per-pair dot
+    # ran as interpreted zip_with/aggregate lambdas (no codegen for
+    # higher-order functions) — ~1.4 s of the gate at sf0.1.  Each
+    # capped cluster is a bounded ≤ max_cluster × dim int64 block, so
+    # ONE applyInPandas per cluster computes every dot as a numpy
+    # int64 matmul and applies the identical ordering + threshold +
+    # keeper rules (two's-complement int64 wrap semantics match the
+    # JVM exactly).  The window cap upstream already hash-partitions
+    # by cluster_idx, so the grouped map adds no exchange.  Rows with
+    # a NULL id never paired before (every comparison with a NULL md5
+    # is false) — dropped explicitly here.
+    idt = emb.schema[id_col].dataType.simpleString()
+    num, den, idc = int(threshold_num), int(threshold_den), id_col
+
+    def _pairs_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {idc: pdf[idc][:0], "cluster_idx": pdf["cluster_idx"][:0],
+             "dup_of": pdf[idc][:0]}
         )
-        .withColumn("_dot", dot)
-        .filter(
-            (F.col("_dot") > 0)
-            & (
-                F.lit(threshold_den) * F.col("_dot") * F.col("_dot")
-                >= F.lit(threshold_num) * F.col("_n2a") * F.col("_n2b")
-            )
+        pdf = pdf[pdf["_m"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return empty
+        # (md5, id) ascending = the a-before-b orientation AND the
+        # keeper rank in one order; mergesort for deterministic ties
+        pdf = pdf.sort_values(["_m", idc], kind="mergesort").reset_index(
+            drop=True
         )
-    )
-    # keeper per removed id: the duplicate partner with the smallest
-    # (md5, id) rank — min_by on a struct, one hash aggregate
-    return pairs.groupBy(
-        F.col("_idb").alias(id_col), F.col("cluster_idx")
-    ).agg(
-        F.min_by(
-            F.col("_ida"), F.struct(F.col("_ma"), F.col("_ida"))
-        ).alias("dup_of")
+        q = np.array(pdf["_q"].tolist(), dtype=np.int64)
+        n2 = pdf["_n2"].to_numpy(dtype=np.int64)
+        dots = q @ q.T
+        ok = (dots > 0) & (den * dots * dots >= num * np.outer(n2, n2))
+        # strict upper triangle: row i is the lower-ranked partner
+        ok &= np.tri(n, n, -1, dtype=bool).T
+        dup_j = ok.any(axis=0)
+        first_i = ok.argmax(axis=0)
+        js = np.nonzero(dup_j)[0]
+        if js.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                idc: pdf[idc].to_numpy()[js],
+                "cluster_idx": pdf["cluster_idx"].to_numpy()[js],
+                "dup_of": pdf[idc].to_numpy()[first_i[js]],
+            }
+        )
+
+    return capped.groupBy("cluster_idx").applyInPandas(
+        _pairs_fn,
+        schema=f"{id_col} {idt}, cluster_idx int, dup_of {idt}",
     )
