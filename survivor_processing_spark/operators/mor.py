@@ -480,8 +480,14 @@ def upsert_into_snapshot_mor(
         adds: list[str] = []
         try:
             # append the source as new files, projected onto the table's
-            # column order (never a source-ordered footer)
-            source.select(*head_cols).write.mode("overwrite").parquet(staging)
+            # column order (never a source-ordered footer), sized for
+            # the batch volume rather than the source's scan width
+            # (sinks/merge.py sized_for_write — guide §6)
+            from ..sinks.merge import sized_for_write
+
+            sized_for_write(
+                source.select(*head_cols), est_rows=n_in_source
+            ).write.mode("overwrite").parquet(staging)
             for i, part in enumerate(
                 sorted(
                     p for p in os.listdir(staging) if p.endswith(".parquet")

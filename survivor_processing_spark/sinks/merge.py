@@ -274,6 +274,38 @@ def merge_upsert_delta(
     )
 
 
+_TARGET_FILE_BYTES = 64 << 20  # ~64 MiB parquet output files (guide §6)
+_ROWS_PER_FILE = 1_000_000  # row-count fallback when bytes are unknown
+
+
+def sized_for_write(
+    df: DataFrame,
+    est_bytes: int | None = None,
+    est_rows: int | None = None,
+) -> DataFrame:
+    """Coalesce a rewrite/append to a file count sized for its DATA
+    VOLUME instead of the scan/shuffle width it happens to arrive
+    with.  Un-sized, a KB-scale merge batch inherits the session's
+    32-way partitioning (files.minPartitionNum / shuffle width) and
+    lands as ~32 near-empty parquet files per commit — paying 32
+    write tasks now and one task per file in every later stats,
+    bloom, and scan job (and foreachBatch plans run WITHOUT AQE
+    coalescing, so streaming ingest hit this every batch).  The
+    target is max(bytes/64 MiB, rows/1M) over whichever estimates
+    the caller has; ``coalesce`` only ever SHRINKS, so a genuinely
+    large rewrite keeps its parallelism."""
+    import math
+
+    want = 1
+    if est_bytes is not None:
+        want = max(want, math.ceil(est_bytes / _TARGET_FILE_BYTES))
+    if est_rows is not None:
+        want = max(want, math.ceil(est_rows / _ROWS_PER_FILE))
+    if want < df.rdd.getNumPartitions():
+        return df.coalesce(want)
+    return df
+
+
 def _atomic_overwrite(spark: SparkSession, df: DataFrame, target_path: str) -> None:
     """Write to a staging dir, then swap — the reader of the old data
     is never the writer's victim (parquet can't overwrite in place
@@ -614,7 +646,12 @@ def _merge_into_snapshot_impl(
         # files (the drift guard above already rejected type changes)
         merged = source.select(*out_cols)
     staging = os.path.join(table_dir, f"_tmp_merge_{uuid.uuid4().hex[:8]}")
-    merged.write.mode("overwrite").parquet(staging)
+    affected_bytes = sum(
+        os.path.getsize(os.path.join(table_dir, f)) for f in affected
+    )
+    sized_for_write(
+        merged, est_bytes=affected_bytes, est_rows=n_src
+    ).write.mode("overwrite").parquet(staging)
     adds = []
     tag = uuid.uuid4().hex[:8]
     for i, part in enumerate(
@@ -793,7 +830,12 @@ def delete_from_snapshot(
         )
     survivors = survivors.where(~pred | F.col(key_col).isNull())
     staging = os.path.join(table_dir, f"_tmp_delete_{uuid.uuid4().hex[:8]}")
-    survivors.write.mode("overwrite").parquet(staging)
+    sized_for_write(
+        survivors,
+        est_bytes=sum(
+            os.path.getsize(os.path.join(table_dir, f)) for f in affected
+        ),
+    ).write.mode("overwrite").parquet(staging)
     adds = []
     tag = uuid.uuid4().hex[:8]
     for i, part in enumerate(
