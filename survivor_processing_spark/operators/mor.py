@@ -384,12 +384,20 @@ def upsert_into_snapshot_mor(
     # probe, the tombstone semi-join, and the append write all
     # consume it — unpersisted in the finally; every action completes
     # before return.
-    source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned = source.persist(StorageLevel.MEMORY_AND_DISK)
+    source = pinned
     try:
         # one aggregate adjudicates emptiness + both key contracts
         # (sinks/merge.py check_merge_source): a NULL key matches
         # nothing and would re-insert per run
         n_in_source = check_merge_source(source, key_col)
+        # narrow the view of the just-cached source for every later
+        # consumer (sinks/merge.py sized_for_write note): a small
+        # batch otherwise schedules its arrival width of near-empty
+        # tasks per downstream job
+        from ..sinks.merge import sized_for_compute
+
+        source = sized_for_compute(source, max(1, n_in_source))
         planned = plan_head(table_dir)
         active = snapshot_files(table_dir)
         if n_in_source == 0:
@@ -545,7 +553,7 @@ def upsert_into_snapshot_mor(
             "dvs": sorted(sidecars),
         }
     finally:
-        source.unpersist()
+        pinned.unpersist()
 
 
 def purge_dvs(

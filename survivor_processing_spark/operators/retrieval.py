@@ -292,8 +292,10 @@ def bm25_query_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     spark = df.sparkSession
-    terms = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "token string"
+    from ..functions.localrel import local_rows_df
+
+    terms = local_rows_df(
+        spark, [(t,) for t in sorted(set(query_terms))], "token string"
     )
     tf = term_frequencies(df, text_col, id_col)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -698,7 +698,10 @@ def semantic_dedup_portable(
     # linearly in k).  Arithmetic, seed order, and the ties-to-lowest
     # -idx rule are unchanged — hash-identical output; per-row cost
     # is the same O(k·dim) HOF the literal ran.
-    seeds_df = emb.sparkSession.createDataFrame(
+    from ..functions.localrel import local_rows_df
+
+    seeds_df = local_rows_df(
+        emb.sparkSession,
         [([list(r["_q"]) for r in seed_rows],)],
         "_seeds array<array<bigint>>",
     )

@@ -41,6 +41,8 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.localrel import local_rows_df
+
 LOG_DIR = "_sps_log"
 
 # internal row-identity tag columns shared by every merge-on-read
@@ -629,7 +631,8 @@ def snapshot_zonemap(
     never skipped blind; the read side sees the NULLs).  Raising
     here instead would make every merge/delete on an evolved column
     crash against pre-widening files."""
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         snapshot_zonemap_rows(table_dir, cols, version, recorded),
         "file string, col string, n_rows long, "
         "vmin string, vmax string, ord string",
@@ -761,8 +764,22 @@ def file_key_blooms(
             ),
             F.col("_f"),
         )
+    # right-size the scan: the session's small-file split floor would
+    # schedule 32 near-empty tasks for a KB-scale commit's files
+    # (~15 ms each of pure task launch under foreachBatch's no-AQE
+    # plans).  The build's cost is per ROW (explode k positions +
+    # hash), not per byte — byte-based sizing single-tasked a
+    # 150k-key build into a 5 s straggler — so size from the footer
+    # row counts (driver-side metadata read, file-count-bounded) at
+    # the ~64k rows/task spread_rows convention.  coalesce only ever
+    # shrinks.
+    import pyarrow.parquet as _pq
+
+    total_rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+    want = max(1, (total_rows >> 16) + (1 if total_rows & 0xFFFF else 0))
+    scan = reader.parquet(*paths)
     pos = (
-        reader.parquet(*paths)
+        scan.coalesce(want)
         .select(
             F.element_at(
                 F.split(F.input_file_name(), "/"), -1
@@ -924,7 +941,8 @@ def range_candidate_files(
     fast = prune_file_rows(zrows, key_col, lo, hi, cast)
     if fast is not None:
         return fast
-    zm = spark.createDataFrame(
+    zm = local_rows_df(
+        spark,
         zrows,
         "file string, col string, n_rows long, "
         "vmin string, vmax string, ord string",
@@ -961,7 +979,8 @@ def key_candidate_files(
         raise ValueError(f"unsupported merge key cast {cast!r}")
     zrows = snapshot_zonemap_rows(table_dir, [key_col], recorded=recorded)
     guard_zonemap_ordering(zrows, key_col, cast, required, "key")
-    zm = spark.createDataFrame(
+    zm = local_rows_df(
+        spark,
         zrows,
         "file string, col string, n_rows long, "
         "vmin string, vmax string, ord string",
@@ -1355,7 +1374,8 @@ def snapshot_history(
                 len(active),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "version int, ts double, n_adds int, n_removes int, n_active int",
     )
@@ -1484,7 +1504,8 @@ def compact_snapshot(
 
     planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
-    manifest = spark.createDataFrame(
+    manifest = local_rows_df(
+        spark,
         [
             (f, os.path.getsize(os.path.join(table_dir, f)))
             for f in active

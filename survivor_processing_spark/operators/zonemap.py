@@ -161,7 +161,10 @@ def build_zonemap(
     rows = []
     for f in targets:
         rows.extend(file_column_stats(f, cols))
-    return spark.createDataFrame(
+    from ..functions.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         rows,
         "file string, col string, n_rows long, "
         "vmin string, vmax string, ord string",

@@ -243,8 +243,10 @@ GROUP BY b.band
 )
 def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        VALUE_BANDS, "band string, lo double, hi double"
+    from ..functions.localrel import local_rows_df
+
+    bands = local_rows_df(
+        spark, VALUE_BANDS, "band string, lo double, hi double"
     )
     joined = binned_range_join(
         ev, bands, value_col="value", lo_col="lo", hi_col="hi", bin_width=50.0

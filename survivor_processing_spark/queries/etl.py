@@ -401,7 +401,10 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("status"), "o_totalprice"
     )
-    dim = spark.createDataFrame(
+    from ..functions.localrel import local_rows_df
+
+    dim = local_rows_df(
+        spark,
         [("O", "open"), ("F", "filled"), ("P", "pending")],
         "status string, label string",
     )

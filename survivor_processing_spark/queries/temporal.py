@@ -231,9 +231,11 @@ def entity_resolution_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     primary = [("en", "English"), ("de", "German")]
     fallback = [("es", "Spanish"), ("zh", "Chinese"), ("de", "Deutsch")]
-    schema = ["lang", "lang_name"]
-    p_df = d.sparkSession.createDataFrame(primary, schema)
-    f_df = d.sparkSession.createDataFrame(fallback, schema)
+    from ..functions.localrel import local_rows_df
+
+    schema = "lang string, lang_name string"
+    p_df = local_rows_df(d.sparkSession, primary, schema)
+    f_df = local_rows_df(d.sparkSession, fallback, schema)
     out = resolve_cascade(
         d,
         [(p_df, ["lang"], "lang_name"), (f_df, ["lang"], "lang_name")],
@@ -270,9 +272,11 @@ def entity_match_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     primary = [("en", "English"), ("de", "German")]
     fallback = [("es", "Spanish"), ("zh", "Chinese"), ("de", "Deutsch")]
-    schema = ["lang", "lang_name"]
-    p_df = d.sparkSession.createDataFrame(primary, schema)
-    f_df = d.sparkSession.createDataFrame(fallback, schema)
+    from ..functions.localrel import local_rows_df
+
+    schema = "lang string, lang_name string"
+    p_df = local_rows_df(d.sparkSession, primary, schema)
+    f_df = local_rows_df(d.sparkSession, fallback, schema)
     out = resolve_cascade(
         d,
         [(p_df, ["lang"], "lang_name"), (f_df, ["lang"], "lang_name")],

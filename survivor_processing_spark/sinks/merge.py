@@ -31,6 +31,8 @@ import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.localrel import local_rows_df
+
 
 class MergeTable:
     """A parquet-backed keyed table with MERGE upsert semantics."""
@@ -276,6 +278,7 @@ def merge_upsert_delta(
 
 _TARGET_FILE_BYTES = 64 << 20  # ~64 MiB parquet output files (guide §6)
 _ROWS_PER_FILE = 1_000_000  # row-count fallback when bytes are unknown
+_ROWS_PER_TASK = 65_536  # COMPUTE view sizing (the spread_rows convention)
 
 
 def sized_for_write(
@@ -301,6 +304,20 @@ def sized_for_write(
         want = max(want, math.ceil(est_bytes / _TARGET_FILE_BYTES))
     if est_rows is not None:
         want = max(want, math.ceil(est_rows / _ROWS_PER_FILE))
+    if want < df.rdd.getNumPartitions():
+        return df.coalesce(want)
+    return df
+
+
+def sized_for_compute(df: DataFrame, est_rows: int) -> DataFrame:
+    """Shrink-only view sizing for CPU-bearing consumers of a small
+    cached batch: ~64k rows per task (the spread_rows convention),
+    NOT the 1M-row FILE target — reusing the write sizing here
+    single-tasked a 90k-key bloom/probe chain into a 5 s straggler.
+    Like coalesce everywhere else in this module, only ever shrinks."""
+    import math
+
+    want = max(1, math.ceil(est_rows / _ROWS_PER_TASK))
     if want < df.rdd.getNumPartitions():
         return df.coalesce(want)
     return df
@@ -480,6 +497,14 @@ def _merge_into_snapshot_impl(
     )
 
     n_src = check_merge_source(source, key_col)
+    # the contract aggregate just materialized the persisted source
+    # at its arrival width (the 32-way scan floor for a small batch);
+    # every later consumer — the candidate probe, the broadcast
+    # build, the left_anti, the union write — would otherwise
+    # schedule that many near-empty tasks per job.  Narrow the VIEW
+    # of the cached blocks to the row count's worth of partitions
+    # (coalesce reads all cached blocks in fewer tasks; shrink-only).
+    source = sized_for_compute(source, max(1, n_src))
     planned = plan_head(table_dir)
     active = snapshot_files(table_dir)
     if n_src == 0:
@@ -528,7 +553,12 @@ def _merge_into_snapshot_impl(
     rec = file_stats(table_dir)
     zrows = snapshot_zonemap_rows(table_dir, [key_col], recorded=rec)
     guard_zonemap_ordering(zrows, key_col, cast, required, "merge")
-    zm = spark.createDataFrame(
+    # manifest-sized local rows: a plain createDataFrame would
+    # parallelize them into Python-RDD slices and the broadcast build
+    # below would pay a Python worker round trip per slice — the
+    # LocalRelation path is pure JVM (functions/localrel.py)
+    zm = local_rows_df(
+        spark,
         zrows,
         "file string, col string, n_rows long, "
         "vmin string, vmax string, ord string",
@@ -584,8 +614,8 @@ def _merge_into_snapshot_impl(
             if words is not None and len(words) * 64 == int(b["m"]):
                 brows.append((fname, int(b["m"]), words))
     if brows:
-        bm = spark.createDataFrame(
-            brows, "file string, m long, words array<long>"
+        bm = local_rows_df(
+            spark, brows, "file string, m long, words array<long>"
         )
 
         def _bit_set(p):
@@ -607,7 +637,12 @@ def _merge_into_snapshot_impl(
         cand = cand.join(F.broadcast(bm), "file", "left").where(
             F.col("m").isNull() | member
         )
-    hits = cand.select("file").distinct().collect()
+    # the distinct's reduce stage inherits the full shuffle width —
+    # and actions over a foreachBatch source run WITHOUT AQE
+    # coalescing, so a KB-scale batch scheduled 32 near-empty reduce
+    # tasks per micro-batch here.  The result is file-count-bounded;
+    # one task reads all shuffle partitions.
+    hits = cand.select("file").distinct().coalesce(1).collect()
     affected = sorted(r["file"] for r in hits)
     untouched = [f for f in active if f not in set(affected)]
     # the schema the merge WRITES: the table head, widened by the

@@ -75,12 +75,24 @@ def stream_into_snapshot(
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         if not log_versions(table_dir):
-            if batch_df.isEmpty():
+            # the batch arrives with the source's scan width (the
+            # 32-way small-file floor; foreachBatch plans never AQE-
+            # coalesce), and init_snapshot writes it as given — an
+            # unsized bootstrap lands ~32 near-empty files that every
+            # later batch's reads, stats and bloom jobs then pay for
+            # one task per file.  Bootstrap happens once per table
+            # lifetime, so the exact count is worth its single job
+            # (it also subsumes the emptiness probe) and sizes the
+            # first commit like every other writer (sized_for_write).
+            n0 = batch_df.count()
+            if n0 == 0:
                 return  # an empty batch must not bootstrap the table
+            from ..sinks.merge import sized_for_write
+
             init_snapshot(
                 batch_df.sparkSession,
                 table_dir,
-                batch_df,
+                sized_for_write(batch_df, est_rows=n0),
                 stats_cols=[key_col],
                 prefix="stream",
                 bloom_key=key_col,
