@@ -353,14 +353,15 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan's byte-based split count (ONE partition for the whole
     # sf1 doc-id column) is the wrong parallelism — row-aware spread
     # before the mapInPandas (measured 38 s -> ~3 s at sf1;
-    # hash-identical output).  The LZW decode is the heaviest codec
-    # here (~0.45 ms/row), so its chunk is smaller: 300 rows/task
-    # keeps sf0.1 at ~17 tasks (measured sweet spot) and still clamps
-    # to every core at sf1+
+    # hash-identical output).  The fused pass carries all three codec
+    # stages per row (synth + LZW slice + decode checksum), so its
+    # chunk is smaller still: 100 rows/task swept best post-fusion
+    # (0.82 -> 0.69 s at sf0.1 vs the pre-fusion 300) and still
+    # clamps to every core from sf0.1 up
     d = spread_rows(
         load_table(spark, sf_dir, "documents").select("doc_id"),
         table_rows(sf_dir, "documents"),
-        rows_per_task=300,
+        rows_per_task=100,
     )
 
     # r13: synth → frame_sample → checksum fused into ONE mapInPandas
