@@ -390,14 +390,17 @@ def ngram_coverage_score(
     (``n_grams``, ``n_covered``) so the score is engine-portable;
     divide downstream for the ratio.
 
-    Plan shape: one explode pass builds the positional-free gram
-    multiset; the reference count is a map-side-combined
-    ``groupBy(gram)`` (vocabulary²-bounded output, heavy repetition
-    shrinks the shuffle); coverage is a left join back on the gram
-    and one per-document count — the same
-    grams / count / join-back skeleton as substring dedup, sharing
-    its scale argument.  Documents shorter than ``n`` words emit
-    zeros (strict n-grams, dedup.ngrams_from_words semantics)."""
+    Plan shape (r13: ONE tokenize pass — the join-back form
+    re-tokenized the corpus once per branch, the same redundant-scan
+    class commit 19ac5c4 removed from the other text statistics):
+    one explode pass builds per-(doc, gram) multiplicities
+    (map-side-combined ``groupBy``, so repeated grams collapse
+    before the exchange); the corpus-wide reference count is a
+    window ``sum`` over the gram partitioning of that combined
+    stream; the per-document rollup is one more combined aggregate.
+    No join carries the raw gram stream.  Documents shorter than
+    ``n`` words emit zeros (strict n-grams,
+    dedup.ngrams_from_words semantics)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_ref_count < 1:
@@ -416,18 +419,22 @@ def ngram_coverage_score(
             F.explode(ngrams_from_words("words", n)).alias("gram"),
         )
     )
-    known = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_rc"))
-        .filter(F.col("_rc") >= min_ref_count)
-        .select("gram", F.lit(1).alias("_known"))
+    per_pair = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    # corpus-wide occurrence count of the gram (multiplicity
+    # included, exactly the old groupBy(gram) count) as a window sum
+    # so the combined stream is consumed once instead of feeding two
+    # recomputed join branches
+    rc = F.sum("_cnt").over(Window.partitionBy("gram"))
     per_doc = (
-        grams.join(known, "gram", "left")
+        per_pair.withColumn("_rc", rc)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("_known").alias("n_covered"),
+            F.sum("_cnt").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_rc") >= min_ref_count, F.col("_cnt"))
+            ).alias("n_covered"),
         )
     )
     return (
