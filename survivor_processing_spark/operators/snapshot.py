@@ -1464,9 +1464,86 @@ def snapshot_summary(
     agg_col: str,
 ) -> DataFrame:
     """Spark side of :func:`snapshot_summary_oracle`: per-version
-    row count + decimal sum over the time-travel scan."""
-    out = None
+    row count + decimal sum over the time-travel scan.
+
+    r13: versions with live data, NO live deletion vectors, a flat
+    file layout, and one shared logged schema are FUSED into a
+    single scan — per-file partial aggregates joined to a
+    driver-local (version, file) membership LocalRelation — instead
+    of one scan+aggregate plan per version: a k-version summary was
+    paying k relation builds and a k-branch union (driver planning
+    dominated the gate wall; r13 job traces).  count/decimal-sum are
+    exactly distributive over files, so the fused totals are
+    bit-identical.  Versions that don't qualify (live DVs — their
+    per-file values are version-dependent — empty snapshots, or a
+    schema-evolution boundary) keep the per-version path and are
+    unioned after.
+
+    The fusion needs >4 qualifying versions to fire: AQE executes
+    the independent per-version branches CONCURRENTLY (one stage
+    deep), while the fused shape is a sequential 3-stage chain —
+    measured at sf0.1, fusing a 3-version summary REGRESSED the DML
+    gate ~1.5 s (per-stage driver overhead × depth beats branch
+    count) while fusing the 10-probe time-travel gate halved it
+    (3.6 -> 1.8 s)."""
+    from ..functions.localrel import local_rows_df
+
+    infos = []
     for v in versions:
+        files = snapshot_files(table_dir, v)
+        dvs = snapshot_dvs(table_dir, v)
+        sch = table_schema(table_dir, v)
+        infos.append((int(v), files, dvs, sch))
+    fused = [
+        (v, files)
+        for v, files, dvs, sch in infos
+        if files
+        and not dvs
+        and sch == infos[0][3]
+        and all(os.sep not in f for f in files)
+    ]
+    out = None
+    if len(fused) > 4:
+        all_files = sorted({f for _, fl in fused for f in fl})
+        reader = spark.read
+        if infos[0][3]:
+            reader = reader.schema(_schema_ddl(infos[0][3]))
+        scan = reader.parquet(
+            *[os.path.join(table_dir, f) for f in all_files]
+        )
+        per_file = (
+            scan.select(
+                F.col(agg_col).alias("_v"),
+                F.col("_metadata.file_name").alias("_f"),
+            )
+            .groupBy("_f")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("_v").cast("decimal(18,2)")).alias("_t"),
+            )
+        )
+        member = local_rows_df(
+            spark,
+            [(v, f) for v, fl in fused for f in fl],
+            "version int, _f string",
+        )
+        out = (
+            member.join(per_file, "_f", "left")
+            .groupBy("version")
+            .agg(
+                F.coalesce(F.sum("_n"), F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.coalesce(F.sum("_t"), F.lit(0))
+                .cast("double")
+                .alias("total"),
+            )
+            .select("version", "n_rows", "total")
+        )
+    fused_vs = {v for v, _ in fused} if len(fused) > 4 else set()
+    for v, files, dvs, sch in infos:
+        if v in fused_vs:
+            continue
         s = read_snapshot(spark, table_dir, v).agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.coalesce(
