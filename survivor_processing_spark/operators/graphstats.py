@@ -108,10 +108,16 @@ def triangle_counts(
     )
     closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    # ONE pass over the triangle stream: a 3-branch unionAll of
+    # `tris` re-derived the whole wedge+closing join chain per
+    # branch (tris is lazy and only its INPUTS are checkpointed —
+    # the r13 plan showed the SortMergeJoin subtree three times);
+    # exploding the corner array emits the same three rows per
+    # triangle from a single execution
     corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("x").alias("node")))
-        .unionAll(tris.select(F.col("y").alias("node")))
+        tris.select(
+            F.explode(F.array("u", "x", "y")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
