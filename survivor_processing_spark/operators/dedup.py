@@ -637,11 +637,13 @@ def ngram_jaccard_pairs(
 
     ``strategy='count'`` (default): full inverted index -> join-free
     posting-list pair emission -> ``groupBy(id1,id2).count()`` ->
-    jaccard from per-doc shingle counts.  No joins, and the pair
-    counts combine MAP-SIDE, so the shuffle carries distinct pairs,
-    not emissions.  Work is Θ(Σ m(m-1)/2) over posting sizes m —
-    optimal when postings are short, and the better constant even on
-    saturated vocabularies (see below).
+    jaccard from per-doc shingle counts carried THROUGH the posting
+    lists (no join-back: the whole plan is two aggregates over one
+    execution of the shingle lineage).  The pair counts combine
+    MAP-SIDE, so the shuffle carries distinct pairs, not emissions.
+    Work is Θ(Σ m(m-1)/2) over posting sizes m — optimal when
+    postings are short, and the better constant even on saturated
+    vocabularies (see below).
 
     ``strategy='prefix'``: AllPairs/SSJoin-style prefix filtering
     (Bayardo et al. WWW'07): rank each document's shingles by global
@@ -668,8 +670,8 @@ def ngram_jaccard_pairs(
     corpus size whatever the strategy — MinHash-LSH (linear signature
     shuffle) remains the 100 TB default."""
     sh = shingle_table(df, text_col, id_col, shingle_n)
-    inv = sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
     if strategy == "prefix":
+        inv = sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
         w_doc = Window.partitionBy("doc_id")
         indexed = (
             inv.withColumn(
@@ -685,38 +687,52 @@ def ngram_jaccard_pairs(
             )
             .select("doc_id", "shingle")
         )
-    elif strategy == "count":
-        indexed = inv
-    else:
+        posting = (
+            indexed.groupBy("shingle")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        if max_posting is not None:
+            posting = posting.filter(F.size("ids") <= max_posting)
+        pairs = posting.select(
+            F.explode(pairs_from_posting("ids")).alias("p")
+        ).select("p.id1", "p.id2")
+        return jaccard_verify(pairs.distinct(), sh, threshold)
+    if strategy != "count":
         raise ValueError(f"unknown strategy {strategy!r}")
+    # Count strategy: each doc's shingle-set size rides the inverted
+    # rows into the posting lists (struct(doc_id, n_sh); doc_ids are
+    # unique per posting, so struct least/greatest orders by doc_id),
+    # so the jaccard denominator needs NO join-back — the shingle
+    # lineage executes ONCE instead of three times (inv + two count
+    # branches), which matters when the input is itself a composed
+    # pipeline (quality gate + exact dedup in the curation queries).
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
     posting = (
-        indexed.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        inv.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_posting is not None:
         posting = posting.filter(F.size("ids") <= max_posting)
-    pairs = posting.select(
-        F.explode(pairs_from_posting("ids")).alias("p")
-    ).select("p.id1", "p.id2")
-    if strategy == "prefix":
-        return jaccard_verify(pairs.distinct(), sh, threshold)
-    counts = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    common = pairs.groupBy("id1", "id2").agg(F.count("*").alias("n_common"))
-    c1 = counts.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
-    return (
-        common.join(c1, "id1")
-        .join(c2, "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    pairs = posting.select(F.explode(pairs_from_posting("ids")).alias("p"))
+    common = pairs.groupBy(
+        F.col("p.id1.doc_id").alias("id1"),
+        F.col("p.id2.doc_id").alias("id2"),
+        F.col("p.id1.n_sh").alias("n1"),
+        F.col("p.id2.n_sh").alias("n2"),
+    ).agg(F.count("*").alias("n_common"))
+    return common.select(
+        "id1",
+        "id2",
+        (
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(

@@ -123,6 +123,11 @@ def test_ngram_jaccard_no_cross_product(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r13: the count strategy is fully join-free — per-doc shingle
+    # counts ride the posting lists, so the shingle lineage (and the
+    # upstream input pipeline) executes exactly once
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_rolling_fingerprint_stays_jvm_side(spark):
