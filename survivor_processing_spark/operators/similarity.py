@@ -470,12 +470,28 @@ def lsh_portable_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    e1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    e2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    # Verify: norms are per-VECTOR values, so compute each side's
+    # norm once in the join projection instead of twice per candidate
+    # pair (a vector in m postings pays the interpreted 64-element
+    # aggregate once, not m times).  Bit-identical to cosine_expr:
+    # the same _norm tree evaluates over the same array, and the
+    # division keeps the dot/(n1*n2) association.
+    e1 = emb.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("_v1"),
+        _norm(vec_col).alias("_n1"),
+    )
+    e2 = emb.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("_v2"),
+        _norm(vec_col).alias("_n2"),
+    )
     return (
         cands.join(e1, "id1")
         .join(e2, "id2")
-        .filter(cosine_expr("_v1", "_v2") >= threshold)
+        .filter(
+            _dot("_v1", "_v2") / (F.col("_n1") * F.col("_n2")) >= threshold
+        )
         .select("id1", "id2")
     )
 
