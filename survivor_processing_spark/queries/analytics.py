@@ -349,9 +349,17 @@ GROUP BY event_type
 )
 def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # The sketch aggregate must NOT share a groupBy with the exact
+    # countDistinct: a single DISTINCT aggregate makes Spark rewrite
+    # the whole aggregate as partial-by-(event_type, user_id), which
+    # drags the HLL registers and the accuracy-10k quantile buffer
+    # into a per-USER state (one 400+-column sketch row per user,
+    # thousands of sketch merges) — measured as a 4.3 s two-task
+    # stage at sf0.1.  The exact count rides the rank pass below
+    # instead, whose other states are plain double sums of 0/1 (so
+    # the distinct rewrite there reassociates exactly).
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("aq"),
     )
     # achieved rank of each sketch answer, via a null-safe broadcast
@@ -359,7 +367,7 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-join would silently drop a NULL event_type group the
     # oracle's GROUP BY retains)
     a = agg.withColumnRenamed("event_type", "_et")
-    j = ev.select("event_type", "value").join(
+    j = ev.select("event_type", "user_id", "value").join(
         F.broadcast(a), F.col("event_type").eqNullSafe(F.col("_et"))
     )
     # rank space excludes NULL values (quantile functions ignore
@@ -383,7 +391,7 @@ def sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = j.groupBy("event_type").agg(
         F.first("approx_users").alias("approx_users"),
-        F.first("exact_users").alias("exact_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         nn.alias("n"),
         *[
             frac(i, strict).alias(f"f{name}{'_lt' if strict else '_le'}")
