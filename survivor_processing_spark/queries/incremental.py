@@ -39,6 +39,25 @@ def _await_or_die(q, timeout_s: int) -> None:
         )
 
 
+def _start_state_sized(spark: SparkSession, writer, parts: str = "8"):
+    """Start a streaming query with right-sized STATE partitions —
+    the knob every production stateful stream tunes: each state-store
+    partition pays fixed per-micro-batch overhead (provider init,
+    checkpoint delta files, and for applyInPandasWithState a Python
+    worker round trip), so the partition count should track state
+    VOLUME, not the session's batch shuffle width.  Gate state here
+    is KB-sized; at 100 TB/day the same line carries a larger
+    number.  The conf is captured at query START and pinned into the
+    checkpoint, so the restore cannot affect the running stream, and
+    per-key results are partition-count-independent."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # --- N1/E7: watermark incremental read -------------------------------------
 
 
@@ -255,13 +274,13 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = streaming_seen_filter(stream)
     sink = f"ssd_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_state_sized(
+        spark,
         deduped.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     _await_or_die(q, 120)
     return _detach_sink(spark.table(sink), sink, base)
@@ -301,13 +320,13 @@ def streaming_running_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     running = streaming_running_max(stream)
     sink = f"srm_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_state_sized(
+        spark,
         running.writeStream.format("memory")
         .queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     _await_or_die(q, 120)
     # update-mode memory sink appends every update; the END state per
@@ -452,27 +471,15 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     sink = f"sij_{uuid.uuid4().hex[:8]}"
-    # state-partition sizing, the knob every production stream-stream
-    # join tunes: each state-store partition pays fixed per-micro-batch
-    # overhead (provider init, checkpoint delta files), so partitions
-    # should track STATE VOLUME, not the session's batch shuffle
-    # width.  Gate state here is KB-sized; 32 partitions measured
-    # 6.1 s vs 2.5 s at 8 (sf0.1).  The conf is captured at query
-    # START and pinned into the checkpoint, so the restore below
-    # can't affect this stream — at 100 TB/day the same line simply
-    # carries a larger number.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # 32 state partitions measured 6.1 s vs 2.5 s at 8 (sf0.1) for
+    # this stream-stream join; rationale in _start_state_sized.
+    q = _start_state_sized(
+        spark,
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True),
+    )
     _await_or_die(q, 120)
     return _detach_sink(
         spark.table(sink).select(
@@ -521,13 +528,13 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     sink = f"ddw_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_state_sized(
+        spark,
         stream.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
     _await_or_die(q, 120)
     out = spark.table(sink).select(
