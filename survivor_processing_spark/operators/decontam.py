@@ -35,11 +35,18 @@ def _gram_table(
     df: DataFrame, text_col: str, id_col: str | None, n: int
 ) -> DataFrame:
     """(doc_id?, gram) — distinct word n-grams per document, strict
-    semantics: a document with fewer than ``n`` words emits none."""
+    semantics: a document with fewer than ``n`` words emits none.
+
+    ``spread`` so the CPU-heavy tokenize+gram projection is not
+    pinned to one task by a single-row-group input (the
+    shingle_table lesson — a parquet row group is unsplittable, so
+    the session's scan floor cannot parallelize it)."""
+    from .dedup import spread
+
     cols = ([F.col(id_col).alias("doc_id")] if id_col else []) + [
         tokens_expr(text_col).alias("_w")
     ]
-    out = df.select(*cols).select(
+    out = spread(df).select(*cols).select(
         *(["doc_id"] if id_col else []),
         F.explode(ngrams_from_words("_w", n, distinct=True)).alias("gram"),
     )

@@ -52,7 +52,19 @@ def write_bucketed(
     explicit location (no dependence on the session's warehouse dir —
     bucketing metadata requires the catalog, so this is still
     ``saveAsTable``, but the data lives where the caller says)."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys)
+    # Repartition on the bucket keys into n_buckets tasks first:
+    # shuffle hash partitioning and bucket-id assignment use the same
+    # pmod(murmur3) scheme, so each write task holds exactly one
+    # bucket and the table lands as ONE file per bucket (without
+    # this, every input task writes a file per bucket it touches —
+    # tasks × buckets small files — and a single-row-group input
+    # single-tasks the whole sort+encode).
+    w = (
+        df.repartition(n_buckets, *keys)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+    )
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
