@@ -72,7 +72,11 @@ def dice_collocations(
     # guards it.
     from pyspark.storagelevel import StorageLevel
 
-    rows = docs.select(
+    from .dedup import spread
+
+    # spread: the regex tokenize must not single-task on a single-
+    # row-group input (no-op at scale — see dedup.spread)
+    rows = spread(docs).select(
         F.expr(
             f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
         ).alias("_t")
@@ -197,7 +201,10 @@ def bigram_fluency(
     # partitions, so the lane arithmetic runs in-stream with zero
     # joins.  sequence(1, size-1) flips direction when size < 2 —
     # the if() guards it.
-    rows = docs.select(
+    from .dedup import spread
+
+    # spread: same single-row-group guard as dice_collocations
+    rows = spread(docs).select(
         F.col(id_col),
         F.expr(
             f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"

@@ -166,9 +166,11 @@ def repetition_stats(
     doc — both map-side combinable; no joins, no windows, no Python.
     The gram key inherits the document's distribution, so there is no
     global hot key even on boilerplate-heavy corpora."""
-    from .dedup import ngrams_from_words, normalize_text
+    from .dedup import ngrams_from_words, normalize_text, spread
 
-    norm = df.select(
+    # spread: normalize+split must not single-task on a single-row-
+    # group input (no-op at scale — see dedup.spread)
+    norm = spread(df).select(
         F.col(id_col).alias("_id"),
         F.length(normalize_text(F.col(text_col))).cast("bigint").alias("n_chars"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
@@ -407,10 +409,12 @@ def ngram_coverage_score(
         raise ValueError(
             f"min_ref_count must be >= 1, got {min_ref_count}"
         )
-    from .dedup import ngrams_from_words, tokens_expr
+    from .dedup import ngrams_from_words, spread, tokens_expr
 
+    # spread: one-row-group inputs would single-task the tokenize
+    # (no-op at scale — see dedup.spread)
     grams = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("doc_id"),
             tokens_expr(text_col).alias("words"),
         )

@@ -42,12 +42,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-from .dedup import ngrams_from_words, tokens_expr
+from .dedup import ngrams_from_words, spread, tokens_expr
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # spread: the tokenize+gram projection must not single-task on an
+    # unsplittable single-row-group input (no-op at scale — see
+    # dedup.spread)
     return (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("doc_id"),
             tokens_expr(text_col).alias("_w"),
         )

@@ -448,11 +448,21 @@ HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM toks)
 """,
 )
 def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import tokens_expr
+    from ..catalog import table_rows
+    from ..operators.dedup import spread_rows, tokens_expr
     from ..operators.heavyhitters import heavy_hitters_exact
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tokens_expr("text")).alias("term"))
+    # spread BEFORE the explode: a single-row-group scan would run
+    # the tokenize, the per-partition MG summaries, AND the exact
+    # count pass all on one task.  Row-aware (not fixed-cores): the
+    # MG pass is mapInPandas, and 32 near-empty Python workers cost
+    # more than they save on a small corpus (the multimodal lesson —
+    # a fixed spread measured +0.4 s at sf0.1; 1k-doc chunks still
+    # clamp to every core from ~30k docs up).
+    toks = spread_rows(
+        d, table_rows(sf_dir, "documents"), rows_per_task=1000
+    ).select(F.explode(tokens_expr("text")).alias("term"))
     return heavy_hitters_exact(toks, "term", k=100)
 
 
