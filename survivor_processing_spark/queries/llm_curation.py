@@ -355,8 +355,11 @@ FROM feats
 )
 def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textstats import quality_score_exprs
+    from ..operators.dedup import spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the feature regexes must not single-task on a single-
+    # row-group input (no-op at scale — see dedup.spread)
+    d = spread(load_table(spark, sf_dir, "documents"))
     ex = quality_score_exprs(F.col("text"))
     logit = (
         2.0 * ex["alpha_ratio"]
@@ -531,7 +534,13 @@ def nfc_normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=url_canonicalize_oracle(_URL_SRC_SQL),
 )
 def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").selectExpr(_URL_SRC_EXPR)
+    from ..operators.dedup import spread
+
+    # spread: the regex step chain must not single-task on a single-
+    # row-group input (no-op at scale — see dedup.spread)
+    d = spread(load_table(spark, sf_dir, "documents")).selectExpr(
+        _URL_SRC_EXPR
+    )
     return url_canonicalize(d)
 
 
