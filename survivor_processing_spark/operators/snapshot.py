@@ -1466,26 +1466,42 @@ def snapshot_summary(
     """Spark side of :func:`snapshot_summary_oracle`: per-version
     row count + decimal sum over the time-travel scan.
 
-    r13: versions with live data, NO live deletion vectors, a flat
-    file layout, and one shared logged schema are FUSED into a
-    single scan — per-file partial aggregates joined to a
-    driver-local (version, file) membership LocalRelation — instead
-    of one scan+aggregate plan per version: a k-version summary was
-    paying k relation builds and a k-branch union (driver planning
-    dominated the gate wall; r13 job traces).  count/decimal-sum are
-    exactly distributive over files, so the fused totals are
-    bit-identical.  Versions that don't qualify (live DVs — their
-    per-file values are version-dependent — empty snapshots, or a
-    schema-evolution boundary) keep the per-version path and are
-    unioned after.
+    r13: versions with live data, a flat file layout, and one shared
+    logged schema are FUSED into a single scan — per-(file,
+    dv-sidecar) partial aggregates joined to a driver-local
+    membership LocalRelation — instead of one scan+aggregate plan
+    per version: a k-version summary was paying k relation builds
+    and a k-branch union (driver planning dominated the gate wall;
+    r13 job traces).  count/decimal-sum are exactly distributive
+    over files, so the fused totals are bit-identical.  Versions
+    that don't qualify (empty snapshots, or a schema-evolution
+    boundary) keep the per-version path and are unioned after.
 
-    The fusion needs >4 qualifying versions to fire: AQE executes
-    the independent per-version branches CONCURRENTLY (one stage
-    deep), while the fused shape is a sequential 3-stage chain —
-    measured at sf0.1, fusing a 3-version summary REGRESSED the DML
-    gate ~1.5 s (per-stage driver overhead × depth beats branch
-    count) while fusing the 10-probe time-travel gate halved it
-    (3.6 -> 1.8 s)."""
+    DV-AWARE FUSION (r13 session 4 — the "designed but
+    unimplemented" item from the session-3 log): versions with live
+    deletion vectors fuse too.  The scan LEFT-joins the sidecars'
+    (file, pos) rows, so every row lands in a partial-aggregate
+    group keyed by (file, deleting-sidecar-or-live); a version's
+    total is then the SUM of the groups live at it — its files'
+    live groups, plus the groups of sidecars NOT live at it (their
+    rows were still visible then).  Pure addition of disjoint
+    partials: co-live sidecars are position-disjoint by the MOR
+    writer contract (re-deletes are anti-joined out before a
+    sidecar is written), and all arithmetic stays in the JVM
+    decimal path, so the result is bit-identical to the
+    per-version anti-join read.
+
+    Fire threshold, measured not asserted: >4 qualifying versions,
+    with or without DVs.  AQE executes independent per-version
+    branches CONCURRENTLY (one stage deep, and concurrently with
+    the gate's other subtrees under the same action), while any
+    fused shape is a serialized chain — fusing the DML gate's
+    3-version summary regressed ~1.5 s, fusing the 4-version MOR
+    gate regressed ~1.0 s in both the join-shaped and
+    collect-shaped variants (stash-paired, r13 session 4), and
+    fusing the 10-probe time-travel gate cut it 3.6 → 1.8 s
+    (join-shaped, session 3) and a further −20% (collect-shaped,
+    session 4)."""
     from ..functions.localrel import local_rows_df
 
     infos = []
@@ -1494,53 +1510,144 @@ def snapshot_summary(
         dvs = snapshot_dvs(table_dir, v)
         sch = table_schema(table_dir, v)
         infos.append((int(v), files, dvs, sch))
-    fused = [
-        (v, files)
+    qualifying = [
+        (v, files, dvs)
         for v, files, dvs, sch in infos
         if files
-        and not dvs
         and sch == infos[0][3]
         and all(os.sep not in f for f in files)
+        and all(os.sep not in s for s in dvs)
     ]
+    fused = qualifying if len(qualifying) > 4 else []
     out = None
-    if len(fused) > 4:
-        all_files = sorted({f for _, fl in fused for f in fl})
+    if fused:
+        all_files = sorted({f for _, fl, _ in fused for f in fl})
+        # sidecars live at any fused version, with the union of their
+        # per-version coverages — the (sidecar, file) pairs whose
+        # positions must be split out of the live groups
+        cov_any: dict[str, set[str]] = {}
+        for _, _, dvs in fused:
+            for s, cov in dvs.items():
+                cov_any.setdefault(s, set()).update(cov)
+        file_set = set(all_files)
+        pairs = sorted(
+            (s, f)
+            for s, cov in cov_any.items()
+            for f in cov
+            if f in file_set
+        )
         reader = spark.read
         if infos[0][3]:
             reader = reader.schema(_schema_ddl(infos[0][3]))
         scan = reader.parquet(
             *[os.path.join(table_dir, f) for f in all_files]
         )
-        per_file = (
-            scan.select(
-                F.col(agg_col).alias("_v"),
-                F.col("_metadata.file_name").alias("_f"),
-            )
-            .groupBy("_f")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(F.col("_v").cast("decimal(18,2)")).alias("_t"),
-            )
+        rows = scan.select(
+            F.col(agg_col).alias("_v"),
+            F.col("_metadata.file_name").alias("_f"),
+            F.col("_metadata.row_index").alias("_p"),
         )
-        member = local_rows_df(
-            spark,
-            [(v, f) for v, fl in fused for f in fl],
-            "version int, _f string",
-        )
-        out = (
-            member.join(per_file, "_f", "left")
-            .groupBy("version")
-            .agg(
-                F.coalesce(F.sum("_n"), F.lit(0))
-                .cast("long")
-                .alias("n_rows"),
-                F.coalesce(F.sum("_t"), F.lit(0))
-                .cast("double")
-                .alias("total"),
+        if pairs:
+            sidecars = sorted({s for s, _ in pairs})
+            # LOUD on a torn/foreign sidecar — same contract as
+            # strip_deleted_rows: serving NULL positions would leave
+            # deleted rows in the live group silently.  Driver-side,
+            # sidecar-count bounded.
+            import pyarrow.parquet as _pq
+
+            for s in sidecars:
+                try:
+                    footer = _pq.ParquetFile(
+                        os.path.join(table_dir, s)
+                    ).schema_arrow
+                except Exception as exc:
+                    raise ValueError(
+                        f"unreadable deletion-vector sidecar {s!r}:"
+                        f" {exc}"
+                    ) from exc
+                if not {"file", "pos"} <= set(footer.names):
+                    raise ValueError(
+                        f"deletion-vector sidecar {s!r} lacks"
+                        " (file, pos) columns — refusing a summary"
+                        " that would silently resurrect deleted rows"
+                    )
+            total = sum(
+                os.path.getsize(os.path.join(table_dir, s))
+                for s in sidecars
             )
-            .select("version", "n_rows", "total")
+            # pair-level filter (not file-level): a sidecar can hold
+            # positions for a file whose coverage it lost at every
+            # fused version; those rows must stay in the live group
+            dv = (
+                spark.read.schema("file string, pos long")
+                .parquet(*[os.path.join(table_dir, s) for s in sidecars])
+                .select(
+                    F.col("file").alias("_df"),
+                    F.col("pos").alias("_dp"),
+                    F.col("_metadata.file_name").alias("_ds"),
+                )
+                .where(
+                    F.concat_ws("/", F.col("_ds"), F.col("_df")).isin(
+                        [f"{s}/{f}" for s, f in pairs]
+                    )
+                )
+            )
+            if total <= 64 << 20:
+                dv = F.broadcast(dv)
+            rows = rows.join(
+                dv,
+                (F.col("_f") == F.col("_df"))
+                & (F.col("_p") == F.col("_dp")),
+                "left",
+            )
+            grouped = rows.select(
+                "_v", "_f", F.coalesce(F.col("_ds"), F.lit("")).alias("_s")
+            )
+        else:
+            grouped = rows.select("_v", "_f", F.lit("").alias("_s"))
+        per_fs = grouped.groupBy("_f", "_s").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(18,2)")).alias("_t"),
         )
-    fused_vs = {v for v, _ in fused} if len(fused) > 4 else set()
+        # The partials are manifest-sized (files × (sidecars + 1)
+        # upper bound), so the membership join + per-version rollup
+        # assemble DRIVER-SIDE — one distributed job instead of a
+        # sequential join+agg stage chain (the join-shaped fusion
+        # measured SLOWER than the concurrent per-version branches
+        # at gate scale; per-operator log).  Python Decimal addition
+        # is exact like JVM decimal addition; the engine-sensitive
+        # decimal→double cast stays in the JVM below.
+        from decimal import Decimal
+
+        pf = {(r["_f"], r["_s"]): (r["_n"], r["_t"]) for r in per_fs.collect()}
+        vrows = []
+        for v, fl, dvs in fused:
+            fset = set(fl)
+            keys = [(f, "") for f in fl]
+            for s, cov in cov_any.items():
+                live_cov = set(dvs.get(s, []))
+                keys.extend(
+                    (f, s)
+                    for f in cov
+                    if f in fset and f not in live_cov
+                )
+            n = 0
+            t = Decimal(0)
+            for k in keys:
+                g = pf.get(k)
+                if g:
+                    n += g[0]
+                    if g[1] is not None:
+                        t += g[1]
+            vrows.append((v, n, t))
+        out = local_rows_df(
+            spark, vrows, "version int, n_rows long, total decimal(38,2)"
+        ).select(
+            "version",
+            "n_rows",
+            F.col("total").cast("double").alias("total"),
+        )
+    fused_vs = {v for v, _, _ in fused}
     for v, files, dvs, sch in infos:
         if v in fused_vs:
             continue

@@ -741,3 +741,49 @@ def test_mor_upsert_gate_matches_closed_form_oracle(spark):
     # exist, inserts exist) — guards against a vacuously-green gate
     v2 = next(r for r in got if r[0] == 2)
     assert v2[3] > 0 and v2[4] > v2[3] and v2[5] > 0.0
+
+
+def test_dv_aware_fused_summary_matches_per_version_reads(spark, tbl):
+    """r13 session 4: snapshot_summary's fused path (>4 qualifying
+    versions) now fires on DV'd histories too — per-(file, sidecar)
+    partials assembled driver-side must be BIT-IDENTICAL to the
+    per-version DV-aware anti-join reads, across co-live disjoint
+    sidecars on one file, a purge boundary (DVs retired,
+    data_change=False), and the no-DV head versions."""
+    import pyspark.sql.functions as F
+
+    from survivor_processing_spark.operators.snapshot import (
+        snapshot_summary,
+    )
+
+    delete_from_snapshot_mor(spark, tbl, "k", 10, 19)  # v2: DV on f0
+    delete_from_snapshot_mor(spark, tbl, "k", 60, 69)  # v3: DV on f1
+    delete_from_snapshot_mor(spark, tbl, "k", 110, 119)  # v4: DV f2
+    delete_from_snapshot_mor(spark, tbl, "k", 0, 4)  # v5: 2nd DV on f0
+    purge_dvs(spark, tbl)  # v6: rewrite, retires every DV
+    versions = [1, 2, 3, 4, 5, 6]
+    assert snapshot_dvs(tbl, 5) and not snapshot_dvs(tbl, 6)
+    got = sorted(
+        tuple(r)
+        for r in snapshot_summary(spark, tbl, versions, "amt").collect()
+    )
+    want = []
+    for v in versions:
+        row = (
+            read_snapshot(spark, tbl, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(
+                    F.sum(F.col("amt").cast("decimal(18,2)")), F.lit(0)
+                )
+                .cast("double")
+                .alias("t"),
+            )
+            .collect()[0]
+        )
+        want.append((v, row["n"], row["t"]))
+    assert got == sorted(want)
+    # the history must actually exercise the fused branch: live DVs
+    # at v2..v5 and >4 qualifying versions
+    assert got[0][1] == 151 and got[4][1] == 151 - 10 - 10 - 10 - 5
+    assert got[5][1:] == got[4][1:]  # purge is layout-only
