@@ -914,10 +914,26 @@ def connected_components(
     # Materialize the edge list ONCE: every round joins against it,
     # and without truncation each round would re-execute the entire
     # upstream pair-generation pipeline (e.g. MinHash-LSH) — measured
-    # ~Nx the whole job for N rounds.
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # ~Nx the whole job for N rounds.  Both directions EXPLODE from a
+    # single execution of the pair lineage (the triangle_counts corner
+    # pattern): the previous self-union re-ran the upstream pair
+    # aggregate once per branch — its two final-agg stages were the
+    # two biggest jobs of the sf1 near-dup gate (r13 session 4 trace).
+    edges = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
